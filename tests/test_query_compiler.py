@@ -1,0 +1,160 @@
+"""Mongo-dict query compiler tests against driver testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import table
+from topic_store_spark.query import (
+    apply_pipeline,
+    apply_projection,
+    compile_query,
+    parse_objectid_literals,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return table(spark, sf_dir, "orders")
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return table(spark, sf_dir, "events")
+
+
+def test_eq_implicit(orders):
+    n = orders.filter(compile_query({"o_orderstatus": "F"})).count()
+    assert n == orders.filter(F.col("o_orderstatus") == "F").count()
+    assert n > 0
+
+
+def test_comparison_ops(orders):
+    q = {"o_totalprice": {"$gt": 1000, "$lte": 50000}}
+    n = orders.filter(compile_query(q)).count()
+    ref = orders.filter((F.col("o_totalprice") > 1000) & (F.col("o_totalprice") <= 50000)).count()
+    assert n == ref
+
+
+def test_in_nin(orders):
+    q_in = orders.filter(compile_query({"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}})).count()
+    q_nin = orders.filter(compile_query({"o_orderpriority": {"$nin": ["1-URGENT", "2-HIGH"]}})).count()
+    assert q_in + q_nin == orders.count()
+
+
+def test_and_or_nor(orders):
+    q = {"$or": [{"o_orderstatus": "F"}, {"o_totalprice": {"$lt": 5000}}]}
+    n_or = orders.filter(compile_query(q)).count()
+    n_nor = orders.filter(compile_query({"$nor": q["$or"]})).count()
+    assert n_or + n_nor == orders.count()
+    both = {"$and": [{"o_orderstatus": "F"}, {"o_totalprice": {"$lt": 5000}}]}
+    assert orders.filter(compile_query(both)).count() <= n_or
+
+
+def test_not_and_ne_null_semantics(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "b")], ["id", "v"])
+    # Mongo $ne matches missing/null fields too
+    assert df.filter(compile_query({"v": {"$ne": "a"}})).count() == 2
+    assert df.filter(compile_query({"v": {"$not": {"$eq": "a"}}})).count() == 2
+    assert df.filter(compile_query({"v": {"$nin": ["a", "b"]}})).count() == 1
+
+
+def test_exists(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["id", "v"])
+    assert df.filter(compile_query({"v": {"$exists": True}})).count() == 1
+    assert df.filter(compile_query({"v": {"$exists": False}})).count() == 1
+
+
+def test_regex(events):
+    n = events.filter(compile_query({"event_type": {"$regex": "^sig", "$options": "i"}})).count()
+    ref = events.filter(F.col("event_type").rlike("(?i)^sig")).count()
+    assert n == ref and n > 0
+
+
+def test_mod_and_dotted_path(spark):
+    df = spark.createDataFrame([((i, {"x": i}),) for i in range(10)], ["s"]) \
+        .select(F.col("s._1").alias("n"), F.col("s._2").alias("inner"))
+    assert df.filter(compile_query({"n": {"$mod": [3, 1]}})).count() == 3  # 1,4,7
+    assert df.filter(compile_query({"inner.x": {"$gte": 5}})).count() == 5
+
+
+def test_objectid_literal():
+    q = parse_objectid_literals({"_id": "ObjectId('0123456789abcdef01234567')"})
+    assert q == {"_id": "0123456789abcdef01234567"}
+
+
+def test_empty_query_full_scan(orders):
+    assert orders.filter(compile_query({})).count() == orders.count()
+    assert orders.filter(compile_query(None)).count() == orders.count()
+
+
+# ---------------- projection ----------------
+
+
+def test_projection_include_exclude(spark):
+    df = spark.createDataFrame(
+        [("x", 1, ("s1", 1.0, 2.0), {"a": 1, "b": 2})],
+        "name string, n long, _ts_meta struct<session:string,sys_time:double,ros_time:double>, robot struct<a:long,b:long>",
+    ).withColumn("_id", F.lit("ff" * 12))
+    inc = apply_projection(df, {"name": 1})
+    assert set(inc.columns) == {"name", "_ts_meta", "_id"}  # forced meta + id
+    inc2 = apply_projection(df, {"robot.a": 1, "_id": 0})
+    assert set(inc2.columns) == {"robot", "_ts_meta"}
+    assert inc2.select("robot.a").first()[0] == 1
+    assert "b" not in inc2.schema["robot"].dataType.fieldNames()
+    exc = apply_projection(df, {"robot.b": 0, "n": 0})
+    assert "n" not in exc.columns
+    assert "b" not in exc.schema["robot"].dataType.fieldNames()
+
+
+def test_projection_cannot_drop_ts_meta(spark):
+    df = spark.createDataFrame([(1,)], ["a"])
+    with pytest.raises(ValueError):
+        apply_projection(df, {"_ts_meta": 0})
+    with pytest.raises(ValueError):
+        apply_projection(df, {"a": 1, "b": 0})
+
+
+# ---------------- aggregation pipeline ----------------
+
+
+def test_pipeline_match_group_sort_limit(orders):
+    out = apply_pipeline(
+        orders,
+        [
+            {"$match": {"o_orderstatus": {"$ne": "P"}}},
+            {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}, "total": {"$sum": "$o_totalprice"}}},
+            {"$sort": {"n": -1}},
+            {"$limit": 3},
+        ],
+    ).collect()
+    assert len(out) == 3
+    assert out[0]["n"] >= out[1]["n"] >= out[2]["n"]
+    assert out[0]["total"] > 0
+
+
+def test_pipeline_unwind_count(spark):
+    df = spark.createDataFrame([(1, [1, 2, 3]), (2, [4])], ["id", "xs"])
+    out = apply_pipeline(df, [{"$unwind": "$xs"}, {"$count": "n"}]).first()
+    assert out["n"] == 4
+
+
+def test_pipeline_addfields_and_dateparts(spark):
+    from topic_store_spark.objectid import new_object_id
+    import time
+
+    oid = new_object_id(timestamp=time.mktime((2021, 5, 17, 12, 0, 0, 0, 0, 0)))
+    df = spark.createDataFrame([(oid,)], ["_id"])
+    out = apply_pipeline(
+        df, [{"$addFields": {"y": {"$year": "$_id"}, "mo": {"$month": "$_id"}}}]
+    ).first()
+    assert out["y"] == 2021 and out["mo"] == 5
+
+
+def test_pipeline_group_multi_key(orders):
+    out = apply_pipeline(
+        orders,
+        [{"$group": {"_id": {"st": "$o_orderstatus", "pr": "$o_orderpriority"},
+                     "n": {"$sum": 1}}}],
+    )
+    assert set(out.columns) == {"st", "pr", "n"}
+    assert out.agg(F.sum("n")).first()[0] == orders.count()

@@ -1,0 +1,139 @@
+"""Storage interface + ``load()`` dispatcher (parity: reference api.py).
+
+``Storage`` is the abstract contract (reference api.py:22-61:
+``insert_one`` / ``__iter__`` / ``parse_path``); ``load(path)`` tries each
+registered container by path shape (reference api.py:64-77).  The Spark
+twist: a Storage *is* a DataFrame factory — ``to_df()`` returns the
+collection as a DataFrame and every query method compiles onto it.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from topic_store_spark.data import TopicStore
+from topic_store_spark.query import apply_pipeline, apply_projection, compile_query
+
+
+class Storage(ABC):
+    """Abstract storage container of TopicStore documents."""
+
+    suffixes: tuple[str, ...] = ()
+
+    @classmethod
+    def parse_path(cls, path: str) -> bool:
+        return any(str(path).endswith(s) for s in cls.suffixes)
+
+    @classmethod
+    @abstractmethod
+    def load(cls, spark: SparkSession, path: str) -> "Storage":
+        ...
+
+    @abstractmethod
+    def to_df(self) -> DataFrame:
+        """The collection as a DataFrame (the engine's native view)."""
+
+    @abstractmethod
+    def insert_one(self, document: dict | TopicStore) -> str:
+        """Append one document; returns its ``_id``."""
+
+    # ------ query surface shared by all containers --------------------
+    def find(
+        self,
+        query: dict | None = None,
+        projection: dict | None = None,
+        sort: list[tuple[str, int]] | None = None,
+        limit: int | None = None,
+        skip: int | None = None,
+    ) -> DataFrame:
+        """Mongo-style find compiled to filter/select/orderBy/limit
+        (parity: reference database.py:193-204)."""
+        from pyspark.sql import functions as F
+
+        df = self.to_df()
+        df = df.filter(compile_query(query, df.schema))
+        df = apply_projection(df, projection)
+        if sort:
+            df = df.orderBy(
+                *[
+                    F.col(f"`{k}`").asc() if d >= 0 else F.col(f"`{k}`").desc()
+                    for k, d in sort
+                ]
+            )
+        if skip:
+            df = df.offset(int(skip))
+        if limit is not None:
+            df = df.limit(int(limit))
+        return df
+
+    def find_one(self, query: dict | None = None, **kwargs) -> dict | None:
+        rows = self.find(query, limit=1, **kwargs).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def find_by_id(self, document_id: str, **kwargs) -> dict | None:
+        """Point lookup (parity: reference database.py:233-235)."""
+        return self.find_one({"_id": document_id}, **kwargs)
+
+    def find_by_session_id(self, session_id: str, **kwargs) -> DataFrame:
+        """Parity: reference database.py:237-241."""
+        return self.find({"_ts_meta.session": session_id}, **kwargs)
+
+    def count(self, query: dict | None = None, estimate: bool = False) -> int:
+        """Exact filtered count, or metadata-only estimate (parquet footer
+        row counts; no data scan).  estimate+query is an error
+        (parity: reference database.py:221-231)."""
+        if estimate and query:
+            raise ValueError("estimate=True cannot be combined with a query")
+        df = self.to_df()
+        if query:
+            df = df.filter(compile_query(query, df.schema))
+        return df.count()
+
+    def aggregate(self, pipeline: list[dict]) -> DataFrame:
+        """Parity: reference database.py:206-217."""
+        return apply_pipeline(self.to_df(), pipeline)
+
+    def get_unique_sessions(self) -> DataFrame:
+        """Per-session {time, date, count} in ONE pass — replaces the
+        reference's distinct + N+1 per-session count queries
+        (reference database.py:243-266) with a single groupBy.
+        """
+        from topic_store_spark.operators.sessions import unique_sessions
+
+        return unique_sessions(self.to_df())
+
+    def __iter__(self) -> Iterator[TopicStore]:
+        for row in self.to_df().toLocalIterator():
+            yield TopicStore(row.asDict(recursive=True))
+
+    def __len__(self) -> int:
+        return self.count()
+
+
+_REGISTERED: list[type[Storage]] = []
+
+
+def register_storage(cls: type[Storage]) -> type[Storage]:
+    _REGISTERED.append(cls)
+    return cls
+
+
+def load(path: str, spark: SparkSession | None = None) -> Storage:
+    """Suffix-sniffing open (parity: reference api.py:64-77)."""
+    from topic_store_spark.session import get_spark
+
+    spark = spark or get_spark()
+    for cls in _REGISTERED:
+        if cls.parse_path(path):
+            return cls.load(spark, path)
+    raise ValueError(f"no registered storage understands path: {path}")
+
+
+def _ensure_registered() -> None:
+    import topic_store_spark.filesystem  # noqa: F401  (registers on import)
+
+
+_ensure_registered()

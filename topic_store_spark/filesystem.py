@@ -1,0 +1,234 @@
+"""Filesystem-backed storages.
+
+``ParquetStorage`` is the engine's canonical store: an append-only
+directory of parquet files (immutable appends, the same write pattern as
+the reference's append-only ``.topic_store`` pickle stream,
+reference filesystem.py:49-50, but columnar, splittable and
+predicate-pushdown-friendly at 100 TB).
+
+``TopicStorage`` is the legacy migration reader/writer for the
+reference's ``.topic_store`` pickle-stream format
+(reference filesystem.py:19-68).  Reading is distributed: one executor
+task per file parses frames and emits JSON lines, then Spark's JSON
+reader infers/merges the ragged schema.  Corrupt frames are skipped with
+a warning — parity with reference filesystem.py:66-68.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import io
+import json
+import logging
+import os
+import pickle
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from topic_store_spark.api import Storage, register_storage
+from topic_store_spark.codec import documents_to_rows, infer_schema
+from topic_store_spark.data import TopicStore
+
+logger = logging.getLogger(__name__)
+
+BINARY_SENTINEL = "__binary_b64__"
+
+
+@register_storage
+class ParquetStorage(Storage):
+    """Append-only parquet collection (canonical store)."""
+
+    suffixes = (".parquet", ".tsp")
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = str(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "ParquetStorage":
+        return cls(spark, path)
+
+    def _exists(self) -> bool:
+        p = self.path
+        if os.path.isdir(p):
+            return any(
+                name.endswith(".parquet") or name.startswith("part-")
+                for name in os.listdir(p)
+            )
+        return os.path.exists(p)
+
+    def to_df(self) -> DataFrame:
+        if not self._exists():
+            schema = T.StructType(
+                [
+                    T.StructField("_id", T.StringType()),
+                    T.StructField(
+                        "_ts_meta",
+                        T.StructType(
+                            [
+                                T.StructField("session", T.StringType()),
+                                T.StructField("sys_time", T.DoubleType()),
+                                T.StructField("ros_time", T.DoubleType()),
+                            ]
+                        ),
+                    ),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def insert_one(self, document: dict | TopicStore) -> str:
+        store = document if isinstance(document, TopicStore) else TopicStore(document)
+        self.insert_many([store])
+        return store.id
+
+    def insert_many(self, documents: list[dict | TopicStore]) -> list[str]:
+        stores = [
+            d if isinstance(d, TopicStore) else TopicStore(d) for d in documents
+        ]
+        docs = [s.dict for s in stores]
+        schema = infer_schema(docs)
+        df = self.spark.createDataFrame(documents_to_rows(docs, schema), schema)
+        self.write_df(df)
+        return [s.id for s in stores]
+
+    def write_df(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+
+def _decode_binary_markers(value: Any) -> Any:
+    if isinstance(value, dict):
+        if set(value) == {BINARY_SENTINEL}:
+            return base64.b64decode(value[BINARY_SENTINEL])
+        return {k: _decode_binary_markers(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_decode_binary_markers(v) for v in value]
+    return value
+
+
+def _json_default(value: Any) -> Any:
+    if isinstance(value, (bytes, bytearray)):
+        return {BINARY_SENTINEL: base64.b64encode(bytes(value)).decode("ascii")}
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return value.isoformat()
+    return str(value)
+
+
+def parse_pickle_frames(raw: bytes) -> Iterator[dict]:
+    """Yield document dicts from a concatenated-pickle byte stream,
+    skipping corrupt frames (parity: reference filesystem.py:52-68)."""
+    buf = io.BytesIO(raw)
+    while buf.tell() < len(raw):
+        try:
+            doc = pickle.load(buf)
+        except EOFError:
+            break
+        except Exception as exc:  # corrupt frame: skip with message
+            logger.warning("Skipping corrupt pickle frame: %s", exc)
+            break
+        if isinstance(doc, dict):
+            yield doc
+
+
+@register_storage
+class TopicStorage(Storage):
+    """Legacy ``.topic_store`` pickle-stream container (migration path)."""
+
+    suffixes = (".topic_store",)
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = str(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "TopicStorage":
+        return cls(spark, path)
+
+    def to_df(self) -> DataFrame:
+        """Distributed parse: one task per file -> JSON lines -> inferred
+        schema.  Files don't split (pickle streams aren't splittable), but
+        a corpus of many files parallelizes across executors — the same
+        unit of parallelism the reference has (one file per session)."""
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], T.StructType([
+                T.StructField("_id", T.StringType()),
+            ]))
+        rdd = self.spark.sparkContext.binaryFiles(self.path)
+
+        def frames_to_json(kv):
+            # self-contained closure: executors may not have this package
+            # importable, so only stdlib is referenced here
+            import base64 as _b64
+            import datetime as _dtm
+            import io as _io
+            import json as _json
+            import pickle as _pickle
+
+            sentinel = BINARY_SENTINEL
+
+            def default(value):
+                if isinstance(value, (bytes, bytearray)):
+                    return {sentinel: _b64.b64encode(bytes(value)).decode("ascii")}
+                if isinstance(value, (_dtm.datetime, _dtm.date)):
+                    return value.isoformat()
+                return str(value)
+
+            raw = kv[1]
+            buf = _io.BytesIO(raw)
+            while buf.tell() < len(raw):
+                try:
+                    doc = _pickle.load(buf)
+                except Exception:
+                    break  # corrupt tail frame: skip (filesystem.py:66-68)
+                if isinstance(doc, dict):
+                    yield _json.dumps(doc, default=default)
+
+        return self.spark.read.json(rdd.flatMap(frames_to_json))
+
+    def insert_one(self, document: dict | TopicStore) -> str:
+        """Driver-side append of one pickle frame (single-writer append
+        semantics, parity: reference filesystem.py:37-50)."""
+        store = document if isinstance(document, TopicStore) else TopicStore(document)
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(self.path, "ab") as fh:
+            pickle.dump(_plainify(store.dict), fh, protocol=2)
+        return store.id
+
+    def __iter__(self) -> Iterator[TopicStore]:
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, "rb") as fh:
+            raw = fh.read()
+        for doc in parse_pickle_frames(raw):
+            yield TopicStore(doc)
+
+
+def _plainify(value: Any) -> Any:
+    if isinstance(value, bytearray):
+        return bytes(value)
+    if isinstance(value, dict):
+        return {k: _plainify(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_plainify(v) for v in value]
+    return value
+
+
+def write_topic_store(df: DataFrame, path: str) -> int:
+    """Egress writer: DataFrame -> one ``.topic_store`` pickle stream.
+    Round-trip/migration convenience only (streamed through the driver;
+    the canonical distributed sink is parquet).  Returns rows written."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    count = 0
+    with open(path, "ab") as fh:
+        for row in df.toLocalIterator():
+            pickle.dump(_plainify(row.asDict(recursive=True)), fh, protocol=2)
+            count += 1
+    return count

@@ -1,0 +1,181 @@
+"""Mongo filter document -> Catalyst ``Column`` predicate.
+
+Parity surface (SURVEY §2.2 P1-P6): ``$eq $ne $gt $gte $lt $lte $in $nin
+$exists $regex $mod $size $and $or $nor $not`` plus implicit equality and
+dotted nested paths.  Null semantics follow MongoDB: ``$ne``/``$nin`` also
+match documents where the field is missing (reads as NULL under
+schema-on-read), ``$exists`` maps to null checks (SURVEY P3).
+
+Everything compiles to built-in Column expressions, so predicates stay
+JVM-side and push down to the parquet scan (PushedFilters) — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_OID_LITERAL = re.compile(r"^ObjectId\(\s*['\"]?([0-9a-fA-F]{24})['\"]?\s*\)$")
+
+_LOGICAL = {"$and", "$or", "$nor"}
+
+
+def path_col(path: str, schema=None) -> Column:
+    """Dotted path -> Column, backtick-quoting each segment so field names
+    survive verbatim.
+
+    With a schema, paths that don't resolve become typed NULL — Mongo
+    semantics under schema-on-read: a field absent from every document is
+    simply missing, not an error (so ``$exists: False`` matches all docs).
+    """
+    if schema is not None and not _path_in_schema(schema, path):
+        return F.lit(None)
+    return F.col(".".join(f"`{part}`" for part in path.split(".")))
+
+
+def _path_in_schema(schema, path: str) -> bool:
+    from pyspark.sql import types as T
+
+    node = schema
+    for part in path.split("."):
+        if not isinstance(node, T.StructType):
+            return False
+        match = next((f for f in node.fields if f.name == part), None)
+        if match is None:
+            return False
+        node = match.dataType
+    return True
+
+
+def parse_objectid_literals(value: Any) -> Any:
+    """CLI convenience: ``"ObjectId(<hex>)"`` strings become their 24-hex id
+    (parity: reference convert.py:319-327)."""
+    if isinstance(value, str):
+        match = _OID_LITERAL.match(value)
+        return match.group(1) if match else value
+    if isinstance(value, dict):
+        return {k: parse_objectid_literals(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [parse_objectid_literals(v) for v in value]
+    return value
+
+
+def _lit(value: Any) -> Column:
+    return F.lit(value)
+
+
+def _regex_to_rlike(pattern: Any, options: str | None) -> str:
+    if isinstance(pattern, dict) and "$regex" in pattern:  # nested form
+        options = pattern.get("$options", options)
+        pattern = pattern["$regex"]
+    flags = ""
+    if options:
+        allowed = set("imsx") & set(options)
+        if allowed:
+            flags = f"(?{''.join(sorted(allowed))})"
+    return f"{flags}{pattern}"
+
+
+def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column:
+    if op == "$eq":
+        return col.isNull() if value is None else col == _lit(value)
+    if op == "$ne":
+        if value is None:
+            return col.isNotNull()
+        return col.isNull() | (col != _lit(value))
+    if op == "$gt":
+        return col > _lit(value)
+    if op == "$gte":
+        return col >= _lit(value)
+    if op == "$lt":
+        return col < _lit(value)
+    if op == "$lte":
+        return col <= _lit(value)
+    if op == "$in":
+        non_null = [v for v in value if v is not None]
+        cond = col.isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in value):
+            cond = cond | col.isNull()
+        return cond
+    if op == "$nin":
+        non_null = [v for v in value if v is not None]
+        cond = ~col.isin(non_null) if non_null else F.lit(True)
+        cond = col.isNull() | cond
+        if any(v is None for v in value):
+            cond = cond & col.isNotNull()
+        return cond
+    if op == "$exists":
+        return col.isNotNull() if value else col.isNull()
+    if op == "$regex":
+        return col.rlike(_regex_to_rlike(value, ops.get("$options")))
+    if op == "$options":  # consumed by $regex
+        return F.lit(True)
+    if op == "$mod":
+        divisor, remainder = value
+        return col % _lit(divisor) == _lit(remainder)
+    if op == "$size":
+        return F.size(col) == _lit(value)
+    if op == "$not":
+        if isinstance(value, dict):
+            inner = _compile_field(col, value)
+        else:
+            inner = col.rlike(_regex_to_rlike(value, None))
+        return ~F.coalesce(inner, F.lit(False))
+    if op == "$type":
+        raise NotImplementedError("$type is BSON-specific; schema is static here")
+    raise ValueError(f"unsupported query operator: {op}")
+
+
+def _is_operator_doc(value: Any) -> bool:
+    return isinstance(value, dict) and value and all(k.startswith("$") for k in value)
+
+
+def _compile_field(col: Column, ops: dict[str, Any]) -> Column:
+    conds = [
+        _compile_op(col, op, val, ops) for op, val in ops.items() if op != "$options"
+    ]
+    out = conds[0] if conds else F.lit(True)
+    for cond in conds[1:]:
+        out = out & cond
+    return out
+
+
+def compile_query(query: dict[str, Any] | None, schema=None) -> Column:
+    """Mongo filter dict -> boolean Column. Empty/None = full scan
+    (parity: reference database.py:219).  Pass the DataFrame schema to get
+    Mongo missing-field semantics for unresolvable paths."""
+    if not query:
+        return F.lit(True)
+    query = parse_objectid_literals(query)
+    out: Column | None = None
+    for key, value in query.items():
+        if key in _LOGICAL:
+            subs = [compile_query(q, schema) for q in value]
+            if key == "$and":
+                cond = subs[0]
+                for s in subs[1:]:
+                    cond = cond & s
+            else:
+                cond = subs[0]
+                for s in subs[1:]:
+                    cond = cond | s
+                if key == "$nor":
+                    cond = ~cond
+        elif key == "$not":
+            cond = ~compile_query(value, schema)
+        elif key.startswith("$"):
+            raise ValueError(f"unsupported top-level operator: {key}")
+        else:
+            col = path_col(key, schema)
+            if _is_operator_doc(value):
+                cond = _compile_field(col, value)
+            elif value is None:
+                cond = col.isNull()
+            else:
+                cond = col == _lit(value)
+        out = cond if out is None else out & cond
+    return out if out is not None else F.lit(True)

@@ -1,0 +1,229 @@
+"""Mongo aggregation pipeline subset -> DataFrame operations.
+
+Parity (SURVEY §2.5 A4, reference database.py:206-217 pass-through):
+``$match $project $group $sort $limit $skip $unwind $count $addFields
+$set`` with accumulator operators ``$sum $avg $min $max $first $last
+$push $addToSet`` and a value-expression language covering field refs
+(``"$a.b"``), literals, arithmetic, string ops and the date-part
+operators the reference's legacy session pipeline uses
+(reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
+``$second`` applied to ObjectId creation time).
+
+Each stage maps to one declarative DataFrame op, so Catalyst still owns
+optimization: a ``$match`` early in the pipeline pushes into the scan,
+``$group`` gets map-side partial aggregation, ``$sort``+``$limit``
+becomes TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from topic_store_spark.objectid import generation_time
+from topic_store_spark.query.compiler import compile_query, path_col
+
+
+def _as_timestamp(col: Column) -> Column:
+    """Date-part helper: ObjectId strings resolve to their generation time,
+    anything else casts to timestamp (reference database.py:250-256 applies
+    date parts to ObjectId-derived times)."""
+    text = col.cast("string")
+    return F.when(
+        text.rlike("^[0-9a-fA-F]{24}$"), generation_time(text)
+    ).otherwise(col.cast("timestamp"))
+
+
+def compile_value(expr: Any) -> Column:
+    """Mongo value expression -> Column."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return path_col(expr[1:])
+    if isinstance(expr, (int, float, bool)) or expr is None:
+        return F.lit(expr)
+    if isinstance(expr, str):
+        return F.lit(expr)
+    if isinstance(expr, list):
+        return F.array(*[compile_value(e) for e in expr])
+    if not isinstance(expr, dict):
+        raise ValueError(f"unsupported value expression: {expr!r}")
+    if len(expr) == 1:
+        op, arg = next(iter(expr.items()))
+        if op.startswith("$"):
+            return _compile_value_op(op, arg)
+    # plain document -> struct
+    return F.struct(*[compile_value(v).alias(str(k)) for k, v in expr.items()])
+
+
+_DATE_PARTS = {
+    "$year": F.year,
+    "$month": F.month,
+    "$dayOfMonth": F.dayofmonth,
+    "$hour": F.hour,
+    "$minute": F.minute,
+    "$second": F.second,
+}
+
+_VARIADIC = {
+    "$add": lambda cols: _fold(cols, lambda a, b: a + b),
+    "$subtract": lambda cols: _fold(cols, lambda a, b: a - b),
+    "$multiply": lambda cols: _fold(cols, lambda a, b: a * b),
+    "$divide": lambda cols: _fold(cols, lambda a, b: a / b),
+    "$concat": lambda cols: F.concat(*cols),
+}
+
+
+def _fold(cols: list[Column], fn) -> Column:
+    out = cols[0]
+    for col in cols[1:]:
+        out = fn(out, col)
+    return out
+
+
+def _compile_value_op(op: str, arg: Any) -> Column:
+    if op == "$literal":
+        return F.lit(arg)
+    if op in _VARIADIC:
+        return _VARIADIC[op]([compile_value(a) for a in arg])
+    if op in _DATE_PARTS:
+        return _DATE_PARTS[op](_as_timestamp(compile_value(arg)))
+    if op == "$millisecond":
+        ts = _as_timestamp(compile_value(arg))
+        return (ts.cast("double") * 1000 % 1000).cast("int")
+    if op == "$toDate":
+        return _as_timestamp(compile_value(arg))
+    if op == "$dateFromParts":
+        get = lambda k, d: compile_value(arg[k]) if k in arg else F.lit(d)  # noqa: E731
+        return F.make_timestamp(
+            compile_value(arg["year"]),
+            get("month", 1),
+            get("day", 1),
+            get("hour", 0),
+            get("minute", 0),
+            get("second", 0).cast("double") + get("millisecond", 0) / 1000.0,
+        )
+    if op == "$toLower":
+        return F.lower(compile_value(arg))
+    if op == "$toUpper":
+        return F.upper(compile_value(arg))
+    if op == "$size":
+        return F.size(compile_value(arg))
+    if op == "$ifNull":
+        return F.coalesce(*[compile_value(a) for a in arg])
+    if op == "$cond":
+        if isinstance(arg, dict):
+            branches = [arg["if"], arg["then"], arg["else"]]
+        else:
+            branches = arg
+        return F.when(
+            compile_value(branches[0]), compile_value(branches[1])
+        ).otherwise(compile_value(branches[2]))
+    if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+        left, right = (compile_value(a) for a in arg)
+        import operator as _op
+
+        table = {
+            "$eq": _op.eq, "$ne": _op.ne, "$gt": _op.gt,
+            "$gte": _op.ge, "$lt": _op.lt, "$lte": _op.le,
+        }
+        return table[op](left, right)
+    raise ValueError(f"unsupported value operator: {op}")
+
+
+_ACCUMULATORS = {
+    "$sum": lambda c: F.sum(c),
+    "$avg": lambda c: F.avg(c),
+    "$min": lambda c: F.min(c),
+    "$max": lambda c: F.max(c),
+    "$first": lambda c: F.first(c, ignorenulls=False),
+    "$last": lambda c: F.last(c, ignorenulls=False),
+    "$push": lambda c: F.collect_list(c),
+    "$addToSet": lambda c: F.collect_set(c),
+}
+
+
+def _compile_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    key_expr = spec["_id"]
+    if key_expr is None:
+        grouped = df.groupBy()
+        key_cols: list[str] = []
+    elif isinstance(key_expr, dict) and not any(
+        k.startswith("$") for k in key_expr
+    ):
+        keys = [compile_value(v).alias(str(k)) for k, v in key_expr.items()]
+        df = df.select(*keys, "*")
+        grouped = df.groupBy(*[f"`{k}`" for k in key_expr])
+        key_cols = [str(k) for k in key_expr]
+    else:
+        df = df.withColumn("_id__group", compile_value(key_expr))
+        grouped = df.groupBy("_id__group")
+        key_cols = ["_id__group"]
+
+    aggs = []
+    for name, acc in spec.items():
+        if name == "_id":
+            continue
+        if not isinstance(acc, dict) or len(acc) != 1:
+            raise ValueError(f"bad accumulator for {name}: {acc!r}")
+        op, arg = next(iter(acc.items()))
+        if op == "$count" or (op == "$sum" and arg == 1):
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif op in _ACCUMULATORS:
+            aggs.append(_ACCUMULATORS[op](compile_value(arg)).alias(name))
+        else:
+            raise ValueError(f"unsupported accumulator: {op}")
+    out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("count"))
+    if key_cols == ["_id__group"]:
+        out = out.withColumnRenamed("_id__group", "_id")
+    return out
+
+
+def apply_pipeline(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
+    """Run a Mongo-style aggregation pipeline over a DataFrame."""
+    from topic_store_spark.query.projection import apply_projection
+
+    out = df
+    for stage in pipeline:
+        if len(stage) != 1:
+            raise ValueError(f"each stage must have exactly one operator: {stage}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            out = out.filter(compile_query(spec, out.schema))
+        elif op == "$project":
+            flags = {k: v for k, v in spec.items() if v in (0, 1, True, False)}
+            computed = {k: v for k, v in spec.items() if k not in flags}
+            if flags:
+                out_proj = apply_projection(out, flags)
+            else:
+                out_proj = out
+            for name, expr in computed.items():
+                out_proj = out_proj.withColumn(name, compile_value(expr))
+            out = out_proj
+        elif op in ("$addFields", "$set"):
+            for name, expr in spec.items():
+                out = out.withColumn(name, compile_value(expr))
+        elif op == "$group":
+            out = _compile_group(out, spec)
+        elif op == "$sort":
+            order = [
+                F.col(f"`{k}`").asc() if direction >= 0 else F.col(f"`{k}`").desc()
+                for k, direction in spec.items()
+            ]
+            out = out.orderBy(*order)
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$unwind":
+            path = spec["path"] if isinstance(spec, dict) else spec
+            field = path[1:] if path.startswith("$") else path
+            exploded = F.explode(path_col(field))
+            # top-level arrays unwind in place; nested paths land in _unwound
+            target = field if "." not in field else "_unwound"
+            out = out.withColumn(target, exploded)
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        else:
+            raise ValueError(f"unsupported pipeline stage: {op}")
+    return out

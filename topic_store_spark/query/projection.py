@@ -1,0 +1,106 @@
+"""Mongo projection dict -> nested-safe select/drop.
+
+Parity (SURVEY §2.3 R1-R3): ``{field: 1}`` include / ``{field: 0}``
+exclude with dotted nested paths, preserving struct shape on nested
+includes (README example ``{"cameras.top.color": 1, "robot": 1}``).
+
+Engine policy R2 (reference database.py:170-191): on inclusion
+projections, ``_ts_meta`` is force-added and ``_id`` is kept unless
+explicitly excluded; ``_ts_meta`` can never be excluded — documents must
+stay reconstructible.  Catalyst's ColumnPruning then turns the select
+into a pruned parquet ReadSchema for free (including nested pruning).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORCED_FIELDS = ("_ts_meta",)
+
+
+class _Tree(dict):
+    """Prefix tree of projected paths; value None marks 'whole subtree'."""
+
+
+def _build_tree(paths: list[str]) -> _Tree:
+    tree = _Tree()
+    for path in paths:
+        node = tree
+        parts = path.split(".")
+        for part in parts[:-1]:
+            nxt = node.get(part)
+            if nxt is None and part in node:
+                break  # whole-subtree marker already covers this path
+            node = node.setdefault(part, _Tree())
+        else:
+            node[parts[-1]] = None
+    return tree
+
+
+def _include_struct(col: Column, dtype: T.DataType, tree: _Tree) -> Column:
+    """Rebuild a struct containing only included children (recursively)."""
+    if not isinstance(dtype, T.StructType):
+        raise ValueError("projection path descends into a non-struct field")
+    by_name = {f.name: f for f in dtype.fields}
+    parts = []
+    for name, sub in tree.items():
+        if name not in by_name:
+            # unknown field: project as typed NULL so the shape is stable
+            parts.append(F.lit(None).alias(name))
+            continue
+        child = col.getField(name)
+        if sub is None:
+            parts.append(child.alias(name))
+        else:
+            parts.append(
+                _include_struct(child, by_name[name].dataType, sub).alias(name)
+            )
+    return F.struct(*parts)
+
+
+def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFrame:
+    if not projection:
+        return df
+    includes = [k for k, v in projection.items() if v not in (0, False)]
+    excludes = [k for k, v in projection.items() if v in (0, False)]
+    if includes and [e for e in excludes if e != "_id"]:
+        raise ValueError("cannot mix include and exclude projections (except _id: 0)")
+    if "_ts_meta" in excludes or any(e.startswith("_ts_meta.") for e in excludes):
+        raise ValueError("projections must not exclude _ts_meta")
+
+    top_names = set(df.columns)
+    if includes:
+        forced = [f for f in FORCED_FIELDS if f in top_names]
+        if "_id" not in excludes and "_id" in top_names:
+            forced.append("_id")
+        paths = list(dict.fromkeys(includes + forced))
+        tree = _build_tree(paths)
+        by_name = {f.name: f for f in df.schema.fields}
+        cols = []
+        for name, sub in tree.items():
+            if name not in by_name:
+                cols.append(F.lit(None).alias(name))
+            elif sub is None:
+                cols.append(F.col(f"`{name}`"))
+            else:
+                cols.append(
+                    _include_struct(
+                        F.col(f"`{name}`"), by_name[name].dataType, sub
+                    ).alias(name)
+                )
+        return df.select(*cols)
+
+    # exclusion projection: drop top-level columns, dropFields for nested
+    out = df
+    for path in excludes:
+        if "." not in path:
+            out = out.drop(path)
+        else:
+            root, rest = path.split(".", 1)
+            if root in out.columns:
+                out = out.withColumn(root, F.col(f"`{root}`").dropFields(rest))
+    return out

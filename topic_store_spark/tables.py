@@ -1,0 +1,55 @@
+"""Loaders for the driver's TPC-H-ish testdata tables.
+
+``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects.  With ``spark.sql.legacy.parquet.nanosAsLong``
+the column surfaces as LongType nanoseconds; the loader converts it back
+to a proper TimestampType (truncating to microseconds, which is exactly
+what DuckDB's TIMESTAMP does with the same file — oracle-comparable).
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    try:
+        schema = _pq.read_schema(path)
+    except Exception:
+        return []
+    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nano_ts_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col in nanos:
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
