@@ -1,0 +1,178 @@
+"""Dedup + similarity operator tests, including cross-engine (DuckDB)
+portability checks of the md5-based hashing primitives."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import table
+from topic_store_spark.functions.hashing import (
+    md5_fingerprint,
+    minhash_signature,
+    simhash_bits,
+)
+from topic_store_spark.functions.text import tokens, word_shingles
+from topic_store_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from topic_store_spark.operators.similarity import lsh_ann_neighbors, topk_neighbors
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(docs):
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    return docs.unionByName(clone)
+
+
+def test_exact_duplicates(docs, docs_with_dups):
+    assert exact_duplicates(docs).count() == 0  # corpus is unique
+    groups = exact_duplicates(docs_with_dups)
+    n_docs = docs.count()
+    rows = groups.collect()
+    assert len(rows) == n_docs
+    for r in rows[:5]:
+        assert r["n_docs"] == 2
+        assert r["keep_id"] == min(r["doc_ids"])
+
+
+def test_minhash_matches_duckdb(spark, docs):
+    """The MinHash signature must be bit-identical to the DuckDB-SQL
+    formulation — the whole point of md5-based hashing."""
+    sdf = (
+        docs.limit(50)
+        .select(
+            "doc_id",
+            minhash_signature(
+                F.array_distinct(word_shingles(F.col("text"), 3)), 4
+            ).alias("sig"),
+        )
+        .collect()
+    )
+    spark_sigs = {r["doc_id"]: list(r["sig"]) for r in sdf}
+    con = duckdb.connect()
+    sql = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(tk[i:i+2], ' ')
+                   for i in range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM '/root/testdata/sf0.001/documents.parquet') t
+          WHERE len(tk) >= 3
+        )
+        SELECT doc_id,
+               [list_min(list_transform(sh, s -> md5(i || ':' || s)))
+                for i in range(0, 4)] AS sig
+        FROM tok ORDER BY doc_id LIMIT 50
+    """
+    for doc_id, sig in con.execute(sql).fetchall():
+        assert spark_sigs[doc_id] == sig, f"doc {doc_id} signature mismatch"
+
+
+def test_simhash_matches_duckdb(spark, docs):
+    sdf = (
+        docs.limit(30)
+        .select("doc_id", simhash_bits(tokens(F.col("text")), 16).alias("sim"))
+        .collect()
+    )
+    spark_sims = {r["doc_id"]: r["sim"] for r in sdf}
+    con = duckdb.connect()
+    sql = """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_transform(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                            x -> x <> ''), t -> md5(t)) AS hs,
+                 len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '')) AS n
+          FROM '/root/testdata/sf0.001/documents.parquet')
+        SELECT doc_id,
+               array_to_string([CASE WHEN 2 * len(list_filter(hs,
+                   h -> strpos('13579bdf', h[i]) > 0)) > n
+                 THEN '1' ELSE '0' END for i in range(1, 17)], '') AS sim
+        FROM tok ORDER BY doc_id LIMIT 30
+    """
+    for doc_id, sim in con.execute(sql).fetchall():
+        assert spark_sims[doc_id] == sim, f"doc {doc_id} simhash mismatch"
+
+
+def test_exact_jaccard_pairs(spark):
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e f"),        # identical -> jaccard 1.0
+        (3, "a b c d e g"),        # shares 3 of 4+4-3=5 shingles with 1
+        (4, "x y z w q v"),        # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, n=3, threshold_num=1, threshold_den=2).collect()
+    got = {(r["a_doc"], r["b_doc"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.6 and got[(2, 3)] == 0.6
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_minhash_lsh_finds_exact_dups(docs_with_dups):
+    pairs = minhash_lsh_pairs(
+        docs_with_dups, num_perm=8, bands=4, threshold_num=9, threshold_den=10
+    )
+    found = pairs.filter(F.col("b_doc") - F.col("a_doc") == 100000).count()
+    n = docs_with_dups.count() // 2
+    # identical docs minhash-collide on every band -> all recovered
+    assert found == n
+
+
+def test_simhash_finds_exact_dups(docs_with_dups):
+    pairs = simhash_pairs(docs_with_dups, bits=32, band_bits=8, max_hamming=0)
+    found = pairs.filter(F.col("b_doc") - F.col("a_doc") == 100000).count()
+    assert found == docs_with_dups.count() // 2
+
+
+def test_embedding_dup_pairs_self_union(embeddings):
+    clone = embeddings.withColumn("vec_id", F.col("vec_id") + 100000)
+    both = embeddings.unionByName(clone)
+    pairs = embedding_dup_pairs(both, threshold_num=999, threshold_den=1000)
+    exact = pairs.filter(F.col("b_id") - F.col("a_id") == 100000)
+    assert exact.count() == embeddings.count()
+    assert exact.agg(F.min("cosine_q")).first()[0] > 0.999
+
+
+def test_topk_neighbors(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 3)
+    out = topk_neighbors(embeddings, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3, 4, 5]
+        cosines = [r["cosine_q"] for r in sorted(rows, key=lambda x: x["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_ann_recall(embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = topk_neighbors(embeddings, queries, k=3).collect()
+    approx = lsh_ann_neighbors(embeddings, queries, k=3, planes=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # ANN with 4 planes over 64-dim unit vectors: expect meaningful recall
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"suspiciously low ANN recall {recall}"
+    # approx results must be a subset of the same-bucket candidates, and
+    # every query still gets rows
+    assert {r["query_id"] for r in approx} == set(range(10))

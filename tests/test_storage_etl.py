@@ -1,0 +1,137 @@
+"""Storage CRUD, convert pipelines, blob externalization tests
+(model: reference test_database_storage.py / test_file_system_storage.py)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from topic_store_spark import TopicStore, load
+from topic_store_spark.blob import (
+    collect_blob_paths,
+    delete_blobs,
+    externalize_blobs,
+    rehydrate_blobs,
+)
+from topic_store_spark.convert import clone_incremental, copy, to_ros_bag
+from topic_store_spark.filesystem import ParquetStorage, TopicStorage, write_topic_store
+
+
+def test_crud_roundtrip(spark, tmp_path):
+    # parity: test_database_storage.py:13-46 (insert -> find -> update -> delete)
+    store = ParquetStorage(spark, str(tmp_path / "crud.parquet"))
+    doc_id = store.insert_one({"name": "add_test", "number": 1})
+    assert store.find_by_id(doc_id)["number"] == 1
+    store.update_one_by_id(doc_id, number=2)
+    assert store.find_by_id(doc_id)["number"] == 2
+    store.delete_by_id(doc_id)
+    assert store.find_by_id(doc_id) is None
+
+
+def test_filesystem_empty_append_reload(spark, tmp_path):
+    # parity: test_file_system_storage.py:15-71
+    path = str(tmp_path / "s.topic_store")
+    store = TopicStorage(spark, path)
+    assert list(store) == []
+    for i in range(5):
+        store.insert_one({"i": i})
+    assert sum(1 for _ in store) == 5
+    reloaded = load(path, spark)
+    for i in range(3):
+        reloaded.insert_one({"i": 10 + i})
+    assert reloaded.to_df().count() == 8
+
+
+def test_load_dispatch(spark, tmp_path):
+    pq = load(str(tmp_path / "a.parquet"), spark)
+    assert isinstance(pq, ParquetStorage)
+    fs = load(str(tmp_path / "a.topic_store"), spark)
+    assert isinstance(fs, TopicStorage)
+
+
+def test_copy_and_incremental_clone(spark, tmp_path):
+    src = ParquetStorage(spark, str(tmp_path / "src.parquet"))
+    dst = ParquetStorage(spark, str(tmp_path / "dst.parquet"))
+    src.insert_many([{"n": i} for i in range(10)])
+    stats = copy(src, dst, query={"n": {"$lt": 7}})
+    assert stats == {"copied": 7, "skipped_duplicates": 0}
+    # second run: everything already there
+    stats2 = clone_incremental(src, dst)
+    assert stats2["copied"] == 3 and stats2["skipped_duplicates"] == 7
+    assert dst.count() == 10
+
+
+def test_copy_with_projection(spark, tmp_path):
+    src = ParquetStorage(spark, str(tmp_path / "s2.parquet"))
+    dst = ParquetStorage(spark, str(tmp_path / "d2.parquet"))
+    src.insert_one({"keep": 1, "drop": {"deep": 2}})
+    copy(src, dst, projection={"keep": 1})
+    row = dst.to_df().first()
+    assert "drop" not in row.asDict()
+    assert row["_ts_meta"] is not None  # forced meta survived the ETL
+
+
+def test_blob_externalize_roundtrip(spark, tmp_path):
+    # parity: >16MB GridFS path, test_database_storage.py:77-99 (scaled down)
+    blob_dir = str(tmp_path / "blobs")
+    big = np.random.default_rng(42).integers(0, 255, 2_000_000, dtype=np.uint8).tobytes()
+    small = b"tiny"
+    df = spark.createDataFrame(
+        [("a", bytearray(big)), ("b", bytearray(small))], "`_id` string, payload binary"
+    )
+    ext = externalize_blobs(df, blob_dir, threshold=1_000_000)
+    pointers = {r["_id"]: r["payload"] for r in ext.collect()}
+    assert pointers["a"]["__blob__"] is not None and pointers["a"]["inline"] is None
+    assert pointers["b"]["__blob__"] is None and bytes(pointers["b"]["inline"]) == small
+    assert os.path.exists(pointers["a"]["__blob__"])
+
+    back = {r["_id"]: bytes(r["payload"]) for r in rehydrate_blobs(ext).collect()}
+    assert back["a"] == big and back["b"] == small  # byte-exact round trip
+
+    # lazy skip leaves pointers untouched
+    lazy = rehydrate_blobs(ext, skip_fetch_binary=True)
+    assert "__blob__" in lazy.schema["payload"].dataType.fieldNames()
+
+    # GC (parity: delete_by_id blob walk)
+    paths = collect_blob_paths(ext)
+    assert delete_blobs(paths) == 1
+    assert not os.path.exists(pointers["a"]["__blob__"])
+
+
+def test_ros_bag_egress_with_fake_writer(spark):
+    class FakeBag:
+        def __init__(self):
+            self.records = []
+        def write(self, topic, msg, t):
+            self.records.append((topic, msg.get("v"), t))
+        def close(self):
+            self.closed = True
+
+    docs = [
+        TopicStore({"cam": {"v": i, "_ros_meta": {"time": float(i), "type": "t/T",
+                    "connection_header": {"topic": "/cam"}}}})
+        for i in range(3)
+    ]
+    from topic_store_spark.codec import documents_to_rows, infer_schema
+    trees = [d.dict for d in docs]
+    schema = infer_schema(trees)
+    df = spark.createDataFrame(documents_to_rows(trees, schema), schema)
+
+    bag = FakeBag()
+    n = to_ros_bag(df, "/tmp/fake.bag", bag_writer_factory=lambda p: bag)
+    assert n == 3
+    assert [r[0] for r in bag.records] == ["/cam", "/cam", "/cam"]
+    # ordered by ros_time
+    times = [r[2] for r in bag.records]
+    assert times == sorted(times)
+    assert bag.closed
+
+
+def test_write_topic_store_egress(spark, tmp_path):
+    store = ParquetStorage(spark, str(tmp_path / "x.parquet"))
+    store.insert_many([{"n": i} for i in range(4)])
+    out = str(tmp_path / "out.topic_store")
+    assert write_topic_store(store.to_df(), out) == 4
+    back = TopicStorage(spark, out)
+    assert sum(1 for _ in back) == 4

@@ -1,0 +1,180 @@
+"""Streaming: scenario parser, runner triggers, latest-value state, monitor.
+(model: reference test_scenario_parser.py + scenario runner semantics)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from topic_store_spark.streaming import (
+    ScenarioFileParser,
+    ScenarioRunner,
+    latest_values_stream,
+    rate_monitor_stream,
+    snapshot_to_doc,
+)
+
+
+def scenario_dict(tmp_path, method="timer", **collection_extra):
+    collection = {"method": method, **collection_extra}
+    if method == "timer":
+        collection.setdefault("timer_delay", 1)
+    if method in ("event", "start_stop"):
+        collection.setdefault("watch_topic", "/camera/info")
+    return {
+        "context": "test_scenario",
+        "storage": {"method": "filesystem", "location": str(tmp_path / "out.parquet"),
+                    "ignored_key": 1},
+        "data": {
+            "robot_name": "thorvald",
+            "sensors": {"cam": "/camera/image", "info": "/camera/info"},
+        },
+        "collection": collection,
+    }
+
+
+def test_scenario_parser_validation(tmp_path):
+    parsed = ScenarioFileParser(scenario_dict(tmp_path))
+    assert parsed.context == "test_scenario"
+    assert "ignored_key" not in parsed.storage  # unused-key pruning
+    with pytest.raises(ValueError):
+        ScenarioFileParser({"context": "x"})  # missing sections
+    bad = scenario_dict(tmp_path)
+    bad["collection"] = {"method": "timer"}  # missing timer_delay
+    with pytest.raises(ValueError):
+        ScenarioFileParser(bad)
+    bad2 = scenario_dict(tmp_path)
+    bad2["storage"] = {"method": "carrier_pigeon"}
+    with pytest.raises(ValueError):
+        ScenarioFileParser(bad2)
+
+
+def test_scenario_parser_from_yaml_file(tmp_path):
+    import yaml
+
+    path = tmp_path / "s.yaml"
+    path.write_text(yaml.safe_dump(scenario_dict(tmp_path)))
+    parsed = ScenarioFileParser(str(path))
+    assert parsed.collection["method"] == "timer"
+
+
+def _topic_stream_from_dir(spark, src_dir):
+    schema = "topic string, value string, ts timestamp"
+    return spark.readStream.schema(schema).json(str(src_dir))
+
+
+def _write_events(src_dir, events, name="batch1.json"):
+    src_dir.mkdir(exist_ok=True)
+    lines = [
+        json.dumps({"topic": t, "value": v, "ts": f"2024-01-01 00:00:{s:02d}"})
+        for t, v, s in events
+    ]
+    (src_dir / name).write_text("\n".join(lines))
+
+
+def test_timer_scenario_end_to_end(spark, tmp_path):
+    scenario = ScenarioFileParser(scenario_dict(tmp_path))
+    runner = ScenarioRunner(spark, scenario)
+    src = tmp_path / "stream_src"
+    _write_events(
+        src,
+        [("/camera/image", "img_v1", 1), ("/camera/image", "img_v2", 5),
+         ("/camera/info", "info_v1", 2)],
+    )
+    q = runner.run(_topic_stream_from_dir(spark, src),
+                   extra_trigger_kwargs={"availableNow": True})
+    q.awaitTermination(60)
+    assert runner.saved_count >= 1
+    saved = runner.storage.find_one({})
+    # constants verbatim, subscribed topics resolve to LATEST value
+    assert saved["robot_name"] == "thorvald"
+    assert saved["sensors"]["cam"] == "img_v2"
+    assert saved["sensors"]["info"] == "info_v1"
+
+
+def test_event_scenario_saves_per_watch_event(spark, tmp_path):
+    scenario = ScenarioFileParser(scenario_dict(tmp_path, method="event"))
+    runner = ScenarioRunner(spark, scenario)
+    src = tmp_path / "stream_src_event"
+    _write_events(
+        src,
+        [("/camera/image", "a", 1), ("/camera/info", "e1", 2),
+         ("/camera/info", "e2", 3), ("/other", "x", 4)],
+    )
+    q = runner.run(_topic_stream_from_dir(spark, src),
+                   extra_trigger_kwargs={"availableNow": True})
+    q.awaitTermination(60)
+    assert runner.saved_count == 2  # one save per watch-topic event
+
+
+def test_never_seen_topic_is_none(spark, tmp_path):
+    # parity: test_serialisation.py:29-30 (missing topics stay None)
+    scenario = ScenarioFileParser(scenario_dict(tmp_path))
+    runner = ScenarioRunner(spark, scenario)
+    src = tmp_path / "stream_src_missing"
+    _write_events(src, [("/camera/info", "only_info", 1)])
+    q = runner.run(_topic_stream_from_dir(spark, src),
+                   extra_trigger_kwargs={"availableNow": True})
+    q.awaitTermination(60)
+    saved = runner.storage.find_one({})
+    assert saved["sensors"]["cam"] is None
+    assert saved["sensors"]["info"] == "only_info"
+
+
+def test_latest_values_stream_agg(spark, tmp_path):
+    src = tmp_path / "stream_src_latest"
+    _write_events(
+        src,
+        [("/a", "v1", 1), ("/a", "v3", 3), ("/b", "w1", 2)],
+    )
+    stream = _topic_stream_from_dir(spark, src)
+    q = (
+        latest_values_stream(stream)
+        .writeStream.format("memory")
+        .queryName("latest_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from latest_t").collect()
+    got = {r["topic"]: r["value"] for r in rows}
+    assert got == {"/a": "v3", "/b": "w1"}
+    doc = snapshot_to_doc(rows, ["/a", "/b", "/never"])
+    assert doc["/never"] is None and doc["/a"] == "v3"
+
+
+def test_rate_monitor_stream(spark, tmp_path):
+    src = tmp_path / "stream_src_rate"
+    _write_events(
+        src,
+        [("/a", "x", s) for s in range(1, 9)] + [("/b", "y", 4)],
+    )
+    stream = _topic_stream_from_dir(spark, src)
+    q = (
+        rate_monitor_stream(stream, window="10 seconds")
+        .writeStream.format("memory")
+        .queryName("rates_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    # watermark append-mode may hold the open window; check state via complete run
+    rows = spark.sql("select * from rates_t").collect()
+    assert isinstance(rows, list)  # plumbing works; rate values checked below
+
+    q2 = (
+        rate_monitor_stream(stream, window="10 seconds")
+        .writeStream.format("memory")
+        .queryName("rates_c")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(60)
+    rows = spark.sql("select * from rates_c").collect()
+    by_topic = {r["topic"]: r for r in rows}
+    assert by_topic["/a"]["n"] == 8
+    assert abs(by_topic["/a"]["hz"] - 0.8) < 1e-9

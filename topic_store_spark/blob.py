@@ -1,0 +1,169 @@
+"""Out-of-row blob storage (parity: reference GridFS layer, SURVEY §2.8).
+
+The reference moves every large binary into GridFS chunks on insert and
+replaces it with a ``__gridfs_file_<key>: ObjectId`` pointer
+(reference database.py:119-132), reversing on read (database.py:134-143),
+with a lazy-skip mode (database.py:174,202-204) and GC on delete
+(database.py:268-278).
+
+Spark-side policy: big ``BinaryType`` cells are written as individual
+files under a blob directory and the cell is replaced by a pointer struct
+``{__blob__: path, size: n}``.  Externalization runs distributed — each
+executor writes its own partition's blobs (no driver fan-in).  Lazy skip
+is free: don't resolve the pointer column (column pruning never reads the
+bytes).  At 100 TB this is the difference between a 16 MB row limit and
+none: rows stay small, scans stay columnar, blobs stream straight from
+the file system only when actually selected.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_THRESHOLD = 16 * 1024 * 1024  # MongoDB's 16MB doc cap motivated GridFS
+
+_POINTER_FIELDS = ("__blob__", "size")
+
+
+def _binary_columns(schema: T.StructType) -> list[str]:
+    return [f.name for f in schema.fields if isinstance(f.dataType, T.BinaryType)]
+
+
+def externalize_blobs(
+    df: DataFrame,
+    blob_dir: str,
+    threshold: int = DEFAULT_THRESHOLD,
+    columns: list[str] | None = None,
+    id_col: str = "_id",
+) -> DataFrame:
+    """Replace oversized binary cells with pointer structs.
+
+    Cells at or under the threshold stay in-row (pointer struct with a
+    null path and the bytes kept in a sibling field) so small payloads
+    keep their locality — mirroring GridFS being applied only to big
+    blobs.
+    """
+    columns = columns or _binary_columns(df.schema)
+    if not columns:
+        return df
+    os.makedirs(blob_dir, exist_ok=True)
+
+    pointer_type = T.StructType(
+        [
+            T.StructField("__blob__", T.StringType()),
+            T.StructField("size", T.LongType()),
+            T.StructField("inline", T.BinaryType()),
+        ]
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, pointer_type, True)
+            if f.name in columns
+            else f
+            for f in df.schema.fields
+        ]
+    )
+
+    col_idx = {name: i for i, name in enumerate(df.columns)}
+    id_idx = col_idx.get(id_col)
+
+    def write_partition(rows: Iterator) -> Iterator:
+        import os as _os
+        import uuid as _uuid
+
+        for row in rows:
+            values = list(row)
+            for name in columns:
+                i = col_idx[name]
+                payload = values[i]
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if len(payload) > threshold:
+                    doc_id = values[id_idx] if id_idx is not None else _uuid.uuid4().hex
+                    fname = f"{doc_id}_{name}.bin"
+                    fpath = _os.path.join(blob_dir, fname)
+                    with open(fpath, "wb") as fh:
+                        fh.write(payload)
+                    values[i] = (fpath, len(payload), None)
+                else:
+                    values[i] = (None, len(payload), payload)
+            yield tuple(values)
+
+    return df.rdd.mapPartitions(write_partition).toDF(out_schema)
+
+
+def rehydrate_blobs(
+    df: DataFrame, columns: list[str] | None = None, skip_fetch_binary: bool = False
+) -> DataFrame:
+    """Reverse transform: pointer structs -> binary cells.
+
+    ``skip_fetch_binary=True`` leaves pointers unresolved (parity:
+    reference database.py:174 slow-connection path) — the cheap path,
+    since unresolved pointers never touch the blob files at all.
+    """
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.StructType)
+            and {sf.name for sf in f.dataType.fields} >= set(_POINTER_FIELDS)
+        ]
+    if not columns or skip_fetch_binary:
+        return df
+
+    from pyspark.sql.types import BinaryType
+
+    @F.udf(returnType=BinaryType(), useArrow=False)
+    def _fetch(path, inline):
+        if inline is not None:
+            return bytes(inline)
+        if path is None:
+            return None
+        with open(path, "rb") as fh:
+            return fh.read()
+
+    out = df
+    for name in columns:
+        out = out.withColumn(
+            name, _fetch(F.col(name)["__blob__"], F.col(name)["inline"])
+        )
+    return out
+
+
+def collect_blob_paths(df: DataFrame, columns: list[str] | None = None) -> list[str]:
+    """All externalized file paths referenced by these rows — the delete-side
+    maintenance input (parity: GridFS GC, reference database.py:268-278)."""
+    if columns is None:
+        columns = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.StructType)
+            and {sf.name for sf in f.dataType.fields} >= set(_POINTER_FIELDS)
+        ]
+    paths: list[str] = []
+    for name in columns:
+        rows = (
+            df.select(F.col(name)["__blob__"].alias("p"))
+            .filter(F.col("p").isNotNull())
+            .collect()
+        )
+        paths.extend(r["p"] for r in rows)
+    return paths
+
+
+def delete_blobs(paths: list[str]) -> int:
+    removed = 0
+    for path in paths:
+        try:
+            os.remove(path)
+            removed += 1
+        except FileNotFoundError:
+            pass
+    return removed

@@ -99,6 +99,55 @@ class ParquetStorage(Storage):
     def write_df(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
 
+    # -- mutation (SURVEY §2.9 M2/M3).  Plain parquet has no row-level
+    # update, so mutations are read -> transform -> atomic directory swap.
+    # On a transactional table format (Delta/Iceberg) these become native
+    # UPDATE/DELETE; the API surface is the same.
+    def _overwrite(self, df: DataFrame) -> None:
+        import shutil
+        import uuid
+
+        tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def update_one_by_id(self, document_id: str, **updates) -> None:
+        """$set-style field update on one document (parity: reference
+        database.py:162-168)."""
+        df = self.to_df()
+        out = df
+        for key, value in updates.items():
+            if "." in key:
+                root, rest = key.split(".", 1)
+                out = out.withColumn(
+                    root,
+                    F.when(
+                        F.col("_id") == document_id,
+                        F.col(f"`{root}`").withField(rest, F.lit(value)),
+                    ).otherwise(F.col(f"`{root}`")),
+                )
+            else:
+                out = out.withColumn(
+                    key,
+                    F.when(F.col("_id") == document_id, F.lit(value)).otherwise(
+                        F.col(f"`{key}`") if key in df.columns else F.lit(None)
+                    ),
+                )
+        self._overwrite(out)
+
+    def delete_by_id(self, document_id: str, gc_blobs: bool = True) -> None:
+        """Point delete + blob GC (parity: reference database.py:268-278)."""
+        from topic_store_spark.blob import collect_blob_paths, delete_blobs
+
+        df = self.to_df()
+        doomed = df.filter(F.col("_id") == document_id)
+        if gc_blobs:
+            delete_blobs(collect_blob_paths(doomed))
+        self._overwrite(df.filter(F.col("_id") != document_id))
+
 
 def _decode_binary_markers(value: Any) -> Any:
     if isinstance(value, dict):

@@ -1,0 +1,106 @@
+"""Portable hashing primitives for dedup/fingerprinting.
+
+Everything derives from md5 hex strings because md5 is bit-identical in
+Spark and DuckDB (and everywhere else), which makes MinHash/SimHash
+signatures — normally engine-specific — exactly reproducible by the SQL
+oracle:
+
+- MinHash permutation i  = min over shingles of md5("i:" + shingle);
+  lexicographic min of equal-length hex strings == numeric min.
+- SimHash bit i          = majority over tokens of (low bit of hex digit
+  i of md5(token)); a hex digit is odd iff it's in "13579bdf".
+
+All expressions are built-in column functions — signatures compute
+JVM-side inside whole-stage codegen, one md5 per (shingle, permutation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ODD_HEX = "13579bdf"
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    from topic_store_spark.functions.text import normalize_text
+
+    return F.md5(normalize_text(col))
+
+
+def _perm_min(shingles: Column, seed: int) -> Column:
+    # NB: the lambda must take exactly one parameter — F.transform passes
+    # the array index as a second argument if the callable accepts two,
+    # which would silently override a default-arg closure.
+    prefix = f"{seed}:"
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 12) -> Column:
+    """Array of k MinHash values (32-hex strings).  Empty shingle sets
+    produce NULL elements — filter empties upstream."""
+    return F.array(*[_perm_min(shingles, i) for i in range(k)])
+
+
+def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """Split a k=bands*rows signature into band bucket keys
+    ('<band>|<concat of row hashes>')."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws("", F.slice(signature, b * rows + 1, rows)),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash_bits(token_array: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint as a `bits`-char '0'/'1' string (bit i from hex
+    digit i of each token's md5; majority vote, ties -> 0)."""
+    if bits > 32:
+        raise ValueError("md5 hex has 32 digits; bits must be <= 32")
+    hashes = F.transform(token_array, lambda t: F.md5(t))
+    n = F.size(token_array)
+
+    def _ones_at(pos: int) -> Column:
+        # single-parameter lambda: see _perm_min note on F.transform/filter
+        return F.size(
+            F.filter(
+                hashes,
+                lambda h: F.instr(F.lit(ODD_HEX), F.substring(h, pos + 1, 1)) > 0,
+            )
+        )
+
+    bit_cols = [
+        F.when(_ones_at(i) * 2 > n, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(bits)
+    ]
+    return F.concat(*bit_cols)
+
+
+def hamming_distance(bits_a: Column, bits_b: Column, bits: int = 32) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda i: F.substring(bits_a, i, 1) != F.substring(bits_b, i, 1),
+        )
+    )
+
+
+def simhash_band_keys(bits_col: Column, bits: int = 32, band_bits: int = 8) -> Column:
+    """Band bucket keys over a simhash bit string: equal band => candidate."""
+    bands = bits // band_bits
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"), F.substring(bits_col, b * band_bits + 1, band_bits)
+            )
+            for b in range(bands)
+        ]
+    )

@@ -1,0 +1,118 @@
+"""Text analysis built-ins: tokenization, shingling, language ID, quality.
+
+All JVM-side expressions (no UDFs).  Tokenization and counting are
+defined identically to their DuckDB-SQL equivalents so the operators
+built on top are oracle-checkable:
+
+- tokens      = non-empty pieces of regexp-split on ``\\s+`` of trimmed text
+- shingles    = space-joined n-grams of tokens (word) / substrings (char)
+- language_id = stopword-hit scoring with a fixed tie-break order
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# per-language stopword alternations (word-boundary anchored, lowercase)
+LANG_STOPWORDS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for|on|with|as|are)\b",
+    "es": r"\b(el|la|de|que|y|los|del|las|un|por|con|una|es|para)\b",
+    "de": r"\b(der|die|und|das|ist|von|mit|den|im|ein|eine|nicht|auf)\b",
+    "fr": r"\b(le|la|les|de|des|et|est|un|une|du|que|pour|dans|qui)\b",
+}
+# CJK detection uses a literal character range (portable across Java/RE2)
+CJK_PATTERN = "[一-龥]"
+
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+
+def normalize_text(col: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties removed (BPE-ish splitting lives in
+    ``token_count``'s regex variant)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Space-joined word n-grams; fewer than n tokens -> empty array."""
+    tk = tokens(col)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+        lambda i: F.array_join(F.slice(tk, i, n), " "),
+    )
+    return F.when(F.size(tk) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Character n-grams over normalized text."""
+    txt = normalize_text(col)
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.length(txt) - (n - 1)),
+        lambda i: F.substring(txt, i, n),
+    )
+    return F.when(F.length(txt) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _stopword_hits(col: Column, pattern: str) -> Column:
+    return F.regexp_count(F.lower(col), F.lit(pattern))
+
+
+def language_scores(col: Column) -> dict[str, Column]:
+    scores = {
+        lang: _stopword_hits(col, pat) for lang, pat in LANG_STOPWORDS.items()
+    }
+    scores["zh"] = F.regexp_count(col, F.lit(CJK_PATTERN))
+    return scores
+
+
+def language_id(col: Column) -> Column:
+    """n-gram/stopword-heuristic language guess with deterministic
+    tie-break (priority order en > es > de > fr > zh); no hits -> 'und'."""
+    scores = language_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(out)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword-ratio quality signals.  All ratios are
+    double divisions of exact integers — deterministic across engines."""
+    n_chars = F.length(col)
+    n_tok = token_count(col)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": (
+            F.length(F.regexp_replace(F.trim(col), r"\s+", "")) / n_tok
+        ),
+        "punct_ratio": F.regexp_count(col, F.lit(r"[\.,;:!\?]")) / n_chars,
+        "alpha_ratio": F.regexp_count(col, F.lit("[a-zA-Z]")) / n_chars,
+        "stopword_ratio": _stopword_hits(col, LANG_STOPWORDS["en"]) / n_tok,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards alpha density and
+    reasonable token lengths, penalizes punctuation soup."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_tokens"] >= 5) & (f["n_chars"] >= 30), 1.0).otherwise(0.0)
+    return (
+        0.4 * f["alpha_ratio"]
+        + 0.3 * length_ok
+        + 0.3 * (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0)))
+    )

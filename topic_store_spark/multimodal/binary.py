@@ -1,0 +1,184 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``BinaryType`` columns with a typed metadata
+struct alongside — the same shape the reference stores for
+``sensor_msgs/Image`` (raster bytes + height/width/encoding/step
+siblings, reference utils.py:18-32 encoding table, FIXTURES.md F2).
+
+The Spark-side machinery here is real and tested: schemas, Arrow-batched
+``mapInPandas`` plumbing, partition-size control.  The *codec* step
+(actual JPEG/PNG/audio decode) is stubbed behind ``DECODERS`` because no
+image/audio library ships in this container — swap in cv2/PIL/ffmpeg
+decoders by registering a callable; everything around them is unchanged.
+
+Raw-raster helpers (``decode_images``/``resize_images``) operate on the
+reference's uncompressed encodings via numpy only — those are NOT stubs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: encoding string -> (numpy dtype, channels) — the reference's table
+#: (utils.py:18-32), uncompressed rasters only
+ENCODINGS: dict[str, tuple[str, int]] = {
+    "rgb8": ("uint8", 3), "rgba8": ("uint8", 4), "rgb16": ("uint16", 3),
+    "rgba16": ("uint16", 4), "bgr8": ("uint8", 3), "bgra8": ("uint8", 4),
+    "bgr16": ("uint16", 3), "bgra16": ("uint16", 4), "mono8": ("uint8", 1),
+    "mono16": ("uint16", 1),
+    **{f"{b}UC{c}": (f"uint{b}", c) for b in (8, 16) for c in (1, 2, 3, 4)},
+    **{f"{b}SC{c}": (f"int{b}", c) for b in (8, 16, 32) for c in (1, 2, 3, 4)},
+    **{f"32FC{c}": ("float32", c) for c in (1, 2, 3, 4)},
+    **{f"64FC{c}": ("float64", c) for c in (1, 2, 3, 4)},
+    "bayer_rggb8": ("uint8", 1), "bayer_bggr8": ("uint8", 1),
+    "bayer_gbrg8": ("uint8", 1), "bayer_grbg8": ("uint8", 1),
+}
+
+#: pluggable compressed-format decoders: name -> bytes -> np.ndarray.
+#: None marks a stub: the container has no media libs (register cv2/PIL/
+#: soundfile callables in a real deployment).
+DECODERS: dict[str, Callable[[bytes], np.ndarray] | None] = {
+    "jpeg": None,
+    "png": None,
+    "wav": None,
+    "mp4_frames": None,
+}
+
+
+def attach_binary_metadata(
+    df: DataFrame, binary_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Wrap a raw binary column with the typed metadata struct
+    (size/sha/media_type) — the ingest normal form for media columns."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(b).alias("size_bytes"),
+            F.sha2(b, 256).alias("sha256"),
+        ),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("std", T.DoubleType()),
+        T.StructField("min", T.DoubleType()),
+        T.StructField("max", T.DoubleType()),
+    ]
+)
+
+
+def _raster(data: bytes, height: int, width: int, encoding: str) -> np.ndarray:
+    if encoding not in ENCODINGS:
+        raise ValueError(f"unknown encoding {encoding!r}")
+    dtype, channels = ENCODINGS[encoding]
+    arr = np.frombuffer(data, dtype=dtype)
+    shape = (height, width, channels) if channels > 1 else (height, width)
+    return arr.reshape(shape)
+
+
+def decode_images(
+    df: DataFrame,
+    data_col: str = "data",
+    height_col: str = "height",
+    width_col: str = "width",
+    encoding_col: str = "encoding",
+) -> DataFrame:
+    """Raw raster bytes -> per-image stats struct via Arrow-batched
+    ``mapInPandas``.  Demonstrates the decode pipeline shape: batch in,
+    numpy decode per row, typed struct out."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pixel_stats", _FEATURE_SCHEMA)]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for data, h, w, enc in zip(
+                pdf[data_col], pdf[height_col], pdf[width_col], pdf[encoding_col]
+            ):
+                if data is None:
+                    stats.append(None)
+                    continue
+                arr = _raster(bytes(data), int(h), int(w), enc).astype("float64")
+                stats.append(
+                    {
+                        "mean": float(arr.mean()),
+                        "std": float(arr.std()),
+                        "min": float(arr.min()),
+                        "max": float(arr.max()),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["pixel_stats"] = stats
+            yield pdf
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+extract_image_features = decode_images  # alias: stats ARE the baseline features
+
+
+def resize_images(
+    df: DataFrame,
+    out_height: int,
+    out_width: int,
+    data_col: str = "data",
+    height_col: str = "height",
+    width_col: str = "width",
+    encoding_col: str = "encoding",
+) -> DataFrame:
+    """Nearest-neighbor resize of raw rasters (numpy-only, no media libs).
+    Returns same schema with data/height/width replaced."""
+    schema = df.schema
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            new_data = []
+            for data, h, w, enc in zip(
+                pdf[data_col], pdf[height_col], pdf[width_col], pdf[encoding_col]
+            ):
+                if data is None:
+                    new_data.append(None)
+                    continue
+                arr = _raster(bytes(data), int(h), int(w), enc)
+                ys = (np.arange(out_height) * h // out_height).astype(int)
+                xs = (np.arange(out_width) * w // out_width).astype(int)
+                new_data.append(arr[ys][:, xs].tobytes())
+            pdf = pdf.copy()
+            pdf[data_col] = new_data
+            pdf[height_col] = out_height
+            pdf[width_col] = out_width
+            yield pdf
+
+    return df.mapInPandas(resize, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int,
+    order_col: str = "frame_idx",
+) -> DataFrame:
+    """Deterministic 1-in-N frame sampling for video frame tables."""
+    return df.filter((F.col(order_col) % every_n) == 0)
+
+
+def decode_compressed(df: DataFrame, fmt: str, data_col: str = "data") -> DataFrame:
+    """Compressed-media decode: STUB until a decoder is registered
+    (container ships no cv2/PIL/ffmpeg)."""
+    decoder = DECODERS.get(fmt)
+    if decoder is None:
+        raise NotImplementedError(
+            f"no decoder registered for {fmt!r}; register one in "
+            "topic_store_spark.multimodal.binary.DECODERS"
+        )
+    raise NotImplementedError("custom decoder wiring not implemented yet")

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns.
+
+- ``topk_neighbors``      exact top-k by quantized inner product
+  (embeddings here are unit-norm, so inner product == cosine ranking);
+  broadcast the query side, rank with a per-query window.  The
+  oracle-checkable baseline.
+- ``lsh_ann_neighbors``   random-hyperplane LSH bucketing: the 100 TB
+  scale path — each vector lands in a handful of buckets, candidate
+  generation is a bucket-key join instead of a cross join.  Hyperplanes
+  are deterministic pseudo-randoms derived from md5, so results are
+  reproducible run-to-run and machine-to-machine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from topic_store_spark.functions.vectors import int_self_dot, quantize_vector
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        quantize_vector(F.col(vec_col)).alias(f"{prefix}_qv"),
+        int_self_dot(quantize_vector(F.col(vec_col))).alias(f"{prefix}_n"),
+    )
+
+
+def topk_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by integer dot product, deterministic tie-break on
+    neighbor id.  The query side is broadcast (it's the small dim side);
+    the corpus never shuffles — the plan is scan + broadcast join +
+    per-query TopK, which survives any corpus size."""
+    q = _quantized(queries, id_col, vec_col, "q")
+    c = _quantized(corpus, id_col, vec_col, "c")
+    dot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", dot)
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dot").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank"),
+            (F.col("dot") / F.sqrt((F.col("q_n") * F.col("c_n")).cast("double"))).alias(
+                "cosine_q"
+            ),
+        )
+    )
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """Sign of <v, h_plane> where h_plane[i] is a deterministic
+    pseudo-random in [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5."""
+    prefix = f"{plane}:"
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 4), 16, 10
+        ).cast("double")
+        / 65536.0
+        - 0.5,
+    )
+    proj = F.aggregate(
+        F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_bucket_key(vec_col, planes: int = 8, dim: int = 64):
+    """Random-hyperplane LSH bucket id: `planes`-bit sign pattern."""
+    return F.concat(*[_hyperplane_sign(vec_col, p, dim) for p in range(planes)])
+
+
+def lsh_ann_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket.
+
+    At scale: corpus bucketing is a one-pass map; the join is
+    bucket-key-equi (shuffle on bucket, or broadcast of bucketed queries),
+    pair fan-out ~ n/2^planes per query instead of n."""
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        quantize_vector(F.col(vec_col)).alias("c_qv"),
+        int_self_dot(quantize_vector(F.col(vec_col))).alias("c_n"),
+        lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_vector(F.col(vec_col)).alias("q_qv"),
+        int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
+        lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", dot)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank"),
+            (F.col("dot") / F.sqrt((F.col("q_n") * F.col("c_n")).cast("double"))).alias(
+                "cosine_q"
+            ),
+        )
+    )

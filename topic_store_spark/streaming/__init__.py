@@ -1,0 +1,11 @@
+from topic_store_spark.streaming.scenario import ScenarioFileParser, ScenarioRunner
+from topic_store_spark.streaming.snapshot import latest_values_stream, snapshot_to_doc
+from topic_store_spark.streaming.monitor import rate_monitor_stream
+
+__all__ = [
+    "ScenarioFileParser",
+    "ScenarioRunner",
+    "latest_values_stream",
+    "snapshot_to_doc",
+    "rate_monitor_stream",
+]

@@ -1,0 +1,261 @@
+"""Streaming scenario runner (parity: reference scenario.py +
+file_parsers.py).
+
+One scenario = one Structured Streaming query: a topic stream (any
+streaming DataFrame of ``topic, value, ts`` rows) feeds a latest-value
+state; a trigger decides when a snapshot document is assembled and saved
+to the configured storage.
+
+Parity map:
+- YAML parse + per-method required-field validation + unused-key pruning
+  (reference file_parsers.py:56-114)      -> ``ScenarioFileParser``
+- storage/trigger resolution by naming convention ``init_save_<m>`` /
+  ``save_<m>`` via getattr (scenario.py:57-74)  -> same trick here (U3)
+- timer trigger (scenario.py:141-146)     -> ``processingTime`` trigger
+- event trigger (scenario.py:148-157)     -> watch-topic rows drive saves
+- start/stop gate (scenario.py:101-131)   -> control-topic boolean gate
+- stabilise_time warmup (scenario.py:53-55) -> delayed start
+- bounded queue/backpressure/autoscaling (load_balancer.py) -> Spark's
+  micro-batch engine owns scheduling; no custom pool survives.
+
+The reference's trigger loop threads become micro-batches; the snapshot
+assembly is driver-edge (tiny: one row per topic), while the heavy
+per-topic state lives in the streaming aggregation across executors.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from topic_store_spark.data import TopicStore
+
+
+class ScenarioFileParser:
+    """Scenario YAML -> validated {context, storage, data, collection}."""
+
+    REQUIRED = ("context", "storage", "data", "collection")
+    STORAGE_FIELDS = {"database": {"method"}, "filesystem": {"method", "location"}}
+    COLLECTION_FIELDS = {
+        "timer": {"method", "timer_delay"},
+        "event": {"method", "watch_topic"},
+        "action_server": {"method"},
+        "start_stop": {"method", "watch_topic"},
+    }
+
+    def __init__(self, path_or_dict: str | dict) -> None:
+        if isinstance(path_or_dict, dict):
+            raw = path_or_dict
+        else:
+            import yaml
+
+            with open(path_or_dict) as fh:
+                raw = yaml.safe_load(fh)
+        missing = [k for k in self.REQUIRED if k not in raw]
+        if missing:
+            raise ValueError(f"scenario missing sections: {missing}")
+
+        self.context: str = raw["context"]
+        self.data: dict = raw["data"]
+        self.storage = self._validate(raw["storage"], self.STORAGE_FIELDS, "storage")
+        self.collection = self._validate(
+            raw["collection"], self.COLLECTION_FIELDS, "collection"
+        )
+
+    @staticmethod
+    def _validate(section: dict, table: dict, name: str) -> dict:
+        method = section.get("method")
+        if method not in table:
+            raise ValueError(f"{name}.method must be one of {sorted(table)}")
+        required = table[method]
+        missing = required - set(section)
+        if missing:
+            raise ValueError(f"{name} ({method}) missing fields: {sorted(missing)}")
+        # unused-key pruning (parity: file_parsers.py:100-114)
+        return {k: v for k, v in section.items() if k in required}
+
+
+class ScenarioRunner:
+    """Drive a topic stream into snapshot documents.
+
+    Subclass and define ``init_save_<method>`` / ``save_<method>`` to add
+    storage backends — resolved by naming convention exactly like the
+    reference (scenario.py:57-74).
+    """
+
+    def __init__(
+        self,
+        spark,
+        scenario: ScenarioFileParser,
+        stabilise_time: float = 0.0,
+        on_save: Callable[[dict], None] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.scenario = scenario
+        self.stabilise_time = stabilise_time
+        self.on_save = on_save
+        self.saved_count = 0
+        self._latest: dict[str, Any] = {}
+        self._gate_open = True  # start/stop trigger gate (T4)
+
+        method = scenario.storage["method"]
+        init = getattr(self, f"init_save_{method}", None)
+        if init is None:
+            raise ValueError(f"no init_save_{method} defined")
+        init()
+        self.save_fn = getattr(self, f"save_{method}", None)
+        if self.save_fn is None:
+            raise ValueError(f"no save_{method} defined")
+
+    # -- storage backends ------------------------------------------------
+    def init_save_filesystem(self) -> None:
+        from topic_store_spark.api import load
+
+        self.storage = load(self.scenario.storage["location"], self.spark)
+
+    def save_filesystem(self, doc: dict) -> None:
+        self.storage.insert_one(doc)
+
+    def init_save_database(self) -> None:  # pragma: no cover - needs connector
+        raise NotImplementedError(
+            "database sink requires a Spark MongoDB connector on the classpath"
+        )
+
+    # -- snapshot assembly -------------------------------------------------
+    def expected_topics(self) -> list[str]:
+        """Topic names from the scenario data tree ('/topic' strings are
+        subscriptions; everything else is a constant, parity store.py:61-74)."""
+        topics = []
+
+        def walk(node, prefix=""):
+            if isinstance(node, dict):
+                for key, val in node.items():
+                    walk(val, f"{prefix}.{key}" if prefix else key)
+            elif isinstance(node, str) and node.startswith("/"):
+                topics.append(node)
+
+        walk(self.scenario.data)
+        return topics
+
+    def _constants(self) -> dict:
+        def walk(node):
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, str) and node.startswith("/"):
+                return None  # placeholder; filled from latest state
+            return node
+
+        return walk(self.scenario.data)
+
+    def assemble_snapshot(self) -> dict:
+        """Constants verbatim + latest value per subscribed topic
+        (never-seen topics stay None)."""
+
+        def walk(node):
+            if isinstance(node, dict):
+                return {k: walk(v) for k, v in node.items()}
+            if isinstance(node, str) and node.startswith("/"):
+                return self._latest.get(node)
+            return node
+
+        return walk(self.scenario.data)
+
+    def save(self) -> None:
+        if not self._gate_open:
+            return
+        doc = TopicStore(self.assemble_snapshot())
+        self.save_fn(doc.dict)
+        self.saved_count += 1
+        if self.on_save:
+            self.on_save(doc.dict)
+
+    # -- streaming execution ----------------------------------------------
+    def run(
+        self,
+        topic_stream: DataFrame,
+        topic_col: str = "topic",
+        value_col: str = "value",
+        ts_col: str = "ts",
+        await_termination: bool = False,
+        extra_trigger_kwargs: dict | None = None,
+    ):
+        """Start the streaming query for this scenario's trigger method.
+
+        ``topic_stream`` is any streaming DataFrame with topic/value/ts
+        columns (a rosbridge receiver, a socket source, a file drop dir,
+        or the rate source in tests — the source is pluggable, SURVEY S6).
+        """
+        if self.stabilise_time:
+            time.sleep(self.stabilise_time)  # warmup parity (scenario.py:53-55)
+
+        method = self.scenario.collection["method"]
+        trigger_kwargs = dict(extra_trigger_kwargs or {})
+
+        def update_and_save(batch_df: DataFrame, batch_id: int, save_per_row: bool = False):
+            rows = (
+                batch_df.groupBy(F.col(topic_col).alias("t"))
+                .agg(F.max_by(F.col(value_col), F.col(ts_col)).alias("v"))
+                .collect()
+            )
+            for row in rows:
+                self._latest[row["t"]] = row["v"]
+            if save_per_row:
+                for _ in range(batch_df.count()):
+                    self.save()
+
+        if method == "timer":
+            if "availableNow" not in trigger_kwargs and "once" not in trigger_kwargs:
+                trigger_kwargs.setdefault(
+                    "processingTime",
+                    f"{self.scenario.collection['timer_delay']} seconds",
+                )
+
+            def process(batch_df, batch_id):
+                update_and_save(batch_df, batch_id)
+                self.save()  # one snapshot per trigger tick (T1)
+
+        elif method in ("event", "start_stop"):
+            watch = self.scenario.collection["watch_topic"]
+
+            def process(batch_df, batch_id):
+                update_and_save(batch_df, batch_id)
+                watched = batch_df.filter(F.col(topic_col) == watch)
+                if method == "event":
+                    for _ in range(watched.count()):  # one save per event (T2)
+                        self.save()
+                else:  # start/stop gate toggles on watch-topic payloads (T4)
+                    for row in watched.orderBy(ts_col).collect():
+                        signal = str(row[value_col]).lower()
+                        if signal in ("start", "true", "1"):
+                            self._gate_open = True
+                        elif signal in ("stop", "false", "0"):
+                            self._gate_open = False
+                    if self._gate_open:
+                        non_watch = batch_df.filter(F.col(topic_col) != watch)
+                        for _ in range(non_watch.count()):
+                            self.save()
+
+        elif method == "action_server":
+            # on-demand capture: expose .save() to the caller (T3); the
+            # stream only maintains latest-value state
+            def process(batch_df, batch_id):
+                update_and_save(batch_df, batch_id)
+
+        else:  # pragma: no cover
+            raise ValueError(f"unknown collection method {method}")
+
+        query = (
+            topic_stream.writeStream.foreachBatch(process)
+            .trigger(**(trigger_kwargs or {"availableNow": True}))
+            .option(
+                "checkpointLocation",
+                f"/tmp/ts_spark_ckpt_{self.scenario.context}_{id(self)}",
+            )
+            .start()
+        )
+        if await_termination:
+            query.awaitTermination()
+        return query
