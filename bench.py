@@ -61,6 +61,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen, parquet reader, shuffle machinery) so timings
+    # measure the engine, not first-query class loading.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    entry_mod.queries()["tpch_q1_pricing"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

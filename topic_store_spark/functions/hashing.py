@@ -59,13 +59,22 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
-def simhash_bits(token_array: Column, bits: int = 32) -> Column:
-    """SimHash fingerprint as a `bits`-char '0'/'1' string (bit i from hex
-    digit i of each token's md5; majority vote, ties -> 0)."""
+def token_md5s(token_array: Column) -> Column:
+    """md5 hex of every token — materialize this with its own ``select``
+    before ``simhash_bits_from_hashes`` (perf contract: see
+    text.shingles_from_tokens)."""
+    return F.transform(token_array, lambda t: F.md5(t))
+
+
+def simhash_bits_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint as a `bits`-char '0'/'1' string from a
+    *materialized* token-md5 array column (bit i from hex digit i of each
+    token's md5; majority vote, ties -> 0).  ``hashes`` must be a plain
+    attribute: each bit filters the array once, so an inline md5 transform
+    would be re-evaluated ``bits`` times."""
     if bits > 32:
         raise ValueError("md5 hex has 32 digits; bits must be <= 32")
-    hashes = F.transform(token_array, lambda t: F.md5(t))
-    n = F.size(token_array)
+    n = F.size(hashes)
 
     def _ones_at(pos: int) -> Column:
         # single-parameter lambda: see _perm_min note on F.transform/filter
@@ -81,6 +90,55 @@ def simhash_bits(token_array: Column, bits: int = 32) -> Column:
         for i in range(bits)
     ]
     return F.concat(*bit_cols)
+
+
+def simhash_bits(token_array: Column, bits: int = 32) -> Column:
+    """Single-expression SimHash (convenience; operators should stage
+    ``token_md5s`` through a projection first)."""
+    return simhash_bits_from_hashes(token_md5s(token_array), bits)
+
+
+def simhash_long_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint as a LONG (bit i of the result = majority over
+    tokens of the low bit of hex digit i of md5(token) — same bit values
+    as ``simhash_bits_from_hashes``, packed little-endian).
+
+    The integer representation is the scale path: band keys are shifts,
+    Hamming distance is ``bit_count(a ^ b)`` — whole-stage-codegen
+    arithmetic instead of per-character interpreted lambdas on the
+    (candidate-pair-sized!) verify side."""
+    if bits > 32:
+        raise ValueError("md5 hex has 32 digits; bits must be <= 32")
+    n = F.size(hashes)
+
+    def _ones_at(pos: int) -> Column:
+        return F.size(
+            F.filter(
+                hashes,
+                lambda h: F.instr(F.lit(ODD_HEX), F.substring(h, pos + 1, 1)) > 0,
+            )
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(_ones_at(i) * 2 > n, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_long_band_keys(sim: Column, bits: int = 32, band_bits: int = 8) -> Column:
+    """Integer band bucket keys over a packed simhash long: key =
+    band_index * 2^band_bits + the band's bit slice."""
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            (F.lit(b * (mask + 1)).cast("long"))
+            + F.shiftright(sim, b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
 
 
 def hamming_distance(bits_a: Column, bits_b: Column, bits: int = 32) -> Column:

@@ -41,9 +41,18 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Space-joined word n-grams; fewer than n tokens -> empty array."""
-    tk = tokens(col)
+def shingles_from_tokens(tk: Column, n: int = 3) -> Column:
+    """Space-joined word n-grams from a *materialized* token-array column.
+
+    IMPORTANT perf contract: ``tk`` must be a plain attribute (a column
+    produced by a previous ``select``), not an inline expression.  The
+    lambda below references ``tk`` once per array element; higher-order
+    functions are interpreted (not codegen'd) and get no subexpression
+    elimination, so an inline ``tokens(text)`` here would re-run the regex
+    split O(len) times per row.  Staging through a projection keeps it to
+    one evaluation — CollapseProject never inlines non-cheap expressions
+    referenced more than once.
+    """
     shingled = F.transform(
         F.sequence(F.lit(1), F.size(tk) - (n - 1)),
         lambda i: F.array_join(F.slice(tk, i, n), " "),
@@ -51,6 +60,16 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(tk) >= n, shingled).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Space-joined word n-grams; fewer than n tokens -> empty array.
+
+    Convenience single-expression form.  In operators prefer
+    ``select(tokens(..).alias("tk"))`` + ``shingles_from_tokens`` (see the
+    perf contract there).
+    """
+    return shingles_from_tokens(tokens(col), n)
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:

@@ -10,8 +10,24 @@ Five strategies over a ``documents``-shaped table (id + text) or an
 - ``embedding_dup_pairs``     quantized-cosine near-dup pairs
 
 Scale design: every strategy is a shuffle-on-key plan with no driver
-loops.  Jaccard/minhash self-joins key on shingle/band — the classic
-hot-key hazard is a shingle shared by half the corpus, so both take a
+loops.  Three deliberate physical-plan choices (measured ~100x on the
+bench corpus, and the difference between "works" and "doesn't" at 100 TB):
+
+1. Expensive per-row expressions (regex tokenization, md5 arrays) are
+   **staged through their own projections** so each evaluates once.
+   Higher-order-function lambdas are interpreted with no subexpression
+   elimination — inlining ``tokens(text)`` into a ``transform`` lambda
+   re-runs the regex split per array element, O(len^2) per row.
+2. Inputs are **repartitioned up to the cluster's parallelism** before
+   CPU-bound signature computation (a handful of small input files must
+   not serialize hashing onto a handful of cores).
+3. LSH candidate pairs are verified by joining the candidate list to
+   per-doc shingle *arrays* and intersecting (``array_intersect``) —
+   never by re-running the full shingle self-join and filtering after,
+   which would cost more than the brute-force path it replaces.
+
+Jaccard/minhash self-joins key on shingle/band — the classic hot-key
+hazard is a shingle shared by half the corpus, so the exact path takes a
 ``max_shingle_freq`` cap that drops degenerate keys before the join
 (standard LSH practice; the cap is on *join fan-out*, not on recall of
 confirmed pairs above the threshold for non-degenerate shingles).
@@ -22,19 +38,20 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from topic_store_spark.functions.hashing import (
-    hamming_distance,
     lsh_band_keys,
     md5_fingerprint,
     minhash_signature,
-    simhash_band_keys,
-    simhash_bits,
+    simhash_long_band_keys,
+    simhash_long_from_hashes,
+    token_md5s,
 )
-from topic_store_spark.functions.text import tokens, word_shingles
+from topic_store_spark.functions.text import shingles_from_tokens, tokens
 from topic_store_spark.functions.vectors import int_self_dot, quantize_vector
+from topic_store_spark.operators.util import ensure_parallelism
 
 
 def exact_duplicates(
@@ -57,27 +74,71 @@ def exact_duplicates(
     )
 
 
-def _distinct_shingles(
+def _shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
-            "shingle"
-        ),
+    """(doc, shs): distinct word-n-gram shingle array per doc.  Tokens and
+    shingles each materialize in their own projection (perf contract of
+    shingles_from_tokens)."""
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    return tk.select(
+        "doc", F.array_distinct(shingles_from_tokens(F.col("_tk"), n)).alias("shs")
     )
 
 
-def _verify_jaccard(
-    shingles: DataFrame,
-    candidates: DataFrame | None,
-    threshold_num: int,
-    threshold_den: int,
-    max_shingle_freq: int | None,
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit (a_doc, b_doc) candidate list by
+    intersecting the two docs' shingle arrays — per-candidate work only,
+    no shingle self-join."""
+    a = sh.select(
+        F.col("doc").alias("a_doc"),
+        F.col("shs").alias("a_shs"),
+        F.size("shs").alias("a_sz"),
+    )
+    b = sh.select(
+        F.col("doc").alias("b_doc"),
+        F.col("shs").alias("b_shs"),
+        F.size("shs").alias("b_sz"),
+    )
+    return (
+        candidates.join(a, "a_doc")
+        .join(b, "b_doc")
+        .withColumn("common", F.size(F.array_intersect("a_shs", "b_shs")))
+        .withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
+    )
+
+
+def _jaccard_out(pairs: DataFrame, threshold_num: int, threshold_den: int) -> DataFrame:
+    return pairs.filter(
+        F.col("common") * threshold_den >= threshold_num * F.col("union_sz")
+    ).select(
+        "a_doc",
+        "b_doc",
+        "common",
+        "union_sz",
+        (F.col("common") / F.col("union_sz")).alias("jaccard"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard over distinct shingles.  ``candidates`` (a_doc, b_doc)
-    restricts the pair space (LSH path); None means all co-shingled pairs."""
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    """All pairs with exact n-gram Jaccard >= threshold_num/threshold_den.
+
+    Brute-exact path: co-shingled pairs via shingle-key self-join (pairs
+    that share no shingle can never pass a positive threshold, so keying
+    on shingle IS the pair pruning)."""
+    sh = _shingle_arrays(df, text_col, id_col, n)
+    shingles = sh.select("doc", F.explode("shs").alias("shingle"))
+    sizes = sh.select("doc", F.size("shs").alias("sz"))
 
     joinable = shingles
     if max_shingle_freq is not None:
@@ -95,40 +156,12 @@ def _verify_jaccard(
         .groupBy("a_doc", "b_doc")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    if candidates is not None:
-        common = common.join(candidates, ["a_doc", "b_doc"], "left_semi")
-    out = (
+    pairs = (
         common.join(sizes.withColumnsRenamed({"doc": "a_doc", "sz": "a_sz"}), "a_doc")
         .join(sizes.withColumnsRenamed({"doc": "b_doc", "sz": "b_sz"}), "b_doc")
         .withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
-        .filter(
-            F.col("common") * threshold_den >= threshold_num * F.col("union_sz")
-        )
-        .select(
-            "a_doc",
-            "b_doc",
-            "common",
-            "union_sz",
-            (F.col("common") / F.col("union_sz")).alias("jaccard"),
-        )
     )
-    return out
-
-
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold_num: int = 8,
-    threshold_den: int = 10,
-    max_shingle_freq: int | None = None,
-) -> DataFrame:
-    """All pairs with exact n-gram Jaccard >= threshold_num/threshold_den."""
-    shingles = _distinct_shingles(df, text_col, id_col, n)
-    return _verify_jaccard(
-        shingles, None, threshold_num, threshold_den, max_shingle_freq
-    )
+    return _jaccard_out(pairs, threshold_num, threshold_den)
 
 
 def minhash_lsh_pairs(
@@ -140,22 +173,29 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold_num: int = 8,
     threshold_den: int = 10,
-    max_shingle_freq: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding, then exact-Jaccard verification.
 
     Scale path vs ``ngram_jaccard_pairs``: the shingle self-join is
-    replaced by a band-bucket join whose fan-out is O(collisions), so the
-    candidate set — not the full co-shingle pair space — pays the shuffle.
+    replaced by a band-bucket join whose fan-out is O(collisions); the
+    verify step pays per-candidate array intersection, nothing global.
+
+    ``persist`` caches the shingle arrays and signatures
+    (MEMORY_AND_DISK) because both feed two downstream branches (band
+    self-join; pair verify) — without it each branch recomputes
+    tokenize+shingle+hash.  Standard MinHash practice at any scale; pass
+    False to keep the plan fully lazy.
     """
     rows = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(
-            F.array_distinct(word_shingles(F.col(text_col), n)), num_perm
-        ).alias("sig"),
-    ).filter(~F.exists("sig", lambda x: x.isNull()))
+    sh = _shingle_arrays(df, text_col, id_col, n)
+    if persist:
+        from pyspark import StorageLevel
 
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.filter(F.size("shs") > 0).select(
+        "doc", minhash_signature(F.col("shs"), num_perm).alias("sig")
+    )
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
     )
@@ -166,10 +206,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("a_doc"), F.col("y.doc").alias("b_doc"))
         .distinct()
     )
-    shingles = _distinct_shingles(df, text_col, id_col, n)
-    return _verify_jaccard(
-        shingles, cands, threshold_num, threshold_den, max_shingle_freq
-    )
+    return _jaccard_out(_pair_jaccard(sh, cands), threshold_num, threshold_den)
 
 
 def simhash_pairs(
@@ -183,30 +220,63 @@ def simhash_pairs(
     """SimHash near-dup pairs: band-bucket candidates, Hamming-verified.
     A pair within ``max_hamming`` is found iff it collides on >= 1 band
     (guaranteed when max_hamming < bits/band_bits by pigeonhole)."""
-    sigs = df.select(
+    hs = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
-        simhash_bits(tokens(F.col(text_col)), bits).alias("sim"),
+        token_md5s(tokens(F.col(text_col))).alias("_hs"),
     )
-    banded = sigs.select(
-        "doc", "sim", F.explode(simhash_band_keys(F.col("sim"), bits, band_bits)).alias("band")
+    sigs = hs.select(
+        "doc", simhash_long_from_hashes(F.col("_hs"), bits).alias("sim")
     )
-    return (
+    # Work at the *distinct signature* level: duplicate-heavy corpora (the
+    # whole point of dedup) collapse to far fewer sims than docs, so the
+    # band self-join fans out over unique sims — narrow longs — and the
+    # Hamming filter runs BEFORE pairs expand back to documents.  A doc
+    # pair appears exactly once: same sim -> intra group, else via its
+    # unique (a_sim < b_sim) candidate pair.
+    groups = sigs.groupBy("sim").agg(F.collect_list("doc").alias("docs"))
+    from pyspark import StorageLevel
+
+    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = groups.select(
+        "sim",
+        F.explode(simhash_long_band_keys(F.col("sim"), bits, band_bits)).alias("band"),
+    )
+    cand_sims = (
         banded.alias("x")
         .join(banded.alias("y"), "band")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("a_doc"),
-            F.col("y.doc").alias("b_doc"),
-            F.col("x.sim").alias("a_sim"),
-            F.col("y.sim").alias("b_sim"),
-        )
+        .filter(F.col("x.sim") < F.col("y.sim"))
+        .select(F.col("x.sim").alias("a_sim"), F.col("y.sim").alias("b_sim"))
         .distinct()
         .withColumn(
-            "hamming", hamming_distance(F.col("a_sim"), F.col("b_sim"), bits)
+            "hamming", F.bit_count(F.col("a_sim").bitwiseXOR(F.col("b_sim")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("a_doc", "b_doc", "hamming")
     )
+    inter = (
+        cand_sims.join(
+            groups.select(F.col("sim").alias("a_sim"), F.col("docs").alias("a_docs")),
+            "a_sim",
+        )
+        .join(
+            groups.select(F.col("sim").alias("b_sim"), F.col("docs").alias("b_docs")),
+            "b_sim",
+        )
+        .select(F.explode("a_docs").alias("da"), "b_docs", "hamming")
+        .select("da", F.explode("b_docs").alias("db"), "hamming")
+        .select(
+            F.least("da", "db").alias("a_doc"),
+            F.greatest("da", "db").alias("b_doc"),
+            "hamming",
+        )
+    )
+    intra = (
+        groups.filter(F.size("docs") > 1)
+        .select(F.explode("docs").alias("a_doc"), F.col("docs"))
+        .select("a_doc", F.explode("docs").alias("b_doc"))
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .withColumn("hamming", F.lit(0))
+    )
+    return inter.unionByName(intra)
 
 
 def embedding_dup_pairs(
@@ -224,7 +294,7 @@ def embedding_dup_pairs(
     Brute-force O(n^2) pair space: correct baseline at verification scale;
     the bucketed scale path is ``similarity.lsh_ann_neighbors``.
     """
-    q = df.select(
+    q = ensure_parallelism(df).select(
         F.col(id_col).alias("vid"),
         quantize_vector(F.col(vec_col)).alias("qv"),
     ).withColumn("nrm", int_self_dot(F.col("qv")))
