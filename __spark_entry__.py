@@ -128,6 +128,138 @@ def q_mongo_pipeline_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_pipeline_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $project($split) -> $unwind -> $group -> $sort -> $limit — a
+    word count written entirely in the Mongo pipeline dialect."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipeline = [
+        {"$project": {"doc_id": 1, "tok": {"$split": ["$text", " "]}}},
+        {"$unwind": "$tok"},
+        {"$group": {"_id": {"word": "$tok"}, "n": {"$sum": 1}}},
+        {"$sort": {"n": -1, "word": 1}},
+        {"$limit": 50},
+    ]
+    return apply_pipeline(docs, pipeline).select("word", "n")
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: JSON decode of the events.props payload + aggregation."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_objectid_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 + A2/A3: mint deterministic ObjectIds (time prefix + md5
+    payload), recover generation time, and build the per-session summary
+    the reference derives from ObjectId.generation_time
+    (database.py:258-266) — one groupBy, no N+1."""
+    from topic_store_spark.objectid import generation_time, object_id_col
+
+    events = _t(spark, sf_dir, "events")
+    with_id = events.select(
+        "user_id",
+        object_id_col(
+            ts_col=F.col("ts").cast("long").cast("double"),
+            key_col=F.col("event_id"),
+        ).alias("_id"),
+    )
+    return with_id.groupBy(F.col("user_id").alias("session")).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(generation_time(F.col("_id"))).alias("first_seen"),
+        F.date_format(
+            F.min(generation_time(F.col("_id"))), "dd-MM-yyyy HH:mm:ss"
+        ).alias("date_collected"),
+        F.min("_id").alias("min_id"),
+    )
+
+
+def q_size_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-source corpus size accounting (exact integer byte/char
+    sums; the humanized string form is engine-side only, scalars.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.octet_length("text")).alias("total_bytes"),
+        F.max(F.octet_length("text")).alias("max_bytes"),
+    )
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: set difference — users with a big purchase but no comparably
+    big signup event."""
+    events = _t(spark, sf_dir, "events")
+    left = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 80.0)
+    ).select("user_id")
+    right = events.filter(
+        (F.col("event_type") == "signup") & (F.col("value") > 80.0)
+    ).select("user_id")
+    return left.subtract(right)
+
+
+def q_flatten_dotted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: nested-struct flatten to dotted top-level names (metadata-only
+    schema walk; plan is a plain select of struct accesses)."""
+    from topic_store_spark.query.projection import flatten_dotted
+
+    events = _t(spark, sf_dir, "events")
+    nested = events.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.struct(F.col("event_type").alias("type"), F.col("value").alias("v")).alias(
+                "detail"
+            ),
+        ).alias("meta"),
+    )
+    return flatten_dotted(nested)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: inverted lists by nearest centroid, nprobe=2 probing —
+    the bucketed scale path with a full SQL oracle (unlike the
+    hyperplane-LSH variant)."""
+    from topic_store_spark.operators.similarity import ivf_ann_neighbors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_neighbors(
+        emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        k=5,
+        nprobe=2,
+    )
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal normal form: opaque binary payload + typed metadata
+    struct (media_type/size/sha256) — here the payload is the utf-8 bytes
+    of text so the oracle can reproduce it; the same plumbing wraps
+    image/audio bytes (multimodal/binary.py)."""
+    from topic_store_spark.multimodal.binary import attach_binary_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    with_meta = attach_binary_metadata(payload, "payload", media_type="text")
+    return with_meta.select(
+        "doc_id",
+        F.col("payload_meta.media_type").alias("media_type"),
+        F.col("payload_meta.size_bytes").alias("size_bytes"),
+        F.col("payload_meta.sha256").alias("sha256"),
+        F.ceil(F.col("payload_meta.size_bytes") / 256).alias("n_chunks"),
+    )
+
+
 def q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: count(query) — exact count under a compiled predicate."""
     from topic_store_spark.query.compiler import compile_query
@@ -476,6 +608,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_find_nin_exists": q_mongo_find_nin_exists,
         "mongo_projection": q_mongo_projection,
         "mongo_pipeline_group": q_mongo_pipeline_group,
+        "mongo_pipeline_unwind": q_mongo_pipeline_unwind,
+        "json_props": q_json_props,
+        "objectid_sessions": q_objectid_sessions,
+        "size_summary": q_size_summary,
+        "set_except": q_set_except,
+        "flatten_dotted": q_flatten_dotted,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_stats": q_multimodal_stats,
         "count_filtered": q_count_filtered,
         "point_lookup": q_point_lookup,
         "anti_join_incremental": q_anti_join_incremental,
@@ -622,6 +762,125 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE o_orderstatus IN ('F', 'O')
         GROUP BY 1, 2
+    """
+
+    sql["mongo_pipeline_unwind"] = """
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY 1
+        ORDER BY n DESC, word ASC
+        LIMIT 50
+    """
+
+    sql["json_props"] = """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """
+
+    sql["objectid_sessions"] = """
+        WITH ids AS (
+          SELECT user_id,
+                 printf('%08x', CAST(floor(epoch(ts)) AS BIGINT))
+                   || substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS _id,
+                 make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) * 1000000) AS gen_ts
+          FROM events
+        )
+        SELECT user_id AS session,
+               count(*) AS count,
+               min(gen_ts) AS first_seen,
+               strftime(min(gen_ts), '%d-%m-%Y %H:%M:%S') AS date_collected,
+               min(_id) AS min_id
+        FROM ids GROUP BY 1
+    """
+
+    sql["size_summary"] = """
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(strlen(text)) AS total_bytes,
+               max(strlen(text)) AS max_bytes
+        FROM documents GROUP BY 1
+    """
+
+    sql["set_except"] = """
+        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80.0
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'signup' AND value > 80.0
+    """
+
+    sql["flatten_dotted"] = """
+        SELECT event_id,
+               user_id AS "meta.user",
+               event_type AS "meta.detail.type",
+               value AS "meta.detail.v"
+        FROM events
+    """
+
+    sql["ann_ivf"] = (
+        """
+        WITH q0 AS (
+          SELECT vec_id, """
+        + _QUANT_EMB
+        + """ AS qv FROM embeddings
+        ),
+        n0 AS (
+          SELECT vec_id, qv, """
+        + _INT_DOT.format(a="qv", b="qv")
+        + """ AS nrm FROM q0
+        ),
+        cen AS (SELECT vec_id AS cen_id, qv AS cen_qv, nrm AS cen_n
+                FROM n0 WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_n, cen_id AS list_id
+          FROM (
+            SELECT c.vec_id, c.qv, c.nrm, cen.cen_id,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY """
+        + _INT_DOT.format(a="c.qv", b="cen.cen_qv")
+        + """ / sqrt(CAST(cen.cen_n AS DOUBLE)) DESC, cen.cen_id ASC) AS rn
+            FROM n0 c CROSS JOIN cen
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_n, cen_id AS list_id
+          FROM (
+            SELECT qs.vec_id, qs.qv, qs.nrm, cen.cen_id,
+                   row_number() OVER (
+                     PARTITION BY qs.vec_id
+                     ORDER BY """
+        + _INT_DOT.format(a="qs.qv", b="cen.cen_qv")
+        + """ / sqrt(CAST(cen.cen_n AS DOUBLE)) DESC, cen.cen_id ASC) AS rn
+            FROM n0 qs CROSS JOIN cen
+            WHERE qs.vec_id < 10
+          ) WHERE rn <= 2
+        ),
+        scored AS (
+          SELECT p.q_id, a.c_id, """
+        + _INT_DOT.format(a="p.q_qv", b="a.c_qv")
+        + """ AS dot, p.q_n, a.c_n
+          FROM probes p JOIN assigned a ON p.list_id = a.list_id
+          WHERE p.q_id <> a.c_id
+        )
+        SELECT q_id AS query_id, c_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY dot DESC, c_id ASC) AS INT) AS rank,
+               dot / sqrt(CAST(q_n * c_n AS DOUBLE)) AS cosine_q
+        FROM scored
+        QUALIFY rank <= 5
+    """
+    )
+
+    sql["multimodal_stats"] = """
+        SELECT doc_id,
+               'text' AS media_type,
+               strlen(text) AS size_bytes,
+               sha256(text) AS sha256,
+               CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks
+        FROM documents
     """
 
     sql["count_filtered"] = """

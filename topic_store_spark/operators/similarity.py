@@ -67,6 +67,81 @@ def topk_neighbors(
     )
 
 
+def ivf_ann_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are partitioned into
+    inverted lists by nearest centroid; a query probes only its ``nprobe``
+    closest lists.
+
+    The 100 TB shape: assignment is one broadcast pass over the corpus
+    (centroid count is small by construction), the search join is
+    equi-keyed on list id — candidate fan-out is corpus/|lists| * nprobe
+    per query instead of the whole corpus.  Affinity ranking uses
+    ``dot / sqrt(centroid_norm)`` on exact integer dots — IEEE ops on
+    identical operands, so assignment is reproducible engine-to-engine.
+    """
+    cen = _quantized(centroids, id_col, vec_col, "cen")
+    c = _quantized(corpus, id_col, vec_col, "c")
+    q = _quantized(queries, id_col, vec_col, "q")
+
+    def _dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+    w_assign = Window.partitionBy("c_id").orderBy(
+        F.col("aff").desc(), F.col("cen_id").asc()
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cen))
+        .withColumn("aff", aff)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("c_id", "c_qv", "c_n", F.col("cen_id").alias("list_id"))
+    )
+
+    q_aff = _dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+    w_probe = Window.partitionBy("q_id").orderBy(
+        F.col("aff").desc(), F.col("cen_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cen))
+        .withColumn("aff", q_aff)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_qv", "q_n", F.col("cen_id").alias("list_id"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", _dot("q_qv", "c_qv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank"),
+            (F.col("dot") / F.sqrt((F.col("q_n") * F.col("c_n")).cast("double"))).alias(
+                "cosine_q"
+            ),
+        )
+    )
+
+
 def _hyperplane_sign(vec_col, plane: int, dim: int):
     """Sign of <v, h_plane> where h_plane[i] is a deterministic
     pseudo-random in [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5."""

@@ -103,6 +103,13 @@ def _compile_value_op(op: str, arg: Any) -> Column:
             get("minute", 0),
             get("second", 0).cast("double") + get("millisecond", 0) / 1000.0,
         )
+    if op == "$split":
+        # Mongo $split is a literal-delimiter split; Spark's is regex
+        if not (isinstance(arg[1], str) and not arg[1].startswith("$")):
+            raise ValueError("$split delimiter must be a string literal")
+        import re
+
+        return F.split(compile_value(arg[0]), re.escape(arg[1]))
     if op == "$toLower":
         return F.lower(compile_value(arg))
     if op == "$toUpper":
@@ -193,13 +200,16 @@ def apply_pipeline(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
         elif op == "$project":
             flags = {k: v for k, v in spec.items() if v in (0, 1, True, False)}
             computed = {k: v for k, v in spec.items() if k not in flags}
-            if flags:
-                out_proj = apply_projection(out, flags)
-            else:
-                out_proj = out
+            # computed fields see the *input* document (Mongo semantics),
+            # so they evaluate before inclusion pruning and are then kept
             for name, expr in computed.items():
-                out_proj = out_proj.withColumn(name, compile_value(expr))
-            out = out_proj
+                out = out.withColumn(name, compile_value(expr))
+            if flags:
+                proj = dict(flags)
+                if any(v in (1, True) for v in flags.values()):
+                    for name in computed:
+                        proj[name] = 1
+                out = apply_projection(out, proj)
         elif op in ("$addFields", "$set"):
             for name, expr in spec.items():
                 out = out.withColumn(name, compile_value(expr))

@@ -104,3 +104,33 @@ def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFr
             if root in out.columns:
                 out = out.withColumn(root, F.col(f"`{root}`").dropFields(rest))
     return out
+
+
+def flatten_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten every nested struct leaf into a top-level column named by
+    its dotted path (R4 parity: reference data.py:94-114
+    ``flatten_ros_msg_dict`` keys results ``parent.child``).
+
+    Pure-metadata schema walk — the generated plan is a single ``select``
+    of struct field accesses, which Catalyst collapses into nested-column
+    pruning on the scan (no data movement, no UDF)."""
+    cols: list[Column] = []
+
+    def walk(col: Column, dtype: T.DataType, path: str) -> None:
+        if isinstance(dtype, T.StructType):
+            for field in dtype.fields:
+                walk(col.getField(field.name), field.dataType, f"{path}{sep}{field.name}")
+        else:
+            cols.append(col.alias(path))
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StructType):
+            for sub in field.dataType.fields:
+                walk(
+                    F.col(f"`{field.name}`").getField(sub.name),
+                    sub.dataType,
+                    f"{field.name}{sep}{sub.name}",
+                )
+        else:
+            cols.append(F.col(f"`{field.name}`"))
+    return df.select(*cols)
