@@ -99,6 +99,31 @@ class ParquetStorage(Storage):
     def write_df(self, df: DataFrame) -> None:
         df.write.mode("append").parquet(self.path)
 
+    def count(self, query: dict | None = None, estimate: bool = False) -> int:
+        """Exact count scans; ``estimate=True`` is metadata-only — summed
+        parquet footer row counts, zero data IO (parity: the reference's
+        ``estimated_document_count`` fast path, database.py:221-231)."""
+        if estimate and query:
+            raise ValueError("estimate=True cannot be combined with a query")
+        if estimate:
+            if not self._exists():
+                return 0
+            import pyarrow.parquet as pq
+
+            total = 0
+            if os.path.isdir(self.path):
+                for name in os.listdir(self.path):
+                    if name.endswith(".parquet") or (
+                        name.startswith("part-") and not name.endswith(".crc")
+                    ):
+                        total += pq.ParquetFile(
+                            os.path.join(self.path, name)
+                        ).metadata.num_rows
+            else:
+                total = pq.ParquetFile(self.path).metadata.num_rows
+            return total
+        return super().count(query)
+
     # -- mutation (SURVEY §2.9 M2/M3).  Plain parquet has no row-level
     # update, so mutations are read -> transform -> atomic directory swap.
     # On a transactional table format (Delta/Iceberg) these become native
