@@ -551,6 +551,31 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline: text analysis
 # ---------------------------------------------------------------------------
 
+def q_dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard pairs >= 0.8 (catches intra-word edits that
+    word shingles miss)."""
+    from topic_store_spark.operators.dedup import char_jaccard_pairs
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return char_jaccard_pairs(corpus, n=5, threshold_num=8, threshold_den=10)
+
+
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint + whitespace vs BPE-ish
+    token counts per document."""
+    from topic_store_spark.functions.hashing import rolling_fingerprint
+    from topic_store_spark.functions.text import bpe_token_count, token_count, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "text", tokens(F.col("text")).alias("_tk"))
+    return tk.select(
+        "doc_id",
+        F.size("_tk").alias("n_tokens_ws"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        rolling_fingerprint(F.col("_tk")).alias("rolling_hash"),
+    )
+
+
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID per document."""
     from topic_store_spark.functions.text import language_id
@@ -629,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": q_region_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_char_jaccard": q_dedup_char_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -637,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
         "text_stats": q_text_stats,
+        "text_fingerprints": q_text_fingerprints,
     }
 
 
@@ -1045,6 +1072,44 @@ cands AS (
             candidate_filter="JOIN cands ON cands.a_doc = a.doc AND cands.b_doc = b.doc"
         )
     )
+
+    sql["dedup_char_jaccard"] = (
+        "WITH "
+        + _NEAR_CORPUS
+        + r""",
+norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN length(nt) >= 5
+              THEN list_distinct([nt[i:i+4] for i in range(1, length(nt) - 3)])
+              ELSE [] END AS sh
+  FROM norm
+),
+shx AS (SELECT doc_id AS doc, unnest(sh) AS shingle FROM sh),
+sizes AS (SELECT doc, count(*) AS sz FROM shx GROUP BY doc),
+"""
+        + _VERIFY_JACCARD.format(candidate_filter="")
+    )
+
+    ws_tokens = _TOKENS.format(col="text")
+    sql["text_fingerprints"] = rf"""
+        WITH tk AS (
+          SELECT doc_id, text, {ws_tokens} AS tks FROM documents
+        )
+        SELECT doc_id,
+               len(tks) AS n_tokens_ws,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+                 AS n_tokens_bpe,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(tks,
+                     t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+                 (a, b) -> (a * 257 + b) % 2147483647) AS rolling_hash
+        FROM tk
+    """
 
     sql["dedup_simhash"] = (
         "WITH "

@@ -29,12 +29,19 @@ HEADLINE = [
     "sessionize",
     "latest_snapshot",
     "windowed_rates",
+    # dedup_char_jaccard is oracle-checked at sf0.01 but excluded here:
+    # the synthetic corpus has a ~50-word vocabulary, so char-5-gram
+    # document frequencies hit 78% of the corpus and the exact all-pairs
+    # variant degenerates to a 3x10^9-pair join by construction.  On real
+    # prose (diverse n-grams) or with max_shingle_freq it is well-behaved.
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
+    "ann_ivf",
     "text_quality",
     "text_stats",
+    "text_fingerprints",
 ]
 
 

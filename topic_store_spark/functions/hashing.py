@@ -127,6 +127,30 @@ def simhash_long_from_hashes(hashes: Column, bits: int = 32) -> Column:
     return out
 
 
+ROLLING_BASE = 257
+ROLLING_MOD = (1 << 31) - 1  # Mersenne prime; keeps acc*base+v < 2^40
+
+
+def rolling_fingerprint(token_array: Column) -> Column:
+    """Polynomial rolling-hash document fingerprint over the token stream:
+    ``h = (h * 257 + tokval) mod (2^31 - 1)`` with ``tokval`` = first 8
+    md5 hex digits of the token as an integer.
+
+    Unlike the order-insensitive md5 fingerprint, this is sensitive to
+    token *order* (a shuffled document hashes differently).  Bounded
+    modular arithmetic — no overflow, bit-identical in any engine with
+    64-bit integers; the DuckDB twin is a ``list_reduce``."""
+    vals = F.transform(
+        token_array,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * ROLLING_BASE + v) % ROLLING_MOD,
+    )
+
+
 def simhash_long_band_keys(sim: Column, bits: int = 32, band_bits: int = 8) -> Column:
     """Integer band bucket keys over a packed simhash long: key =
     band_index * 2^band_bits + the band's bit slice."""

@@ -72,9 +72,11 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(col), n)
 
 
-def char_shingles(col: Column, n: int = 5) -> Column:
-    """Character n-grams over normalized text."""
-    txt = normalize_text(col)
+def char_shingles_from_norm(txt: Column, n: int = 5) -> Column:
+    """Character n-grams from a *materialized* normalized-text column
+    (same perf contract as shingles_from_tokens: pass an attribute, not
+    an inline normalize_text expression — the lambda evaluates its body
+    per character position)."""
     shingled = F.transform(
         F.sequence(F.lit(1), F.length(txt) - (n - 1)),
         lambda i: F.substring(txt, i, n),
@@ -82,6 +84,23 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     return F.when(F.length(txt) >= n, shingled).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Character n-grams over normalized text (convenience form)."""
+    return char_shingles_from_norm(normalize_text(col), n)
+
+
+#: BPE-ish pre-tokenization: letter runs, single digits, punctuation runs —
+#: the same character-class split GPT-2-style tokenizers apply before BPE
+#: merges.  Identical regex semantics in Java and DuckDB (pure classes).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer split (vs whitespace
+    ``token_count``)."""
+    return F.regexp_count(col, F.lit(BPE_SPLIT_PATTERN))
 
 
 def _stopword_hits(col: Column, pattern: str) -> Column:

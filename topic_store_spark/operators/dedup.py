@@ -164,6 +164,55 @@ def ngram_jaccard_pairs(
     return _jaccard_out(pairs, threshold_num, threshold_den)
 
 
+def char_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with exact character-n-gram Jaccard >= threshold —
+    catches near-dups whitespace/word shingling misses (insertions inside
+    words, punctuation edits).  Same keyed self-join plan as
+    ``ngram_jaccard_pairs``; shingle alphabet is char n-grams of
+    whitespace-normalized lowercase text."""
+    from topic_store_spark.functions.text import char_shingles_from_norm, normalize_text
+
+    norm = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("_nt")
+    )
+    sh = norm.select(
+        "doc", F.array_distinct(char_shingles_from_norm(F.col("_nt"), n)).alias("shs")
+    )
+    shingles = sh.select("doc", F.explode("shs").alias("shingle"))
+    sizes = sh.select("doc", F.size("shs").alias("sz"))
+
+    joinable = shingles
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        joinable = shingles.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+
+    left = joinable.select(F.col("doc").alias("a_doc"), "shingle")
+    right = joinable.select(F.col("doc").alias("b_doc"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    pairs = (
+        common.join(sizes.withColumnsRenamed({"doc": "a_doc", "sz": "a_sz"}), "a_doc")
+        .join(sizes.withColumnsRenamed({"doc": "b_doc", "sz": "b_sz"}), "b_doc")
+        .withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
+    )
+    return _jaccard_out(pairs, threshold_num, threshold_den)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
