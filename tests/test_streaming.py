@@ -178,3 +178,52 @@ def test_rate_monitor_stream(spark, tmp_path):
     by_topic = {r["topic"]: r for r in rows}
     assert by_topic["/a"]["n"] == 8
     assert abs(by_topic["/a"]["hz"] - 0.8) < 1e-9
+
+
+def test_fps_counter_stateful_stream(spark, tmp_path):
+    from topic_store_spark.streaming.fps import fps_counter_stream
+
+    src = tmp_path / "stream_src_fps"
+    # /a publishes every 2s (fps 0.5); /b publishes once (no rate yet)
+    _write_events(
+        src,
+        [("/a", "x", s) for s in (1, 3, 5, 7)] + [("/b", "y", 4)],
+    )
+    stream = _topic_stream_from_dir(spark, src)
+    q = (
+        fps_counter_stream(stream, queue_length=30)
+        .writeStream.format("memory")
+        .queryName("fps_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["topic"]: r for r in spark.sql("select * from fps_t").collect()}
+    assert rows["/a"]["n_window"] == 3
+    assert abs(rows["/a"]["fps"] - 0.5) < 1e-9
+    assert abs(rows["/a"]["avg_delta_ms"] - 2000.0) < 1e-6
+    assert rows["/b"]["n_window"] == 0 and rows["/b"]["fps"] == 0.0
+
+
+def test_fps_counter_state_carries_across_batches(spark, tmp_path):
+    from topic_store_spark.streaming.fps import fps_counter_stream
+
+    src = tmp_path / "stream_src_fps2"
+    _write_events(src, [("/a", "x", 1), ("/a", "x", 2)], name="b1.json")
+    _write_events(src, [("/a", "x", 3)], name="b2.json")
+    stream = _topic_stream_from_dir(spark, src)
+    q = (
+        fps_counter_stream(stream, queue_length=2)
+        .writeStream.format("memory")
+        .queryName("fps_t2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from fps_t2").collect()
+    # final state saw all three stamps; queue_length=2 keeps 2 intervals
+    final = max(rows, key=lambda r: r["n_window"])
+    assert final["n_window"] == 2
+    assert abs(final["fps"] - 1.0) < 1e-9

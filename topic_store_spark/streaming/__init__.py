@@ -1,6 +1,7 @@
 from topic_store_spark.streaming.scenario import ScenarioFileParser, ScenarioRunner
 from topic_store_spark.streaming.snapshot import latest_values_stream, snapshot_to_doc
 from topic_store_spark.streaming.monitor import rate_monitor_stream
+from topic_store_spark.streaming.fps import fps_counter_stream
 
 __all__ = [
     "ScenarioFileParser",
@@ -8,4 +9,5 @@ __all__ = [
     "latest_values_stream",
     "snapshot_to_doc",
     "rate_monitor_stream",
+    "fps_counter_stream",
 ]
