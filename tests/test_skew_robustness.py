@@ -1,0 +1,108 @@
+"""Salted aggregation/join equivalence + corrupt-frame and on-demand
+trigger robustness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_aggregate_equals_direct(spark):
+    from topic_store_spark.operators.skew import salted_aggregate
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 101).alias("v")
+    )
+    direct = {
+        (r["k"]): (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["n"], r["total"], r["mx"])
+        for r in salted_aggregate(
+            df, ["k"], {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")}
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salted_aggregate_rejects_non_algebraic(spark):
+    from topic_store_spark.operators.skew import salted_aggregate
+
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], {"a": ("avg", "k")})
+
+
+def test_salted_join_equals_direct(spark):
+    from topic_store_spark.operators.skew import salted_join_left
+
+    left = spark.range(0, 5_000).select(
+        (F.when(F.col("id") < 4_000, 1).otherwise(F.col("id") % 50)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(50)], "k long, name string"
+    )
+    direct = sorted((r["k"], r["v"], r["name"]) for r in left.join(right, "k").collect())
+    salted = sorted(
+        (r["k"], r["v"], r["name"]) for r in salted_join_left(left, right, "k").collect()
+    )
+    assert salted == direct
+
+
+def test_corrupt_pickle_frame_skipped(spark, tmp_path):
+    """Parity: reference filesystem.py:66-68 skips corrupt frames with a
+    message instead of failing the scan."""
+    import pickle
+
+    import topic_store_spark as ts
+
+    path = tmp_path / "legacy.topic_store"
+    with open(path, "wb") as fh:
+        pickle.dump({"n": 1}, fh, protocol=2)
+        fh.write(b"\x80\x02GARBAGE-NOT-A-FRAME")
+    store = ts.load(str(path), spark)
+    docs = [d for d in store]
+    assert len(docs) == 1 and docs[0]["n"] == 1
+
+
+def test_action_server_on_demand_capture(spark, tmp_path):
+    """T3: action-server trigger — stream maintains state; captures fire
+    on demand via save(), always-success semantics."""
+    import json
+
+    from topic_store_spark.streaming import ScenarioFileParser, ScenarioRunner
+
+    src = tmp_path / "stream_src_action"
+    src.mkdir()
+    (src / "b.json").write_text(
+        json.dumps({"topic": "/camera/image", "value": "img", "ts": "2024-01-01 00:00:01"})
+    )
+    scenario = ScenarioFileParser(
+        {
+            "context": "on_demand",
+            "storage": {"method": "filesystem", "location": str(tmp_path / "o.parquet")},
+            "data": {"cam": "/camera/image", "robot": "thorvald"},
+            "collection": {"method": "action_server"},
+        }
+    )
+    runner = ScenarioRunner(spark, scenario)
+    stream = (
+        spark.readStream.schema("topic string, value string, ts timestamp")
+        .json(str(src))
+    )
+    q = runner.run(stream, extra_trigger_kwargs={"availableNow": True})
+    q.awaitTermination(60)
+    assert runner.saved_count == 0  # no capture until requested
+    runner.save()  # the actionlib goal arrives
+    runner.save()
+    assert runner.saved_count == 2
+    docs = list(runner.storage)
+    assert len(docs) == 2 and docs[0]["cam"] == "img"
