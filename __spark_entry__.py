@@ -144,6 +144,36 @@ def q_mongo_pipeline_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_pipeline(docs, pipeline).select("word", "n")
 
 
+def q_mongo_pipeline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $lookup (collection join) + $unwind + $project — the foreign
+    side pre-aggregates per key so only the dimension shuffles."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    pipeline = [
+        {"$match": {"o_orderpriority": "1-URGENT", "o_totalprice": {"$gt": 350000.0}}},
+        {
+            "$lookup": {
+                "from": "customer",
+                "localField": "o_custkey",
+                "foreignField": "c_custkey",
+                "as": "cust",
+            }
+        },
+        {"$unwind": "$cust"},
+        {
+            "$project": {
+                "o_orderkey": 1,
+                "o_totalprice": 1,
+                "cust_name": "$cust.c_name",
+                "segment": "$cust.c_mktsegment",
+            }
+        },
+    ]
+    return apply_pipeline(orders, pipeline, tables={"customer": customer})
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: JSON decode of the events.props payload + aggregation."""
     events = _t(spark, sf_dir, "events")
@@ -634,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_projection": q_mongo_projection,
         "mongo_pipeline_group": q_mongo_pipeline_group,
         "mongo_pipeline_unwind": q_mongo_pipeline_unwind,
+        "mongo_pipeline_lookup": q_mongo_pipeline_lookup,
         "json_props": q_json_props,
         "objectid_sessions": q_objectid_sessions,
         "size_summary": q_size_summary,
@@ -797,6 +828,13 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n DESC, word ASC
         LIMIT 50
+    """
+
+    sql["mongo_pipeline_lookup"] = """
+        SELECT o.o_orderkey, o.o_totalprice,
+               c.c_name AS cust_name, c.c_mktsegment AS segment
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 350000.0
     """
 
     sql["json_props"] = """

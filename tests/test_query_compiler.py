@@ -158,3 +158,37 @@ def test_pipeline_group_multi_key(orders):
     )
     assert set(out.columns) == {"st", "pr", "n"}
     assert out.agg(F.sum("n")).first()[0] == orders.count()
+
+
+def test_pipeline_lookup_and_unwind(spark):
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, 10)], "oid int, cust int"
+    )
+    customers = spark.createDataFrame(
+        [(10, "ada"), (20, "bob")], "cid int, name string"
+    )
+    looked = apply_pipeline(
+        orders,
+        [{"$lookup": {"from": "customers", "localField": "cust",
+                      "foreignField": "cid", "as": "c"}}],
+        tables={"customers": customers},
+    )
+    rows = {r["oid"]: r["c"] for r in looked.collect()}
+    assert rows[1][0]["name"] == "ada" and len(rows[1]) == 1
+    assert rows[3] == []  # no match -> empty array, row preserved
+    assert rows[4][0]["name"] == "ada"  # duplicate local keys preserved
+
+    unwound = apply_pipeline(
+        orders,
+        [
+            {"$lookup": {"from": "customers", "localField": "cust",
+                         "foreignField": "cid", "as": "c"}},
+            {"$unwind": "$c"},
+            {"$project": {"oid": 1, "who": "$c.name"}},
+        ],
+        tables={"customers": customers},
+    )
+    got = sorted((r["oid"], r["who"]) for r in unwound.collect())
+    assert got == [(1, "ada"), (2, "bob"), (4, "ada")]  # oid=3 dropped

@@ -186,8 +186,15 @@ def _compile_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return out
 
 
-def apply_pipeline(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
-    """Run a Mongo-style aggregation pipeline over a DataFrame."""
+def apply_pipeline(
+    df: DataFrame,
+    pipeline: list[dict[str, Any]],
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Run a Mongo-style aggregation pipeline over a DataFrame.
+
+    ``tables`` resolves ``$lookup.from`` names to DataFrames (the engine
+    analog of "another collection in the same database")."""
     from topic_store_spark.query.projection import apply_projection
 
     out = df
@@ -195,7 +202,33 @@ def apply_pipeline(df: DataFrame, pipeline: list[dict[str, Any]]) -> DataFrame:
         if len(stage) != 1:
             raise ValueError(f"each stage must have exactly one operator: {stage}")
         op, spec = next(iter(stage.items()))
-        if op == "$match":
+        if op == "$lookup":
+            if not tables or spec["from"] not in tables:
+                raise ValueError(f"$lookup: unknown collection {spec.get('from')!r}")
+            foreign = tables[spec["from"]]
+            local, remote, as_name = (
+                spec["localField"],
+                spec["foreignField"],
+                spec["as"],
+            )
+            # Mongo $lookup: array of matching foreign docs per row (empty
+            # array when none).  Pre-aggregate the foreign side per key —
+            # only the (dimension-sized) foreign table shuffles; local rows
+            # stay intact through a left join, duplicates preserved.
+            fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in foreign.columns])
+            fagg = foreign.groupBy(F.col(f"`{remote}`").alias("_lk_key")).agg(
+                F.array_sort(F.collect_list(fstruct)).alias(as_name)
+            )
+            arr_type = fagg.schema[as_name].dataType.simpleString()
+            out = (
+                out.join(fagg, path_col(local) == F.col("_lk_key"), "left")
+                .drop("_lk_key")
+                .withColumn(
+                    as_name,
+                    F.coalesce(F.col(f"`{as_name}`"), F.array().cast(arr_type)),
+                )
+            )
+        elif op == "$match":
             out = out.filter(compile_query(spec, out.schema))
         elif op == "$project":
             flags = {k: v for k, v in spec.items() if v in (0, 1, True, False)}
