@@ -567,9 +567,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (the 100 TB
-    plan: bucket-key equi-join instead of a cross join).  No SQL oracle —
-    hyperplane hashing uses base-16 conv(), not expressible in DuckDB;
-    recall vs the exact path is asserted in tests/test_dedup_similarity.py."""
+    plan: bucket-key equi-join instead of a cross join).  Oracle-checked:
+    the md5-derived hyperplane weights and the left-fold projection sum
+    are reproduced exactly in DuckDB (identical operand order => identical
+    IEEE doubles => identical sign bits)."""
     from topic_store_spark.operators.similarity import lsh_ann_neighbors
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1240,6 +1241,53 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         + """ AS dot,
                  qs.nrm AS q_n, c.nrm AS c_n
           FROM n qs JOIN n c ON qs.vec_id <> c.vec_id
+          WHERE qs.vec_id < 10
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dot DESC, neighbor_id ASC) AS INT)
+                 AS rank,
+               dot / sqrt(CAST(q_n * c_n AS DOUBLE)) AS cosine_q
+        FROM scored
+        QUALIFY rank <= 5
+    """
+    )
+
+    # hyperplane LSH bucket: per plane p, weight_i = hexint(md5('p:i')[0:4])
+    # /65536 - 0.5; projection folds left over index order — same operand
+    # order as Spark's F.aggregate, so the doubles (and signs) are equal.
+    def _plane_sign(p: int) -> str:
+        w = (
+            f"(CAST(('0x' || substr(md5({p} || ':' || i), 1, 4)) AS BIGINT)"
+            " / 65536.0 - 0.5)"
+        )
+        proj = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(0, 64), i -> CAST(embedding[i + 1] AS DOUBLE) * {w})), "
+            "(a, b) -> a + b)"
+        )
+        return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
+
+    bucket_expr = " || ".join(_plane_sign(p) for p in range(8))
+    sql["ann_lsh"] = (
+        f"""
+        WITH b AS (
+          SELECT vec_id, {bucket_expr} AS bucket, """
+        + _QUANT_EMB
+        + """ AS qv FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, bucket, qv, """
+        + _INT_DOT.format(a="qv", b="qv")
+        + """ AS nrm FROM b
+        ),
+        scored AS (
+          SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 """
+        + _INT_DOT.format(a="qs.qv", b="c.qv")
+        + """ AS dot,
+                 qs.nrm AS q_n, c.nrm AS c_n
+          FROM n qs JOIN n c ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id
           WHERE qs.vec_id < 10
         )
         SELECT query_id, neighbor_id,
