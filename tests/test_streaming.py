@@ -227,3 +227,29 @@ def test_fps_counter_state_carries_across_batches(spark, tmp_path):
     final = max(rows, key=lambda r: r["n_window"])
     assert final["n_window"] == 2
     assert abs(final["fps"] - 1.0) < 1e-9
+
+
+def test_dedup_stream_drops_redelivered_ids(spark, tmp_path):
+    from topic_store_spark.streaming.snapshot import dedup_stream
+
+    src = tmp_path / "stream_src_dedup"
+    src.mkdir()
+    lines = [
+        json.dumps({"_id": i, "ts": f"2024-01-01 00:00:{s:02d}", "v": f"p{n}"})
+        for n, (i, s) in enumerate([("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5)])
+    ]
+    (src / "b1.json").write_text("\n".join(lines))
+    stream = (
+        spark.readStream.schema("_id string, ts timestamp, v string").json(str(src))
+    )
+    q = (
+        dedup_stream(stream, id_col="_id", ts_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from dedup_t").collect()
+    assert sorted(r["_id"] for r in rows) == ["a", "b", "c"]

@@ -43,18 +43,29 @@ def copy(
     skip-and-count behaviour (convert.py:113-129) as a ``left_anti``
     join against the destination's existing ids — set semantics, no
     try/except per row.  Returns {"copied": n, "skipped_duplicates": m}.
+
+    Counts come from ``observe()`` metrics collected DURING the write —
+    one pass over the source instead of write + two standalone count
+    scans (at 100 TB an extra count is a full extra read of the corpus).
     """
+    from pyspark.sql import Observation
+
     df = src.to_df()
     df = df.filter(compile_query(query, df.schema))
     df = apply_projection(df, projection)
-    total = df.count()
+
+    obs_total = Observation("copy_total")
+    df = df.observe(obs_total, F.count(F.lit(1)).alias("n"))
     if dedup_on_id and "_id" in df.columns:
         existing = dst.to_df()
         if "_id" in existing.columns:
             df = df.join(existing.select("_id"), on="_id", how="left_anti")
-    to_write = df.count()
-    if to_write:
-        _write_df(dst, df)
+    obs_write = Observation("copy_written")
+    df = df.observe(obs_write, F.count(F.lit(1)).alias("n"))
+
+    _write_df(dst, df)
+    total = obs_total.get["n"]
+    to_write = obs_write.get["n"]
     return {"copied": to_write, "skipped_duplicates": total - to_write}
 
 

@@ -31,6 +31,22 @@ def latest_values_stream(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    id_col: str = "_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest dedup (J2's streaming form): at-least-once
+    sources (redelivered messages, replayed bags) dedup on document id
+    with bounded state — ids are forgotten once older than the
+    watermark, so state size tracks the redelivery horizon, not the
+    stream's history."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def snapshot_to_doc(latest_rows: list, expected_topics: list[str]) -> dict:
     """Assemble one snapshot document from the current latest values;
     missing topics -> None (parity: store.py:76-84)."""
