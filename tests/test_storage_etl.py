@@ -135,3 +135,34 @@ def test_write_topic_store_egress(spark, tmp_path):
     assert write_topic_store(store.to_df(), out) == 4
     back = TopicStorage(spark, out)
     assert sum(1 for _ in back) == 4
+
+
+def test_partitioned_store_prunes_directories(spark, tmp_path):
+    """Date-partitioned canonical layout: a partition-column predicate
+    becomes a directory-level PartitionFilter (no data IO for pruned
+    dates)."""
+    import time as _time
+
+    from topic_store_spark.data import TopicStore
+    from topic_store_spark.filesystem import ParquetStorage
+
+    store = ParquetStorage(spark, str(tmp_path / "p.parquet"), partition_by=("_ts_date",))
+    day = 86400.0
+    base = 1704067200.0  # 2024-01-01 UTC
+    docs = []
+    for d in range(3):
+        for i in range(4):
+            doc = TopicStore({"n": d * 10 + i})
+            doc.dict["_ts_meta"]["sys_time"] = base + d * day + i
+            docs.append(doc)
+    store.insert_many(docs)
+
+    assert sorted(p.name for p in (tmp_path / "p.parquet").iterdir() if p.is_dir()) == [
+        "_ts_date=2024-01-01", "_ts_date=2024-01-02", "_ts_date=2024-01-03",
+    ]
+    df = store.to_df().filter("_ts_date = date'2024-01-02'")
+    assert df.count() == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_ts_date" in plan
+    # query surface still works across partitions
+    assert store.count({"n": {"$gte": 20}}) == 4

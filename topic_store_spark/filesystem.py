@@ -38,15 +38,37 @@ logger = logging.getLogger(__name__)
 BINARY_SENTINEL = "__binary_b64__"
 
 
+def with_partition_date(df: DataFrame, col_name: str = "_ts_date") -> DataFrame:
+    """Derive the canonical partition column (UTC date of
+    ``_ts_meta.sys_time``) — the layout key for a date-partitioned
+    corpus, so session/time-range queries prune whole directories."""
+    return df.withColumn(
+        col_name, F.to_date(F.timestamp_seconds(F.col("_ts_meta.sys_time")))
+    )
+
+
 @register_storage
 class ParquetStorage(Storage):
-    """Append-only parquet collection (canonical store)."""
+    """Append-only parquet collection (canonical store).
+
+    ``partition_by`` writes hive-style partition directories; combine
+    with ``with_partition_date`` for the standard by-capture-date layout.
+    At 100 TB this is the difference between scanning the corpus and
+    scanning a day: any filter on the partition column becomes a
+    directory-level PartitionFilter (zero data IO for pruned dates).
+    """
 
     suffixes = (".parquet", ".tsp")
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: tuple[str, ...] | None = None,
+    ) -> None:
         self.spark = spark
         self.path = str(path)
+        self.partition_by = tuple(partition_by) if partition_by else ()
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ParquetStorage":
@@ -55,10 +77,14 @@ class ParquetStorage(Storage):
     def _exists(self) -> bool:
         p = self.path
         if os.path.isdir(p):
-            return any(
-                name.endswith(".parquet") or name.startswith("part-")
-                for name in os.listdir(p)
-            )
+            # partitioned layouts nest part files under key=value dirs
+            for _root, _dirs, files in os.walk(p):
+                if any(
+                    name.endswith(".parquet") or name.startswith("part-")
+                    for name in files
+                ):
+                    return True
+            return False
         return os.path.exists(p)
 
     def to_df(self) -> DataFrame:
@@ -97,7 +123,16 @@ class ParquetStorage(Storage):
         return [s.id for s in stores]
 
     def write_df(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.path)
+        writer = df.write.mode("append")
+        if self.partition_by:
+            missing = [c for c in self.partition_by if c not in df.columns]
+            if missing == ["_ts_date"] and "_ts_meta" in df.columns:
+                df = with_partition_date(df)
+                writer = df.write.mode("append")
+            elif missing:
+                raise ValueError(f"partition columns missing from data: {missing}")
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.path)
 
     def count(self, query: dict | None = None, estimate: bool = False) -> int:
         """Exact count scans; ``estimate=True`` is metadata-only — summed
@@ -112,13 +147,14 @@ class ParquetStorage(Storage):
 
             total = 0
             if os.path.isdir(self.path):
-                for name in os.listdir(self.path):
-                    if name.endswith(".parquet") or (
-                        name.startswith("part-") and not name.endswith(".crc")
-                    ):
-                        total += pq.ParquetFile(
-                            os.path.join(self.path, name)
-                        ).metadata.num_rows
+                for root, _dirs, files in os.walk(self.path):
+                    for name in files:
+                        if name.endswith(".parquet") or (
+                            name.startswith("part-") and not name.endswith(".crc")
+                        ):
+                            total += pq.ParquetFile(
+                                os.path.join(root, name)
+                            ).metadata.num_rows
             else:
                 total = pq.ParquetFile(self.path).metadata.num_rows
             return total
