@@ -290,6 +290,23 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: credential masking in connection URIs (engine-side
+    regexp_replace; constructed URIs so the oracle sees the same input)."""
+    from topic_store_spark.functions.scalars import redact_uri
+
+    events = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    uri = F.concat(
+        F.lit("mongodb://user"),
+        F.col("user_id").cast("string"),
+        F.lit(":secret@db.example.com/"),
+        F.col("event_type"),
+    )
+    return events.select(
+        "event_id", uri.alias("uri"), redact_uri(uri).alias("redacted")
+    )
+
+
 def q_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: count(query) — exact count under a compiled predicate."""
     from topic_store_spark.query.compiler import compile_query
@@ -673,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_dotted": q_flatten_dotted,
         "ann_ivf": q_ann_ivf,
         "multimodal_stats": q_multimodal_stats,
+        "redact_uris": q_redact_uris,
         "count_filtered": q_count_filtered,
         "point_lookup": q_point_lookup,
         "anti_join_incremental": q_anti_join_incremental,
@@ -947,6 +965,17 @@ def oracle_sql() -> dict[str, str]:
                sha256(text) AS sha256,
                CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks
         FROM documents
+    """
+
+    sql["redact_uris"] = """
+        SELECT event_id,
+               'mongodb://user' || CAST(user_id AS VARCHAR)
+                 || ':secret@db.example.com/' || event_type AS uri,
+               regexp_replace(
+                 'mongodb://user' || CAST(user_id AS VARCHAR)
+                   || ':secret@db.example.com/' || event_type,
+                 '://[^/@]+@', '://****:****@') AS redacted
+        FROM events WHERE event_id < 500
     """
 
     sql["count_filtered"] = """

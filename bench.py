@@ -77,10 +77,12 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = None
-        for _ in range(2):
+    # Two interleaved rounds (AABB -> ABAB): a query's two samples land
+    # minutes apart, so a transient host-load burst can spoil at most one
+    # of them.  Per-query result is the min.
+    for round_idx in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
             # drop blocks persisted by prior queries so each measurement
             # starts from storage, not from another query's cache
             spark.catalog.clearCache()
@@ -89,10 +91,10 @@ def main() -> None:
             # Execute the full plan; count() alone can prune work, so write
             # to a no-op sink.
             df.write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+            el = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
+            if round_idx:
+                print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
