@@ -174,6 +174,32 @@ def q_mongo_pipeline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_pipeline(orders, pipeline, tables={"customer": customer})
 
 
+def q_mongo_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $bucket histogram + $sortByCount-style rollup of order prices."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders")
+    pipeline = [
+        {
+            "$bucket": {
+                "groupBy": "$o_totalprice",
+                "boundaries": [0, 100000, 200000, 300000, 400000],
+                "default": "big",
+                "output": {"n": {"$sum": 1}, "max_price": {"$max": "$o_totalprice"}},
+            }
+        },
+    ]
+    return apply_pipeline(orders, pipeline).select("_id", "n", "max_price")
+
+
+def q_mongo_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $sortByCount over document languages."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return apply_pipeline(docs, [{"$sortByCount": "$lang"}])
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: JSON decode of the events.props payload + aggregation."""
     events = _t(spark, sf_dir, "events")
@@ -683,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_pipeline_group": q_mongo_pipeline_group,
         "mongo_pipeline_unwind": q_mongo_pipeline_unwind,
         "mongo_pipeline_lookup": q_mongo_pipeline_lookup,
+        "mongo_pipeline_bucket": q_mongo_pipeline_bucket,
+        "mongo_sort_by_count": q_mongo_sort_by_count,
         "json_props": q_json_props,
         "objectid_sessions": q_objectid_sessions,
         "size_summary": q_size_summary,
@@ -854,6 +882,24 @@ def oracle_sql() -> dict[str, str]:
                c.c_name AS cust_name, c.c_mktsegment AS segment
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 350000.0
+    """
+
+    sql["mongo_pipeline_bucket"] = """
+        SELECT CASE
+                 WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
+                 WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100000'
+                 WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200000'
+                 WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN '300000'
+                 ELSE 'big' END AS _id,
+               count(*) AS n,
+               max(o_totalprice) AS max_price
+        FROM orders GROUP BY 1
+    """
+
+    sql["mongo_sort_by_count"] = """
+        SELECT lang AS _id, count(*) AS count
+        FROM documents GROUP BY 1
+        ORDER BY count DESC, _id ASC
     """
 
     sql["json_props"] = """

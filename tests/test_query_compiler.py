@@ -192,3 +192,44 @@ def test_pipeline_lookup_and_unwind(spark):
     )
     got = sorted((r["oid"], r["who"]) for r in unwound.collect())
     assert got == [(1, "ada"), (2, "bob"), (4, "ada")]  # oid=3 dropped
+
+
+def test_pipeline_sort_by_count(spark):
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)], "lang string"
+    )
+    out = apply_pipeline(df, [{"$sortByCount": "$lang"}]).collect()
+    assert [(r["_id"], r["count"]) for r in out] == [("a", 3), ("b", 2), ("c", 1)]
+
+
+def test_pipeline_bucket(spark):
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(v,) for v in [1, 5, 9, 15, 25, 99]], "x int")
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$x",
+                    "boundaries": [0, 10, 20],
+                    "default": "other",
+                    "output": {"n": {"$sum": 1}, "mx": {"$max": "$x"}},
+                }
+            }
+        ],
+    ).collect()
+    got = {str(r["_id"]): (r["n"], r["mx"]) for r in out}
+    assert got == {"0": (3, 9), "10": (1, 15), "other": (2, 99)}
+
+
+def test_pipeline_bucket_no_default_drops(spark):
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(v,) for v in [1, 50]], "x int")
+    out = apply_pipeline(
+        df, [{"$bucket": {"groupBy": "$x", "boundaries": [0, 10]}}]
+    ).collect()
+    assert [(r["_id"], r["count"]) for r in out] == [(0, 1)]

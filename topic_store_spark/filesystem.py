@@ -169,7 +169,10 @@ class ParquetStorage(Storage):
         import uuid
 
         tmp = f"{self.path}.tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
         old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
         os.rename(self.path, old)
         os.rename(tmp, self.path)

@@ -265,6 +265,47 @@ def apply_pipeline(
             # top-level arrays unwind in place; nested paths land in _unwound
             target = field if "." not in field else "_unwound"
             out = out.withColumn(target, exploded)
+        elif op == "$sortByCount":
+            field = spec[1:] if isinstance(spec, str) and spec.startswith("$") else spec
+            out = (
+                out.groupBy(path_col(field).alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.col("count").desc(), F.col("_id").asc())
+            )
+        elif op == "$bucket":
+            group_by = compile_value(spec["groupBy"])
+            bounds = spec["boundaries"]
+            default = spec.get("default")
+            # Mongo bucket ids may mix numeric boundaries with a string
+            # default; Spark columns are single-typed, so a non-numeric
+            # default forces the id to string
+            stringify = default is not None and not isinstance(
+                default, (int, float)
+            )
+
+            def _id_lit(v):
+                return F.lit(str(v) if stringify else v)
+
+            bucket = _id_lit(default) if default is not None else F.lit(None)
+            for lo, hi in zip(bounds, bounds[1:]):
+                bucket = F.when(
+                    (group_by >= F.lit(lo)) & (group_by < F.lit(hi)), _id_lit(lo)
+                ).otherwise(bucket)
+            outputs = spec.get("output", {"count": {"$sum": 1}})
+            bucketed = out.withColumn("_id__group", bucket)
+            if default is None:
+                bucketed = bucketed.filter(F.col("_id__group").isNotNull())
+            grouped = bucketed.groupBy("_id__group")
+            aggs = []
+            for name, acc in outputs.items():
+                acc_op, arg = next(iter(acc.items()))
+                if acc_op == "$count" or (acc_op == "$sum" and arg == 1):
+                    aggs.append(F.count(F.lit(1)).alias(name))
+                elif acc_op in _ACCUMULATORS:
+                    aggs.append(_ACCUMULATORS[acc_op](compile_value(arg)).alias(name))
+                else:
+                    raise ValueError(f"unsupported $bucket accumulator: {acc_op}")
+            out = grouped.agg(*aggs).withColumnRenamed("_id__group", "_id")
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
         else:
