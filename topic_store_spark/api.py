@@ -41,6 +41,14 @@ class Storage(ABC):
         """Append one document; returns its ``_id``."""
 
     # ------ query surface shared by all containers --------------------
+    def _compile_query(self, df: DataFrame, query: dict | None):
+        """Hook: Mongo filter -> boolean Column for this container's row
+        shape (ragged containers resolve paths into JSON extraction)."""
+        return compile_query(query, df.schema)
+
+    def _apply_projection(self, df: DataFrame, projection: dict | None) -> DataFrame:
+        return apply_projection(df, projection)
+
     def find(
         self,
         query: dict | None = None,
@@ -54,8 +62,8 @@ class Storage(ABC):
         from pyspark.sql import functions as F
 
         df = self.to_df()
-        df = df.filter(compile_query(query, df.schema))
-        df = apply_projection(df, projection)
+        df = df.filter(self._compile_query(df, query))
+        df = self._apply_projection(df, projection)
         if sort:
             df = df.orderBy(
                 *[
@@ -89,7 +97,7 @@ class Storage(ABC):
             raise ValueError("estimate=True cannot be combined with a query")
         df = self.to_df()
         if query:
-            df = df.filter(compile_query(query, df.schema))
+            df = df.filter(self._compile_query(df, query))
         return df.count()
 
     def aggregate(self, pipeline: list[dict]) -> DataFrame:
@@ -122,14 +130,20 @@ def register_storage(cls: type[Storage]) -> type[Storage]:
 
 
 def load(path: str, spark: SparkSession | None = None) -> Storage:
-    """Suffix-sniffing open (parity: reference api.py:64-77)."""
+    """Suffix-sniffing open (parity: reference api.py:64-77).  The most
+    specific (longest) matching suffix wins, so '.ragged.parquet' routes
+    to the ragged container rather than the plain '.parquet' one."""
     from topic_store_spark.session import get_spark
 
     spark = spark or get_spark()
+    best: tuple[int, type[Storage]] | None = None
     for cls in _REGISTERED:
-        if cls.parse_path(path):
-            return cls.load(spark, path)
-    raise ValueError(f"no registered storage understands path: {path}")
+        for suffix in cls.suffixes:
+            if str(path).endswith(suffix) and (best is None or len(suffix) > best[0]):
+                best = (len(suffix), cls)
+    if best is None:
+        raise ValueError(f"no registered storage understands path: {path}")
+    return best[1].load(spark, path)
 
 
 def _ensure_registered() -> None:

@@ -213,6 +213,130 @@ class ParquetStorage(Storage):
         self._overwrite(df.filter(F.col("_id") != document_id))
 
 
+@register_storage
+class RaggedParquetStorage(Storage):
+    """Schema-on-read fallback for ragged corpora (SURVEY §1.1).
+
+    When documents disagree structurally (conflicting types for the same
+    key, unbounded key churn) a merged StructType either fails or decays
+    to strings.  This mode keeps the system fields as real columns and
+    the payload as one JSON ``doc`` column; queries compile dotted paths
+    into type-cast ``get_json_object`` extractions (type-bracketed like
+    Mongo: a numeric comparison simply doesn't match a string-valued
+    field).  Trade-off vs the canonical store: no columnar pruning inside
+    the payload — use it for landing zones and promote stable subtrees to
+    typed columns downstream."""
+
+    suffixes = (".ragged.parquet", ".rtsp")
+
+    SCHEMA = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField(
+                "_ts_meta",
+                T.StructType(
+                    [
+                        T.StructField("session", T.StringType()),
+                        T.StructField("sys_time", T.DoubleType()),
+                        T.StructField("ros_time", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField("doc", T.StringType()),
+        ]
+    )
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = str(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "RaggedParquetStorage":
+        return cls(spark, path)
+
+    def _exists(self) -> bool:
+        return ParquetStorage._exists(self)  # same on-disk layout check
+
+    def to_df(self) -> DataFrame:
+        if not self._exists():
+            return self.spark.createDataFrame([], self.SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def insert_one(self, document: dict | TopicStore) -> str:
+        store = document if isinstance(document, TopicStore) else TopicStore(document)
+        self.insert_many([store])
+        return store.id
+
+    def insert_many(self, documents: list[dict | TopicStore]) -> list[str]:
+        stores = [
+            d if isinstance(d, TopicStore) else TopicStore(d) for d in documents
+        ]
+        rows = []
+        for s in stores:
+            payload = {
+                k: v for k, v in s.dict.items() if k not in ("_id", "_ts_meta")
+            }
+            meta = s.dict["_ts_meta"]
+            rows.append(
+                (
+                    s.id,
+                    (meta["session"], meta["sys_time"], meta["ros_time"]),
+                    json.dumps(payload, default=_json_default, sort_keys=True),
+                )
+            )
+        self.spark.createDataFrame(rows, self.SCHEMA).write.mode("append").parquet(
+            self.path
+        )
+        return [s.id for s in stores]
+
+    def write_df(self, df: DataFrame) -> None:
+        df.select(*[F.col(f"`{f.name}`") for f in self.SCHEMA.fields]).write.mode(
+            "append"
+        ).parquet(self.path)
+
+    # -- schema-on-read query compilation --------------------------------
+    SYSTEM_PREFIXES = ("_id", "_ts_meta")
+
+    def _resolve(self, path: str, probe: Any):
+        if path == "_id" or path.split(".", 1)[0] == "_ts_meta":
+            return F.col(".".join(f"`{p}`" for p in path.split(".")))
+        raw = F.get_json_object(F.col("doc"), "$." + path)
+        # try_cast: a type-mismatched field reads as NULL (Mongo type
+        # bracketing), never an ANSI cast error
+        if isinstance(probe, bool):
+            return raw.try_cast("boolean")
+        if isinstance(probe, (int, float)):
+            return raw.try_cast("double")
+        return raw
+
+    def _compile_query(self, df: DataFrame, query: dict | None):
+        from topic_store_spark.query.compiler import compile_query
+
+        return compile_query(query, resolver=self._resolve)
+
+    def _apply_projection(self, df: DataFrame, projection: dict | None) -> DataFrame:
+        if not projection:
+            return df
+        includes = [k for k, v in projection.items() if v not in (0, False)]
+        excludes = [k for k, v in projection.items() if v in (0, False)]
+        if excludes and [e for e in excludes if e != "_id"]:
+            raise ValueError(
+                "ragged storage supports include projections (and _id: 0) only"
+            )
+        cols = []
+        if "_id" not in excludes:
+            cols.append(F.col("_id"))
+        cols.append(F.col("_ts_meta"))  # forced, parity R2
+        for path in includes:
+            if path in ("_id", "_ts_meta"):
+                continue
+            # extracted subtrees stay JSON text (schema-on-read)
+            cols.append(
+                F.get_json_object(F.col("doc"), "$." + path).alias(path)
+            )
+        return df.select(*cols)
+
+
 def _decode_binary_markers(value: Any) -> Any:
     if isinstance(value, dict):
         if set(value) == {BINARY_SENTINEL}:

@@ -144,17 +144,22 @@ def _compile_field(col: Column, ops: dict[str, Any]) -> Column:
     return out
 
 
-def compile_query(query: dict[str, Any] | None, schema=None) -> Column:
+def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> Column:
     """Mongo filter dict -> boolean Column. Empty/None = full scan
     (parity: reference database.py:219).  Pass the DataFrame schema to get
-    Mongo missing-field semantics for unresolvable paths."""
+    Mongo missing-field semantics for unresolvable paths.
+
+    ``resolver(path, probe_value) -> Column`` overrides path resolution —
+    the hook the ragged (schema-on-read JSON) storage mode uses to compile
+    dotted paths into type-cast JSON extractions instead of struct
+    accesses."""
     if not query:
         return F.lit(True)
     query = parse_objectid_literals(query)
     out: Column | None = None
     for key, value in query.items():
         if key in _LOGICAL:
-            subs = [compile_query(q, schema) for q in value]
+            subs = [compile_query(q, schema, resolver) for q in value]
             if key == "$and":
                 cond = subs[0]
                 for s in subs[1:]:
@@ -166,11 +171,15 @@ def compile_query(query: dict[str, Any] | None, schema=None) -> Column:
                 if key == "$nor":
                     cond = ~cond
         elif key == "$not":
-            cond = ~compile_query(value, schema)
+            cond = ~compile_query(value, schema, resolver)
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {key}")
         else:
-            col = path_col(key, schema)
+            col = (
+                resolver(key, _probe_value(value))
+                if resolver is not None
+                else path_col(key, schema)
+            )
             if _is_operator_doc(value):
                 cond = _compile_field(col, value)
             elif value is None:
@@ -179,3 +188,20 @@ def compile_query(query: dict[str, Any] | None, schema=None) -> Column:
                 cond = col == _lit(value)
         out = cond if out is None else out & cond
     return out if out is not None else F.lit(True)
+
+
+def _probe_value(value: Any) -> Any:
+    """Representative literal for type-directed path resolution: the
+    first concrete comparison value inside an operator doc, or the value
+    itself for implicit equality."""
+    if _is_operator_doc(value):
+        for op, v in value.items():
+            if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+                if v is not None:
+                    return v
+            elif op in ("$in", "$nin") and isinstance(v, list):
+                for item in v:
+                    if item is not None:
+                        return item
+        return None
+    return value
