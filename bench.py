@@ -24,6 +24,13 @@ HEADLINE = [
     "region_revenue",
     "mongo_find_and_or",
     "mongo_pipeline_group",
+    "mongo_pipeline_unwind",
+    "mongo_pipeline_lookup",
+    "mongo_pipeline_bucket",
+    "json_props",
+    "objectid_sessions",
+    "flatten_dotted",
+    "set_except",
     "anti_join_incremental",
     "session_summary",
     "sessionize",
