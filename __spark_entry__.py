@@ -594,6 +594,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dup_pairs(both, threshold_num=95, threshold_den=100)
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, scale path: hyperplane-bucket candidates
+    (pair space / 2^8) then the exact quantized-cosine threshold."""
+    from topic_store_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.unionByName(clone)
+    return embedding_dup_pairs_lsh(both, threshold_num=95, threshold_den=100)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -736,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_language_id": q_text_language_id,
@@ -805,6 +817,23 @@ WHERE c.common * 10 >= 8 * (sa.sz + sb.sz - c.common)
 _QUANT_EMB = (
     "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
 )
+
+
+def _hyperplane_sign_sql(p: int) -> str:
+    """Hyperplane sign bit for plane ``p`` over ``embedding`` — weight_i =
+    hexint(md5('p:i')[0:4])/65536 - 0.5, projection folds left over index
+    order (same operand order as Spark's F.aggregate => identical IEEE
+    doubles => identical sign)."""
+    w = (
+        f"(CAST(('0x' || substr(md5({p} || ':' || i), 1, 4)) AS BIGINT)"
+        " / 65536.0 - 0.5)"
+    )
+    proj = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(0, 64), i -> CAST(embedding[i + 1] AS DOUBLE) * {w})), "
+        "(a, b) -> a + b)"
+    )
+    return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
 
 _INT_DOT = (
     "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
@@ -1297,6 +1326,41 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
     """
     )
 
+    sql["dedup_embedding_lsh"] = (
+        """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id AS vid, {bucket} AS bucket, """.format(
+            bucket=" || ".join(_hyperplane_sign_sql(p) for p in range(8))
+        )
+        + _QUANT_EMB
+        + """ AS qv FROM corpus
+        ),
+        n AS (
+          SELECT vid, bucket, qv, """
+        + _INT_DOT.format(a="qv", b="qv")
+        + """ AS nrm FROM b
+        ),
+        pairs AS (
+          SELECT a.vid AS a_id, b.vid AS b_id,
+                 """
+        + _INT_DOT.format(a="a.qv", b="b.qv")
+        + """ AS dot,
+                 a.nrm AS a_n, b.nrm AS b_n
+          FROM n a JOIN n b ON a.bucket = b.bucket AND a.vid < b.vid
+        )
+        SELECT a_id, b_id,
+               dot / sqrt(CAST(a_n * b_n AS DOUBLE)) AS cosine_q
+        FROM pairs
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(a_n AS HUGEINT) * b_n * 9025
+    """
+    )
+
     sql["ann_topk"] = (
         """
         WITH q AS (
@@ -1328,22 +1392,7 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
     """
     )
 
-    # hyperplane LSH bucket: per plane p, weight_i = hexint(md5('p:i')[0:4])
-    # /65536 - 0.5; projection folds left over index order — same operand
-    # order as Spark's F.aggregate, so the doubles (and signs) are equal.
-    def _plane_sign(p: int) -> str:
-        w = (
-            f"(CAST(('0x' || substr(md5({p} || ':' || i), 1, 4)) AS BIGINT)"
-            " / 65536.0 - 0.5)"
-        )
-        proj = (
-            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-            f"list_transform(range(0, 64), i -> CAST(embedding[i + 1] AS DOUBLE) * {w})), "
-            "(a, b) -> a + b)"
-        )
-        return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
-
-    bucket_expr = " || ".join(_plane_sign(p) for p in range(8))
+    bucket_expr = " || ".join(_hyperplane_sign_sql(p) for p in range(8))
     sql["ann_lsh"] = (
         f"""
         WITH b AS (

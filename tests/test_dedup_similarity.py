@@ -176,3 +176,23 @@ def test_lsh_ann_recall(embeddings):
     # approx results must be a subset of the same-bucket candidates, and
     # every query still gets rows
     assert {r["query_id"] for r in approx} == set(range(10))
+
+
+def test_embedding_lsh_dup_pairs_match_brute_force(embeddings):
+    from topic_store_spark.operators.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    clone = embeddings.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = embeddings.select("vec_id", "embedding").unionByName(clone)
+    brute = {(r["a_id"], r["b_id"]) for r in embedding_dup_pairs(both).collect()}
+    lsh = {(r["a_id"], r["b_id"]) for r in embedding_dup_pairs_lsh(both).collect()}
+    # candidates are a subset of the exact pair space...
+    assert lsh <= brute
+    # ...and identical vectors always share a bucket -> full recall on clones
+    clone_pairs = {p for p in brute if p[1] - p[0] == 100000}
+    assert clone_pairs <= lsh

@@ -328,6 +328,71 @@ def simhash_pairs(
     return inter.unionByName(intra)
 
 
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane buckets
+    generate candidates (pair space ~ n^2 / 2^planes instead of n^2),
+    then the exact cross-multiplied cosine threshold verifies each.
+
+    High-cosine pairs collide with probability (1 - theta/pi)^planes —
+    near-dups (theta ~ 0.3 rad for cos >= 0.95) survive 8 planes with
+    ~45%+ per-bucket odds and in practice are caught by the bucket their
+    near-identical vectors share; exact recall needs multiple tables
+    (call with different plane seeds and union).  Everything is
+    deterministic md5-derived, so the SQL oracle reproduces the exact
+    pair set."""
+    from topic_store_spark.operators.similarity import lsh_bucket_key
+
+    q = ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"),
+        quantize_vector(F.col(vec_col)).alias("qv"),
+        lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
+    ).withColumn("nrm", int_self_dot(F.col("qv")))
+    left = q.select(
+        F.col("vid").alias("a_id"), F.col("qv").alias("a_qv"),
+        F.col("nrm").alias("a_n"), "bucket",
+    )
+    right = q.select(
+        F.col("vid").alias("b_id"), F.col("qv").alias("b_qv"),
+        F.col("nrm").alias("b_n"), "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast(dec) * F.col("dot").cast(dec) * (threshold_den**2)
+                >= F.col("a_n").cast(dec) * F.col("b_n").cast(dec) * (threshold_num**2)
+            )
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("dot")
+                / F.sqrt((F.col("a_n") * F.col("b_n")).cast("double"))
+            ).alias("cosine_q"),
+        )
+        # each vector hashes to exactly one bucket, so every (a,b) pair
+        # appears at most once — no dedup shuffle needed
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
