@@ -245,6 +245,10 @@ def minhash_lsh_pairs(
     sig = sh.filter(F.size("shs") > 0).select(
         "doc", minhash_signature(F.col("shs"), num_perm).alias("sig")
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
     )
