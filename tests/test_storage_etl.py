@@ -166,3 +166,35 @@ def test_partitioned_store_prunes_directories(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(_ts_date" in plan
     # query surface still works across partitions
     assert store.count({"n": {"$gte": 20}}) == 4
+
+
+def test_storage_blob_policy_end_to_end(spark, tmp_path):
+    """B1-B3 wired into the store: externalize on insert, rehydrate on
+    find, lazy-skip flag, GC on delete."""
+    import os
+
+    from topic_store_spark.filesystem import ParquetStorage
+
+    store = ParquetStorage(
+        spark,
+        str(tmp_path / "b.parquet"),
+        blob_dir=str(tmp_path / "blobs"),
+        blob_threshold=1_000,
+    )
+    big = bytes(range(256)) * 20  # 5120 B > threshold, not utf-8
+    small = b"\xff\xfe tiny"
+    id_big = store.insert_one({"payload": bytearray(big), "n": 1})
+    store.insert_one({"payload": bytearray(small), "n": 2})
+
+    raw = {r["n"]: r["payload"] for r in store.find(skip_fetch_binary=True).collect()}
+    assert raw[1]["__blob__"] is not None and raw[1]["inline"] is None
+    assert raw[2]["__blob__"] is None and bytes(raw[2]["inline"]) == small
+
+    back = {r["n"]: bytes(r["payload"]) for r in store.find().collect()}
+    assert back[1] == big and back[2] == small
+
+    blob_path = raw[1]["__blob__"]
+    assert os.path.exists(blob_path)
+    store.delete_by_id(id_big)
+    assert not os.path.exists(blob_path)  # GC (B4)
+    assert store.count() == 1

@@ -65,10 +65,17 @@ class ParquetStorage(Storage):
         spark: SparkSession,
         path: str,
         partition_by: tuple[str, ...] | None = None,
+        blob_dir: str | None = None,
+        blob_threshold: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = str(path)
         self.partition_by = tuple(partition_by) if partition_by else ()
+        # out-of-row blob policy (parity: GridFS-on-insert, SURVEY B1):
+        # with blob_dir set, oversized binary cells externalize on every
+        # write and find() rehydrates them unless skip_fetch_binary
+        self.blob_dir = blob_dir
+        self.blob_threshold = blob_threshold
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "ParquetStorage":
@@ -123,6 +130,12 @@ class ParquetStorage(Storage):
         return [s.id for s in stores]
 
     def write_df(self, df: DataFrame) -> None:
+        if self.blob_dir:
+            from topic_store_spark.blob import DEFAULT_THRESHOLD, externalize_blobs
+
+            df = externalize_blobs(
+                df, self.blob_dir, threshold=self.blob_threshold or DEFAULT_THRESHOLD
+            )
         writer = df.write.mode("append")
         if self.partition_by:
             missing = [c for c in self.partition_by if c not in df.columns]
@@ -159,6 +172,17 @@ class ParquetStorage(Storage):
                 total = pq.ParquetFile(self.path).metadata.num_rows
             return total
         return super().count(query)
+
+    def find(self, *args, skip_fetch_binary: bool = False, **kwargs) -> DataFrame:
+        """find() with blob rehydration (B2); ``skip_fetch_binary=True``
+        leaves pointer structs unresolved — the reference's
+        slow-connection lazy path (B3, database.py:174,202-204)."""
+        df = super().find(*args, **kwargs)
+        if self.blob_dir and not skip_fetch_binary:
+            from topic_store_spark.blob import rehydrate_blobs
+
+            df = rehydrate_blobs(df)
+        return df
 
     # -- mutation (SURVEY §2.9 M2/M3).  Plain parquet has no row-level
     # update, so mutations are read -> transform -> atomic directory swap.
