@@ -198,3 +198,32 @@ def test_storage_blob_policy_end_to_end(spark, tmp_path):
     store.delete_by_id(id_big)
     assert not os.path.exists(blob_path)  # GC (B4)
     assert store.count() == 1
+
+
+def test_load_yaml_scenario_dispatch(spark, tmp_path):
+    """S1 parity: load('scenario.yaml') resolves through the scenario's
+    storage section (reference database.py:94-99)."""
+    import yaml
+
+    import topic_store_spark as ts
+
+    scenario = {
+        "context": "yaml_dispatch",
+        "storage": {"method": "filesystem", "location": str(tmp_path / "y.parquet")},
+        "data": {"x": "/topic"},
+        "collection": {"method": "timer", "timer_delay": 1},
+    }
+    path = tmp_path / "scenario.yaml"
+    path.write_text(yaml.safe_dump(scenario))
+
+    store = ts.load(str(path), spark)
+    store.insert_one({"n": 7})
+    assert ts.load(str(path), spark).count() == 1
+
+    bad = dict(scenario, storage={"method": "database"})
+    bad_path = tmp_path / "bad.yaml"
+    bad_path.write_text(yaml.safe_dump(bad))
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ts.load(str(bad_path), spark)

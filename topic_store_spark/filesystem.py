@@ -238,6 +238,44 @@ class ParquetStorage(Storage):
 
 
 @register_storage
+class ScenarioStorage(Storage):
+    """``load("scenario.yaml")`` dispatch (parity: reference
+    database.py:94-99 — a MongoStorage opens from the scenario file,
+    using ``context`` as the collection name).
+
+    Here the scenario's storage section routes to the concrete backend:
+    ``filesystem`` resolves to the ParquetStorage at its ``location``;
+    ``database`` requires a Spark MongoDB connector on the classpath and
+    says so.  This class never instantiates — ``load()`` returns the
+    resolved backend."""
+
+    suffixes = (".yaml", ".yml")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> Storage:
+        from topic_store_spark.streaming.scenario import ScenarioFileParser
+
+        scenario = ScenarioFileParser(path)
+        method = scenario.storage["method"]
+        if method == "filesystem":
+            from topic_store_spark.api import load as load_storage
+
+            return load_storage(scenario.storage["location"], spark)
+        raise NotImplementedError(
+            "scenario storage.method == 'database' needs a Spark MongoDB "
+            "connector on the classpath; point storage.location at a "
+            "parquet path or add the connector"
+        )
+
+    # never constructed: load() returns the resolved backend
+    def to_df(self):  # pragma: no cover
+        raise NotImplementedError
+
+    def insert_one(self, document):  # pragma: no cover
+        raise NotImplementedError
+
+
+@register_storage
 class RaggedParquetStorage(Storage):
     """Schema-on-read fallback for ragged corpora (SURVEY §1.1).
 
