@@ -236,6 +236,59 @@ def q_objectid_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_legacy_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the reference's legacy session pipeline (database.py:243-256)
+    run verbatim through the pipeline dialect — $match($exists) ->
+    $group -> $project with $dateFromParts($year..$second) applied to
+    ObjectId generation time.  $first is order-dependent, so the
+    deterministic $min stands in for it."""
+    from topic_store_spark.objectid import object_id_col
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    docs = events.select(
+        object_id_col(
+            ts_col=F.col("ts").cast("long").cast("double"),
+            key_col=F.col("event_id"),
+        ).alias("_id"),
+        F.struct(
+            F.col("user_id").cast("string").alias("session"),
+            F.col("ts").cast("double").alias("sys_time"),
+        ).alias("_ts_meta"),
+    )
+    pipeline = [
+        {"$match": {"_ts_meta.session": {"$exists": True}}},
+        {
+            "$group": {
+                "_id": {"session": "$_ts_meta.session"},
+                "count": {"$sum": 1},
+                "sys_time": {"$min": "$_ts_meta.sys_time"},
+                "min_id": {"$min": "$_id"},
+            }
+        },
+        {
+            "$project": {
+                "session": 1,
+                "count": 1,
+                "sys_time": 1,
+                "date_collected": {
+                    "$dateFromParts": {
+                        "year": {"$year": "$min_id"},
+                        "month": {"$month": "$min_id"},
+                        "day": {"$dayOfMonth": "$min_id"},
+                        "hour": {"$hour": "$min_id"},
+                        "minute": {"$minute": "$min_id"},
+                        "second": {"$second": "$min_id"},
+                    }
+                },
+            }
+        },
+    ]
+    return apply_pipeline(docs, pipeline).select(
+        "session", "count", "sys_time", "date_collected"
+    )
+
+
 def q_size_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-source corpus size accounting (exact integer byte/char
     sums; the humanized string form is engine-side only, scalars.py)."""
@@ -724,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_sort_by_count": q_mongo_sort_by_count,
         "json_props": q_json_props,
         "objectid_sessions": q_objectid_sessions,
+        "mongo_legacy_sessions": q_mongo_legacy_sessions,
         "size_summary": q_size_summary,
         "set_except": q_set_except,
         "flatten_dotted": q_flatten_dotted,
@@ -953,6 +1007,25 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(gen_ts), '%d-%m-%Y %H:%M:%S') AS date_collected,
                min(_id) AS min_id
         FROM ids GROUP BY 1
+    """
+
+    sql["mongo_legacy_sessions"] = """
+        WITH ids AS (
+          SELECT CAST(user_id AS VARCHAR) AS session,
+                 epoch(ts) AS sys_time,
+                 printf('%08x', CAST(floor(epoch(ts)) AS BIGINT))
+                   || substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS _id
+          FROM events
+        ),
+        g AS (
+          SELECT session, count(*) AS count, min(sys_time) AS sys_time,
+                 min(_id) AS min_id
+          FROM ids GROUP BY 1
+        )
+        SELECT session, count, sys_time,
+               make_timestamp(CAST(('0x' || substr(min_id, 1, 8)) AS BIGINT)
+                              * 1000000) AS date_collected
+        FROM g
     """
 
     sql["size_summary"] = """
