@@ -233,3 +233,26 @@ def test_pipeline_bucket_no_default_drops(spark):
         df, [{"$bucket": {"groupBy": "$x", "boundaries": [0, 10]}}]
     ).collect()
     assert [(r["_id"], r["count"]) for r in out] == [(0, 1)]
+
+
+def test_pipeline_out_and_merge(spark, tmp_path):
+    import topic_store_spark as ts
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    src = ts.load(str(tmp_path / "src.parquet"), spark)
+    for i in range(4):
+        src.insert_one({"n": i})
+
+    # $out replaces the target collection with the pipeline result
+    out_path = str(tmp_path / "out.parquet")
+    ts.load(out_path, spark).insert_one({"stale": True})
+    apply_pipeline(src.to_df(), [{"$match": {"n": {"$gte": 2}}}, {"$out": out_path}])
+    rows = ts.load(out_path, spark).find().collect()
+    assert sorted(r["n"] for r in rows) == [2, 3]
+    assert "stale" not in rows[0].asDict()
+
+    # $merge keeps existing docs, inserts only new _ids
+    merge_path = str(tmp_path / "merge.parquet")
+    apply_pipeline(src.to_df(), [{"$merge": {"into": merge_path}}])
+    apply_pipeline(src.to_df(), [{"$merge": {"into": merge_path}}])  # idempotent
+    assert ts.load(merge_path, spark).count() == 4

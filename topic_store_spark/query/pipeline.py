@@ -308,6 +308,29 @@ def apply_pipeline(
             out = grouped.agg(*aggs).withColumnRenamed("_id__group", "_id")
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op in ("$out", "$merge"):
+            if stage is not pipeline[-1]:
+                raise ValueError(f"{op} must be the final pipeline stage")
+            from topic_store_spark.api import load as load_storage
+
+            if op == "$out":
+                # Mongo $out replaces the target collection
+                target = load_storage(spec, out.sparkSession)
+                replace = getattr(target, "_overwrite", None)
+                if replace is None:
+                    raise ValueError("$out target storage cannot be replaced")
+                replace(out)
+            else:
+                # $merge default semantics: insert new documents, keep
+                # existing ones (match on _id) — the copy/dedup anti-join
+                into = spec["into"] if isinstance(spec, dict) else spec
+                target = load_storage(into, out.sparkSession)
+                df = out
+                if "_id" in df.columns:
+                    existing = target.to_df()
+                    if "_id" in existing.columns:
+                        df = df.join(existing.select("_id"), "_id", "left_anti")
+                target.write_df(df)
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out
