@@ -108,6 +108,33 @@ def test_event_scenario_saves_per_watch_event(spark, tmp_path):
     assert runner.saved_count == 2  # one save per watch-topic event
 
 
+def test_start_stop_gate_captures_only_while_open(spark, tmp_path):
+    # T4 parity (reference scenario.py:101-131): gate starts CLOSED; a
+    # "start" control signal opens it, then every watch-topic message is
+    # one save until "stop" — replayed in timestamp order within a batch.
+    scenario = ScenarioFileParser(scenario_dict(
+        tmp_path, method="start_stop", watch_topic="/camera/image",
+        control_topic="/collect/gate"))
+    assert scenario.collection["control_topic"] == "/collect/gate"
+    runner = ScenarioRunner(spark, scenario)
+    src = tmp_path / "stream_src_gate"
+    _write_events(
+        src,
+        [("/camera/image", "before", 1),      # gate closed: ignored
+         ("/collect/gate", "start", 2),
+         ("/camera/image", "f1", 3),          # save
+         ("/camera/image", "f2", 4),          # save
+         ("/other", "noise", 5),              # not the watch topic
+         ("/collect/gate", "stop", 6),
+         ("/camera/image", "after", 7)],      # gate closed again
+    )
+    q = runner.run(_topic_stream_from_dir(spark, src),
+                   extra_trigger_kwargs={"availableNow": True})
+    q.awaitTermination(60)
+    assert runner.saved_count == 2
+    assert runner._gate_open is False
+
+
 def test_never_seen_topic_is_none(spark, tmp_path):
     # parity: test_serialisation.py:29-30 (missing topics stay None)
     scenario = ScenarioFileParser(scenario_dict(tmp_path))

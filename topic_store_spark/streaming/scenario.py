@@ -26,6 +26,7 @@ per-topic state lives in the streaming aggregation across executors.
 from __future__ import annotations
 
 import time
+import uuid
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
@@ -45,6 +46,10 @@ class ScenarioFileParser:
         "action_server": {"method"},
         "start_stop": {"method", "watch_topic"},
     }
+    # kept when present but not required (parity: the reference's
+    # action_server_video takes a separate actionlib control channel,
+    # scenario.py:101-122 — here an ordinary control topic)
+    COLLECTION_OPTIONAL = {"start_stop": {"control_topic"}}
 
     def __init__(self, path_or_dict: str | dict) -> None:
         if isinstance(path_or_dict, dict):
@@ -62,11 +67,13 @@ class ScenarioFileParser:
         self.data: dict = raw["data"]
         self.storage = self._validate(raw["storage"], self.STORAGE_FIELDS, "storage")
         self.collection = self._validate(
-            raw["collection"], self.COLLECTION_FIELDS, "collection"
+            raw["collection"], self.COLLECTION_FIELDS, "collection",
+            self.COLLECTION_OPTIONAL,
         )
 
     @staticmethod
-    def _validate(section: dict, table: dict, name: str) -> dict:
+    def _validate(section: dict, table: dict, name: str,
+                  optional: dict | None = None) -> dict:
         method = section.get("method")
         if method not in table:
             raise ValueError(f"{name}.method must be one of {sorted(table)}")
@@ -74,8 +81,9 @@ class ScenarioFileParser:
         missing = required - set(section)
         if missing:
             raise ValueError(f"{name} ({method}) missing fields: {sorted(missing)}")
+        keep = required | (optional or {}).get(method, set())
         # unused-key pruning (parity: file_parsers.py:100-114)
-        return {k: v for k, v in section.items() if k in required}
+        return {k: v for k, v in section.items() if k in keep}
 
 
 class ScenarioRunner:
@@ -99,7 +107,9 @@ class ScenarioRunner:
         self.on_save = on_save
         self.saved_count = 0
         self._latest: dict[str, Any] = {}
-        self._gate_open = True  # start/stop trigger gate (T4)
+        # start/stop trigger gate (T4) — closed until a "start" signal,
+        # matching the reference (scenario.py:105: `"data": False`)
+        self._gate_open = False
 
         method = scenario.storage["method"]
         init = getattr(self, f"init_save_{method}", None)
@@ -164,8 +174,9 @@ class ScenarioRunner:
         return walk(self.scenario.data)
 
     def save(self) -> None:
-        if not self._gate_open:
-            return
+        # no gate check here: the start/stop gate is consulted by the
+        # start_stop trigger branch only — timer/event/action_server
+        # saves are unconditional (reference scenario.py:141-157)
         doc = TopicStore(self.assemble_snapshot())
         self.save_fn(doc.dict)
         self.saved_count += 1
@@ -226,16 +237,30 @@ class ScenarioRunner:
                 if method == "event":
                     for _ in range(watched.count()):  # one save per event (T2)
                         self.save()
-                else:  # start/stop gate toggles on watch-topic payloads (T4)
-                    for row in watched.orderBy(ts_col).collect():
-                        signal = str(row[value_col]).lower()
-                        if signal in ("start", "true", "1"):
-                            self._gate_open = True
-                        elif signal in ("stop", "false", "0"):
-                            self._gate_open = False
-                    if self._gate_open:
-                        non_watch = batch_df.filter(F.col(topic_col) != watch)
-                        for _ in range(non_watch.count()):
+                else:
+                    # start/stop gate (T4): control signals toggle the gate;
+                    # while open, every watch-topic message triggers a save —
+                    # the reference's per-message video capture
+                    # (scenario.py:126-130: watch-topic event -> save iff the
+                    # actionlib gate flag is set).  Control and data are
+                    # replayed in timestamp order so a mid-batch stop takes
+                    # effect exactly where it arrived.
+                    control = self.scenario.collection.get(
+                        "control_topic", watch)
+                    relevant = (
+                        batch_df.filter(F.col(topic_col).isin(watch, control))
+                        .orderBy(ts_col)
+                        .collect()
+                    )
+                    signals = {"start": True, "true": True, "t": True,
+                               "1": True, "stop": False, "false": False,
+                               "f": False, "0": False}
+                    for row in relevant:
+                        val = str(row[value_col]).lower()
+                        if row[topic_col] == control and val in signals:
+                            self._gate_open = signals[val]
+                            continue
+                        if row[topic_col] == watch and self._gate_open:
                             self.save()
 
         elif method == "action_server":
@@ -251,8 +276,11 @@ class ScenarioRunner:
             topic_stream.writeStream.foreachBatch(process)
             .trigger(**(trigger_kwargs or {"availableNow": True}))
             .option(
+                # uuid, not id(self): memory addresses repeat across
+                # processes, and a reused checkpoint replays old offsets
+                # (= silently empty batches for a fresh source dir)
                 "checkpointLocation",
-                f"/tmp/ts_spark_ckpt_{self.scenario.context}_{id(self)}",
+                f"/tmp/ts_spark_ckpt_{self.scenario.context}_{uuid.uuid4().hex}",
             )
             .start()
         )
