@@ -205,7 +205,7 @@ class ScenarioRunner:
         method = self.scenario.collection["method"]
         trigger_kwargs = dict(extra_trigger_kwargs or {})
 
-        def update_and_save(batch_df: DataFrame, batch_id: int, save_per_row: bool = False):
+        def update_and_save(batch_df: DataFrame, batch_id: int):
             rows = (
                 batch_df.groupBy(F.col(topic_col).alias("t"))
                 .agg(F.max_by(F.col(value_col), F.col(ts_col)).alias("v"))
@@ -213,9 +213,6 @@ class ScenarioRunner:
             )
             for row in rows:
                 self._latest[row["t"]] = row["v"]
-            if save_per_row:
-                for _ in range(batch_df.count()):
-                    self.save()
 
         if method == "timer":
             if "availableNow" not in trigger_kwargs and "once" not in trigger_kwargs:
