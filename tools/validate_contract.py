@@ -47,11 +47,62 @@ def _canon(v) -> str:
     return str(v)
 
 
+def _canon_strict(v) -> str:
+    """Driver-faithful canonicalization: plain ``str()`` of whatever Python
+    object the engine's pandas conversion hands back — NO numeric coercion.
+
+    This is deliberately type-sensitive: a Spark ``Decimal('3.00')`` and a
+    DuckDB HUGEINT/DECIMAL(38,2)-turned-``float64 3.0`` must NOT hash equal,
+    because the driver's gate (CORRECTNESS_r01) distinguished exactly that.
+    Only structural containers (numpy arrays vs lists) and null spellings
+    are normalized, since those conversions are representation-neutral.
+    """
+    import numpy as np
+
+    if v is None:
+        return "\\N"
+    if isinstance(v, (np.bool_, bool)):
+        return "true" if bool(v) else "false"
+    if isinstance(v, np.floating):
+        v = float(v)
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else str(v)
+    if isinstance(v, _dt.datetime):
+        return str(v.replace(tzinfo=None))
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon_strict(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_strict(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    try:  # pandas NaT / NA
+        import pandas as pd
+
+        if v is pd.NaT or v is pd.NA:
+            return "\\N"
+        if isinstance(v, pd.Timestamp):
+            return str(v.tz_localize(None) if v.tzinfo else v)
+    except Exception:  # noqa: BLE001
+        pass
+    return str(v)
+
+
 def _hash_rows(cols, rows) -> tuple[int, str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
     h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
     return len(lines), h
+
+
+def _hash_pdf_strict(pdf) -> str:
+    """Order-insensitive strict hash of a pandas DataFrame (cols sorted by
+    name, rows sorted by canonical line) — mimics the driver's value gate."""
+    cols = sorted(pdf.columns)
+    it = (tuple(row) for row in pdf[cols].itertuples(index=False, name=None))
+    lines = sorted("\x01".join(_canon_strict(v) for v in row) for row in it)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
 def main() -> int:
@@ -91,6 +142,8 @@ def main() -> int:
             s_cols = list(sdf.columns)
             s_rows = [tuple(r) for r in sdf.collect()]
             s_n, s_h = _hash_rows(s_cols, s_rows)
+            s_pdf = sdf.toPandas()
+            s_hs = _hash_pdf_strict(s_pdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -104,17 +157,30 @@ def main() -> int:
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
             d_n, d_h = _hash_rows(d_cols, d_rows)
+            d_pdf = con.execute(oracles[name]).df()
+            d_hs = _hash_pdf_strict(d_pdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         schema_ok = sorted(s_cols) == sorted(d_cols)
-        if s_n == d_n and s_h == d_h and schema_ok:
-            print(f"ok   {name}: rows={s_n} hash={s_h} [{time.time()-t0:.1f}s]")
+        if s_n == d_n and s_h == d_h and s_hs == d_hs and schema_ok:
+            print(f"ok   {name}: rows={s_n} hash={s_h}/{s_hs} "
+                  f"[{time.time()-t0:.1f}s]")
         else:
+            why = []
+            if s_h != d_h:
+                why.append("lenient-hash")
+            if s_hs != d_hs:
+                why.append("STRICT-hash (driver-style pandas/str)")
+            if not schema_ok:
+                why.append("schema")
+            if s_n != d_n:
+                why.append("rows")
             print(
-                f"FAIL {name}: spark(rows={s_n}, hash={s_h}, cols={sorted(s_cols)})"
-                f" vs duckdb(rows={d_n}, hash={d_h}, cols={sorted(d_cols)})"
+                f"FAIL {name} [{', '.join(why)}]: "
+                f"spark(rows={s_n}, hash={s_h}/{s_hs}, cols={sorted(s_cols)})"
+                f" vs duckdb(rows={d_n}, hash={d_h}/{d_hs}, cols={sorted(d_cols)})"
             )
             failures.append(name)
 
