@@ -118,23 +118,45 @@ def rehydrate_blobs(
     if not columns or skip_fetch_binary:
         return df
 
-    from pyspark.sql.types import BinaryType
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, T.BinaryType(), True)
+            if f.name in columns
+            else f
+            for f in df.schema.fields
+        ]
+    )
+    field_order = [f.name for f in out_schema.fields]
+    targets = list(columns)
 
-    @F.udf(returnType=BinaryType(), useArrow=False)
-    def _fetch(path, inline):
-        if inline is not None:
-            return bytes(inline)
-        if path is None:
-            return None
-        with open(path, "rb") as fh:
-            return fh.read()
+    # Arrow-batched fetch: one pass resolves every pointer column of the
+    # batch, so rehydration (the egress hot path at scale) amortizes both
+    # the Python transfer and the per-partition filesystem handles instead
+    # of paying row-at-a-time UDF overhead per cell.
+    def _fetch_batches(batches):
+        import pandas as pd
 
-    out = df
-    for name in columns:
-        out = out.withColumn(
-            name, _fetch(F.col(name)["__blob__"], F.col(name)["inline"])
-        )
-    return out
+        for pdf in batches:
+            for name in targets:
+                resolved = []
+                for cell in pdf[name]:
+                    if not isinstance(cell, dict):
+                        resolved.append(None)
+                        continue
+                    inline = cell.get("inline")
+                    if inline is not None:
+                        resolved.append(bytes(inline))
+                        continue
+                    path = cell.get("__blob__")
+                    if path is None:
+                        resolved.append(None)
+                        continue
+                    with open(path, "rb") as fh:
+                        resolved.append(fh.read())
+                pdf[name] = pd.Series(resolved, index=pdf.index, dtype=object)
+            yield pdf[field_order]
+
+    return df.mapInPandas(_fetch_batches, out_schema)
 
 
 def collect_blob_paths(df: DataFrame, columns: list[str] | None = None) -> list[str]:
