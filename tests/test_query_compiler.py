@@ -138,6 +138,40 @@ def test_pipeline_unwind_count(spark):
     assert out["n"] == 4
 
 
+def test_pipeline_unwind_nested_path_in_place(spark):
+    """Mongo $unwind of a nested path replaces the array AT its path —
+    no scratch column, enclosing struct rebuilt (reference README
+    $unwind examples)."""
+    df = spark.createDataFrame(
+        [(1, ("ada", [10, 20])), (2, ("bob", [30]))],
+        "oid int, cust struct<name:string, scores:array<int>>",
+    )
+    out = apply_pipeline(df, [{"$unwind": "$cust.scores"}])
+    assert out.columns == ["oid", "cust"]
+    got = sorted(
+        (r["oid"], r["cust"]["name"], r["cust"]["scores"]) for r in out.collect()
+    )
+    assert got == [(1, "ada", 10), (1, "ada", 20), (2, "bob", 30)]
+
+
+def test_pipeline_project_computed_sees_input_doc(spark):
+    """$project expressions all evaluate against the stage's INPUT
+    document: a field that shadows an input column does not leak its new
+    value into sibling expressions (Mongo semantics)."""
+    df = spark.createDataFrame([(1, 100)], "a int, b int")
+    out = apply_pipeline(
+        df,
+        [{"$project": {"a": "$b", "c": {"$add": ["$a", 10]}}}],
+    ).first()
+    assert out["a"] == 100  # shadowed in place
+    assert out["c"] == 11  # sibling read the INPUT a=1, not the new a=100
+
+    out2 = apply_pipeline(
+        df, [{"$addFields": {"a": "$b", "c": {"$add": ["$a", 10]}}}]
+    ).first()
+    assert out2["a"] == 100 and out2["c"] == 11
+
+
 def test_pipeline_addfields_and_dateparts(spark):
     from topic_store_spark.objectid import new_object_id
     import time
@@ -256,3 +290,12 @@ def test_pipeline_out_and_merge(spark, tmp_path):
     apply_pipeline(src.to_df(), [{"$merge": {"into": merge_path}}])
     apply_pipeline(src.to_df(), [{"$merge": {"into": merge_path}}])  # idempotent
     assert ts.load(merge_path, spark).count() == 4
+
+    # $out to a FRESH collection creates it (Mongo $out semantics) and
+    # leaves no orphaned tmp/old staging directories behind
+    fresh_path = str(tmp_path / "fresh.parquet")
+    apply_pipeline(src.to_df(), [{"$match": {"n": {"$lt": 2}}}, {"$out": fresh_path}])
+    rows = ts.load(fresh_path, spark).find().collect()
+    assert sorted(r["n"] for r in rows) == [0, 1]
+    leftovers = [p for p in tmp_path.iterdir() if ".tmp-" in p.name or ".old-" in p.name]
+    assert leftovers == []

@@ -73,6 +73,27 @@ def test_corrupt_pickle_frame_skipped(spark, tmp_path):
     assert len(docs) == 1 and docs[0]["n"] == 1
 
 
+def test_corrupt_pickle_midstream_resync(spark, tmp_path):
+    """A corrupt frame in the MIDDLE of the stream must not drop the
+    frames after it: the scan resyncs at the next protocol-2 header
+    (reference filesystem.py:52-68 keeps attempting subsequent loads)."""
+    import pickle
+
+    import topic_store_spark as ts
+
+    path = tmp_path / "mid.topic_store"
+    with open(path, "wb") as fh:
+        pickle.dump({"n": 1}, fh, protocol=2)
+        fh.write(b"\x00\x01GARBAGE")  # corrupt junk between frames
+        pickle.dump({"n": 2}, fh, protocol=2)
+        pickle.dump({"n": 3}, fh, protocol=2)
+    store = ts.load(str(path), spark)
+    # driver-side iterator path
+    assert sorted(d["n"] for d in store) == [1, 2, 3]
+    # distributed scan path
+    assert sorted(r["n"] for r in store.to_df().collect()) == [1, 2, 3]
+
+
 def test_action_server_on_demand_capture(spark, tmp_path):
     """T3: action-server trigger — stream maintains state; captures fire
     on demand via save(), always-success semantics."""

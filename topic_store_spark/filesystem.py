@@ -196,11 +196,20 @@ class ParquetStorage(Storage):
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(tmp)
-        old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        try:
+            writer.parquet(tmp)
+            if self._exists():
+                # atomic swap: stage the old store aside, promote the new one
+                old = f"{self.path}.old-{uuid.uuid4().hex[:8]}"
+                os.rename(self.path, old)
+                os.rename(tmp, self.path)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                # fresh target (e.g. $out to a new collection — Mongo
+                # creates it): promote the tmp write directly
+                os.rename(tmp, self.path)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def update_one_by_id(self, document_id: str, **updates) -> None:
         """$set-style field update on one document (parity: reference
@@ -419,16 +428,32 @@ def _json_default(value: Any) -> Any:
 
 def parse_pickle_frames(raw: bytes) -> Iterator[dict]:
     """Yield document dicts from a concatenated-pickle byte stream,
-    skipping corrupt frames (parity: reference filesystem.py:52-68)."""
+    skipping corrupt frames (parity: reference filesystem.py:52-68, which
+    prints and keeps attempting subsequent loads).  After a corrupt frame
+    the scan resyncs at the next protocol-2 header (``\\x80\\x02`` — the
+    only protocol this writer emits), so frames after a mid-stream
+    corruption are still recovered."""
     buf = io.BytesIO(raw)
     while buf.tell() < len(raw):
+        start = buf.tell()
         try:
             doc = pickle.load(buf)
         except EOFError:
             break
-        except Exception as exc:  # corrupt frame: skip with message
-            logger.warning("Skipping corrupt pickle frame: %s", exc)
-            break
+        except Exception as exc:  # corrupt frame: resync with message
+            nxt = raw.find(b"\x80\x02", start + 1)
+            if nxt < 0:
+                logger.warning(
+                    "Skipping corrupt pickle tail (%d bytes abandoned): %s",
+                    len(raw) - start, exc,
+                )
+                break
+            logger.warning(
+                "Skipping corrupt pickle frame (%d bytes) and resyncing: %s",
+                nxt - start, exc,
+            )
+            buf.seek(nxt)
+            continue
         if isinstance(doc, dict):
             yield doc
 
@@ -479,10 +504,17 @@ class TopicStorage(Storage):
             raw = kv[1]
             buf = _io.BytesIO(raw)
             while buf.tell() < len(raw):
+                start = buf.tell()
                 try:
                     doc = _pickle.load(buf)
                 except Exception:
-                    break  # corrupt tail frame: skip (filesystem.py:66-68)
+                    # corrupt frame: resync at the next protocol-2 header
+                    # (reference filesystem.py:52-68 keeps loading)
+                    nxt = raw.find(b"\x80\x02", start + 1)
+                    if nxt < 0:
+                        break
+                    buf.seek(nxt)
+                    continue
                 if isinstance(doc, dict):
                     yield _json.dumps(doc, default=default)
 

@@ -138,6 +138,22 @@ def _compile_value_op(op: str, arg: Any) -> Column:
     raise ValueError(f"unsupported value operator: {op}")
 
 
+def _attach_computed(df: DataFrame, computed: dict[str, Any]) -> DataFrame:
+    """Attach computed fields in a single ``select`` so every expression
+    evaluates against the stage's INPUT document (Mongo semantics for
+    ``$project``/``$addFields``): a field that shadows an input column
+    overwrites it in place, but sibling expressions still read the input."""
+    if not computed:
+        return df
+    exprs = {name: compile_value(spec) for name, spec in computed.items()}
+    cols = [
+        exprs[c].alias(c) if c in exprs else F.col(f"`{c}`")
+        for c in df.columns
+    ]
+    cols += [e.alias(n) for n, e in exprs.items() if n not in df.columns]
+    return df.select(*cols)
+
+
 _ACCUMULATORS = {
     "$sum": lambda c: F.sum(c),
     "$avg": lambda c: F.avg(c),
@@ -233,10 +249,12 @@ def apply_pipeline(
         elif op == "$project":
             flags = {k: v for k, v in spec.items() if v in (0, 1, True, False)}
             computed = {k: v for k, v in spec.items() if k not in flags}
-            # computed fields see the *input* document (Mongo semantics),
-            # so they evaluate before inclusion pruning and are then kept
-            for name, expr in computed.items():
-                out = out.withColumn(name, compile_value(expr))
+            # computed fields see the *input* document (Mongo semantics):
+            # every expression compiles against the stage input and all are
+            # attached in ONE select, so a computed field that references
+            # (or shadows) another projected field still reads the input
+            # value, never a freshly computed one.
+            out = _attach_computed(out, computed)
             if flags:
                 proj = dict(flags)
                 if any(v in (1, True) for v in flags.values()):
@@ -244,8 +262,8 @@ def apply_pipeline(
                         proj[name] = 1
                 out = apply_projection(out, proj)
         elif op in ("$addFields", "$set"):
-            for name, expr in spec.items():
-                out = out.withColumn(name, compile_value(expr))
+            # same input-document semantics as $project computed fields
+            out = _attach_computed(out, spec)
         elif op == "$group":
             out = _compile_group(out, spec)
         elif op == "$sort":
@@ -262,9 +280,21 @@ def apply_pipeline(
             path = spec["path"] if isinstance(spec, dict) else spec
             field = path[1:] if path.startswith("$") else path
             exploded = F.explode(path_col(field))
-            # top-level arrays unwind in place; nested paths land in _unwound
-            target = field if "." not in field else "_unwound"
-            out = out.withColumn(target, exploded)
+            if "." not in field:
+                out = out.withColumn(field, exploded)
+            else:
+                # Mongo replaces the array at its original path: explode to
+                # a scratch column (generators must sit at the top of a
+                # projection), then rebuild the enclosing struct with the
+                # element put back where the array was.
+                top, rest = field.split(".", 1)
+                out = (
+                    out.withColumn("_unwind_elem", exploded)
+                    .withColumn(
+                        top, F.col(f"`{top}`").withField(rest, F.col("_unwind_elem"))
+                    )
+                    .drop("_unwind_elem")
+                )
         elif op == "$sortByCount":
             field = spec[1:] if isinstance(spec, str) and spec.startswith("$") else spec
             out = (

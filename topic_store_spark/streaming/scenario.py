@@ -225,40 +225,53 @@ class ScenarioRunner:
                 update_and_save(batch_df, batch_id)
                 self.save()  # one snapshot per trigger tick (T1)
 
-        elif method in ("event", "start_stop"):
+        elif method == "event":
             watch = self.scenario.collection["watch_topic"]
 
             def process(batch_df, batch_id):
                 update_and_save(batch_df, batch_id)
                 watched = batch_df.filter(F.col(topic_col) == watch)
-                if method == "event":
-                    for _ in range(watched.count()):  # one save per event (T2)
-                        self.save()
-                else:
-                    # start/stop gate (T4): control signals toggle the gate;
-                    # while open, every watch-topic message triggers a save —
-                    # the reference's per-message video capture
-                    # (scenario.py:126-130: watch-topic event -> save iff the
-                    # actionlib gate flag is set).  Control and data are
-                    # replayed in timestamp order so a mid-batch stop takes
-                    # effect exactly where it arrived.
-                    control = self.scenario.collection.get(
-                        "control_topic", watch)
-                    relevant = (
-                        batch_df.filter(F.col(topic_col).isin(watch, control))
-                        .orderBy(ts_col)
-                        .collect()
+                for _ in range(watched.count()):  # one save per event (T2)
+                    self.save()
+
+        elif method == "start_stop":
+            watch = self.scenario.collection["watch_topic"]
+            control = self.scenario.collection.get("control_topic", watch)
+            signals = {"start": True, "true": True, "t": True,
+                       "1": True, "stop": False, "false": False,
+                       "f": False, "0": False}
+
+            def process(batch_df, batch_id):
+                # start/stop gate (T4): control signals toggle the gate;
+                # while open, every watch-topic message triggers a save —
+                # the reference's per-message video capture
+                # (scenario.py:126-130: watch-topic event -> save iff the
+                # actionlib gate flag is set).  The WHOLE batch replays in
+                # timestamp order with _latest updated incrementally, so a
+                # snapshot saved mid-batch captures exactly the values that
+                # had arrived by that point (no future leakage) and a
+                # mid-batch stop takes effect exactly where it arrived.
+                # Driver-bound by design — faithful to the reference's
+                # single-process gate; at cluster message rates bound the
+                # batch with source rate limits (maxFilesPerTrigger /
+                # rowsPerSecond) rather than widening this collect.
+                rows = (
+                    batch_df.select(
+                        F.col(topic_col).alias("t"),
+                        F.col(value_col).alias("v"),
+                        F.col(ts_col).alias("ts"),
                     )
-                    signals = {"start": True, "true": True, "t": True,
-                               "1": True, "stop": False, "false": False,
-                               "f": False, "0": False}
-                    for row in relevant:
-                        val = str(row[value_col]).lower()
-                        if row[topic_col] == control and val in signals:
-                            self._gate_open = signals[val]
-                            continue
-                        if row[topic_col] == watch and self._gate_open:
-                            self.save()
+                    .orderBy("ts")
+                    .collect()
+                )
+                for row in rows:
+                    self._latest[row["t"]] = row["v"]
+                    val = str(row["v"]).lower()
+                    if row["t"] == control and val in signals:
+                        self._gate_open = signals[val]
+                        continue
+                    if row["t"] == watch and self._gate_open:
+                        self.save()
 
         elif method == "action_server":
             # on-demand capture: expose .save() to the caller (T3); the
