@@ -1,0 +1,184 @@
+"""MongoStorage backend (S4/S5/S12): CRUD through the injectable
+document-client seam, bulk reads/writes through the reader/writer seams,
+URI plumbing, and scenario dispatch — all Mongo-less, the same pattern as
+``to_ros_bag``'s fake bag writer."""
+
+from __future__ import annotations
+
+import pytest
+
+from topic_store_spark.mongodb import (
+    MongoStorage,
+    client_from_uri,
+    is_uri,
+    private_srv,
+    uri_from_mongo_config,
+)
+
+
+class FakeMongoCollection:
+    """Minimal pymongo-collection stand-in: list of dict documents with
+    equality matching and ``$set`` updates."""
+
+    def __init__(self):
+        self.docs: list[dict] = []
+
+    def _matches(self, doc, query):
+        return all(doc.get(k) == v for k, v in (query or {}).items())
+
+    def insert_one(self, doc):
+        self.docs.append(dict(doc))
+
+    def insert_many(self, docs):
+        self.docs.extend(dict(d) for d in docs)
+
+    def update_one(self, query, update):
+        for doc in self.docs:
+            if self._matches(doc, query):
+                for k, v in update.get("$set", {}).items():
+                    doc[k] = v
+                return {"matched": 1}
+        return {"matched": 0}
+
+    def delete_one(self, query):
+        for i, doc in enumerate(self.docs):
+            if self._matches(doc, query):
+                del self.docs[i]
+                return {"deleted": 1}
+        return {"deleted": 0}
+
+    def count_documents(self, query):
+        return sum(1 for d in self.docs if self._matches(d, query))
+
+    def estimated_document_count(self):
+        return len(self.docs)
+
+
+def test_mongo_crud_roundtrip(spark):
+    fake = FakeMongoCollection()
+    store = MongoStorage(spark, uri="mongodb://h:27017", client=fake)
+
+    i1 = store.insert_one({"robot": "thorvald", "n": 1})
+    ids = store.insert_many([{"robot": "husky", "n": 2}, {"robot": "dji", "n": 3}])
+    assert len(fake.docs) == 3 and len(ids) == 2
+    assert all("_id" in d and "_ts_meta" in d for d in fake.docs)
+
+    # query-matched update_one (reference database.py:162-164)
+    store.update_one({"robot": "husky"}, {"$set": {"n": 20}})
+    assert [d["n"] for d in fake.docs if d["robot"] == "husky"] == [20]
+
+    # by-id $set update (reference database.py:166-168)
+    store.update_one_by_id(i1, n=10)
+    assert [d["n"] for d in fake.docs if d["_id"] == i1] == [10]
+
+    store.delete_by_id(i1)
+    assert store.count() == 2
+    assert store.count({"robot": "dji"}) == 1
+    assert store.count(estimate=True) == 2
+    with pytest.raises(ValueError):
+        store.count({"robot": "dji"}, estimate=True)
+
+
+def test_mongo_bulk_seams_and_find(spark):
+    docs = spark.createDataFrame(
+        [("a", "thorvald", 1), ("b", "husky", 2), ("c", "husky", 3)],
+        "_id string, robot string, n int",
+    )
+    written = {}
+    store = MongoStorage(
+        spark,
+        uri="mongodb://h:27017",
+        reader=lambda s: docs,
+        writer=lambda df, mode: written.update(mode=mode, rows=df.collect()),
+    )
+    # the shared Storage surface compiles Mongo find() onto the connector DF
+    out = store.find({"robot": "husky", "n": {"$gte": 3}}, projection={"_id": 1})
+    assert [r["_id"] for r in out.collect()] == ["c"]
+    store.write_df(docs.filter("n > 2"))
+    assert written["mode"] == "append" and len(written["rows"]) == 1
+
+
+def test_mongo_copy_from_parquet(spark, tmp_path):
+    import topic_store_spark as ts
+    from topic_store_spark.convert import copy
+
+    src = ts.load(str(tmp_path / "src.parquet"), spark)
+    for i in range(3):
+        src.insert_one({"n": i})
+
+    sink = []
+    dst = MongoStorage(
+        spark,
+        uri="mongodb://h:27017",
+        reader=lambda s: s.createDataFrame([], "_id string"),
+        writer=lambda df, mode: sink.extend(df.collect()),
+    )
+    stats = copy(src, dst)
+    assert stats["copied"] == 3 and len(sink) == 3
+
+
+def test_uri_plumbing(spark, tmp_path):
+    cfg = tmp_path / "mongo.yaml"
+    cfg.write_text("net:\n  bindIp: 10.0.0.5\n  port: 27018\n")
+    assert uri_from_mongo_config(str(cfg)) == "mongodb://10.0.0.5:27018"
+    with pytest.raises(IOError):
+        uri_from_mongo_config(str(tmp_path / "missing.yaml"))
+
+    assert is_uri("mongodb://h:1") and not is_uri("/tmp/x.parquet")
+
+    # db name resolves from the authSource URI option (convert.py:240-247)
+    store = client_from_uri(
+        "mongodb://h:27017/?authSource=farm_data", collection="runs", spark=spark
+    )
+    assert store.name == "farm_data" and store.collection_name == "runs"
+    assert client_from_uri("mongodb://h:27017", "c", spark).name == "topic_store"
+    with pytest.raises(ValueError):
+        client_from_uri("http://not-mongo", "c", spark)
+
+    assert private_srv("mongodb://user:pw@h:27017") == "mongodb://****:****@h:27017"
+
+
+def test_scenario_database_dispatch(spark, tmp_path):
+    import topic_store_spark as ts
+
+    scenario = tmp_path / "dbscenario.yaml"
+    scenario.write_text(
+        "context: field_runs\n"
+        "storage:\n  method: database\n  uri: mongodb://h:27017/?authSource=farm\n"
+        "data: {cam: /camera/image}\n"
+        "collection: {method: action_server}\n"
+    )
+    store = ts.load(str(scenario), spark)
+    assert isinstance(store, MongoStorage)
+    # collection = scenario context (reference database.py:94-99)
+    assert store.collection_name == "field_runs" and store.name == "farm"
+
+
+def test_scenario_runner_database_sink(spark, tmp_path):
+    """init_save_database wires a MongoStorage on the scenario connection
+    with the injected client; save() inserts the snapshot document."""
+    from topic_store_spark.streaming import ScenarioFileParser, ScenarioRunner
+
+    fake = FakeMongoCollection()
+    scenario = ScenarioFileParser(
+        {
+            "context": "on_demand_db",
+            "storage": {"method": "database", "uri": "mongodb://h:27017"},
+            "data": {"cam": "/camera/image", "robot": "thorvald"},
+            "collection": {"method": "action_server"},
+        }
+    )
+    runner = ScenarioRunner(spark, scenario, mongo_client=fake)
+    assert isinstance(runner.storage, MongoStorage)
+    runner._latest["/camera/image"] = "img-bytes"
+    runner.save()
+    assert runner.saved_count == 1 and len(fake.docs) == 1
+    doc = fake.docs[0]
+    assert doc["cam"] == "img-bytes" and doc["robot"] == "thorvald"
+    assert "_id" in doc and "_ts_meta" in doc
+
+
+def test_mongo_point_ops_without_client_raise(spark):
+    store = MongoStorage(spark, uri="mongodb://h:27017")
+    with pytest.raises(NotImplementedError):
+        store.insert_one({"n": 1})

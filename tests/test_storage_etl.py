@@ -220,10 +220,11 @@ def test_load_yaml_scenario_dispatch(spark, tmp_path):
     store.insert_one({"n": 7})
     assert ts.load(str(path), spark).count() == 1
 
-    bad = dict(scenario, storage={"method": "database"})
-    bad_path = tmp_path / "bad.yaml"
-    bad_path.write_text(yaml.safe_dump(bad))
-    import pytest as _pytest
+    db = dict(scenario, storage={"method": "database", "uri": "mongodb://h:27017"})
+    db_path = tmp_path / "db.yaml"
+    db_path.write_text(yaml.safe_dump(db))
+    from topic_store_spark.mongodb import MongoStorage
 
-    with _pytest.raises(NotImplementedError):
-        ts.load(str(bad_path), spark)
+    db_store = ts.load(str(db_path), spark)
+    assert isinstance(db_store, MongoStorage)
+    assert db_store.collection_name == "yaml_dispatch"

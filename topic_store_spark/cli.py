@@ -3,7 +3,9 @@
 ``python -m topic_store_spark -i SRC -o DST [-q QUERY] [-p PROJECTION]``
 
 - ``-i/-o`` are storage paths dispatched through ``api.load`` (parquet
-  canonical store, legacy ``.topic_store`` pickle streams).
+  canonical store, legacy ``.topic_store`` pickle streams), or
+  ``mongodb://`` URIs opened as MongoStorage with ``-c/--collection``
+  (parity: reference convert.py:263-344 ``is_uri`` branch).
 - ``-q`` is a JSON Mongo filter document; ``"ObjectId(hex)"`` string
   literals coerce like the reference (convert.py:319-327 — handled by
   the query compiler).
@@ -33,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("-i", "--input", required=True, help="source store path")
     parser.add_argument("-o", "--output", help="destination store path")
+    parser.add_argument(
+        "-c",
+        "--collection",
+        default="default",
+        help="MongoDB collection to use when a mongodb:// URI is passed",
+    )
     parser.add_argument("-q", "--query", default=None, help="JSON filter document")
     parser.add_argument(
         "-p", "--projection", default=None, help="JSON projection document"
@@ -59,7 +67,14 @@ def main(argv: list[str] | None = None) -> int:
         query = dict(query or {})
         query["_ts_meta.session"] = args.session
 
-    src = load(args.input)
+    def _open(path: str):
+        from topic_store_spark.mongodb import client_from_uri, is_uri
+
+        if is_uri(path):
+            return client_from_uri(path, collection=args.collection)
+        return load(path)
+
+    src = _open(args.input)
 
     if args.list_sessions:
         for row in src.get_unique_sessions().collect():
@@ -74,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         print("error: -o/--output is required to copy", file=sys.stderr)
         return 2
 
-    dst = load(args.output)
+    dst = _open(args.output)
     stats = copy(src, dst, query=query, projection=projection)
     print(json.dumps(stats))
     return 0

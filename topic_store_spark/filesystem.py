@@ -254,9 +254,9 @@ class ScenarioStorage(Storage):
 
     Here the scenario's storage section routes to the concrete backend:
     ``filesystem`` resolves to the ParquetStorage at its ``location``;
-    ``database`` requires a Spark MongoDB connector on the classpath and
-    says so.  This class never instantiates — ``load()`` returns the
-    resolved backend."""
+    ``database`` resolves to a MongoStorage on the scenario's connection
+    config with ``context`` as the collection name.  This class never
+    instantiates — ``load()`` returns the resolved backend."""
 
     suffixes = (".yaml", ".yml")
 
@@ -270,11 +270,9 @@ class ScenarioStorage(Storage):
             from topic_store_spark.api import load as load_storage
 
             return load_storage(scenario.storage["location"], spark)
-        raise NotImplementedError(
-            "scenario storage.method == 'database' needs a Spark MongoDB "
-            "connector on the classpath; point storage.location at a "
-            "parquet path or add the connector"
-        )
+        from topic_store_spark.mongodb import MongoStorage
+
+        return MongoStorage.from_scenario(scenario, spark)
 
     # never constructed: load() returns the resolved backend
     def to_df(self):  # pragma: no cover

@@ -40,6 +40,10 @@ class ScenarioFileParser:
 
     REQUIRED = ("context", "storage", "data", "collection")
     STORAGE_FIELDS = {"database": {"method"}, "filesystem": {"method", "location"}}
+    # connection info for the database method survives unused-key pruning
+    # (parity: reference scenario storage carries "config",
+    # database.py:94-99; a direct uri is the convert.py:239-251 path)
+    STORAGE_OPTIONAL = {"database": {"config", "uri"}}
     COLLECTION_FIELDS = {
         "timer": {"method", "timer_delay"},
         "event": {"method", "watch_topic"},
@@ -65,7 +69,9 @@ class ScenarioFileParser:
 
         self.context: str = raw["context"]
         self.data: dict = raw["data"]
-        self.storage = self._validate(raw["storage"], self.STORAGE_FIELDS, "storage")
+        self.storage = self._validate(
+            raw["storage"], self.STORAGE_FIELDS, "storage", self.STORAGE_OPTIONAL
+        )
         self.collection = self._validate(
             raw["collection"], self.COLLECTION_FIELDS, "collection",
             self.COLLECTION_OPTIONAL,
@@ -100,11 +106,15 @@ class ScenarioRunner:
         scenario: ScenarioFileParser,
         stabilise_time: float = 0.0,
         on_save: Callable[[dict], None] | None = None,
+        mongo_client: Any | None = None,
     ) -> None:
         self.spark = spark
         self.scenario = scenario
         self.stabilise_time = stabilise_time
         self.on_save = on_save
+        # injectable document client for the database sink (tests run
+        # Mongo-less through the same seam MongoStorage exposes)
+        self.mongo_client = mongo_client
         self.saved_count = 0
         self._latest: dict[str, Any] = {}
         # start/stop trigger gate (T4) — closed until a "start" signal,
@@ -129,10 +139,18 @@ class ScenarioRunner:
     def save_filesystem(self, doc: dict) -> None:
         self.storage.insert_one(doc)
 
-    def init_save_database(self) -> None:  # pragma: no cover - needs connector
-        raise NotImplementedError(
-            "database sink requires a Spark MongoDB connector on the classpath"
+    def init_save_database(self) -> None:
+        """Database sink (parity: reference scenario.py init_save_database
+        -> MongoStorage on the scenario's connection config, collection =
+        context)."""
+        from topic_store_spark.mongodb import MongoStorage
+
+        self.storage = MongoStorage.from_scenario(
+            self.scenario, self.spark, client=self.mongo_client
         )
+
+    def save_database(self, doc: dict) -> None:
+        self.storage.insert_one(doc)
 
     # -- snapshot assembly -------------------------------------------------
     def expected_topics(self) -> list[str]:
