@@ -678,6 +678,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_neighbors(emb, queries, k=5)
 
 
+def q_ann_topk_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 for the same 10 queries via PARTIAL top-k aggregation
+    — the large-Q scale path: each scan partition reduces to a local
+    top-k per query map-side (group key includes the partition id), so
+    only Q x partitions x k candidate rows shuffle instead of the whole
+    scored-pair relation.  Result-identical to ann_topk (same oracle)."""
+    from topic_store_spark.operators.similarity import topk_neighbors_partial
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return topk_neighbors_partial(emb, queries, k=5)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (the 100 TB
     plan: bucket-key equi-join instead of a cross join).  Oracle-checked:
@@ -809,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
+        "ann_topk_partial": q_ann_topk_partial,
         "ann_lsh": q_ann_lsh,
         "text_language_id": q_text_language_id,
         "text_quality": q_text_quality,
@@ -1480,6 +1494,10 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         QUALIFY rank <= 5
     """
     )
+
+    # the partial-aggregation variant is result-identical by construction,
+    # so it shares the exact-topk oracle
+    sql["ann_topk_partial"] = sql["ann_topk"]
 
     bucket_expr = " || ".join(_hyperplane_sign_sql(p) for p in range(8))
     sql["ann_lsh"] = (

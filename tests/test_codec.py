@@ -122,3 +122,93 @@ def test_spark_roundtrip_documents(spark, tmp_path):
     assert got["name"] == "t"
     assert got["nested"]["k"] == [1, 2]
     assert got["_ts_meta"]["session"] is not None
+
+
+# ---------------------------------------------------------------------------
+# U2: callback-parameterized tree rewriter (reference sanitation.py:169-282,
+# exercised in the spirit of the reference's nested-permutation sanitation
+# test, tests/topic_store/test_data_sanitation.py:15-70 — nested containers,
+# shared substructure, type preservation)
+# ---------------------------------------------------------------------------
+
+
+def test_dict_converter_default_roundtrip_preserves_types():
+    from topic_store_spark.codec import DictConverter
+
+    tree = {
+        "d": {"x": 1, "y": [1, 2, (3, 4)]},
+        "t": (1, {"inner": "s"}),
+        "s": {9, 10},
+        "f": frozenset([7]),
+        "leaf": "text",
+        "b": b"\x00\xff",
+    }
+    out = DictConverter()(tree)
+    assert out == tree and out is not tree
+    assert isinstance(out["t"], tuple) and isinstance(out["t"][1], dict)
+    assert isinstance(out["d"]["y"][2], tuple)
+    assert isinstance(out["s"], set) and isinstance(out["f"], frozenset)
+    assert out["b"] == b"\x00\xff"
+
+
+def test_dict_converter_visit_remaps_with_parents():
+    from topic_store_spark.codec import DictConverter
+
+    seen = []
+
+    def visit(parents, key, value):
+        seen.append((parents, key))
+        if isinstance(value, str):
+            return key, value.upper()
+        return key, value
+
+    out = DictConverter(visit_fn=visit)({"a": {"b": ["x", "y"]}, "c": "z"})
+    assert out == {"a": {"b": ["X", "Y"]}, "c": "Z"}
+    # parents exclude the root, include ancestor keys down to the item
+    assert (("a", "b"), 0) in seen and (("a", "b"), 1) in seen
+    assert ((), "c") in seen and ((), "a") in seen
+
+
+def test_dict_converter_enter_prunes_subtrees():
+    from topic_store_spark.codec import DictConverter
+
+    def enter(parents, key, value):
+        if isinstance(value, dict) and value.get("_skip"):
+            return "<pruned>", False  # leaf-ify: do not descend
+        return DictConverter.default_enter_fn(parents, key, value)
+
+    tree = {"keep": {"n": 1}, "drop": {"_skip": True, "secret": "x"}}
+    out = DictConverter(enter_fn=enter)(tree)
+    assert out == {"keep": {"n": 1}, "drop": "<pruned>"}
+
+
+def test_dict_converter_exit_rewrites_containers():
+    from topic_store_spark.codec import DictConverter
+
+    def exit_fn(parents, key, old, shell, items):
+        done = DictConverter.default_exit_fn(parents, key, old, shell, items)
+        if isinstance(done, dict):
+            done["_n_keys"] = len(items)
+        return done
+
+    out = DictConverter(exit_fn=exit_fn)({"a": {"b": 1, "c": 2}})
+    assert out["_n_keys"] == 1 and out["a"]["_n_keys"] == 2
+
+
+def test_dict_converter_shared_substructure_converts_once():
+    from topic_store_spark.codec import DictConverter
+
+    shared = {"k": [1, 2]}
+    out = DictConverter()({"one": shared, "two": shared})
+    assert out["one"] is out["two"]  # id-memoized like the reference
+
+
+def test_dict_converter_requires_dict_root():
+    import pytest as _pytest
+
+    from topic_store_spark.codec import DictConverter
+
+    with _pytest.raises(TypeError):
+        DictConverter()([1, 2, 3])
+    with _pytest.raises(TypeError):
+        DictConverter(enter_fn=42)

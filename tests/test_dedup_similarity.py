@@ -196,3 +196,27 @@ def test_embedding_lsh_dup_pairs_match_brute_force(embeddings):
     # ...and identical vectors always share a bucket -> full recall on clones
     clone_pairs = {p for p in brute if p[1] - p[0] == 100000}
     assert clone_pairs <= lsh
+
+
+def test_topk_partial_matches_window_topk_at_large_q(embeddings):
+    """Partial top-k aggregation returns EXACTLY the window variant's
+    results — with every corpus vector as a query (large-Q regime) — and
+    its plan contains no Window over the scored pairs: the first
+    aggregate completes map-side (group key includes the partition id),
+    so only q x partitions x k candidate rows shuffle."""
+    from topic_store_spark.operators.similarity import topk_neighbors_partial
+
+    queries = embeddings  # Q == corpus size: the regime windows fall over in
+    window_rows = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_q"], 9))
+        for r in topk_neighbors(embeddings, queries, k=3).collect()
+    }
+    partial = topk_neighbors_partial(embeddings, queries, k=3)
+    partial_rows = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_q"], 9))
+        for r in partial.collect()
+    }
+    assert partial_rows == window_rows
+
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no per-query global sort of scored pairs

@@ -29,6 +29,21 @@ def test_crud_roundtrip(spark, tmp_path):
     assert store.find_by_id(doc_id) is None
 
 
+def test_update_one_query_matched(spark, tmp_path):
+    """Query-matched update_one (reference database.py:162-164): first
+    match in _id order gets the $set; 0 matches is a no-op."""
+    store = ParquetStorage(spark, str(tmp_path / "upd.parquet"))
+    ids = store.insert_many([{"robot": "husky", "n": i} for i in range(3)])
+    assert store.update_one({"robot": "husky"}, {"$set": {"n": 99}}) == 1
+    hits = [r["n"] for r in store.find({"n": 99}).collect()]
+    assert hits == [99]  # exactly one document updated
+    first_id = min(ids)
+    assert store.find_by_id(first_id)["n"] == 99  # deterministic: lowest _id
+    assert store.update_one({"robot": "missing"}, {"$set": {"n": 1}}) == 0
+    with pytest.raises(ValueError):
+        store.update_one({"robot": "husky"}, {"$inc": {"n": 1}})
+
+
 def test_filesystem_empty_append_reload(spark, tmp_path):
     # parity: test_file_system_storage.py:15-71
     path = str(tmp_path / "s.topic_store")

@@ -280,3 +280,38 @@ def test_dedup_stream_drops_redelivered_ids(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("select * from dedup_t").collect()
     assert sorted(r["_id"] for r in rows) == ["a", "b", "c"]
+
+
+def test_log_publication_listener_captures_progress(spark, tmp_path):
+    """T11 (reference utils.py:60-77): streaming progress is published as
+    log lines through the pluggable publisher — one 'started', at least
+    one per-batch 'progress' with the batch's row count."""
+    from topic_store_spark.streaming import LogPublicationListener
+
+    published = []
+    listener = LogPublicationListener(publish=lambda t, m: published.append((t, m)))
+    spark.streams.addListener(listener)
+    try:
+        scenario = ScenarioFileParser(scenario_dict(tmp_path))
+        runner = ScenarioRunner(spark, scenario)
+        src = tmp_path / "stream_src_listener"
+        _write_events(src, [("/camera/image", "v", 1), ("/camera/info", "w", 2)])
+        q = runner.run(_topic_stream_from_dir(spark, src),
+                       extra_trigger_kwargs={"availableNow": True})
+        q.awaitTermination(60)
+        # listener-bus delivery is async to the query thread
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            kinds = {k for k, _ in listener.events}
+            if {"started", "progress"} <= kinds:
+                break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    kinds = [k for k, _ in listener.events]
+    assert "started" in kinds and "progress" in kinds
+    progress_lines = [m for k, m in listener.events if k == "progress"]
+    assert any("rows=2" in m for m in progress_lines)
+    # the publisher seam received every event on the scenario log topic
+    assert len(published) == len(listener.events)
+    assert all(t == "/topic_store/logs" for t, _ in published)

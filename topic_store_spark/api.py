@@ -100,6 +100,31 @@ class Storage(ABC):
             df = df.filter(self._compile_query(df, query))
         return df.count()
 
+    def update_one(self, query: dict, update: dict) -> int:
+        """Query-matched single-document update (parity: reference
+        database.py:162-164): the first match in ``_id`` order (Mongo's
+        natural-order nondeterminism made deterministic) receives the
+        ``$set``.  Returns the matched count (0 or 1).
+
+        Containers with native point updates (MongoStorage) override
+        this; filesystem containers route through ``update_one_by_id``.
+        """
+        point_update = getattr(self, "update_one_by_id", None)
+        if point_update is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} does not support update_one"
+            )
+        set_spec = update.get("$set")
+        if set_spec is None or set(update) != {"$set"}:
+            raise ValueError("only {'$set': {...}} updates are supported")
+        rows = self.find(
+            query, projection={"_id": 1}, sort=[("_id", 1)], limit=1
+        ).collect()
+        if not rows:
+            return 0
+        point_update(rows[0]["_id"], **set_spec)
+        return 1
+
     def aggregate(self, pipeline: list[dict]) -> DataFrame:
         """Parity: reference database.py:206-217."""
         return apply_pipeline(self.to_df(), pipeline)

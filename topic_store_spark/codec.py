@@ -135,6 +135,101 @@ class DocumentCodec:
         return str(value)  # last resort, mirrors BSON fallback behaviour
 
 
+class DictConverter:
+    """User-programmable document-tree rewriter (parity: reference
+    sanitation.py:169-282 ``DictConverter``), callback contract:
+
+    - ``enter_fn(parents, key, value) -> (shell, items)`` — decides how a
+      node is traversed: return a new empty container plus an iterable of
+      ``(key, child)`` items to fill it, or ``(value, False)`` to treat
+      the node as a leaf (possibly transformed in place).
+    - ``visit_fn(parents, key, value) -> (new_key, new_value)`` — remaps
+      each completed item (leaves AND finished sub-containers) before it
+      is handed to the parent's exit.
+    - ``exit_fn(parents, key, old, shell, items) -> populated`` —
+      assembles the visited items into the shell.
+
+    ``parents`` is the tuple of ancestor keys (the root contributes
+    none).  Shared substructure converts once (id-memoized), matching the
+    reference's ``seen_ids`` behaviour.  The reference iterates with an
+    explicit stack to survive arbitrarily deep trees; documents here are
+    bounded (Spark rows), so plain recursion keeps this readable.
+    """
+
+    def __init__(
+        self,
+        enter_fn: Callable | None = None,
+        exit_fn: Callable | None = None,
+        visit_fn: Callable | None = None,
+    ) -> None:
+        for name, fn in (("enter", enter_fn), ("exit", exit_fn), ("visit", visit_fn)):
+            if fn is not None and not callable(fn):
+                raise TypeError(f"{name} function must be callable")
+        self._enter_fn = enter_fn or self.default_enter_fn
+        self._exit_fn = exit_fn or self.default_exit_fn
+        self._visit_fn = visit_fn
+
+    @staticmethod
+    def default_enter_fn(parents, key, value):
+        if isinstance(value, (str, bytes, bytearray)):
+            return value, False
+        if isinstance(value, dict):
+            return value.__class__(), value.items()
+        if isinstance(value, (list, tuple, set, frozenset)):
+            return value.__class__(), enumerate(value)
+        return value, False
+
+    @staticmethod
+    def default_visit_fn(parents, key, value):
+        return key, value
+
+    @staticmethod
+    def default_exit_fn(parents, key, old_object, new_object, new_items):
+        if isinstance(new_object, dict):
+            new_object.update(new_items)
+            return new_object
+        values = [v for _k, v in new_items]
+        if isinstance(new_object, set):
+            new_object.update(values)
+            return new_object
+        if isinstance(new_object, (tuple, frozenset)):
+            return new_object.__class__(values)  # immutable: rebuild
+        if isinstance(new_object, list):
+            new_object.extend(values)
+            return new_object
+        raise RuntimeError(f"unexpected container: {type(new_object)}")
+
+    def convert(self, data_dict: dict):
+        return self(data_dict)
+
+    def __call__(self, data_dict: dict):
+        if not isinstance(data_dict, dict):
+            raise TypeError(f"Expected dictionary type, not: {type(data_dict)}")
+        memo: dict[int, Any] = {}
+
+        def walk(parents, key, value):
+            vid = id(value)
+            if vid in memo:
+                return memo[vid]
+            shell, items = self._enter_fn(parents, key, value)
+            if items is False:
+                return shell
+            memo[vid] = shell  # re-encounters during traversal see the shell
+            child_parents = parents if key is None else parents + (key,)
+            new_items = []
+            for k, child in items:
+                converted = walk(child_parents, k, child)
+                if self._visit_fn is not None:
+                    new_items.append(self._visit_fn(child_parents, k, converted))
+                else:
+                    new_items.append((k, converted))
+            result = self._exit_fn(parents, key, value, shell, new_items)
+            memo[vid] = result
+            return result
+
+        return walk((), None, data_dict)
+
+
 _default_codec = DocumentCodec()
 
 

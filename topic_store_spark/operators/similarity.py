@@ -67,6 +67,73 @@ def topk_neighbors(
     )
 
 
+def topk_neighbors_partial(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k for LARGE query sets: partial top-k aggregation.
+
+    ``topk_neighbors``'s per-query window shuffles every scored pair
+    (corpus x Q rows) by ``q_id`` — fine at Q~10, a shuffle-volume wall
+    when Q grows.  Here each scan partition reduces its scored pairs to a
+    local top-k per query FIRST (map-side: the group key includes
+    ``spark_partition_id()``, so the aggregate completes before the
+    exchange), and only Q x partitions x k candidate rows ever move.
+    The merge then takes the global top-k of the local winners.
+
+    Ranking struct is ``(dot, -neighbor_id)`` sorted descending ==
+    ``dot DESC, neighbor_id ASC`` — identical ordering and results to
+    ``topk_neighbors``.
+    """
+    q = _quantized(queries, id_col, vec_col, "q")
+    c = _quantized(corpus, id_col, vec_col, "c")
+    dot = F.aggregate(
+        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cand = F.struct(
+        F.col("dot"),
+        (-F.col("c_id")).alias("neg_id"),
+        F.col("c_id"),
+        F.col("q_n"),
+        F.col("c_n"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("dot", dot)
+    )
+    local = scored.groupBy(
+        "q_id", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.slice(F.sort_array(F.collect_list(cand), asc=False), 1, k).alias("top")
+    )
+    merged = (
+        local.select("q_id", F.explode("top").alias("cand"))
+        .groupBy("q_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("cand"), asc=False), 1, k
+            ).alias("top")
+        )
+    )
+    return merged.select(
+        "q_id", F.posexplode("top").alias("pos", "cand")
+    ).select(
+        F.col("q_id").alias("query_id"),
+        F.col("cand.c_id").alias("neighbor_id"),
+        (F.col("pos") + 1).alias("rank"),
+        (
+            F.col("cand.dot")
+            / F.sqrt((F.col("cand.q_n") * F.col("cand.c_n")).cast("double"))
+        ).alias("cosine_q"),
+    )
+
+
 def ivf_ann_neighbors(
     corpus: DataFrame,
     queries: DataFrame,

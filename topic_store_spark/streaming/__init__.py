@@ -2,10 +2,12 @@ from topic_store_spark.streaming.scenario import ScenarioFileParser, ScenarioRun
 from topic_store_spark.streaming.snapshot import latest_values_stream, snapshot_to_doc
 from topic_store_spark.streaming.monitor import rate_monitor_stream
 from topic_store_spark.streaming.fps import fps_counter_stream
+from topic_store_spark.streaming.listener import LogPublicationListener
 
 __all__ = [
     "ScenarioFileParser",
     "ScenarioRunner",
+    "LogPublicationListener",
     "latest_values_stream",
     "snapshot_to_doc",
     "rate_monitor_stream",
