@@ -315,3 +315,56 @@ def test_log_publication_listener_captures_progress(spark, tmp_path):
     # the publisher seam received every event on the scenario log topic
     assert len(published) == len(listener.events)
     assert all(t == "/topic_store/logs" for t, _ in published)
+
+
+def test_socket_topic_stream_live_push(spark, tmp_path):
+    """S6: ScenarioRunner driven by a live TCP push source (the rosbridge
+    relay shape) — not a file drop.  A local server emits JSON-line
+    messages; the event trigger saves once per watch-topic message."""
+    import socket
+    import threading
+
+    from topic_store_spark.streaming import socket_topic_stream
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    lines = [
+        json.dumps({"topic": "/camera/image", "value": "img1", "ts": "2024-01-01 00:00:01"}),
+        json.dumps({"topic": "/camera/info", "value": "snap!", "ts": "2024-01-01 00:00:02"}),
+        "this is not json",  # tolerated: parsed to null topic, filtered
+        json.dumps({"topic": "/camera/info", "value": "snap2", "ts": "2024-01-01 00:00:03"}),
+    ]
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(60)  # keep the connection open while Spark reads
+        finally:
+            conn.close()
+            server.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    scenario = ScenarioFileParser(scenario_dict(tmp_path, method="event"))
+    runner = ScenarioRunner(spark, scenario)
+    q = runner.run(
+        socket_topic_stream(spark, "127.0.0.1", port),
+        extra_trigger_kwargs={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and runner.saved_count < 2:
+            time.sleep(0.5)
+    finally:
+        stop.set()
+        q.stop()
+    assert runner.saved_count == 2  # one save per watch-topic message
+    # the first snapshot captured the camera value that had arrived by then
+    saved = runner.storage.find({}).orderBy("_id").collect()
+    assert saved[0]["sensors"]["cam"] == "img1"

@@ -3,11 +3,17 @@ from topic_store_spark.streaming.snapshot import latest_values_stream, snapshot_
 from topic_store_spark.streaming.monitor import rate_monitor_stream
 from topic_store_spark.streaming.fps import fps_counter_stream
 from topic_store_spark.streaming.listener import LogPublicationListener
+from topic_store_spark.streaming.sources import (
+    file_drop_topic_stream,
+    socket_topic_stream,
+)
 
 __all__ = [
     "ScenarioFileParser",
     "ScenarioRunner",
     "LogPublicationListener",
+    "socket_topic_stream",
+    "file_drop_topic_stream",
     "latest_values_stream",
     "snapshot_to_doc",
     "rate_monitor_stream",

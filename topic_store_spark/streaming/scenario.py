@@ -247,10 +247,24 @@ class ScenarioRunner:
             watch = self.scenario.collection["watch_topic"]
 
             def process(batch_df, batch_id):
-                update_and_save(batch_df, batch_id)
-                watched = batch_df.filter(F.col(topic_col) == watch)
-                for _ in range(watched.count()):  # one save per event (T2)
-                    self.save()
+                # one save per watch-topic event (T2), each capturing the
+                # state AS OF that event: ordered replay with incremental
+                # latest-value updates, exactly like the start_stop gate
+                # (reference scenario.py:148-157 saves on each message
+                # with the values current at that moment)
+                rows = (
+                    batch_df.select(
+                        F.col(topic_col).alias("t"),
+                        F.col(value_col).alias("v"),
+                        F.col(ts_col).alias("ts"),
+                    )
+                    .orderBy("ts")
+                    .collect()
+                )
+                for row in rows:
+                    self._latest[row["t"]] = row["v"]
+                    if row["t"] == watch:
+                        self.save()
 
         elif method == "start_stop":
             watch = self.scenario.collection["watch_topic"]
