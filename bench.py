@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk",
+    "ann_topk_partial",
     "ann_ivf",
     "text_quality",
     "text_stats",
