@@ -78,3 +78,54 @@ def test_full_encoding_table_roundtrip(spark):
     assert len(out) == len(ENCODINGS)
     for r in out:
         assert bytes(r["data"]) == bytes(r["orig"])  # byte-exact round trip
+
+
+def test_decode_compressed_with_registered_decoder(image_df):
+    """The decode pipeline is complete: registering a real decoder (here
+    zlib-of-raw-bytes standing in for a media codec) yields a decoded
+    {data, shape, dtype} struct per row."""
+    import zlib
+
+    from topic_store_spark.multimodal.binary import (
+        DECODERS,
+        compress_rasters,
+        decode_compressed,
+    )
+
+    DECODERS["zraw8"] = lambda b: np.frombuffer(zlib.decompress(b), np.uint8)
+    try:
+        packed = compress_rasters(image_df.filter("encoding = 'rgb8'"))
+        out = decode_compressed(packed, "zraw8").collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row["decoded"]["dtype"] == "uint8"
+        assert row["decoded"]["shape"] == [8 * 6 * 3]
+        orig = image_df.filter("encoding = 'rgb8'").first()["data"]
+        assert bytes(row["decoded"]["data"]) == bytes(orig)
+    finally:
+        DECODERS.pop("zraw8", None)
+
+
+def test_compress_decompress_rasters_roundtrip(image_df):
+    """F14 (reference sanitation.py:32-33 gated compression): zlib
+    payload compression round-trips bit-exactly; non-zlib rows pass
+    through decompression untouched."""
+    from topic_store_spark.multimodal.binary import (
+        EXPERIMENTAL_COMPRESSION_ENABLED,
+        compress_rasters,
+        decompress_rasters,
+    )
+
+    assert EXPERIMENTAL_COMPRESSION_ENABLED is False  # ships off, like ref
+
+    packed = compress_rasters(image_df)
+    assert set(r["codec"] for r in packed.select("codec").collect()) == {"zlib"}
+    restored = decompress_rasters(packed).collect()
+    orig = {r["img_id"]: bytes(r["data"]) for r in image_df.collect()}
+    for r in restored:
+        assert bytes(r["data"]) == orig[r["img_id"]]
+        assert r["codec"] == "raw"
+    # pass-through: decompress on uncompressed input leaves data alone
+    untouched = decompress_rasters(image_df).collect()
+    for r in untouched:
+        assert bytes(r["data"]) == orig[r["img_id"]]

@@ -172,13 +172,122 @@ def frame_sample(
     return df.filter((F.col(order_col) % every_n) == 0)
 
 
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.BinaryType()),
+        T.StructField("shape", T.ArrayType(T.IntegerType())),
+        T.StructField("dtype", T.StringType()),
+    ]
+)
+
+
 def decode_compressed(df: DataFrame, fmt: str, data_col: str = "data") -> DataFrame:
-    """Compressed-media decode: STUB until a decoder is registered
-    (container ships no cv2/PIL/ffmpeg)."""
+    """Compressed-media decode through a registered ``DECODERS`` entry
+    (``bytes -> np.ndarray``; self-describing formats like jpeg/png/wav
+    carry their own shape).  The container ships no cv2/PIL/ffmpeg, so
+    the media entries are ``None`` stubs — register a real callable and
+    this Arrow-batched pipeline is complete: each batch decodes row-wise
+    and emits a ``decoded {data, shape, dtype}`` struct alongside."""
     decoder = DECODERS.get(fmt)
     if decoder is None:
         raise NotImplementedError(
             f"no decoder registered for {fmt!r}; register one in "
             "topic_store_spark.multimodal.binary.DECODERS"
         )
-    raise NotImplementedError("custom decoder wiring not implemented yet")
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("decoded", _DECODED_SCHEMA)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = []
+            for data in pdf[data_col]:
+                if data is None:
+                    decoded.append(None)
+                    continue
+                arr = np.asarray(decoder(bytes(data)))
+                decoded.append(
+                    {
+                        "data": arr.tobytes(),
+                        "shape": list(arr.shape),
+                        "dtype": str(arr.dtype),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["decoded"] = decoded
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# F14: payload compression (parity: reference sanitation.py:32-33
+# EXPERIMENTAL_COMPRESSION_ENABLED gating sanitation.py:352-354/368/399
+# image<->compressed conversion).  The reference's codec is cv2 JPEG; here
+# the default is stdlib zlib — genuinely lossless, deterministic, and
+# available everywhere — applied executor-side over Arrow batches.  The
+# flag ships False exactly like the reference's.
+# ---------------------------------------------------------------------------
+
+EXPERIMENTAL_COMPRESSION_ENABLED = False  # reference sanitation.py:32-33
+
+
+def _codec_schema(df: DataFrame, codec_col: str) -> T.StructType:
+    fields = list(df.schema.fields)
+    if codec_col not in df.columns:
+        fields.append(T.StructField(codec_col, T.StringType()))
+    return T.StructType(fields)
+
+
+def compress_rasters(
+    df: DataFrame, data_col: str = "data", codec_col: str = "codec", level: int = 6
+) -> DataFrame:
+    """Lossless zlib compression of binary payloads; stamps ``codec_col``
+    = 'zlib'.  Raster metadata (height/width/encoding) stays in its own
+    columns, so decompression needs nothing beyond the row itself."""
+    import zlib
+
+    schema = _codec_schema(df, codec_col)
+    names = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[data_col] = [
+                None if d is None else zlib.compress(bytes(d), level)
+                for d in pdf[data_col]
+            ]
+            pdf[codec_col] = "zlib"
+            yield pdf[names]
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def decompress_rasters(
+    df: DataFrame, data_col: str = "data", codec_col: str = "codec"
+) -> DataFrame:
+    """Inverse of ``compress_rasters``: rows stamped 'zlib' are restored
+    bit-exactly; other rows pass through untouched."""
+    import zlib
+
+    schema = _codec_schema(df, codec_col)
+    names = [f.name for f in schema.fields]
+    has_codec = codec_col in df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            if not has_codec:
+                pdf[codec_col] = None
+            pdf[data_col] = [
+                zlib.decompress(bytes(d))
+                if d is not None and codec == "zlib"
+                else d
+                for d, codec in zip(pdf[data_col], pdf[codec_col])
+            ]
+            pdf[codec_col] = [
+                "raw" if c == "zlib" else c for c in pdf[codec_col]
+            ]
+            yield pdf[names]
+
+    return df.mapInPandas(run, schema=schema)
