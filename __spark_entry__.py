@@ -348,6 +348,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_find_mod_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 dialect corners: ``$mod`` divisor/remainder match + ``$not``
+    wrapping a ``$regex`` (reference database.py:193-204 passes the full
+    find dialect through to the server; here the compiler turns it into
+    Catalyst predicates that push to the scan)."""
+    from topic_store_spark.query import compile_query
+
+    docs = _t(spark, sf_dir, "documents")
+
+    query = {
+        "doc_id": {"$mod": [7, 3]},
+        "lang": {"$not": {"$regex": "^e"}},
+        "n_chars": {"$gte": 100},
+    }
+    return docs.filter(compile_query(query, docs.schema)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_salted_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-phase salted aggregation (operators/skew.py):
+    result-identical to a direct groupBy for algebraic aggregates, so the
+    oracle is the plain GROUP BY — the salting is pure physical-plan
+    insurance against hot keys."""
+    from topic_store_spark.operators.skew import salted_aggregate
+
+    events = _t(spark, sf_dir, "events")
+    milli = F.round(F.col("value") * 1000).cast("long")
+    prepared = events.select("user_id", milli.alias("milli"))
+    return salted_aggregate(
+        prepared,
+        ["user_id"],
+        {"n": ("count", "*"), "milli_sum": ("sum", "milli"),
+         "milli_max": ("max", "milli")},
+        salt_buckets=8,
+    )
+
+
 def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal normal form: opaque binary payload + typed metadata
     struct (media_type/size/sha256) — here the payload is the utf-8 bytes
@@ -794,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_pipeline_lookup": q_mongo_pipeline_lookup,
         "mongo_pipeline_bucket": q_mongo_pipeline_bucket,
         "mongo_sort_by_count": q_mongo_sort_by_count,
+        "mongo_find_mod_not": q_mongo_find_mod_not,
+        "salted_sessions": q_salted_sessions,
         "json_props": q_json_props,
         "objectid_sessions": q_objectid_sessions,
         "mongo_legacy_sessions": q_mongo_legacy_sessions,
@@ -1003,6 +1043,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang AS _id, count(*) AS count
         FROM documents GROUP BY 1
         ORDER BY count DESC, _id ASC
+    """
+
+    sql["mongo_find_mod_not"] = """
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE doc_id % 7 = 3
+          AND NOT regexp_matches(lang, '^e')
+          AND n_chars >= 100
+    """
+
+    sql["salted_sessions"] = """
+        SELECT user_id,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                 AS milli_sum,
+               max(CAST(round(value * 1000) AS BIGINT)) AS milli_max
+        FROM events GROUP BY 1
     """
 
     sql["json_props"] = """
