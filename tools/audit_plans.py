@@ -53,7 +53,7 @@ FULL_SCAN_OK = {
     "latest_snapshot", "windowed_rates", "sessionize", "set_except",
     "anti_join_incremental", "multimodal_stats", "redact_uris",
     "size_summary", "mongo_legacy_sessions", "mongo_sort_by_count",
-    "dedup_embedding", "tpch_q1_pricing",
+    "dedup_embedding", "tpch_q1_pricing", "salted_sessions",
     # $unwind's only Filter is the Mongo null/empty-array drop on the
     # computed $split column — nothing pushable exists in the query.
     "mongo_pipeline_unwind",
