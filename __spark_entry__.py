@@ -672,6 +672,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING: near-dup pairs -> connected components
+    (min-label propagation) -> one row per duplicate group with its
+    members.  The step that turns pairwise hits into "keep one document
+    per group" in a training-data pipeline.  Pairs come from the scale
+    path (MinHash band candidates, exact-Jaccard verified); the oracle is
+    ground truth — a DuckDB recursive CTE computing min-reachable-id over
+    the EXACT Jaccard pair relation, the same fixpoint the propagation
+    converges to.  At the sf0.01 gate LSH recall is 100% so the two
+    coincide exactly; at larger corpora banding may prune a few
+    borderline pairs (the standard LSH recall trade)."""
+    from topic_store_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, n=3, num_perm=12, bands=4, threshold_num=8, threshold_den=10
+    )
+    labels = connected_components(pairs)
+    members = F.array_sort(F.collect_list("node"))
+    return labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(
+            F.transform(members, lambda x: x.cast("string")), ","
+        ).alias("members_csv"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) band candidates, Hamming <= 3 verified."""
     from topic_store_spark.operators.dedup import simhash_pairs
@@ -858,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_char_jaccard": q_dedup_char_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1344,6 +1375,46 @@ def oracle_sql() -> dict[str, str]:
         + _SHINGLES
         + ","
         + _VERIFY_JACCARD.format(candidate_filter="")
+    )
+
+    # connected-components clustering over the verified Jaccard pairs:
+    # the recursive CTE computes min-reachable-id — the same fixpoint the
+    # Spark min-label propagation converges to
+    sql["dedup_clusters"] = (
+        "WITH RECURSIVE "
+        + _NEAR_CORPUS
+        + ","
+        + _SHINGLES
+        + r"""
+        ,
+        common AS (
+          SELECT a.doc AS a_doc, b.doc AS b_doc, count(*) AS common
+          FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT c.a_doc, c.b_doc
+          FROM common c
+          JOIN sizes sa ON sa.doc = c.a_doc
+          JOIN sizes sb ON sb.doc = c.b_doc
+          WHERE c.common * 10 >= 8 * (sa.sz + sb.sz - c.common)
+        ),
+        edges AS (
+          SELECT a_doc AS s, b_doc AS d FROM pairs
+          UNION
+          SELECT b_doc, a_doc FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        reach(node, m) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.node, e.d FROM reach r JOIN edges e ON e.s = r.m
+        ),
+        labels AS (SELECT node, min(m) AS component FROM reach GROUP BY 1)
+        SELECT component, count(*) AS n_members,
+               array_to_string(list_sort(list(node)), ',') AS members_csv
+        FROM labels GROUP BY 1
+    """
     )
 
     # full MinHash->LSH->verify pipeline, same md5 permutations / bands

@@ -220,3 +220,20 @@ def test_topk_partial_matches_window_topk_at_large_q(embeddings):
 
     plan = partial._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # no per-query global sort of scored pairs
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 4-node chain collapses to one component
+    even though no pair spans it directly; disjoint pairs stay separate;
+    every node labels with the minimum reachable id."""
+    from topic_store_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "a_doc long, b_doc long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}

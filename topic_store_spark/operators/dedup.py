@@ -449,3 +449,59 @@ def embedding_dup_pairs(
         )
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_doc",
+    b_col: str = "b_doc",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair relation — the
+    clustering step that turns pairwise near-dup hits into "keep one doc
+    per group": every document is labeled with the minimum doc id
+    reachable through dup edges (min-label propagation, the Hash-to-Min
+    family).  Returns ``(node, component)`` for every document that
+    appears in a pair; singletons are their own implicit components.
+
+    Scale shape: each iteration is one equi-join + groupBy-min over the
+    PAIR graph, which is orders of magnitude smaller than the corpus
+    (clusters are local).  Convergence takes diameter-of-largest-cluster
+    iterations; dup clusters are shallow, so this is small.  Lineage is
+    truncated per iteration with ``localCheckpoint`` — on a real cluster
+    point ``spark.sparkContext.setCheckpointDir`` at durable storage and
+    swap in ``checkpoint`` for executor-failure resilience.
+    """
+    e = pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels, edges["d"] == labels["node"]
+        ).select(F.col("s").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
