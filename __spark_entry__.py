@@ -653,6 +653,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact dedup (the APPLICATION step): corpus minus
+    duplicates, lowest-id survivor per fingerprint — one fingerprint
+    shuffle + a semi-join of survivors."""
+    from topic_store_spark.operators.dedup import deduplicate_exact
+
+    corpus = _docs_with_exact_dups(spark, sf_dir)
+    return deduplicate_exact(corpus).select("doc_id", "text")
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.8 via distinct-shingle self-join."""
     from topic_store_spark.operators.dedup import ngram_jaccard_pairs
@@ -889,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_char_jaccard": q_dedup_char_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_first": q_dedup_keep_first,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1365,6 +1376,21 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
         FROM corpus
         GROUP BY 1 HAVING count(*) > 1
+    """
+    )
+
+    sql["dedup_keep_first"] = (
+        "WITH "
+        + _EXACT_CORPUS
+        + r""",
+        fp AS (
+          SELECT doc_id, text,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS fingerprint
+          FROM corpus
+        )
+        SELECT doc_id, text FROM fp
+        QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
     """
     )
 

@@ -63,3 +63,25 @@ def test_system_fields_query(ragged):
     assert ragged.count({"_id": some_id}) == 1
     sessions = ragged.get_unique_sessions().collect()
     assert sessions and sessions[0]["count"] == 3
+
+
+def test_ragged_point_mutations(ragged):
+    """M2/M3 on the landing-zone container: by-id $set (incl. dotted path
+    creating nested keys), query-matched update_one, and point delete."""
+    target = ragged.find_one({"tag": "n1"})
+    doc_id = target["_id"]
+
+    ragged.update_one_by_id(doc_id, x=42, **{"nest.deep.v": 9, "new.leaf": "hi"})
+    got = json.loads(ragged.find_by_id(doc_id)["doc"])
+    assert got["x"] == 42
+    assert got["nest"]["deep"]["v"] == 9
+    assert got["new"]["leaf"] == "hi"
+    # other docs untouched
+    assert json.loads(ragged.find_one({"tag": "s"})["doc"])["x"] == "five"
+
+    # query-matched update through the shared Storage surface
+    assert ragged.update_one({"tag": "n2"}, {"$set": {"x": 1}}) == 1
+    assert json.loads(ragged.find_one({"tag": "n2"})["doc"])["x"] == 1
+
+    ragged.delete_by_id(doc_id)
+    assert ragged.count() == 2 and ragged.find_by_id(doc_id) is None

@@ -363,6 +363,46 @@ class RaggedParquetStorage(Storage):
             "append"
         ).parquet(self.path)
 
+    # -- mutation (M2/M3 parity on the landing-zone container) -----------
+    partition_by = None  # ragged landing zones are never hive-partitioned
+    _overwrite = ParquetStorage._overwrite  # same atomic directory swap
+
+    def update_one_by_id(self, document_id: str, **updates) -> None:
+        """``$set`` on the JSON payload: dotted keys create/replace nested
+        fields.  Only the matching row's JSON is parsed (Arrow batch scan
+        with a mask); the store swap is the usual atomic rename."""
+        df = self.to_df()
+        schema = df.schema
+
+        def rewrite(batches):
+            for pdf in batches:
+                mask = pdf["_id"] == document_id
+                if mask.any():
+                    rewritten = []
+                    for doc in pdf.loc[mask, "doc"]:
+                        tree = json.loads(doc)
+                        for key, value in updates.items():
+                            node = tree
+                            parts = key.split(".")
+                            for part in parts[:-1]:
+                                child = node.get(part)
+                                if not isinstance(child, dict):
+                                    child = {}
+                                    node[part] = child
+                                node = child
+                            node[parts[-1]] = value
+                        rewritten.append(
+                            json.dumps(tree, default=_json_default, sort_keys=True)
+                        )
+                    pdf = pdf.copy()
+                    pdf.loc[mask, "doc"] = rewritten
+                yield pdf
+
+        self._overwrite(df.mapInPandas(rewrite, schema))
+
+    def delete_by_id(self, document_id: str) -> None:
+        self._overwrite(self.to_df().filter(F.col("_id") != document_id))
+
     # -- schema-on-read query compilation --------------------------------
     SYSTEM_PREFIXES = ("_id", "_ts_meta")
 

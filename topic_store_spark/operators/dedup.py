@@ -74,6 +74,31 @@ def exact_duplicates(
     )
 
 
+def deduplicate_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialized exact dedup: the corpus with duplicates REMOVED —
+    the lowest-id document survives per normalized-text fingerprint.
+    This is the application step (``exact_duplicates`` is the report).
+
+    One shuffle on the fingerprint; ``min_by`` keeps map-side partials
+    (no window sort), then a semi-join-free select of the surviving rows
+    would need the full row — so the keeper id comes from the aggregate
+    and the original rows re-attach by id (broadcast-able when the
+    keeper set is small; AQE decides otherwise)."""
+    keep = (
+        df.select(
+            md5_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("_doc"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("_doc").alias("keep_id"))
+    )
+    return df.join(
+        keep.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+
 def _shingle_arrays(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
