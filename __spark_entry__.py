@@ -852,6 +852,68 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: corpus curation (contamination / funnel / balance)
+# ---------------------------------------------------------------------------
+
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination report: documents split by id parity
+    into a train corpus and an eval set; per eval doc, the fraction of
+    its distinct word-3-grams found anywhere in train.  The eval shingle
+    set broadcasts; the train side is scanned once, map-side shingled,
+    and never shuffles its full shingle relation."""
+    from topic_store_spark.operators.corpus import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_df = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(train, eval_df, n=3)
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cleaning funnel (total -> lang-ID agrees -> quality
+    gate -> exact-dedup keeper) over a corpus with constructed exact
+    duplicates so the keeper stage is non-trivial."""
+    from topic_store_spark.operators.corpus import quality_filter_funnel
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    clone = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.unionByName(clone)
+    return quality_filter_funnel(corpus, min_quality=0.5)
+
+
+def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: top-5 docs per source by quality score
+    (deterministic tie-break on doc_id) — the per-domain cap of a
+    web-scale corpus build.  One shuffle on the domain key."""
+    from topic_store_spark.operators.corpus import domain_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_topk(docs, domain_col="source", k=5)
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language in width-8 buckets — the
+    sequence-length planning rollup; pure partial-aggregate plan."""
+    from topic_store_spark.operators.corpus import token_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_histogram(docs, bucket_width=8)
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset duplication: pairs whose smaller shingle set is >=90%
+    contained in the other doc — catches quoted-paragraph reuse that
+    Jaccard under-scores.  Same keyed shingle self-join plan as
+    dedup_ngram_jaccard; only the threshold predicate differs."""
+    from topic_store_spark.operators.dedup import containment_pairs
+
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return containment_pairs(corpus, n=3, threshold_num=9, threshold_den=10)
+
+
+# ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
 
@@ -910,6 +972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
+        "contamination_ngram": q_contamination_ngram,
+        "quality_funnel": q_quality_funnel,
+        "domain_topk": q_domain_topk,
+        "token_histogram": q_token_histogram,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -1733,5 +1800,147 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
         FROM documents
     """
+
+    # word-3-gram shingle CTE body, parameterized by source relation
+    _sh3 = """
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 3
+                  THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                      for i in range(1, len(tk) - 1)])
+                  ELSE [] END AS sh
+      FROM {src}
+    """
+
+    sql["contamination_ngram"] = (
+        rf"""
+        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        evtok AS (SELECT doc_id, {ntok} AS tk FROM ev),
+        evsh AS ("""
+        + _sh3.format(src="evtok")
+        + rf"""),
+        evx AS (SELECT doc_id AS eval_doc, unnest(sh) AS shingle FROM evsh),
+        evsz AS (SELECT doc_id AS eval_doc, len(sh) AS n_shingles FROM evsh),
+        trtok AS (SELECT doc_id, {ntok} AS tk FROM tr),
+        trsh AS ("""
+        + _sh3.format(src="trtok")
+        + """),
+        trx AS (SELECT DISTINCT shingle
+                FROM (SELECT unnest(sh) AS shingle FROM trsh)),
+        hits AS (
+          SELECT eval_doc, count(*) AS n_contaminated
+          FROM evx JOIN trx USING (shingle)
+          GROUP BY eval_doc
+        )
+        SELECT s.eval_doc, s.n_shingles,
+               coalesce(h.n_contaminated, 0) AS n_contaminated,
+               CASE WHEN s.n_shingles = 0 THEN 0.0
+                    ELSE coalesce(h.n_contaminated, 0) / s.n_shingles END
+                 AS contamination
+        FROM evsz s LEFT JOIN hits h USING (eval_doc)
+    """
+    )
+
+    # quality score expression (identical operand order to
+    # functions/text.quality_score -> identical IEEE doubles)
+    _qexpr = """(0.4 * (n_alpha / n_chars)
+                 + 0.3 * (CASE WHEN n_tokens >= 5 AND n_chars >= 30
+                               THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (1.0 - least((n_punct / n_chars) * 5.0, 1.0)))"""
+    _qfeat = rf"""
+             length(text) AS n_chars,
+             len({ntok}) AS n_tokens,
+             len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
+             len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha"""
+
+    lang_score_cols = ",\n             ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS {lang}"
+        for lang, pat in _LANG_PATTERNS.items()
+    )
+    sql["quality_funnel"] = (
+        rf"""
+        WITH corpus AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+        ),
+        f AS (
+          SELECT doc_id, lang,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+             {lang_score_cols},
+             len(regexp_extract_all(text, '[一-龥]')) AS zh,"""
+        + _qfeat
+        + f"""
+          FROM corpus
+        ),
+        g AS (
+          SELECT lang, doc_id, fp,
+                 (CASE WHEN greatest(en, es, de, fr, zh) = 0 THEN 'und'
+                       {lang_cases}
+                       ELSE 'und' END) = lang AS lang_ok,
+                 {_qexpr} >= 0.5 AS q_ok,
+                 doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+          FROM f
+        )
+        SELECT lang,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lang_ok,
+               CAST(sum(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality_ok,
+               CAST(sum(CASE WHEN lang_ok AND q_ok AND keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survivors
+        FROM g
+        GROUP BY lang
+    """
+    )
+
+    sql["domain_topk"] = (
+        """
+        WITH f AS (
+          SELECT doc_id, source AS domain,"""
+        + _qfeat
+        + f"""
+          FROM documents
+        ),
+        s AS (SELECT domain, doc_id, {_qexpr} AS quality FROM f)
+        SELECT domain,
+               CAST(row_number() OVER (PARTITION BY domain
+                                       ORDER BY quality DESC, doc_id ASC)
+                    AS INT) AS rank,
+               doc_id, quality
+        FROM s
+        QUALIFY rank <= 5
+    """
+    )
+
+    sql["token_histogram"] = rf"""
+        SELECT lang,
+               CAST(floor(len({ntok}) / 8) AS BIGINT) * 8 AS bucket_lo,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY lang, bucket_lo
+    """
+
+    sql["dedup_containment"] = (
+        "WITH "
+        + _NEAR_CORPUS
+        + ","
+        + _SHINGLES
+        + """,
+        common AS (
+          SELECT a.doc AS a_doc, b.doc AS b_doc, count(*) AS common
+          FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT c.a_doc, c.b_doc, c.common,
+               least(sa.sz, sb.sz) AS min_sz,
+               c.common / least(sa.sz, sb.sz) AS containment
+        FROM common c
+        JOIN sizes sa ON sa.doc = c.a_doc
+        JOIN sizes sb ON sb.doc = c.b_doc
+        WHERE c.common * 10 >= 9 * least(sa.sz, sb.sz)
+    """
+    )
 
     return sql

@@ -1,0 +1,101 @@
+"""Corpus-curation operator tests: contamination, quality funnel,
+domain balancing, token histogram, containment — known-answer fixtures
+plus invariants on the real testdata tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import table
+from topic_store_spark.operators.corpus import (
+    domain_topk,
+    ngram_contamination,
+    quality_filter_funnel,
+    token_histogram,
+)
+from topic_store_spark.operators.dedup import containment_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def test_contamination_known_answer(spark):
+    """Eval doc 1 copies train doc 0 verbatim -> contamination 1.0;
+    eval doc 3 shares nothing -> 0.0; eval doc 5 shares a prefix."""
+    train = spark.createDataFrame(
+        [(0, "a b c d e f"), (2, "x y z w v u")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # identical to train doc 0
+            (3, "p q r s t"),            # disjoint
+            (5, "a b c zz yy xx"),       # shares exactly one 3-gram: "a b c"
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["eval_doc"]: r
+        for r in ngram_contamination(train, ev, n=3).collect()
+    }
+    assert rows[1]["contamination"] == 1.0
+    assert rows[3]["n_contaminated"] == 0 and rows[3]["contamination"] == 0.0
+    assert rows[5]["n_contaminated"] == 1
+    assert rows[5]["n_shingles"] == 4
+    assert rows[5]["contamination"] == 0.25
+
+
+def test_contamination_self_train_is_total(docs):
+    """Every doc's shingles are fully contained in a train set that
+    includes the doc itself."""
+    sample = docs.limit(30).select("doc_id", "text")
+    out = ngram_contamination(sample, sample, n=3)
+    assert out.filter(F.col("contamination") < 1.0).count() == 0
+
+
+def test_quality_funnel_nests(docs):
+    """Funnel stages must be monotonically non-increasing, and the
+    keeper stage must remove exactly the constructed duplicates."""
+    clone = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(clone)
+    out = quality_filter_funnel(corpus, min_quality=0.0).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_total"] >= r["n_lang_ok"] >= r["n_quality_ok"] >= r["n_survivors"]
+        # min_quality=0 disables the quality gate, so survivors are the
+        # lang-ok docs minus their exact clones (keep-first halves them)
+        assert r["n_survivors"] * 2 == r["n_quality_ok"]
+
+
+def test_domain_topk_cap_and_tiebreak(docs):
+    out = domain_topk(docs, domain_col="source", k=3).collect()
+    by_domain = {}
+    for r in out:
+        by_domain.setdefault(r["domain"], []).append(r)
+    for domain, rows in by_domain.items():
+        assert len(rows) <= 3
+        rows.sort(key=lambda r: r["rank"])
+        # rank order must agree with (quality desc, doc_id asc)
+        keys = [(-r["quality"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_token_histogram_totals(docs):
+    out = token_histogram(docs, bucket_width=8)
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    bad = out.filter((F.col("bucket_lo") % 8 != 0) | (F.col("bucket_lo") < 0))
+    assert bad.count() == 0
+
+
+def test_containment_catches_subset(spark):
+    """A quoted paragraph inside a longer page: low Jaccard, full
+    containment."""
+    page = "intro words here " + "the quick brown fox jumps over the lazy dog" + " outro trailing words down below the fold"
+    quote = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, page), (2, quote), (3, "completely unrelated content words")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(df, n=3, threshold_num=9, threshold_den=10).collect()
+    assert [(r["a_doc"], r["b_doc"]) for r in rows] == [(1, 2)]
+    assert rows[0]["containment"] == 1.0

@@ -57,6 +57,13 @@ FULL_SCAN_OK = {
     # $unwind's only Filter is the Mongo null/empty-array drop on the
     # computed $split column — nothing pushable exists in the query.
     "mongo_pipeline_unwind",
+    # full-corpus curation analytics: the only Filters are on computed
+    # columns (window rank / shingle-join keys / funnel flags), nothing
+    # pushable exists.  domain_topk's rank<=5 actually compiles to a
+    # map-side WindowGroupLimit (partial top-k before the shuffle).
+    "dedup_containment", "dedup_keep_first", "dedup_clusters",
+    "domain_topk", "quality_funnel", "token_histogram",
+    "ann_topk_partial",
 }
 
 

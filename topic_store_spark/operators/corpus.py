@@ -1,0 +1,214 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+contamination detection, quality-filter funnels, per-domain balancing,
+and token-length histograms.
+
+These are the pipeline steps that sit BETWEEN dedup (operators/dedup.py)
+and similarity search (operators/similarity.py) in a real pretraining
+data build: decide what leaks from eval sets, what survives quality
+gates, and how much of each domain to keep.
+
+Scale design notes (the plans below are written for a 1000-executor
+cluster reading the train side at ~100 TB):
+
+- ``ngram_contamination`` treats the EVAL side as small (benchmark
+  suites are MBs, not TBs) and broadcasts its shingle set; the train
+  corpus is scanned once, shingled map-side, and only MATCHED
+  (eval_doc, shingle) pairs ever enter a shuffle (count_distinct does
+  its dedup in partial aggregates).  The train side never shuffles its
+  full shingle relation anywhere.
+- ``quality_filter_funnel`` computes every per-doc flag in one
+  projection and needs exactly one shuffle (the fingerprint window for
+  the keep-first dedup stage); the final per-language rollup rides a
+  partial aggregate.
+- ``domain_topk`` is a per-domain window top-k: one shuffle on the
+  domain key.  With millions of domains the key space is wide and this
+  is the right plan; a single mega-domain is the classic skew case —
+  cap it upstream (``max_rows_per_key``-style) or salt via
+  operators/skew.py.
+- ``token_histogram`` is a pure two-key rollup — partial aggregates,
+  one small shuffle.
+
+All expressions are JVM-side (no Python UDFs) and every formula has an
+exact DuckDB twin in ``__spark_entry__.oracle_sql`` (integer-exact
+counts; ratios are double divisions of exact integers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from topic_store_spark.functions.hashing import md5_fingerprint
+from topic_store_spark.functions.text import (
+    language_id,
+    quality_score,
+    shingles_from_tokens,
+    token_count,
+    tokens,
+)
+from topic_store_spark.operators.util import ensure_parallelism
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, shs): distinct word-n-gram shingles per doc, tokens staged
+    through their own projection (perf contract of shingles_from_tokens)."""
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    return tk.select(
+        "doc", F.array_distinct(shingles_from_tokens(F.col("_tk"), n)).alias("shs")
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Train/eval n-gram overlap (decontamination report): for every eval
+    document, the fraction of its distinct word-``n``-grams that occur
+    anywhere in the training corpus.
+
+    The asymmetric-size plan: eval shingles are broadcast; the train
+    corpus is scanned once and shingled map-side (exploded, NOT
+    deduplicated — deduplicating the train shingle relation would cost a
+    full shuffle of the big side for nothing, since ``count_distinct``
+    on the joined output dedups in partial aggregates over the much
+    smaller match set).
+
+    Returns (eval_doc, n_shingles, n_contaminated, contamination).
+    """
+    ev = _doc_shingles(eval_df, text_col, id_col, n)
+    ev_sh = ev.select(
+        F.col("doc").alias("eval_doc"), F.explode("shs").alias("shingle")
+    )
+    ev_sz = ev.select(
+        F.col("doc").alias("eval_doc"), F.size("shs").alias("n_shingles")
+    )
+
+    tr_sh = (
+        _doc_shingles(train, text_col, id_col, n)
+        .select(F.explode("shs").alias("shingle"))
+    )
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("eval_doc")
+        .agg(F.count_distinct("shingle").alias("n_contaminated"))
+    )
+    # hits is bounded by the (small) eval side — broadcast the final
+    # attach so the report assembly never sort-merges
+    return (
+        ev_sz.join(F.broadcast(hits), "eval_doc", "left")
+        .select(
+            "eval_doc",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(F.col("n_shingles") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_shingles")
+            )
+            .alias("contamination"),
+        )
+    )
+
+
+def quality_filter_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Per-language survival funnel through the canonical cleaning
+    stages: total -> language-ID agrees with declared metadata ->
+    quality score >= threshold -> exact-dedup keeper (lowest id per
+    fingerprint).  Stages nest (each counts docs that passed ALL
+    previous stages), which is what makes the numbers read as a funnel.
+
+    One projection computes every per-doc flag; the only wide exchange
+    is the fingerprint window for the keeper flag (min over an unsorted
+    window — no sort, map-side partials).
+    """
+    flagged = ensure_parallelism(df).select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("_doc"),
+        md5_fingerprint(F.col(text_col)).alias("_fp"),
+        (language_id(F.col(text_col)) == F.col(lang_col)).alias("_lang_ok"),
+        (quality_score(F.col(text_col)) >= min_quality).alias("_q_ok"),
+    )
+    keeper = F.col("_doc") == F.min("_doc").over(Window.partitionBy("_fp"))
+    staged = flagged.withColumn("_keep", keeper)
+    n = F.lit(1)
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(n).alias("n_total"),
+            F.sum(F.when(F.col("_lang_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lang_ok"),
+            F.sum(F.when(F.col("_lang_ok") & F.col("_q_ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_quality_ok"),
+            F.sum(
+                F.when(
+                    F.col("_lang_ok") & F.col("_q_ok") & F.col("_keep"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_survivors"),
+        )
+    )
+
+
+def domain_topk(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Domain balancing: keep the top-``k`` documents per domain by
+    quality score (deterministic tie-break on id).  The per-domain cap
+    every web-scale corpus applies so no single crawl source dominates.
+
+    One shuffle on the domain key; ranking is a window ``row_number``.
+    Skew note: a mega-domain (half the corpus from one host) serializes
+    its partition — cap fan-in upstream or salt (operators/skew.py).
+    """
+    scored = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("domain", "rank", "doc_id", "quality")
+    )
+
+
+def token_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    bucket_width: int = 8,
+) -> DataFrame:
+    """Token-length distribution per language: fixed-width buckets over
+    the whitespace token count.  Pure rollup — partial aggregates, one
+    small shuffle on (lang, bucket)."""
+    bucket = (
+        F.floor(token_count(F.col(text_col)) / bucket_width) * bucket_width
+    ).cast("long")
+    return (
+        df.select(F.col(lang_col).alias("lang"), bucket.alias("bucket_lo"))
+        .groupBy("lang", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -189,6 +189,59 @@ def ngram_jaccard_pairs(
     return _jaccard_out(pairs, threshold_num, threshold_den)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs where the SMALLER document's n-gram set is >= threshold
+    contained in the union — containment = common / min(|A|, |B|).
+
+    Jaccard misses near-subset duplication (a paragraph quoted inside a
+    much longer page scores low Jaccard but containment ~1); this is the
+    standard asymmetric complement.  Identical keyed self-join plan to
+    ``ngram_jaccard_pairs`` — only the final threshold differs, and it
+    stays an exact cross-multiplied integer test."""
+    sh = _shingle_arrays(df, text_col, id_col, n)
+    shingles = sh.select("doc", F.explode("shs").alias("shingle"))
+    sizes = sh.select("doc", F.size("shs").alias("sz"))
+
+    joinable = shingles
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        joinable = shingles.join(
+            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+
+    left = joinable.select(F.col("doc").alias("a_doc"), "shingle")
+    right = joinable.select(F.col("doc").alias("b_doc"), "shingle")
+    common = (
+        left.join(right, "shingle")
+        .filter(F.col("a_doc") < F.col("b_doc"))
+        .groupBy("a_doc", "b_doc")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    pairs = (
+        common.join(sizes.withColumnsRenamed({"doc": "a_doc", "sz": "a_sz"}), "a_doc")
+        .join(sizes.withColumnsRenamed({"doc": "b_doc", "sz": "b_sz"}), "b_doc")
+        .withColumn("min_sz", F.least("a_sz", "b_sz"))
+    )
+    return pairs.filter(
+        F.col("common") * threshold_den >= threshold_num * F.col("min_sz")
+    ).select(
+        "a_doc",
+        "b_doc",
+        "common",
+        "min_sz",
+        (F.col("common") / F.col("min_sz")).alias("containment"),
+    )
+
+
 def char_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
