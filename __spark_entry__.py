@@ -200,6 +200,147 @@ def q_mongo_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_pipeline(docs, [{"$sortByCount": "$lang"}])
 
 
+def q_mongo_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $setWindowFields (Mongo 5 window functions) — documentNumber,
+    running sum over [unbounded, current], and $shift(-1), all compiled
+    to one Spark WindowExec pass (single exchange on user_id).  The
+    running sum quantizes to milli-units first so the prefix-sum doubles
+    are bit-identical across engines (same operands, same order)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    pipeline = [
+        {
+            "$addFields": {
+                "milli": {"$round": [{"$multiply": ["$value", 1000]}, 0]}
+            }
+        },
+        {
+            "$setWindowFields": {
+                "partitionBy": "$user_id",
+                "sortBy": {"ts": 1, "event_id": 1},
+                "output": {
+                    "doc_num": {"$documentNumber": {}},
+                    "running_milli": {
+                        "$sum": "$milli",
+                        "window": {"documents": ["unbounded", "current"]},
+                    },
+                    "prev_event": {
+                        "$shift": {"output": "$event_id", "by": -1, "default": -1}
+                    },
+                },
+            }
+        },
+    ]
+    return apply_pipeline(events, pipeline).select(
+        "user_id", "event_id", "doc_num", "running_milli", "prev_event"
+    )
+
+
+def q_mongo_replace_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $unset -> $addFields(nested doc) -> $replaceRoot -> $group —
+    document-reshaping stages around a rollup."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    pipeline = [
+        {"$unset": ["props", "value"]},
+        {"$addFields": {"doc": {"etype": "$event_type", "uid": "$user_id"}}},
+        {"$replaceRoot": {"newRoot": "$doc"}},
+        {
+            "$group": {
+                "_id": "$etype",
+                "n": {"$sum": 1},
+                "max_uid": {"$max": "$uid"},
+            }
+        },
+    ]
+    return apply_pipeline(events, pipeline).select("_id", "n", "max_uid")
+
+
+def q_mongo_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $sample — deterministic hash-ordered variant (md5 of _id), so
+    the sample is reproducible across runs and engines; compiles to
+    TakeOrderedAndProject (per-partition partial top-k, no full sort)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders")
+    pipeline = [
+        {
+            "$project": {
+                "_id": "$o_orderkey",
+                "total": "$o_totalprice",
+                "status": "$o_orderstatus",
+            }
+        },
+        {"$sample": {"size": 200}},
+    ]
+    return apply_pipeline(orders, pipeline)
+
+
+def q_mongo_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $facet — two sub-pipelines over the same input collapsed into
+    one summary row via $size / $arrayElemAt."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    pipeline = [
+        {
+            "$facet": {
+                "by_type": [{"$sortByCount": "$event_type"}],
+                "high": [
+                    {"$match": {"value": {"$gt": 400.0}}},
+                    {"$count": "n"},
+                ],
+            }
+        },
+        {
+            "$project": {
+                "n_types": {"$size": "$by_type"},
+                "n_high": {"$arrayElemAt": ["$high.n", 0]},
+            }
+        },
+    ]
+    return apply_pipeline(events, pipeline)
+
+
+def q_mongo_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $graphLookup — ancestor closure over the halving hierarchy
+    (parent = floor(doc_id / 2)), maxDepth 3, with a self-loop at the
+    root exercising the cycle guard.  One distributed equi-join per
+    depth level over DISTINCT start keys; oracle is a recursive CTE."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = apply_pipeline(
+        docs,
+        [{"$addFields": {"parent": {"$floor": {"$divide": ["$doc_id", 2]}}}}],
+    )
+    pipeline = [
+        {
+            "$graphLookup": {
+                "from": "base",
+                "startWith": "$parent",
+                "connectFromField": "parent",
+                "connectToField": "doc_id",
+                "as": "ancestry",
+                "maxDepth": 3,
+            }
+        },
+        {
+            "$project": {
+                "doc_id": 1,
+                "n_anc": {"$size": "$ancestry"},
+                "min_anc": {"$arrayElemAt": ["$ancestry.doc_id", 0]},
+                "max_anc": {"$arrayElemAt": ["$ancestry.doc_id", -1]},
+            }
+        },
+    ]
+    return apply_pipeline(base, pipeline, tables={"base": base}).select(
+        "doc_id", "n_anc", "min_anc", "max_anc"
+    )
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: JSON decode of the events.props payload + aggregation."""
     events = _t(spark, sf_dir, "events")
@@ -935,6 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_pipeline_bucket": q_mongo_pipeline_bucket,
         "mongo_sort_by_count": q_mongo_sort_by_count,
         "mongo_find_mod_not": q_mongo_find_mod_not,
+        "mongo_window_fields": q_mongo_window_fields,
+        "mongo_replace_root": q_mongo_replace_root,
+        "mongo_sample": q_mongo_sample,
+        "mongo_facet": q_mongo_facet,
+        "mongo_graph_lookup": q_mongo_graph_lookup,
         "salted_sessions": q_salted_sessions,
         "json_props": q_json_props,
         "objectid_sessions": q_objectid_sessions,
@@ -1160,6 +1306,61 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id % 7 = 3
           AND NOT regexp_matches(lang, '^e')
           AND n_chars >= 100
+    """
+
+    sql["mongo_window_fields"] = """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER w AS INT) AS doc_num,
+               sum(round(value * 1000)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_milli,
+               coalesce(lag(event_id) OVER w, -1) AS prev_event
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+    sql["mongo_replace_root"] = """
+        SELECT event_type AS _id,
+               count(*) AS n,
+               max(user_id) AS max_uid
+        FROM events GROUP BY 1
+    """
+
+    sql["mongo_sample"] = """
+        SELECT o_orderkey AS _id,
+               o_totalprice AS total,
+               o_orderstatus AS status
+        FROM orders
+        ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+        LIMIT 200
+    """
+
+    sql["mongo_facet"] = """
+        SELECT CAST((SELECT count(DISTINCT event_type) FROM events) AS INT)
+                 AS n_types,
+               (SELECT count(*) FROM events WHERE value > 400.0) AS n_high
+    """
+
+    sql["mongo_graph_lookup"] = """
+        WITH RECURSIVE base AS (
+          SELECT doc_id, CAST(floor(doc_id / 2) AS BIGINT) AS parent
+          FROM documents
+        ),
+        anc AS (
+          SELECT b.doc_id AS src, p.doc_id AS anc_id, p.parent AS nxt,
+                 0 AS depth
+          FROM base b JOIN base p ON p.doc_id = b.parent
+          UNION
+          SELECT a.src, p.doc_id, p.parent, a.depth + 1
+          FROM anc a JOIN base p ON p.doc_id = a.nxt
+          WHERE a.depth < 3
+        )
+        SELECT src AS doc_id,
+               CAST(count(DISTINCT anc_id) AS INT) AS n_anc,
+               min(anc_id) AS min_anc,
+               max(anc_id) AS max_anc
+        FROM anc GROUP BY src
     """
 
     sql["salted_sessions"] = """

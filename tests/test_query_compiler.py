@@ -299,3 +299,143 @@ def test_pipeline_out_and_merge(spark, tmp_path):
     assert sorted(r["n"] for r in rows) == [0, 1]
     leftovers = [p for p in tmp_path.iterdir() if ".tmp-" in p.name or ".old-" in p.name]
     assert leftovers == []
+
+
+def test_pipeline_unset_and_replace_root(spark):
+    df = spark.createDataFrame([(1, 2, "x")], "a int, b int, c string")
+    out = apply_pipeline(df, [{"$unset": ["b", "c"]}])
+    assert out.columns == ["a"]
+
+    out = apply_pipeline(
+        df,
+        [
+            {"$addFields": {"doc": {"aa": "$a", "bb": {"$add": ["$a", "$b"]}}}},
+            {"$replaceRoot": {"newRoot": "$doc"}},
+        ],
+    )
+    assert out.columns == ["aa", "bb"]
+    assert out.first().asDict() == {"aa": 1, "bb": 3}
+
+
+def test_pipeline_sample_deterministic(orders):
+    pipe = [
+        {"$project": {"_id": "$o_orderkey", "total": "$o_totalprice"}},
+        {"$sample": {"size": 7}},
+    ]
+    a = [r["_id"] for r in apply_pipeline(orders, pipe).collect()]
+    b = [r["_id"] for r in apply_pipeline(orders, pipe).collect()]
+    assert len(a) == 7 and a == b  # reproducible pseudo-random sample
+
+
+def test_pipeline_set_window_fields(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 5.0), ("u2", 1, 7.0)],
+        "uid string, seq int, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$uid",
+                    "sortBy": {"seq": 1},
+                    "output": {
+                        "n": {"$documentNumber": {}},
+                        "running": {
+                            "$sum": "$v",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "prev": {"$shift": {"output": "$v", "by": -1, "default": -1.0}},
+                        "part_total": {"$sum": "$v"},
+                    },
+                }
+            }
+        ],
+    )
+    rows = {(r["uid"], r["seq"]): r for r in out.collect()}
+    assert rows[("u1", 2)]["n"] == 2
+    assert rows[("u1", 3)]["running"] == 35.0
+    assert rows[("u1", 1)]["prev"] == -1.0
+    assert rows[("u1", 2)]["prev"] == 10.0
+    # no window + sortBy present -> Mongo default [unbounded, current]
+    assert rows[("u1", 3)]["part_total"] == 35.0
+    assert rows[("u2", 1)]["part_total"] == 7.0
+
+
+def test_pipeline_facet(events):
+    out = apply_pipeline(
+        events,
+        [
+            {
+                "$facet": {
+                    "by_type": [{"$sortByCount": "$event_type"}],
+                    "high": [
+                        {"$match": {"value": {"$gt": 400.0}}},
+                        {"$count": "n"},
+                    ],
+                }
+            },
+            {
+                "$project": {
+                    "n_types": {"$size": "$by_type"},
+                    "n_high": {"$arrayElemAt": ["$high.n", 0]},
+                }
+            },
+        ],
+    ).first()
+    n_types = events.select("event_type").distinct().count()
+    n_high = events.filter(F.col("value") > 400.0).count()
+    assert (out["n_types"], out["n_high"]) == (n_types, n_high)
+
+
+def test_pipeline_graph_lookup_ancestors(spark):
+    # chain 1 <- 2 <- 4 <- 8 with a self-loop at the root (cycle guard)
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 2), (8, 4), (9, 4)], "doc_id long, parent long"
+    )
+    out = apply_pipeline(
+        base,
+        [
+            {
+                "$graphLookup": {
+                    "from": "base",
+                    "startWith": "$parent",
+                    "connectFromField": "parent",
+                    "connectToField": "doc_id",
+                    "as": "ancestry",
+                    "maxDepth": 10,
+                    "depthField": "d",
+                }
+            }
+        ],
+        tables={"base": base},
+    )
+    rows = {r["doc_id"]: r["ancestry"] for r in out.collect()}
+    assert [(a["doc_id"], a["d"]) for a in rows[8]] == [(1, 2), (2, 1), (4, 0)]
+    # self-loop terminates: root's only ancestor is itself at depth 0
+    assert [(a["doc_id"], a["d"]) for a in rows[1]] == [(1, 0)]
+    assert [(a["doc_id"], a["d"]) for a in rows[9]] == [(1, 2), (2, 1), (4, 0)]
+
+
+def test_pipeline_graph_lookup_max_depth(spark):
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 2), (8, 4)], "doc_id long, parent long"
+    )
+    out = apply_pipeline(
+        base,
+        [
+            {
+                "$graphLookup": {
+                    "from": "base",
+                    "startWith": "$parent",
+                    "connectFromField": "parent",
+                    "connectToField": "doc_id",
+                    "as": "anc",
+                    "maxDepth": 0,
+                }
+            }
+        ],
+        tables={"base": base},
+    )
+    rows = {r["doc_id"]: [a["doc_id"] for a in r["anc"]] for r in out.collect()}
+    assert rows[8] == [4]  # depth 0 only: the immediate parent

@@ -2,9 +2,10 @@
 
 Parity (SURVEY §2.5 A4, reference database.py:206-217 pass-through):
 ``$match $project $group $sort $limit $skip $unwind $count $addFields
-$set`` with accumulator operators ``$sum $avg $min $max $first $last
-$push $addToSet`` and a value-expression language covering field refs
-(``"$a.b"``), literals, arithmetic, string ops and the date-part
+$set $unset $replaceRoot $replaceWith $sample $setWindowFields $facet
+$graphLookup`` with accumulator operators ``$sum $avg $min $max $first
+$last $push $addToSet`` and a value-expression language covering field
+refs (``"$a.b"``), literals, arithmetic, string ops and the date-part
 operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
 ``$second`` applied to ObjectId creation time).
@@ -103,6 +104,18 @@ def _compile_value_op(op: str, arg: Any) -> Column:
             get("minute", 0),
             get("second", 0).cast("double") + get("millisecond", 0) / 1000.0,
         )
+    if op == "$floor":
+        return F.floor(compile_value(arg))
+    if op == "$round":
+        if isinstance(arg, list):
+            value, place = compile_value(arg[0]), arg[1] if len(arg) > 1 else 0
+        else:
+            value, place = compile_value(arg), 0
+        return F.round(value, int(place))
+    if op == "$arrayElemAt":
+        array, idx = compile_value(arg[0]), int(arg[1])
+        # Mongo is 0-based (negative = from the end); element_at is 1-based
+        return F.element_at(array, idx + 1 if idx >= 0 else idx)
     if op == "$split":
         # Mongo $split is a literal-delimiter split; Spark's is regex
         if not (isinstance(arg[1], str) and not arg[1].startswith("$")):
@@ -202,6 +215,185 @@ def _compile_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return out
 
 
+_RANK_OPS = {
+    "$rank": F.rank,
+    "$denseRank": F.dense_rank,
+    "$documentNumber": F.row_number,
+}
+
+_FRAME_BOUNDS = {"unbounded": None, "current": 0}
+
+
+def _frame_bound(spec: Any, side: int) -> int:
+    """Mongo window bound -> Spark rowsBetween offset.  ``side`` is -1 for
+    the lower bound, +1 for the upper (picks the unbounded direction)."""
+    from pyspark.sql import Window as W
+
+    if spec == "unbounded":
+        return W.unboundedPreceding if side < 0 else W.unboundedFollowing
+    if spec == "current":
+        return W.currentRow
+    return int(spec)
+
+
+def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$setWindowFields``: Mongo 5 window functions -> Spark window
+    expressions.  Every output field is computed against the stage's
+    input in one ``select`` (same input-document rule as ``$project``).
+
+    Scale note: one exchange on the partition key (plus a sort within
+    partitions when ``sortBy`` is present) — exactly the plan a
+    hand-written ``Window.partitionBy`` gets; rank-family ops compile to
+    the same ``WindowExec`` and AQE still handles a skewed partition key
+    like any other window query.
+    """
+    from pyspark.sql import Window as W
+
+    part_expr = spec.get("partitionBy")
+    parts = [compile_value(part_expr)] if part_expr is not None else []
+    sort_by = spec.get("sortBy") or {}
+    order = [
+        path_col(k).asc() if direction >= 0 else path_col(k).desc()
+        for k, direction in sort_by.items()
+    ]
+    base = W.partitionBy(*parts)
+    sorted_base = base.orderBy(*order) if order else base
+
+    computed: dict[str, Column] = {}
+    for name, out_spec in spec["output"].items():
+        out_spec = dict(out_spec)
+        window = out_spec.pop("window", None)
+        if len(out_spec) != 1:
+            raise ValueError(f"bad $setWindowFields output for {name}")
+        op, arg = next(iter(out_spec.items()))
+        if op in _RANK_OPS:
+            if not order:
+                raise ValueError(f"{op} requires sortBy")
+            if window is not None:
+                raise ValueError(f"{op} does not accept a window")
+            computed[name] = _RANK_OPS[op]().over(sorted_base)
+            continue
+        if op == "$shift":
+            # by > 0 looks forward (lead), by < 0 backward (lag)
+            if not order:
+                raise ValueError("$shift requires sortBy")
+            by = int(arg.get("by", 1))
+            default = arg.get("default")
+            value = compile_value(arg["output"])
+            fn = F.lead(value, by) if by >= 0 else F.lag(value, -by)
+            computed[name] = (
+                F.coalesce(fn.over(sorted_base), F.lit(default))
+                if default is not None
+                else fn.over(sorted_base)
+            )
+            continue
+        if op == "$count":
+            agg = F.count(F.lit(1))
+        elif op in _ACCUMULATORS:
+            agg = _ACCUMULATORS[op](compile_value(arg))
+        else:
+            raise ValueError(f"unsupported $setWindowFields operator: {op}")
+        if window is not None:
+            lo, hi = window["documents"]
+            frame = sorted_base.rowsBetween(
+                _frame_bound(lo, -1), _frame_bound(hi, +1)
+            )
+        elif order:
+            # Mongo default with sortBy: unbounded preceding .. current
+            frame = sorted_base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        else:
+            frame = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        computed[name] = agg.over(frame)
+
+    cols = [
+        computed[c].alias(c) if c in computed else F.col(f"`{c}`")
+        for c in df.columns
+    ]
+    cols += [e.alias(n) for n, e in computed.items() if n not in df.columns]
+    return df.select(*cols)
+
+
+def _graph_lookup(
+    out: DataFrame, spec: dict[str, Any], tables: dict[str, DataFrame] | None
+) -> DataFrame:
+    """``$graphLookup``: BFS over ``from`` following
+    ``connectFromField -> connectToField`` edges, starting at
+    ``startWith``; attaches the set of reached documents as an array.
+
+    Plan shape: the traversal runs once per DISTINCT start key (results
+    depend only on the key, so rows sharing a key share the work), one
+    distributed equi-join per depth level.  The frontier shrinks by a
+    subtract against already-expanded keys, which is also the cycle
+    guard (Mongo detects cycles internally; reference README documents
+    the collection as a DAG of session documents).  The per-level
+    ``isEmpty`` is a driver-side check on an aggregated boolean — the
+    document sets themselves never reach the driver.
+    """
+    if not tables or spec["from"] not in tables:
+        raise ValueError(f"$graphLookup: unknown collection {spec.get('from')!r}")
+    foreign = tables[spec["from"]]
+    to_field, from_field = spec["connectToField"], spec["connectFromField"]
+    as_name = spec["as"]
+    depth_field = spec.get("depthField")
+    max_depth = int(spec.get("maxDepth", 20))
+
+    fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in foreign.columns])
+    edges = foreign.select(
+        path_col(to_field).alias("_gl_key"),
+        path_col(from_field).alias("_gl_next"),
+        fstruct.alias("_gl_doc"),
+    )
+
+    starts = out.select(compile_value(spec["startWith"]).alias("_gl_start"))
+    frontier = starts.distinct().select(
+        "_gl_start", F.col("_gl_start").alias("_gl_key")
+    )
+    expanded = frontier.select("_gl_start", "_gl_key").limit(0)
+    levels: list[DataFrame] = []
+    for depth in range(max_depth + 1):
+        matched = frontier.join(edges, "_gl_key").select(
+            "_gl_start", "_gl_doc", F.lit(depth).alias("_gl_depth"), "_gl_next"
+        )
+        levels.append(matched.select("_gl_start", "_gl_doc", "_gl_depth"))
+        expanded = expanded.union(frontier).distinct()
+        frontier = (
+            matched.select("_gl_start", F.col("_gl_next").alias("_gl_key"))
+            .distinct()
+            .subtract(expanded)
+        )
+        if depth < max_depth and frontier.isEmpty():
+            break
+
+    all_levels = levels[0]
+    for lv in levels[1:]:
+        all_levels = all_levels.union(lv)
+    # document SET per start key: first arrival (min depth) wins
+    reached = all_levels.groupBy("_gl_start", "_gl_doc").agg(
+        F.min("_gl_depth").alias("_gl_depth")
+    )
+    doc = (
+        F.col("_gl_doc").withField(depth_field, F.col("_gl_depth"))
+        if depth_field
+        else F.col("_gl_doc")
+    )
+    grouped = reached.select("_gl_start", doc.alias("_gl_doc")).groupBy(
+        "_gl_start"
+    ).agg(F.array_sort(F.collect_list("_gl_doc")).alias(as_name))
+    arr_type = grouped.schema[as_name].dataType.simpleString()
+    return (
+        out.join(
+            grouped,
+            compile_value(spec["startWith"]) == F.col("_gl_start"),
+            "left",
+        )
+        .drop("_gl_start")
+        .withColumn(
+            as_name,
+            F.coalesce(F.col(f"`{as_name}`"), F.array().cast(arr_type)),
+        )
+    )
+
+
 def apply_pipeline(
     df: DataFrame,
     pipeline: list[dict[str, Any]],
@@ -264,6 +456,51 @@ def apply_pipeline(
         elif op in ("$addFields", "$set"):
             # same input-document semantics as $project computed fields
             out = _attach_computed(out, spec)
+        elif op == "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            out = apply_projection(out, {f: 0 for f in fields})
+        elif op in ("$replaceRoot", "$replaceWith"):
+            root = compile_value(
+                spec["newRoot"] if op == "$replaceRoot" else spec
+            )
+            out = out.select(root.alias("_root")).select("_root.*")
+        elif op == "$sample":
+            # Deliberate deviation from Mongo's nondeterministic sample:
+            # a hash-ordered pseudo-random sample keyed on the document
+            # id, so reruns (and the DuckDB oracle) see the same rows —
+            # reproducibility is a feature in a data pipeline.  The
+            # ORDER BY md5 + LIMIT compiles to TakeOrderedAndProject:
+            # per-partition partial top-k, no full sort at scale.
+            if "_id" not in out.columns:
+                raise ValueError(
+                    "$sample requires an _id column (deterministic "
+                    "hash-ordered sampling; $project one first)"
+                )
+            key = F.md5(F.col("_id").cast("string"))
+            out = out.orderBy(key, F.col("_id")).limit(int(spec["size"]))
+        elif op == "$setWindowFields":
+            out = _compile_window_fields(out, spec)
+        elif op == "$facet":
+            # Each sub-pipeline runs over the SAME input; results land as
+            # one row of array<struct> fields.  Sub-results are
+            # array_sort-ed so the facet row is deterministic.
+            parts = []
+            for name, sub in spec.items():
+                sub_df = apply_pipeline(out, sub, tables)
+                sstruct = F.struct(
+                    *[F.col(f"`{c}`").alias(c) for c in sub_df.columns]
+                )
+                parts.append(
+                    sub_df.agg(
+                        F.array_sort(F.collect_list(sstruct)).alias(name)
+                    )
+                )
+            row = parts[0]
+            for p in parts[1:]:
+                row = row.crossJoin(p)
+            out = row
+        elif op == "$graphLookup":
+            out = _graph_lookup(out, spec, tables)
         elif op == "$group":
             out = _compile_group(out, spec)
         elif op == "$sort":
