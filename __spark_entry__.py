@@ -1043,6 +1043,42 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(docs, bucket_width=8)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition signals (Gopher-rules family): duplicate
+    2-gram fraction + top-2-gram fraction per document; two doc-keyed
+    shuffles with map-side partials."""
+    from topic_store_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs, n=2)
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based mixture sampling — per-domain keep rates
+    applied as a map-side predicate (zero shuffles for the sample
+    itself); rolled up per source for the contract."""
+    from topic_store_spark.operators.corpus import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = {"src0": 1.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
+    kept = mixture_sample(docs, weights)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 128-token context windows,
+    16-way sharded — one shuffle on the shard key, packing is
+    partition-parallel (never a global sort)."""
+    from topic_store_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, ctx=128, shards=16)
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-subset duplication: pairs whose smaller shingle set is >=90%
     contained in the other doc — catches quoted-paragraph reuse that
@@ -1123,6 +1159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "token_histogram": q_token_histogram,
         "dedup_containment": q_dedup_containment,
+        "text_repetition": q_text_repetition,
+        "mixture_sample": q_mixture_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2121,6 +2160,74 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                count(*) AS n_docs
         FROM documents
         GROUP BY lang, bucket_lo
+    """
+
+    sql["text_repetition"] = rf"""
+        WITH tok AS (SELECT doc_id, {ntok} AS tk FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) >= 2
+                             THEN [array_to_string(tk[i:i+1], ' ')
+                                   for i in range(1, len(tk))]
+                             ELSE [] END) AS gram
+          FROM tok
+        ),
+        cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        per AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_grams,
+                 count(*) AS n_distinct,
+                 max(c) AS top_freq
+          FROM cnt GROUP BY 1
+        )
+        SELECT d.doc_id AS doc,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_distinct, 0) AS n_distinct,
+               coalesce(p.top_freq, 0) AS top_freq,
+               CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                    ELSE 1.0 - p.n_distinct / p.n_grams END AS dup_frac,
+               CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
+                    ELSE p.top_freq / p.n_grams END AS top_frac
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    sql["mixture_sample"] = """
+        WITH rated AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 AS bucket,
+                 CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75
+                             ELSE 0.0 END AS rate
+          FROM documents
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM rated WHERE bucket < rate * 10000
+        GROUP BY source
+    """
+
+    sql["pack_sequences"] = rf"""
+        WITH t AS (
+          SELECT doc_id % 16 AS shard, doc_id AS doc,
+                 len({ntok}) AS n_tok
+          FROM documents
+        ),
+        placed AS (
+          SELECT shard, doc, n_tok,
+                 CAST(floor(coalesce(sum(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) / 128) AS BIGINT) AS window_id
+          FROM t
+        )
+        SELECT shard, window_id,
+               count(*) AS n_docs,
+               min(doc) AS first_doc,
+               CAST(sum(n_tok) AS BIGINT) AS tokens_started
+        FROM placed GROUP BY 1, 2
     """
 
     sql["dedup_containment"] = (

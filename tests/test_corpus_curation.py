@@ -99,3 +99,62 @@ def test_containment_catches_subset(spark):
     rows = containment_pairs(df, n=3, threshold_num=9, threshold_den=10).collect()
     assert [(r["a_doc"], r["b_doc"]) for r in rows] == [(1, 2)]
     assert rows[0]["containment"] == 1.0
+
+
+def test_repetition_known_answer(spark):
+    from topic_store_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x"), (3, "p q r")], ["doc_id", "text"]
+    )
+    rows = {r["doc"]: r for r in repetition_stats(df, n=2).collect()}
+    # "a b a b a b" -> 2-grams [ab, ba, ab, ba, ab]: 5 total, 2 distinct, top 3
+    assert rows[1]["n_grams"] == 5 and rows[1]["n_distinct"] == 2
+    assert rows[1]["top_freq"] == 3
+    assert rows[1]["dup_frac"] == 1.0 - 2 / 5
+    assert rows[1]["top_frac"] == 3 / 5
+    assert rows[2]["n_grams"] == 0 and rows[2]["dup_frac"] == 0.0
+    assert rows[3]["dup_frac"] == 0.0 and rows[3]["top_frac"] == 0.5
+
+
+def test_mixture_sample_deterministic_and_weighted(docs):
+    from topic_store_spark.operators.corpus import mixture_sample
+
+    weights = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    kept = mixture_sample(docs, weights).select("doc_id", "source")
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # reproducible
+    by_src = {r["source"] for r in kept.collect()}
+    assert "src1" not in by_src and "src3" not in by_src  # 0 / unknown drop
+    n_src0 = kept.filter(F.col("source") == "src0").count()
+    assert n_src0 == docs.filter(F.col("source") == "src0").count()
+    n_src2 = kept.filter(F.col("source") == "src2").count()
+    total_src2 = docs.filter(F.col("source") == "src2").count()
+    assert 0 < n_src2 < total_src2  # a strict, hash-chosen subset
+
+
+def test_pack_sequences_known_answer(spark):
+    from topic_store_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "t t t") for i in range(4)], ["doc_id", "text"]
+    )
+    rows = {
+        (r["shard"], r["window_id"]): r
+        for r in pack_sequences(df, ctx=4, shards=1).collect()
+    }
+    # cumulative-before: 0,3,6,9 -> windows 0,0,1,2
+    assert rows[(0, 0)]["n_docs"] == 2 and rows[(0, 0)]["first_doc"] == 0
+    assert rows[(0, 1)]["n_docs"] == 1 and rows[(0, 1)]["first_doc"] == 2
+    assert rows[(0, 2)]["n_docs"] == 1
+
+
+def test_pack_sequences_conservation(docs):
+    from topic_store_spark.operators.corpus import pack_sequences
+    from topic_store_spark.functions.text import token_count
+
+    out = pack_sequences(docs, ctx=128, shards=16)
+    total = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert out.agg(F.sum("tokens_started")).first()[0] == total
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()

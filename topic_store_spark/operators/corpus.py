@@ -212,3 +212,118 @@ def token_histogram(
         .groupBy("lang", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher-rules family):
+    duplicate word-``n``-gram fraction and most-frequent-``n``-gram
+    fraction per document.  High values flag boilerplate / degenerate
+    repetition that per-corpus dedup can't see.
+
+    Plan: explode grams WITH duplicates, count per (doc, gram), roll up
+    per doc — two keyed shuffles on the doc id, both with map-side
+    partials; the per-doc rollup input is already gram-deduplicated so
+    the second exchange moves at most |distinct grams| rows per doc.
+    Documents too short to have a gram come back with zeroed counts via
+    the final left join (broadcast decided by AQE; both sides are
+    doc-keyed).
+    """
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    grams = tk.select(
+        "doc", F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("gram")
+    )
+    per_gram = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_freq"),
+    )
+    base = df.select(F.col(id_col).alias("doc"))
+    return (
+        base.join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("top_freq", F.lit(0)).alias("top_freq"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(1.0 - F.col("n_distinct") / F.col("n_grams"))
+            .alias("dup_frac"),
+            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("top_freq") / F.col("n_grams"))
+            .alias("top_frac"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-based mixture sampling: keep a document iff
+    ``md5_bucket(id) < weight[domain] * 10000`` (bucket in [0, 10000)).
+    The standard way a pretraining mix up/down-weights sources while
+    staying reproducible run-to-run — no RNG state, no shuffle at all:
+    the decision is a map-side predicate on each row.
+
+    Unknown domains default to weight 0 (dropped).  Weights > 1 clamp to
+    keep-everything (use duplication factors upstream for true
+    oversampling).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    rate = F.lit(0.0)
+    for domain, w in sorted(weights.items()):
+        rate = F.when(F.col(domain_col) == domain, F.lit(float(w))).otherwise(rate)
+    return df.filter(bucket < rate * 10000)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ctx: int = 256,
+    shards: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing report: documents are
+    concatenated in id order WITHIN a shard and chunked into
+    ``ctx``-token context windows (documents may straddle windows —
+    exactly how pretraining packs with document concatenation).  Returns
+    one row per (shard, window) with occupancy stats for the windows
+    where documents start.
+
+    Plan: one shuffle on the shard key + an in-partition sort — packing
+    is embarrassingly parallel across shards, never a global sort.  The
+    running token prefix-sum is a window aggregation with map-side
+    ordering, and the final rollup rides the same partitioning.
+    """
+    shard = (F.col(id_col) % shards).alias("shard")
+    tk = ensure_parallelism(df).select(
+        shard, F.col(id_col).alias("doc"), token_count(F.col(text_col)).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = tk.withColumn(
+        "window_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / ctx).cast("long"),
+    )
+    return placed.groupBy("shard", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc").alias("first_doc"),
+        F.sum("n_tok").cast("long").alias("tokens_started"),
+    )
