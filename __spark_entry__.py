@@ -341,6 +341,82 @@ def q_mongo_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mongo_fill_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $fill — telemetry gap repair.  Every 5th reading is nulled,
+    then repaired two ways in one pass: locf (last observation carried
+    forward) and linear interpolation against the numeric sort key.
+    Two WindowExec passes over one exchange on user_id; interpolation
+    arithmetic uses identical operand order in both engines so the
+    doubles hash identically."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    events = _t(spark, sf_dir, "events")
+    gap = {
+        "$cond": [
+            {"$eq": [{"$mod": ["$event_id", 5]}, 0]},
+            None,
+            "$value",
+        ]
+    }
+    pipeline = [
+        {"$addFields": {"v_locf": gap, "v_lin": gap}},
+        {
+            "$fill": {
+                "partitionBy": "$user_id",
+                "sortBy": {"event_id": 1},
+                "output": {
+                    "v_locf": {"method": "locf"},
+                    "v_lin": {"method": "linear"},
+                },
+            }
+        },
+    ]
+    return apply_pipeline(events, pipeline).select(
+        "user_id", "event_id", "v_locf", "v_lin"
+    )
+
+
+def q_mongo_densify_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: $densify + $fill — complete per-language token histogram:
+    group into width-8 buckets, add filler docs for the empty buckets
+    over the full global range, zero-fill their counts.  The grid is
+    (range/step) x languages rows — the anti-join keys on (lang,
+    bucket) and the union appends a tiny relation."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    pipeline = [
+        {
+            "$project": {
+                "lang": 1,
+                "bucket": {
+                    "$multiply": [
+                        {
+                            "$floor": {
+                                "$divide": [
+                                    {"$size": {"$split": ["$text", " "]}},
+                                    8,
+                                ]
+                            }
+                        },
+                        8,
+                    ]
+                },
+            }
+        },
+        {"$group": {"_id": {"lang": "$lang", "bucket": "$bucket"}, "n": {"$sum": 1}}},
+        {
+            "$densify": {
+                "field": "bucket",
+                "partitionByFields": ["lang"],
+                "range": {"step": 8, "bounds": "full"},
+            }
+        },
+        {"$fill": {"output": {"n": {"value": 0}}}},
+    ]
+    return apply_pipeline(docs, pipeline).select("lang", "bucket", "n")
+
+
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12: JSON decode of the events.props payload + aggregation."""
     events = _t(spark, sf_dir, "events")
@@ -1117,6 +1193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_sample": q_mongo_sample,
         "mongo_facet": q_mongo_facet,
         "mongo_graph_lookup": q_mongo_graph_lookup,
+        "mongo_fill_telemetry": q_mongo_fill_telemetry,
+        "mongo_densify_histogram": q_mongo_densify_histogram,
         "salted_sessions": q_salted_sessions,
         "json_props": q_json_props,
         "objectid_sessions": q_objectid_sessions,
@@ -1400,6 +1478,60 @@ def oracle_sql() -> dict[str, str]:
                min(anc_id) AS min_anc,
                max(anc_id) AS max_anc
         FROM anc GROUP BY src
+    """
+
+    sql["mongo_fill_telemetry"] = """
+        WITH gappy AS (
+          SELECT user_id, event_id,
+                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+          FROM events
+        )
+        SELECT user_id, event_id,
+               last_value(v IGNORE NULLS) OVER fwd AS v_locf,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN last_value(v IGNORE NULLS) OVER fwd IS NULL
+                      OR first_value(v IGNORE NULLS) OVER bwd IS NULL
+                      THEN NULL
+                    ELSE last_value(v IGNORE NULLS) OVER fwd
+                         + (first_value(v IGNORE NULLS) OVER bwd
+                            - last_value(v IGNORE NULLS) OVER fwd)
+                           * ((CAST(event_id AS DOUBLE)
+                               - last_value(CASE WHEN v IS NOT NULL
+                                   THEN CAST(event_id AS DOUBLE) END
+                                   IGNORE NULLS) OVER fwd)
+                              / (first_value(CASE WHEN v IS NOT NULL
+                                   THEN CAST(event_id AS DOUBLE) END
+                                   IGNORE NULLS) OVER bwd
+                                 - last_value(CASE WHEN v IS NOT NULL
+                                     THEN CAST(event_id AS DOUBLE) END
+                                     IGNORE NULLS) OVER fwd))
+               END AS v_lin
+        FROM gappy
+        WINDOW fwd AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               bwd AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """
+
+    sql["mongo_densify_histogram"] = """
+        WITH h AS (
+          SELECT lang,
+                 CAST(floor(len(str_split(text, ' ')) / 8) AS BIGINT) * 8
+                   AS bucket,
+                 count(*) AS n
+          FROM documents GROUP BY 1, 2
+        ),
+        grid AS (
+          SELECT l.lang, g.bucket
+          FROM (SELECT DISTINCT lang FROM h) l
+          CROSS JOIN (
+            SELECT unnest(generate_series(
+              (SELECT min(bucket) FROM h),
+              (SELECT max(bucket) FROM h), 8)) AS bucket
+          ) g
+        )
+        SELECT g.lang, g.bucket, coalesce(h.n, 0) AS n
+        FROM grid g LEFT JOIN h USING (lang, bucket)
     """
 
     sql["salted_sessions"] = """

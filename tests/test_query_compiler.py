@@ -439,3 +439,84 @@ def test_pipeline_graph_lookup_max_depth(spark):
     )
     rows = {r["doc_id"]: [a["doc_id"] for a in r["anc"]] for r in out.collect()}
     assert rows[8] == [4]  # depth 0 only: the immediate parent
+
+
+def test_pipeline_fill_locf_linear_value(spark):
+    df = spark.createDataFrame(
+        [
+            ("u1", 0, 10.0, None),
+            ("u1", 2, None, None),
+            ("u1", 4, None, "x"),
+            ("u1", 6, 40.0, None),
+            ("u1", 8, None, None),
+            ("u2", 0, None, None),
+        ],
+        "uid string, k long, v double, s string",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$fill": {
+                    "partitionBy": "$uid",
+                    "sortBy": {"k": 1},
+                    "output": {
+                        "v": {"method": "linear"},
+                        "s": {"value": "missing"},
+                    },
+                }
+            }
+        ],
+    )
+    rows = {(r["uid"], r["k"]): r for r in out.collect()}
+    # linear: 10 at k=0, 40 at k=6 -> 20 at k=2, 30 at k=4
+    assert rows[("u1", 2)]["v"] == 20.0 and rows[("u1", 4)]["v"] == 30.0
+    assert rows[("u1", 8)]["v"] is None  # no extrapolation past last known
+    assert rows[("u2", 0)]["v"] is None  # partition with no known values
+    assert rows[("u1", 2)]["s"] == "missing" and rows[("u1", 4)]["s"] == "x"
+
+    locf = apply_pipeline(
+        df,
+        [
+            {
+                "$fill": {
+                    "partitionBy": "$uid",
+                    "sortBy": {"k": 1},
+                    "output": {"v": {"method": "locf"}},
+                }
+            }
+        ],
+    )
+    rows = {(r["uid"], r["k"]): r["v"] for r in locf.collect()}
+    assert rows[("u1", 4)] == 10.0 and rows[("u1", 8)] == 40.0
+
+
+def test_pipeline_densify(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 6, 7), ("b", 2, 9)], "g string, k long, v long"
+    )
+    # full bounds: global [0, 6] step 2 -> grid {0,2,4,6} per partition
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$densify": {
+                    "field": "k",
+                    "partitionByFields": ["g"],
+                    "range": {"step": 2, "bounds": "full"},
+                }
+            }
+        ],
+    )
+    rows = {(r["g"], r["k"]): r["v"] for r in out.collect()}
+    assert len(rows) == 8  # 4 grid values x 2 partitions
+    assert rows[("a", 0)] == 5 and rows[("a", 6)] == 7  # originals kept
+    assert rows[("a", 2)] is None and rows[("b", 6)] is None  # filler docs
+
+    # explicit [lo, hi) bounds without partitions
+    out2 = apply_pipeline(
+        df.select("k", "v"),
+        [{"$densify": {"field": "k", "range": {"step": 3, "bounds": [0, 9]}}}],
+    )
+    ks = sorted(r["k"] for r in out2.collect())
+    assert ks == [0, 2, 3, 6]  # originals 0,2,6 + grid-filler 3 (0,6 exist)

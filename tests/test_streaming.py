@@ -368,3 +368,40 @@ def test_socket_topic_stream_live_push(spark, tmp_path):
     # the first snapshot captured the camera value that had arrived by then
     saved = runner.storage.find({}).orderBy("_id").collect()
     assert saved[0]["sensors"]["cam"] == "img1"
+
+
+def test_session_window_stream(spark, tmp_path):
+    """Gap-based streaming sessionization: events within the gap merge
+    into one session; a quiet period opens a new one."""
+    from topic_store_spark.streaming.sessions import session_stream
+
+    src = tmp_path / "stream_src_sessions"
+    src.mkdir()
+    rows = [
+        {"user_id": "u1", "ts": "2024-01-01 00:00:01"},
+        {"user_id": "u1", "ts": "2024-01-01 00:00:20"},  # same session (gap 60s)
+        {"user_id": "u1", "ts": "2024-01-01 00:05:00"},  # new session
+        {"user_id": "u2", "ts": "2024-01-01 00:00:30"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("user_id string, ts timestamp").json(str(src))
+    q = (
+        session_stream(stream, gap="60 seconds", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        (r["user"], r["n_events"])
+        for r in spark.sql("select * from sessions_t").collect()
+    )
+    assert got == [("u1", 1), ("u1", 2), ("u2", 1)]
+    spans = {
+        (r["user"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in spark.sql("select * from sessions_t").collect()
+    }
+    start, end = spans[("u1", 2)]
+    assert start.second == 1 and (end - start).total_seconds() == 79.0

@@ -2,8 +2,8 @@
 
 Parity (SURVEY §2.5 A4, reference database.py:206-217 pass-through):
 ``$match $project $group $sort $limit $skip $unwind $count $addFields
-$set $unset $replaceRoot $replaceWith $sample $setWindowFields $facet
-$graphLookup`` with accumulator operators ``$sum $avg $min $max $first
+$set $unset $replaceRoot $replaceWith $sample $setWindowFields $fill
+$densify $facet $graphLookup`` with accumulator operators ``$sum $avg $min $max $first
 $last $push $addToSet`` and a value-expression language covering field
 refs (``"$a.b"``), literals, arithmetic, string ops and the date-part
 operators the reference's legacy session pipeline uses
@@ -106,6 +106,9 @@ def _compile_value_op(op: str, arg: Any) -> Column:
         )
     if op == "$floor":
         return F.floor(compile_value(arg))
+    if op == "$mod":
+        left, right = (compile_value(a) for a in arg)
+        return left % right
     if op == "$round":
         if isinstance(arg, list):
             value, place = compile_value(arg[0]), arg[1] if len(arg) > 1 else 0
@@ -187,9 +190,13 @@ def _compile_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     elif isinstance(key_expr, dict) and not any(
         k.startswith("$") for k in key_expr
     ):
-        keys = [compile_value(v).alias(str(k)) for k, v in key_expr.items()]
+        # scratch names so a key alias that shadows an input column (e.g.
+        # {"lang": "$lang"}) never creates a duplicate/ambiguous column
+        keys = [
+            compile_value(v).alias(f"_gk_{k}") for k, v in key_expr.items()
+        ]
         df = df.select(*keys, "*")
-        grouped = df.groupBy(*[f"`{k}`" for k in key_expr])
+        grouped = df.groupBy(*[f"_gk_{k}" for k in key_expr])
         key_cols = [str(k) for k in key_expr]
     else:
         df = df.withColumn("_id__group", compile_value(key_expr))
@@ -212,6 +219,8 @@ def _compile_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     out = grouped.agg(*aggs) if aggs else grouped.agg(F.count(F.lit(1)).alias("count"))
     if key_cols == ["_id__group"]:
         out = out.withColumnRenamed("_id__group", "_id")
+    elif key_cols:
+        out = out.withColumnsRenamed({f"_gk_{k}": k for k in key_cols})
     return out
 
 
@@ -311,6 +320,125 @@ def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     ]
     cols += [e.alias(n) for n, e in computed.items() if n not in df.columns]
     return df.select(*cols)
+
+
+def _compile_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$fill``: null repair over a sorted partition — ``locf`` (last
+    observation carried forward), ``linear`` interpolation against the
+    (numeric) sortBy key, or a constant ``value``.  The telemetry
+    gap-repair stage: one WindowExec pass per direction, no shuffle
+    beyond the partition exchange.
+    """
+    from pyspark.sql import Window as W
+
+    part_expr = spec.get("partitionBy")
+    parts = [compile_value(part_expr)] if part_expr is not None else []
+    sort_by = spec.get("sortBy") or {}
+    order = [
+        path_col(k).asc() if direction >= 0 else path_col(k).desc()
+        for k, direction in sort_by.items()
+    ]
+    base = W.partitionBy(*parts).orderBy(*order)
+    fwd = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    bwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+
+    computed: dict[str, Column] = {}
+    for name, method_spec in spec["output"].items():
+        col = path_col(name)
+        if "value" in method_spec:
+            computed[name] = F.coalesce(col, compile_value(method_spec["value"]))
+            continue
+        method = method_spec.get("method")
+        if method == "locf":
+            if not order:
+                raise ValueError("$fill locf requires sortBy")
+            computed[name] = F.last(col, ignorenulls=True).over(fwd)
+        elif method == "linear":
+            if len(sort_by) != 1:
+                raise ValueError("$fill linear requires exactly one sortBy field")
+            key = path_col(next(iter(sort_by))).cast("double")
+            prev_v = F.last(col, ignorenulls=True).over(fwd)
+            prev_k = F.last(
+                F.when(col.isNotNull(), key), ignorenulls=True
+            ).over(fwd)
+            next_v = F.first(col, ignorenulls=True).over(bwd)
+            next_k = F.first(
+                F.when(col.isNotNull(), key), ignorenulls=True
+            ).over(bwd)
+            # Mongo linear never extrapolates: nulls outside the first/last
+            # known values stay null
+            computed[name] = (
+                F.when(col.isNotNull(), col)
+                .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+                .otherwise(
+                    prev_v
+                    + (next_v - prev_v) * ((key - prev_k) / (next_k - prev_k))
+                )
+            )
+        else:
+            raise ValueError(f"unsupported $fill method: {method_spec!r}")
+
+    cols = [
+        computed[c].alias(c) if c in computed else F.col(f"`{c}`")
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def _compile_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$densify``: add documents for missing step values of a numeric
+    field.  The generated grid is tiny relative to the data ((range /
+    step) × partitions rows), so the anti-join that finds missing values
+    keys on (partition, field) and the union appends a small relation —
+    no full-data shuffle.
+    """
+    field = spec["field"]
+    part_fields = spec.get("partitionByFields") or []
+    rng = spec["range"]
+    step = rng["step"]
+    bounds = rng.get("bounds", "full")
+
+    # renamed projection so the grid-vs-data anti-join below is never an
+    # ambiguous self-join (grid and data share lineage)
+    existing = df.select(
+        *[path_col(p).alias(f"_dx_{p}") for p in part_fields],
+        path_col(field).alias("_dx_field"),
+    ).distinct()
+    parts_df = (
+        df.select(*[path_col(p).alias(p) for p in part_fields]).distinct()
+        if part_fields
+        else None
+    )
+
+    if bounds == "full":
+        lohi = df.agg(
+            F.min(path_col(field)).alias("_lo"), F.max(path_col(field)).alias("_hi")
+        )
+        grid_base = parts_df.crossJoin(F.broadcast(lohi)) if parts_df is not None else lohi
+    elif bounds == "partition":
+        if not part_fields:
+            raise ValueError("$densify bounds='partition' needs partitionByFields")
+        grid_base = df.groupBy(*[path_col(p).alias(p) for p in part_fields]).agg(
+            F.min(path_col(field)).alias("_lo"), F.max(path_col(field)).alias("_hi")
+        )
+    else:
+        lo, hi = bounds
+        one = df.sparkSession.range(1).select(
+            F.lit(lo).alias("_lo"), (F.lit(hi) - F.lit(step)).alias("_hi")
+        )
+        grid_base = parts_df.crossJoin(F.broadcast(one)) if parts_df is not None else one
+
+    grid = grid_base.select(
+        *[F.col(f"`{p}`") for p in part_fields],
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+        ).alias(field),
+    )
+    cond = F.col(f"`{field}`").eqNullSafe(F.col("_dx_field"))
+    for p in part_fields:
+        cond = cond & F.col(f"`{p}`").eqNullSafe(F.col(f"_dx_{p}"))
+    missing = grid.join(existing, cond, "left_anti")
+    return df.unionByName(missing, allowMissingColumns=True)
 
 
 def _graph_lookup(
@@ -480,6 +608,10 @@ def apply_pipeline(
             out = out.orderBy(key, F.col("_id")).limit(int(spec["size"]))
         elif op == "$setWindowFields":
             out = _compile_window_fields(out, spec)
+        elif op == "$fill":
+            out = _compile_fill(out, spec)
+        elif op == "$densify":
+            out = _compile_densify(out, spec)
         elif op == "$facet":
             # Each sub-pipeline runs over the SAME input; results land as
             # one row of array<struct> fields.  Sub-results are
