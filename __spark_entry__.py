@@ -1081,8 +1081,11 @@ def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topic_store_spark.operators.corpus import ngram_contamination
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    train = docs.filter(F.col("doc_id") % 2 == 0)
-    eval_df = docs.filter(F.col("doc_id") % 2 == 1)
+    # eval is 10% of the corpus — the realistic asymmetry (benchmark
+    # suites are MBs against a TB-scale train side); the broadcast side
+    # must stay small for the plan to be the right one
+    train = docs.filter(F.col("doc_id") % 10 != 1)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 1)
     return ngram_contamination(train, eval_df, n=3)
 
 
@@ -2185,8 +2188,8 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
 
     sql["contamination_ngram"] = (
         rf"""
-        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-        tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1),
+        tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 1),
         evtok AS (SELECT doc_id, {ntok} AS tk FROM ev),
         evsh AS ("""
         + _sh3.format(src="evtok")

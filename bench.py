@@ -50,6 +50,15 @@ HEADLINE = [
     "text_quality",
     "text_stats",
     "text_fingerprints",
+    # round 2: pipeline-dialect window/fill stages + corpus curation
+    "mongo_window_fields",
+    "mongo_fill_telemetry",
+    "text_repetition",
+    "pack_sequences",
+    "contamination_ngram",
+    "quality_funnel",
+    "domain_topk",
+    "mixture_sample",
 ]
 
 

@@ -106,8 +106,34 @@ def _hash_pdf_strict(pdf) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # CLI: [sf_dir] [query ...] with optional --sf DIR / --only a,b,c
+    # flag forms.  Unknown flags abort: a typo'd invocation must never
+    # report a vacuous "0 failures".
+    args = sys.argv[1:]
+    sf_dir, names = "/root/testdata/sf0.01", []
+    positional: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif a == "--only":
+            names.extend(args[i + 1].split(","))
+            i += 2
+        elif a.startswith("--"):
+            print(f"unknown flag: {a}", file=sys.stderr)
+            return 2
+        else:
+            positional.append(a)
+            i += 1
+    if positional:
+        sf_dir = positional[0]
+        names.extend(positional[1:])
+    only = set(names)
+    if not os.path.isdir(sf_dir):
+        print(f"sf_dir does not exist: {sf_dir}", file=sys.stderr)
+        return 2
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -132,6 +158,10 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -581,6 +581,13 @@ def apply_pipeline(
                     for name in computed:
                         proj[name] = 1
                 out = apply_projection(out, proj)
+            elif computed:
+                # computed-only $project is an INCLUSION projection in
+                # Mongo: only the computed fields (plus _id) survive
+                keep = list(computed)
+                if "_id" in out.columns and "_id" not in keep:
+                    keep = ["_id"] + keep
+                out = out.select(*[F.col(f"`{c}`") for c in keep])
         elif op in ("$addFields", "$set"):
             # same input-document semantics as $project computed fields
             out = _attach_computed(out, spec)
