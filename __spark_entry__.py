@@ -1122,6 +1122,20 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(docs, bucket_width=8)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: broadcast centroid assignment
+    into 8 clusters, then within-cluster quantized-cosine pairs >= 0.95
+    (cluster-keyed join — pair space sum(|cluster|^2), not n^2)."""
+    from topic_store_spark.operators.dedup import semantic_cluster_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.unionByName(clone)
+    return semantic_cluster_dedup(
+        both, centroids=emb.filter(F.col("vec_id") < 8)
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition signals (Gopher-rules family): duplicate
     2-gram fraction + top-2-gram fraction per document; two doc-keyed
@@ -1240,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_topk": q_domain_topk,
         "token_histogram": q_token_histogram,
         "dedup_containment": q_dedup_containment,
+        "dedup_semantic": q_dedup_semantic,
         "text_repetition": q_text_repetition,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2296,6 +2311,54 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         FROM documents
         GROUP BY lang, bucket_lo
     """
+
+    sql["dedup_semantic"] = (
+        """
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        ),
+        q0 AS (
+          SELECT vec_id, """
+        + _QUANT_EMB
+        + """ AS qv FROM corpus
+        ),
+        n0 AS (
+          SELECT vec_id, qv, """
+        + _INT_DOT.format(a="qv", b="qv")
+        + """ AS nrm FROM q0
+        ),
+        cen AS (SELECT vec_id AS cen_id, qv AS cen_qv, nrm AS cen_n
+                FROM n0 WHERE vec_id < 8),
+        assigned AS (
+          SELECT vec_id AS c_id, qv AS c_qv, nrm AS c_n, cen_id AS cluster_id
+          FROM (
+            SELECT c.vec_id, c.qv, c.nrm, cen.cen_id,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY """
+        + _INT_DOT.format(a="c.qv", b="cen.cen_qv")
+        + """ / sqrt(CAST(cen.cen_n AS DOUBLE)) DESC, cen.cen_id ASC) AS rn
+            FROM n0 c CROSS JOIN cen
+          ) WHERE rn = 1
+        ),
+        pairs AS (
+          SELECT a.cluster_id, a.c_id AS a_id, b.c_id AS b_id,
+                 """
+        + _INT_DOT.format(a="a.c_qv", b="b.c_qv")
+        + """ AS dot, a.c_n AS a_n, b.c_n AS b_n
+          FROM assigned a JOIN assigned b
+            ON a.cluster_id = b.cluster_id AND a.c_id < b.c_id
+        )
+        SELECT cluster_id, a_id, b_id,
+               dot / sqrt(CAST(a_n * b_n AS DOUBLE)) AS cosine_q
+        FROM pairs
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 10000
+              >= CAST(a_n AS HUGEINT) * b_n * 9025
+    """
+    )
 
     sql["text_repetition"] = rf"""
         WITH tok AS (SELECT doc_id, {ntok} AS tk FROM documents),

@@ -237,3 +237,27 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_semantic_cluster_dedup_matches_brute_within_cluster(spark, sf_dir):
+    """Every within-cluster pair found by brute force appears in the
+    clustered output with an identical cosine, and everything the
+    clustered path reports is a true >=0.95 pair."""
+    from tests.conftest import table
+    from topic_store_spark.operators.dedup import (
+        embedding_dup_pairs,
+        semantic_cluster_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clone = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.unionByName(clone)
+    sem = semantic_cluster_dedup(both, centroids=emb.filter(F.col("vec_id") < 8))
+    brute = embedding_dup_pairs(both)
+    sem_pairs = {(r["a_id"], r["b_id"]): r["cosine_q"] for r in sem.collect()}
+    brute_pairs = {(r["a_id"], r["b_id"]): r["cosine_q"] for r in brute.collect()}
+    # soundness: clustered output is a subset of the brute-force truth
+    for pair, cos in sem_pairs.items():
+        assert brute_pairs[pair] == cos
+    # recall on this corpus: near-identical vectors co-cluster
+    assert len(sem_pairs) / len(brute_pairs) >= 0.9

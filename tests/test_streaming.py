@@ -405,3 +405,45 @@ def test_session_window_stream(spark, tmp_path):
     }
     start, end = spans[("u1", 2)]
     assert start.second == 1 and (end - start).total_seconds() == 79.0
+
+
+def test_ingest_stream_two_level_dedup(spark, tmp_path):
+    """End-to-end ingest: in-stream redeliveries drop inside the
+    watermark; a second run replaying the same payload inserts nothing
+    (historical anti-join), so restarts never double-insert."""
+    import topic_store_spark as ts
+    from topic_store_spark.streaming.ingest import ingest_stream
+
+    store = ts.load(str(tmp_path / "ingested.parquet"), spark)
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    lines = [
+        json.dumps({"_id": i, "ts": f"2024-01-01 00:00:{s:02d}", "v": n})
+        for n, (i, s) in enumerate(
+            [("a", 1), ("b", 2), ("a", 3), ("c", 4), ("b", 5)]
+        )
+    ]
+    (src / "b1.json").write_text("\n".join(lines))
+    schema = "_id string, ts timestamp, v long"
+    seen = []
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            ingest_stream(
+                stream, store, on_batch=lambda bid, n: seen.append(n)
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+
+    run("ckpt1")
+    assert sorted(r["_id"] for r in store.to_df().collect()) == ["a", "b", "c"]
+    assert sum(seen) == 3
+
+    # fresh checkpoint -> full source replay -> anti-join drops everything
+    run("ckpt2")
+    assert sorted(r["_id"] for r in store.to_df().collect()) == ["a", "b", "c"]
+    assert sum(seen) == 3

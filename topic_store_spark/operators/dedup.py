@@ -38,7 +38,7 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from topic_store_spark.functions.hashing import (
@@ -583,3 +583,112 @@ def connected_components(
             break
     edges.unpersist()
     return labels
+
+
+def semantic_cluster_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: broadcast centroid
+    assignment partitions the corpus into clusters, near-dup pairs are
+    generated ONLY within a cluster (cluster-keyed equi-join), and each
+    candidate is verified with the exact cross-multiplied
+    quantized-cosine threshold.
+
+    The 100 TB shape of semantic dedup: pair space falls from n^2 to
+    sum(|cluster|^2), assignment is one broadcast pass (centroid count is
+    small by construction), and the only shuffle keys on cluster id.
+    Recall caveat (same as any single-assignment scheme): a near-dup pair
+    split across two clusters is missed — near-identical vectors have
+    near-identical centroid affinities, so this needs a boundary case
+    (affinity ties); multi-probe assignment (rn <= 2) is the standard
+    fix when that matters more than the pair-space saving.
+
+    Deterministic end-to-end (md5-free: affinity ranking uses exact
+    integer dots with ``cen_id`` tie-break), so the SQL oracle reproduces
+    the exact pair set.
+    """
+    from topic_store_spark.operators.similarity import _quantized
+
+    cen = _quantized(centroids, id_col, vec_col, "cen")
+    c = _quantized(ensure_parallelism(df), id_col, vec_col, "c")
+
+    def _dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # argmax via max(struct) instead of a row_number window: the partial
+    # aggregate reduces each vector's |centroids| candidate rows to one
+    # BEFORE the exchange, so the assignment shuffle moves n rows, not
+    # n x |centroids|, and needs no sort.  max over (aff, -cen_id) ==
+    # "affinity desc, cen_id asc" — same deterministic tie-break as the
+    # oracle's row_number.
+    aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+    best = F.max(
+        F.struct(
+            F.col("aff"),
+            (-F.col("cen_id")).alias("neg_cen"),
+            F.col("cen_id"),
+            F.col("c_qv"),
+            F.col("c_n"),
+        )
+    ).alias("best")
+    assigned = (
+        c.crossJoin(F.broadcast(cen))
+        .withColumn("aff", aff)
+        .groupBy("c_id")
+        .agg(best)
+        .select(
+            "c_id",
+            F.col("best.c_qv").alias("c_qv"),
+            F.col("best.c_n").alias("c_n"),
+            F.col("best.cen_id").alias("cluster_id"),
+        )
+    )
+    # both sides of the pair join consume the assignment — materialize it
+    # once (same pattern as minhash_lsh_pairs' two-consumer persist)
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    left = assigned.select(
+        F.col("c_id").alias("a_id"), F.col("c_qv").alias("a_qv"),
+        F.col("c_n").alias("a_n"), "cluster_id",
+    )
+    right = assigned.select(
+        F.col("c_id").alias("b_id"), F.col("c_qv").alias("b_qv"),
+        F.col("c_n").alias("b_n"), "cluster_id",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    return (
+        left.join(right, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast(dec) * F.col("dot").cast(dec) * (threshold_den**2)
+                >= F.col("a_n").cast(dec) * F.col("b_n").cast(dec) * (threshold_num**2)
+            )
+        )
+        .select(
+            "cluster_id",
+            "a_id",
+            "b_id",
+            (
+                F.col("dot")
+                / F.sqrt((F.col("a_n") * F.col("b_n")).cast("double"))
+            ).alias("cosine_q"),
+        )
+    )

@@ -20,3 +20,21 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def explode_nonempty(df: DataFrame, arr_col: str, out_name: str, *keep: str) -> DataFrame:
+    """``explode`` an expensive computed array column WITHOUT the plan
+    trap of plain ``explode``: Catalyst infers ``size(arr) > 0 AND
+    isnotnull(arr)`` from a generator and pushes that predicate below
+    projections and round-robin exchanges — re-evaluating the (non-cheap,
+    never-subexpression-eliminated) array expression up to three times
+    per row in the upstream stage, which at small-file scan parallelism
+    means on ONE core.  ``explode_outer`` infers no such filter; the
+    null-row drop afterwards references only the generator OUTPUT, which
+    can never be pushed below the Generate.  Semantics are identical:
+    empty/null arrays contribute no rows.
+    """
+    from pyspark.sql import functions as F
+
+    out = df.select(*keep, F.explode_outer(F.col(arr_col)).alias(out_name))
+    return out.filter(F.col(out_name).isNotNull())
