@@ -46,7 +46,7 @@ from topic_store_spark.functions.text import (
     token_count,
     tokens,
 )
-from topic_store_spark.operators.util import ensure_parallelism
+from topic_store_spark.operators.util import ensure_parallelism, explode_nonempty
 
 
 def _doc_shingles(
@@ -83,16 +83,15 @@ def ngram_contamination(
     Returns (eval_doc, n_shingles, n_contaminated, contamination).
     """
     ev = _doc_shingles(eval_df, text_col, id_col, n)
-    ev_sh = ev.select(
-        F.col("doc").alias("eval_doc"), F.explode("shs").alias("shingle")
+    ev_sh = explode_nonempty(ev, "shs", "shingle", "doc").withColumnRenamed(
+        "doc", "eval_doc"
     )
     ev_sz = ev.select(
         F.col("doc").alias("eval_doc"), F.size("shs").alias("n_shingles")
     )
 
-    tr_sh = (
-        _doc_shingles(train, text_col, id_col, n)
-        .select(F.explode("shs").alias("shingle"))
+    tr_sh = explode_nonempty(
+        _doc_shingles(train, text_col, id_col, n), "shs", "shingle"
     )
     hits = (
         tr_sh.join(F.broadcast(ev_sh), "shingle")
@@ -236,8 +235,11 @@ def repetition_stats(
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
-    grams = tk.select(
-        "doc", F.explode(shingles_from_tokens(F.col("_tk"), n)).alias("gram")
+    grams = explode_nonempty(
+        tk.select("doc", shingles_from_tokens(F.col("_tk"), n).alias("_shs")),
+        "_shs",
+        "gram",
+        "doc",
     )
     per_gram = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = per_gram.groupBy("doc").agg(

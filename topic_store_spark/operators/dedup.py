@@ -51,7 +51,7 @@ from topic_store_spark.functions.hashing import (
 )
 from topic_store_spark.functions.text import shingles_from_tokens, tokens
 from topic_store_spark.functions.vectors import int_self_dot, quantize_vector
-from topic_store_spark.operators.util import ensure_parallelism
+from topic_store_spark.operators.util import ensure_parallelism, explode_nonempty
 
 
 def exact_duplicates(
@@ -162,7 +162,7 @@ def ngram_jaccard_pairs(
     that share no shingle can never pass a positive threshold, so keying
     on shingle IS the pair pruning)."""
     sh = _shingle_arrays(df, text_col, id_col, n)
-    shingles = sh.select("doc", F.explode("shs").alias("shingle"))
+    shingles = explode_nonempty(sh, "shs", "shingle", "doc")
     sizes = sh.select("doc", F.size("shs").alias("sz"))
 
     joinable = shingles
@@ -207,7 +207,7 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` — only the final threshold differs, and it
     stays an exact cross-multiplied integer test."""
     sh = _shingle_arrays(df, text_col, id_col, n)
-    shingles = sh.select("doc", F.explode("shs").alias("shingle"))
+    shingles = explode_nonempty(sh, "shs", "shingle", "doc")
     sizes = sh.select("doc", F.size("shs").alias("sz"))
 
     joinable = shingles
@@ -264,7 +264,7 @@ def char_jaccard_pairs(
     sh = norm.select(
         "doc", F.array_distinct(char_shingles_from_norm(F.col("_nt"), n)).alias("shs")
     )
-    shingles = sh.select("doc", F.explode("shs").alias("shingle"))
+    shingles = explode_nonempty(sh, "shs", "shingle", "doc")
     sizes = sh.select("doc", F.size("shs").alias("sz"))
 
     joinable = shingles
@@ -327,8 +327,11 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sig.select(
-        "doc", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("band")
+    banded = explode_nonempty(
+        sig.select("doc", lsh_band_keys(F.col("sig"), bands, rows).alias("_bands")),
+        "_bands",
+        "band",
+        "doc",
     )
     cands = (
         banded.alias("x")
@@ -368,9 +371,14 @@ def simhash_pairs(
     from pyspark import StorageLevel
 
     groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = groups.select(
+    banded = explode_nonempty(
+        groups.select(
+            "sim",
+            simhash_long_band_keys(F.col("sim"), bits, band_bits).alias("_bands"),
+        ),
+        "_bands",
+        "band",
         "sim",
-        F.explode(simhash_long_band_keys(F.col("sim"), bits, band_bits)).alias("band"),
     )
     cand_sims = (
         banded.alias("x")
