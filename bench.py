@@ -59,6 +59,7 @@ HEADLINE = [
     "quality_funnel",
     "domain_topk",
     "mixture_sample",
+    "dedup_semantic",
 ]
 
 

@@ -64,6 +64,8 @@ FULL_SCAN_OK = {
     "dedup_containment", "dedup_keep_first", "dedup_clusters",
     "domain_topk", "quality_funnel", "token_histogram",
     "ann_topk_partial",
+    # centroid affinity / cosine thresholds are computed columns
+    "dedup_semantic",
 }
 
 
