@@ -1136,6 +1136,46 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split audit: assignment
+    is a map-side md5-bucket expression (reproducible, no coordination),
+    the only shuffle is the tiny (lang, split) rollup."""
+    from topic_store_spark.operators.corpus import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_split(docs, val_permille=100, test_permille=100)
+
+
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 salient terms (TF-IDF family, integer-exact
+    ranking: tf desc, df asc, term asc); TF/DF rollups with map-side
+    partials + a per-doc window top-k."""
+    from topic_store_spark.operators.corpus import salient_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return salient_terms(docs, k=3)
+
+
+def q_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts, top-20 — the counting
+    step of one BPE merge iteration; partial-aggregated rollup + global
+    TakeOrdered top-k (no full sort)."""
+    from topic_store_spark.operators.corpus import merge_pair_counts
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return merge_pair_counts(docs, k=20)
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of document length per language —
+    rank-at-ceil(p*n) under a total order, engine-unambiguous (no
+    interpolation); one shuffle on the stratum key."""
+    from topic_store_spark.operators.corpus import length_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_percentiles(docs, percentiles=(50, 90, 99))
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-doc repetition signals (Gopher-rules family): duplicate
     2-gram fraction + top-2-gram fraction per document; two doc-keyed
@@ -1255,6 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "dedup_containment": q_dedup_containment,
         "dedup_semantic": q_dedup_semantic,
+        "split_report": q_split_report,
+        "salient_terms": q_salient_terms,
+        "merge_pairs": q_merge_pairs,
+        "length_percentiles": q_length_percentiles,
         "text_repetition": q_text_repetition,
         "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
@@ -2387,6 +2431,79 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
                     ELSE p.top_freq / p.n_grams END AS top_frac
         FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+    sql["split_report"] = """
+        WITH assigned AS (
+          SELECT lang AS strata, doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000 AS bucket
+          FROM documents
+        )
+        SELECT strata,
+               CASE WHEN bucket < 100 THEN 'val'
+                    WHEN bucket < 200 THEN 'test'
+                    ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM assigned
+        GROUP BY 1, 2
+    """
+
+    sql["salient_terms"] = rf"""
+        WITH terms AS (
+          SELECT doc_id AS doc, unnest({ntok}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+        ),
+        ranked AS (
+          SELECT tf.doc, tf.term, tf.tf, dfreq.df_docs,
+                 row_number() OVER (
+                   PARTITION BY tf.doc
+                   ORDER BY tf.tf DESC, dfreq.df_docs ASC, tf.term ASC
+                 ) AS rank
+          FROM tf JOIN dfreq USING (term)
+        )
+        SELECT doc, rank, term, tf, df_docs,
+               tf * ((SELECT count(*) FROM documents) / df_docs) AS salience
+        FROM ranked WHERE rank <= 3
+    """
+
+    sql["merge_pairs"] = rf"""
+        WITH tok AS (SELECT doc_id, {ntok} AS tk FROM documents),
+        grams AS (
+          SELECT unnest(CASE WHEN len(tk) >= 2
+                             THEN [array_to_string(tk[i:i+1], ' ')
+                                   for i in range(1, len(tk))]
+                             ELSE [] END) AS pair
+          FROM tok
+        )
+        SELECT pair, count(*) AS n_occurrences
+        FROM grams GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC
+        LIMIT 20
+    """
+
+    sql["length_percentiles"] = """
+        WITH ranked AS (
+          SELECT lang AS strata, n_chars AS value,
+                 row_number() OVER (
+                   PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT strata,
+               max(n) AS n_docs,
+               max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+               max(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        FROM ranked GROUP BY strata
     """
 
     sql["mixture_sample"] = """

@@ -60,6 +60,10 @@ HEADLINE = [
     "domain_topk",
     "mixture_sample",
     "dedup_semantic",
+    "salient_terms",
+    "merge_pairs",
+    "length_percentiles",
+    "split_report",
 ]
 
 

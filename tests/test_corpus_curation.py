@@ -158,3 +158,69 @@ def test_pack_sequences_conservation(docs):
     total = docs.select(F.sum(token_count(F.col("text")))).first()[0]
     assert out.agg(F.sum("tokens_started")).first()[0] == total
     assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+
+def test_stratified_split_partitions_corpus(docs):
+    from topic_store_spark.operators.corpus import stratified_split
+
+    out = stratified_split(docs, val_permille=100, test_permille=100)
+    rows = out.collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # deterministic: identical on re-run
+    again = {(r["strata"], r["split"]): r["n_docs"] for r in out.collect()}
+    assert {(r["strata"], r["split"]): r["n_docs"] for r in rows} == again
+    # roughly 10% each for val/test (hash uniformity, wide tolerance)
+    n = docs.count()
+    for split in ("val", "test"):
+        got = sum(r["n_docs"] for r in rows if r["split"] == split)
+        assert 0.05 * n < got < 0.15 * n
+
+
+def test_salient_terms_prefers_rare_terms(spark):
+    from topic_store_spark.operators.corpus import salient_terms
+
+    df = spark.createDataFrame(
+        [
+            (0, "common common rare rare other"),
+            (1, "common x y z"),
+            (2, "common p q r"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["doc"], r["rank"]): r for r in salient_terms(df, k=2).collect()
+    }
+    # doc 0: 'rare' (tf=2, df=1) outranks 'common' (tf=2, df=3)
+    top = out[(0, 1)]
+    assert top["term"] == "rare" and top["tf"] == 2 and top["df_docs"] == 1
+    assert top["salience"] == 2 * (3 / 1)
+    assert out[(0, 2)]["term"] == "common"
+
+
+def test_merge_pair_counts_known_answer(spark):
+    from topic_store_spark.operators.corpus import merge_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b")], ["doc_id", "text"]
+    )
+    rows = merge_pair_counts(df, k=2).collect()
+    # pairs: doc0 -> (a b),(b a),(a b),(b c); doc1 -> (a b)
+    assert (rows[0]["pair"], rows[0]["n_occurrences"]) == ("a b", 3)
+    assert rows[1]["n_occurrences"] == 1 and rows[1]["pair"] == "b a"
+
+
+def test_length_percentiles_known_answer(spark):
+    from topic_store_spark.operators.corpus import length_percentiles
+
+    df = spark.createDataFrame(
+        [(i, "a", i) for i in range(1, 11)] + [(99, "b", 7)],
+        ["doc_id", "lang", "n_chars"],
+    )
+    out = {r["strata"]: r for r in length_percentiles(df).collect()}
+    a = out["a"]
+    # values 1..10: p50 = rank ceil(5.0) = 5, p90 = rank 9, p99 = rank 10
+    assert (a["p50"], a["p90"], a["p99"]) == (5, 9, 10)
+    assert a["n_docs"] == 10
+    b = out["b"]
+    assert (b["p50"], b["p90"], b["p99"]) == (7, 7, 7)

@@ -292,6 +292,168 @@ def mixture_sample(
     return df.filter(bucket < rate * 10000)
 
 
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment report: each document's
+    split comes from a hash bucket of its id (``md5 % 1000``), so the
+    split is reproducible run-to-run, stable under corpus growth
+    (existing docs never migrate), and needs NO coordination — the
+    decision is a map-side expression, the only shuffle is the tiny
+    (strata, split) rollup.
+
+    Returns one row per (strata, split) with counts and id bounds —
+    the audit table a data build publishes alongside the split.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < val_permille, F.lit("val"))
+        .when(bucket < val_permille + test_permille, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.select(
+            F.col(strata_col).alias("strata"),
+            split.alias("split"),
+            F.col(id_col).alias("_doc"),
+        )
+        .groupBy("strata", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("_doc").alias("min_doc"),
+            F.max("_doc").alias("max_doc"),
+        )
+    )
+
+
+def salient_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` salient terms, TF-IDF family: rank terms
+    by (term frequency desc, document frequency asc, term asc) — the
+    integer-exact ordering equivalent in spirit to tf·idf — and report
+    ``salience = tf * (N / df)`` for the survivors.
+
+    Plan: one explode + (doc, term) rollup for TF, a term-keyed rollup
+    for DF (both with map-side partials), a term-keyed equi-join to
+    attach DF (AQE broadcasts when the vocabulary is small; with a
+    web-scale vocabulary it stays a shuffle join, which is the right
+    plan), and a per-doc window top-k.  The corpus-size scalar rides a
+    broadcast cross join of a 1-row aggregate.
+    """
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    terms = explode_nonempty(tk, "_tk", "term", "doc")
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    total = df.select(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc",
+            "rank",
+            "term",
+            "tf",
+            "df_docs",
+            (F.col("tf") * (F.col("n_total") / F.col("df_docs"))).alias(
+                "salience"
+            ),
+        )
+    )
+
+
+def merge_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts, top-``k`` — exactly the
+    counting step of one BPE merge iteration (the candidate table a
+    tokenizer trainer reduces to its argmax).
+
+    Plan: token 2-grams explode WITH duplicates map-side, one keyed
+    rollup with partial aggregation (the corpus never shuffles raw
+    grams — partials collapse each partition's counts first), then a
+    global top-k that Spark executes as TakeOrdered: per-partition
+    partial top-k, no full sort, no single-partition window.  Ties
+    break on the pair string so the reported set is deterministic.
+    """
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    grams = explode_nonempty(
+        tk.select("doc", shingles_from_tokens(F.col("_tk"), 2).alias("_shs")),
+        "_shs",
+        "pair",
+    )
+    return (
+        grams.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact discrete percentiles of ``value_col`` per stratum: the
+    value at rank ``ceil(p/100 * n)`` under a total order
+    (value, id) — integer-exact, engine-unambiguous (no interpolation
+    arithmetic to diverge between engines).
+
+    Plan: one shuffle on the stratum key, an in-partition sort for the
+    rank window, and a per-stratum rollup.  The skew case is a single
+    giant stratum serializing its sort — at that scale switch to
+    ``percentile_approx`` (t-digest sketch, map-side mergeable) and keep
+    this exact form for the verification sample.
+    """
+    w_rank = Window.partitionBy("strata").orderBy(
+        F.col("value").asc(), F.col("_doc").asc()
+    )
+    w_all = Window.partitionBy("strata")
+    ranked = df.select(
+        F.col(strata_col).alias("strata"),
+        F.col(value_col).alias("value"),
+        F.col(id_col).alias("_doc"),
+    ).select(
+        "strata",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for p in percentiles:
+        target = F.expr(f"({p} * n + 99) div 100")
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("value"))).alias(f"p{p}")
+        )
+    return ranked.groupBy("strata").agg(*aggs)
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",
