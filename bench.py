@@ -99,37 +99,48 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     # Two interleaved rounds (AABB -> ABAB): a query's two samples land
     # minutes apart, so a transient host-load burst can spoil at most one
-    # of them.  Per-query result is the min.
+    # of them.  Per-query result is the min.  Every query is isolated in
+    # try/except so one failure can never zero the whole bench (the r2
+    # lesson): failures are recorded per-query and the JSON line is always
+    # emitted.
     for round_idx in range(2):
         for name in HEADLINE:
+            if name in errors:
+                continue
             fn = queries[name]
             # drop blocks persisted by prior queries so each measurement
             # starts from storage, not from another query's cache
             spark.catalog.clearCache()
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            # Execute the full plan; count() alone can prune work, so write
-            # to a no-op sink.
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = fn(spark, sf_dir)
+                # Execute the full plan; count() alone can prune work, so
+                # write to a no-op sink.
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - record, keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             el = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, el), el)
             if round_idx:
                 print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

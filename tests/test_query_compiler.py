@@ -441,6 +441,45 @@ def test_pipeline_graph_lookup_max_depth(spark):
     assert rows[8] == [4]  # depth 0 only: the immediate parent
 
 
+def test_pipeline_graph_lookup_skewed_fanout(spark):
+    """r2 verdict item 5: a hub node with a large fan-out (skewed frontier)
+    under a maxDepth bound — exercises the materialized-frontier iteration
+    and the count-gated broadcast on a worst-case-shaped graph."""
+    # hub (id 0) -> 200 children (1..200); each child -> 2 grandchildren
+    # (203..602); a few great-grandchildren exist below the depth bound
+    edges = (
+        [(c, 0) for c in range(1, 201)]
+        + [(200 + 2 * c + off, c) for c in range(1, 201) for off in (1, 2)]
+        + [(1000 + g, g) for g in range(203, 208)]
+    )
+    base = spark.createDataFrame(edges, "doc_id long, parent long")
+    starts = spark.createDataFrame([(0,)], "root long")
+    out = apply_pipeline(
+        starts,
+        [
+            {
+                "$graphLookup": {
+                    "from": "base",
+                    "startWith": "$root",
+                    "connectFromField": "doc_id",
+                    "connectToField": "parent",
+                    "as": "desc",
+                    "maxDepth": 1,
+                    "depthField": "d",
+                }
+            }
+        ],
+        tables={"base": base},
+    )
+    row = out.first()
+    by_depth: dict[int, int] = {}
+    for d in row["desc"]:
+        by_depth[d["d"]] = by_depth.get(d["d"], 0) + 1
+    # depth 0: the 200 direct children; depth 1: their 400 children;
+    # maxDepth=1 stops there even though deeper edges exist
+    assert by_depth == {0: 200, 1: 400}
+
+
 def test_pipeline_fill_locf_linear_value(spark):
     df = spark.createDataFrame(
         [
