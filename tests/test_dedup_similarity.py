@@ -239,6 +239,40 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain(spark):
+    """r2 verdict item 7: a 10k-node chain is the worst case for
+    label propagation (diameter = n); large-star/small-star contraction
+    must converge in O(log n) rounds and label every node with the true
+    minimum (0)."""
+    from topic_store_spark.operators.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).selectExpr("id AS a_doc", "id + 1 AS b_doc")
+    labels = connected_components(pairs)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("component").alias("n_comp"),
+        F.max("component").alias("max_comp"),
+    ).first()
+    assert (agg["n"], agg["n_comp"], agg["max_comp"]) == (n, 1, 0)
+
+
+def test_connected_components_giant_star_and_selfloop(spark):
+    """A giant star (hub = max id, the shape label propagation handles
+    worst when the hub is NOT the min) plus a self-loop-only node."""
+    from topic_store_spark.operators.dedup import connected_components
+
+    hub = 5_000
+    rows = [(hub, leaf) for leaf in range(3, 1000)] + [(7777, 7777)]
+    pairs = spark.createDataFrame(rows, "a_doc long, b_doc long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got[hub] == 3 and got[999] == 3 and got[3] == 3
+    assert got[7777] == 7777  # self-loop node labels itself
+    assert len(got) == (1000 - 3) + 2
+
+
 def test_semantic_cluster_dedup_matches_brute_within_cluster(spark, sf_dir):
     """Every within-cluster pair found by brute force appears in the
     clustered output with an identical cosine, and everything the

@@ -1,0 +1,241 @@
+"""rosbridge receiver (S6): websocket + TCP transports against scripted
+fake rosbridge servers, unit frame codec checks, and a ScenarioRunner
+end-to-end drive through the rosbridge-shaped source (model: reference
+store.py:17-44 live subscription)."""
+
+import base64
+import hashlib
+import json
+import socket
+import struct
+import threading
+import time
+
+import pytest
+
+from tests.test_streaming import scenario_dict
+from topic_store_spark.streaming import (
+    RosbridgeReceiver,
+    ScenarioFileParser,
+    ScenarioRunner,
+)
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+# ---------------------------------------------------------------------------
+# Scripted fake rosbridge servers (stdlib only, same protocol a real
+# rosbridge_websocket / rosbridge_tcp speaks)
+# ---------------------------------------------------------------------------
+
+
+def _ws_server_handshake(conn: socket.socket) -> None:
+    request = b""
+    while b"\r\n\r\n" not in request:
+        request += conn.recv(4096)
+    key = next(
+        line.split(b":", 1)[1].strip()
+        for line in request.split(b"\r\n")
+        if line.lower().startswith(b"sec-websocket-key:")
+    )
+    accept = base64.b64encode(
+        hashlib.sha1(key + _WS_GUID.encode()).digest()
+    ).decode()
+    conn.sendall(
+        (
+            "HTTP/1.1 101 Switching Protocols\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Accept: {accept}\r\n\r\n"
+        ).encode()
+    )
+
+
+def _ws_server_recv_text(conn: socket.socket) -> str:
+    """Read one (masked) client frame."""
+    b0, b1 = conn.recv(1)[0], conn.recv(1)[0]
+    assert b0 & 0x0F == 0x1 and b1 & 0x80  # text, masked
+    length = b1 & 0x7F
+    if length == 126:
+        (length,) = struct.unpack(">H", conn.recv(2))
+    elif length == 127:
+        (length,) = struct.unpack(">Q", conn.recv(8))
+    mask = conn.recv(4)
+    payload = b""
+    while len(payload) < length:
+        payload += conn.recv(length - len(payload))
+    return bytes(b ^ mask[i % 4] for i, b in enumerate(payload)).decode()
+
+
+def _ws_server_send_text(conn: socket.socket, payload: str) -> None:
+    data = payload.encode()
+    header = bytearray([0x81])
+    if len(data) < 126:
+        header.append(len(data))
+    else:
+        header.append(126)
+        header += struct.pack(">H", len(data))
+    conn.sendall(bytes(header) + data)
+
+
+def _publish_frame(topic: str, value: str, stamp_sec: float | None = None) -> str:
+    msg: dict = {"data": value}
+    if stamp_sec is not None:
+        msg["header"] = {
+            "stamp": {"secs": int(stamp_sec), "nsecs": int((stamp_sec % 1) * 1e9)}
+        }
+    return json.dumps({"op": "publish", "topic": topic, "msg": msg})
+
+
+class FakeRosbridge:
+    """One-connection scripted server; records subscribe ops, then sends
+    the given publish frames and holds the connection open."""
+
+    def __init__(self, transport: str, frames: list[str], n_subs: int):
+        self.transport = transport
+        self.frames = frames
+        self.n_subs = n_subs
+        self.subscribed: list[str] = []
+        self.ready = threading.Event()  # set once subscriptions arrived
+        self.stop = threading.Event()
+        self.server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.server.bind(("127.0.0.1", 0))
+        self.server.listen(1)
+        self.port = self.server.getsockname()[1]
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    @property
+    def uri(self) -> str:
+        scheme = "ws" if self.transport == "ws" else "tcp"
+        return f"{scheme}://127.0.0.1:{self.port}"
+
+    def _serve(self) -> None:
+        conn, _ = self.server.accept()
+        try:
+            if self.transport == "ws":
+                _ws_server_handshake(conn)
+                for _ in range(self.n_subs):
+                    self.subscribed.append(
+                        json.loads(_ws_server_recv_text(conn))["topic"]
+                    )
+                self.ready.set()
+                for frame in self.frames:
+                    _ws_server_send_text(conn, frame)
+            else:
+                buf = b""
+                while buf.count(b'"subscribe"') < self.n_subs:
+                    buf += conn.recv(4096)
+                self.subscribed = [
+                    json.loads(line)["topic"]
+                    for line in buf.decode().splitlines()
+                    if line.strip()
+                ]
+                self.ready.set()
+                conn.sendall(("\n".join(self.frames) + "\n").encode())
+            self.stop.wait(60)
+        finally:
+            conn.close()
+            self.server.close()
+
+
+# ---------------------------------------------------------------------------
+# Receiver-level tests (no Spark): protocol + relay correctness per transport
+# ---------------------------------------------------------------------------
+
+
+def _drain_relay(rx: RosbridgeReceiver, n: int, timeout: float = 15.0) -> list[dict]:
+    client = socket.create_connection((rx.host, rx.port), timeout=timeout)
+    client.settimeout(timeout)
+    buf = b""
+    deadline = time.time() + timeout
+    while buf.count(b"\n") < n and time.time() < deadline:
+        buf += client.recv(4096)
+    client.close()
+    return [json.loads(line) for line in buf.decode().splitlines() if line]
+
+
+@pytest.mark.parametrize("transport", ["ws", "tcp"])
+def test_rosbridge_receiver_relays_publish_frames(transport):
+    frames = [
+        _publish_frame("/camera/image", "img1", stamp_sec=1700000000.25),
+        json.dumps({"op": "status", "level": "info"}),  # non-publish: dropped
+        _publish_frame("/camera/info", "snap!"),
+    ]
+    server = FakeRosbridge(transport, frames, n_subs=2)
+    rx = RosbridgeReceiver(server.uri, ["/camera/image", "/camera/info"]).start()
+    try:
+        assert server.ready.wait(10)
+        assert sorted(server.subscribed) == ["/camera/image", "/camera/info"]
+        rows = _drain_relay(rx, n=2)
+        assert [r["topic"] for r in rows] == ["/camera/image", "/camera/info"]
+        assert json.loads(rows[0]["value"]) == {
+            "data": "img1",
+            "header": {"stamp": {"nsecs": 250000000, "secs": 1700000000}},
+        }
+        # header.stamp wins over receive time
+        assert rows[0]["ts"] == "2023-11-14 22:13:20.250000"
+        assert rx.received == 2
+    finally:
+        server.stop.set()
+        rx.stop()
+
+
+def test_rosbridge_receiver_buffers_before_client_connects():
+    """Frames that arrive before Spark's socket source connects are
+    replayed on first connect (bounded buffer)."""
+    frames = [_publish_frame("/t", f"v{i}") for i in range(5)]
+    server = FakeRosbridge("tcp", frames, n_subs=1)
+    rx = RosbridgeReceiver(server.uri, ["/t"]).start()
+    try:
+        deadline = time.time() + 10
+        while rx.received < 5 and time.time() < deadline:
+            time.sleep(0.05)
+        assert rx.received == 5  # all relayed before any client existed
+        rows = _drain_relay(rx, n=5)
+        assert [json.loads(r["value"])["data"] for r in rows] == [
+            "v0", "v1", "v2", "v3", "v4",
+        ]
+    finally:
+        server.stop.set()
+        rx.stop()
+
+
+def test_rosbridge_rejects_unknown_scheme():
+    with pytest.raises(ValueError):
+        RosbridgeReceiver("http://x:1", ["/t"])
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: ScenarioRunner driven through the rosbridge websocket source
+# ---------------------------------------------------------------------------
+
+
+def test_scenario_runner_over_rosbridge_websocket(spark, tmp_path):
+    """S6 end-to-end (r2 verdict item 6): fake rosbridge websocket server
+    -> RosbridgeReceiver -> socket stream -> event-trigger ScenarioRunner;
+    one save per watch-topic message, snapshot holds the camera value."""
+    frames = [
+        _publish_frame("/camera/image", "img1"),
+        _publish_frame("/camera/info", "snap!"),
+        _publish_frame("/camera/info", "snap2"),
+    ]
+    server = FakeRosbridge("ws", frames, n_subs=2)
+    rx = RosbridgeReceiver(server.uri, ["/camera/image", "/camera/info"]).start()
+
+    scenario = ScenarioFileParser(scenario_dict(tmp_path, method="event"))
+    runner = ScenarioRunner(spark, scenario)
+    q = runner.run(
+        rx.stream(spark),
+        extra_trigger_kwargs={"processingTime": "1 second"},
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and runner.saved_count < 2:
+            time.sleep(0.5)
+    finally:
+        server.stop.set()
+        q.stop()
+        rx.stop()
+    assert runner.saved_count == 2
+    saved = runner.storage.find({}).orderBy("_id").collect()
+    assert json.loads(saved[0]["sensors"]["cam"])["data"] == "img1"

@@ -22,6 +22,24 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def materialize_iter(df: DataFrame) -> DataFrame:
+    """Materialize one step of an iterative algorithm, truncating lineage:
+    reliable ``checkpoint`` when the app configured a checkpoint dir (the
+    right choice on a real cluster — survives executor loss), else
+    ``localCheckpoint`` (executor-local storage; fine for local or
+    ephemeral jobs).  Without this, iteration k's action re-executes the
+    entire chain of previous iterations — O(k^2) work and an unbounded
+    plan."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # pragma: no cover - py4j surface differences
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def explode_nonempty(df: DataFrame, arr_col: str, out_name: str, *keep: str) -> DataFrame:
     """``explode`` an expensive computed array column WITHOUT the plan
     trap of plain ``explode``: Catalyst infers ``size(arr) > 0 AND

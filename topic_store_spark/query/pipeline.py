@@ -449,20 +449,9 @@ _GL_BROADCAST_MAX_ROWS = 500_000
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Truncate lineage for iterative algorithms: reliable ``checkpoint``
-    when the app configured a checkpoint dir (the right choice on a real
-    cluster — survives executor loss), else ``localCheckpoint`` (executor
-    storage; fine for local / ephemeral jobs).  Without this, each BFS
-    level's ``count`` re-executes the entire chain of previous levels —
-    O(depth^2) work and an unbounded plan."""
-    sc = df.sparkSession.sparkContext
-    try:
-        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
-    except Exception:  # pragma: no cover - py4j surface differences
-        has_dir = False
-    if has_dir:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    from topic_store_spark.operators.util import materialize_iter
+
+    return materialize_iter(df)
 
 
 def _graph_lookup(

@@ -7,11 +7,17 @@ from topic_store_spark.streaming.sources import (
     file_drop_topic_stream,
     socket_topic_stream,
 )
+from topic_store_spark.streaming.rosbridge import (
+    RosbridgeReceiver,
+    rosbridge_topic_stream,
+)
 
 __all__ = [
     "ScenarioFileParser",
     "ScenarioRunner",
     "LogPublicationListener",
+    "RosbridgeReceiver",
+    "rosbridge_topic_stream",
     "socket_topic_stream",
     "file_drop_topic_stream",
     "latest_values_stream",
