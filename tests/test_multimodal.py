@@ -129,3 +129,100 @@ def test_compress_decompress_rasters_roundtrip(image_df):
     untouched = decompress_rasters(image_df).collect()
     for r in untouched:
         assert bytes(r["data"]) == orig[r["img_id"]]
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs (multimodal/codecs.py): PNG + WAV upgrade F14 from
+# stub to working decode; JPEG/video stay NotImplementedError by design.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [((5, 7), "uint8"), ((5, 7, 3), "uint8"), ((4, 3, 4), "uint8"),
+     ((5, 7), "uint16"), ((3, 2, 3), "uint16"), ((6, 2, 2), "uint8")],
+)
+def test_png_roundtrip_all_filters(shape, dtype, filter_type):
+    from topic_store_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(hash((shape, dtype, filter_type)) % 2**31)
+    arr = (rng.random(shape) * np.iinfo(dtype).max).astype(dtype)
+    out = decode_png(encode_png(arr, filter_type=filter_type))
+    np.testing.assert_array_equal(out, arr)
+    assert out.dtype == arr.dtype
+
+
+def test_png_palette_and_errors():
+    import struct
+    import zlib
+
+    from topic_store_spark.multimodal.codecs import decode_png, encode_png
+
+    # hand-build a 2x2 palette image: indices [[0,1],[1,0]]
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    raw = bytes([0, 0, 1, 0, 1, 0])  # filter0 + row, filter0 + row
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = decode_png(png)
+    np.testing.assert_array_equal(
+        out, np.array([[[255, 0, 0], [0, 0, 255]], [[0, 0, 255], [255, 0, 0]]], "uint8")
+    )
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # interlace flag -> loud refusal, not a wrong image
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png_i = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_i)
+             + chunk(b"IDAT", zlib.compress(bytes(6))) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(png_i)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2), dtype="float32"))
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "int32", "float32", "float64"])
+def test_wav_roundtrip_formats(dtype):
+    from topic_store_spark.multimodal.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(42)
+    if dtype.startswith("float"):
+        arr = (rng.random((100, 2)) * 2 - 1).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, (100, 2)).astype(dtype)
+    out = decode_wav(encode_wav(arr, sample_rate=8000))
+    np.testing.assert_array_equal(out, arr)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_decode_compressed_png_wav_via_spark(spark):
+    """The mapInPandas decode path with the REAL codecs: payload bytes ->
+    decoded {data, shape, dtype} struct, exact pixels/samples back."""
+    from topic_store_spark.multimodal.codecs import (
+        decode_png, encode_png, encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = [(i, bytearray(encode_png((rng.random((4, 5, 3)) * 255).astype("uint8"),
+                                     filter_type=i % 5))) for i in range(6)]
+    df = spark.createDataFrame(imgs, "media_id long, data binary")
+    rows = decode_compressed(df, "png").orderBy("media_id").collect()
+    assert len(rows) == 6
+    for r in rows:
+        d = r["decoded"]
+        assert d["shape"] == [4, 5, 3] and d["dtype"] == "uint8"
+        np.testing.assert_array_equal(
+            np.frombuffer(bytes(d["data"]), "uint8").reshape(4, 5, 3),
+            decode_png(bytes(r["data"])),
+        )
+
+    wavs = [(0, bytearray(encode_wav(np.arange(64, dtype="int16").reshape(-1, 2))))]
+    wdf = spark.createDataFrame(wavs, "media_id long, data binary")
+    wrow = decode_compressed(wdf, "wav").first()["decoded"]
+    assert wrow["shape"] == [32, 2] and wrow["dtype"] == "int16"

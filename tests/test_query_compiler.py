@@ -559,3 +559,32 @@ def test_pipeline_densify(spark):
     )
     ks = sorted(r["k"] for r in out2.collect())
     assert ks == [0, 2, 3, 6]  # originals 0,2,6 + grid-filler 3 (0,6 exist)
+
+
+def test_type_operator(spark):
+    """$type by alias, numeric code, list, null alias, and objectId shape
+    (F8 family: ObjectIds here are 24-hex strings)."""
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "abc", None, "6a7e30e5a1c86c35087238e4"),
+            (2, None, "xyz", [1, 2], "not-an-oid"),
+        ],
+        "k long, d double, s string, arr array<int>, oid string",
+    )
+    def n(q):
+        return df.filter(compile_query(q, df.schema)).count()
+
+    assert n({"k": {"$type": "long"}}) == 2
+    assert n({"k": {"$type": 18}}) == 2          # numeric BSON code
+    assert n({"k": {"$type": "int"}}) == 0       # bigint is not int32
+    assert n({"k": {"$type": "number"}}) == 2
+    assert n({"d": {"$type": "double"}}) == 1    # null d doesn't match
+    assert n({"d": {"$type": "null"}}) == 1
+    assert n({"d": {"$type": ["double", "null"]}}) == 2
+    assert n({"arr": {"$type": "array"}}) == 1
+    assert n({"s": {"$type": "string"}}) == 2
+    assert n({"oid": {"$type": "objectId"}}) == 1  # 24-hex shape only
+    with pytest.raises(ValueError):
+        n({"k": {"$type": "javascriptWithScope"}})
+    with pytest.raises(ValueError):
+        n({"k": {"$type": 99}})

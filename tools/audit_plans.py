@@ -66,6 +66,10 @@ FULL_SCAN_OK = {
     "ann_topk_partial",
     # centroid affinity / cosine thresholds are computed columns
     "dedup_semantic",
+    # whole-corpus rollups (added late in r2, never allowlisted): the only
+    # Filters are explode_nonempty's generator-output null drop and (for
+    # salient_terms) the window rank<=k — nothing pushable exists.
+    "salient_terms", "merge_pairs",
 }
 
 

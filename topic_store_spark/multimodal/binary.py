@@ -41,12 +41,16 @@ ENCODINGS: dict[str, tuple[str, int]] = {
 }
 
 #: pluggable compressed-format decoders: name -> bytes -> np.ndarray.
-#: None marks a stub: the container has no media libs (register cv2/PIL/
-#: soundfile callables in a real deployment).
+#: png/wav are REAL stdlib+numpy codecs (multimodal/codecs.py); the
+#: remaining ``None`` entries are stubs — entropy-coded formats (JPEG,
+#: video) need cv2/PIL/ffmpeg, absent from this container; register a
+#: callable in a real deployment and nothing else changes.
+from topic_store_spark.multimodal.codecs import decode_png, decode_wav
+
 DECODERS: dict[str, Callable[[bytes], np.ndarray] | None] = {
     "jpeg": None,
-    "png": None,
-    "wav": None,
+    "png": decode_png,
+    "wav": decode_wav,
     "mp4_frames": None,
 }
 

@@ -126,8 +126,63 @@ def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column
             inner = col.rlike(_regex_to_rlike(value, None))
         return ~F.coalesce(inner, F.lit(False))
     if op == "$type":
-        raise NotImplementedError("$type is BSON-specific; schema is static here")
+        return _compile_type(col, value)
     raise ValueError(f"unsupported query operator: {op}")
+
+
+#: BSON type alias / numeric code -> predicate over ``typeof(col)``.
+#: Spark's schema is static, so a field has ONE engine type — but the
+#: check still runs through ``typeof`` so it works identically under the
+#: ragged (schema-on-read) resolver, and ``objectId`` adds the 24-hex
+#: shape test (ObjectIds here are hex strings, objectid.py:8-13).
+_BSON_TYPE_PREFIXES: dict[str, tuple[str, ...]] = {
+    "double": ("double", "float"),
+    "string": ("string",),
+    "object": ("struct<", "map<"),
+    "array": ("array<",),
+    "binData": ("binary",),
+    "objectId": ("string",),
+    "bool": ("boolean",),
+    "date": ("timestamp", "date"),
+    "int": ("int", "smallint", "tinyint"),
+    "long": ("bigint",),
+    "decimal": ("decimal(",),
+    "number": ("double", "float", "int", "smallint", "tinyint", "bigint",
+               "decimal("),
+}
+
+_BSON_TYPE_CODES = {
+    1: "double", 2: "string", 3: "object", 4: "array", 5: "binData",
+    7: "objectId", 8: "bool", 9: "date", 10: "null", 16: "int", 18: "long",
+    19: "decimal",
+}
+
+
+def _compile_type(col: Column, value: Any) -> Column:
+    """``$type``: match by BSON type alias/code (or a list of them).
+    Null-valued fields match only the ``null`` alias, per Mongo."""
+    aliases = value if isinstance(value, list) else [value]
+    out: Column | None = None
+    type_str = F.call_function("typeof", col)
+    for alias in aliases:
+        if isinstance(alias, int):
+            if alias not in _BSON_TYPE_CODES:
+                raise ValueError(f"$type: unknown BSON type code {alias}")
+            alias = _BSON_TYPE_CODES[alias]
+        if alias == "null":
+            cond = col.isNull()
+        else:
+            prefixes = _BSON_TYPE_PREFIXES.get(alias)
+            if prefixes is None:
+                raise ValueError(f"$type: unsupported BSON type {alias!r}")
+            match = F.lit(False)
+            for p in prefixes:
+                match = match | type_str.startswith(p)
+            cond = col.isNotNull() & match
+            if alias == "objectId":
+                cond = cond & col.cast("string").rlike("^[0-9a-fA-F]{24}$")
+        out = cond if out is None else (out | cond)
+    return out if out is not None else F.lit(False)
 
 
 def _is_operator_doc(value: Any) -> bool:
