@@ -243,3 +243,32 @@ def test_load_yaml_scenario_dispatch(spark, tmp_path):
     db_store = ts.load(str(db_path), spark)
     assert isinstance(db_store, MongoStorage)
     assert db_store.collection_name == "yaml_dispatch"
+
+
+def test_append_null_field_adopts_store_type(spark, tmp_path):
+    """A field that is null in the whole batch has no type evidence: it
+    must adopt the store's existing column type, not a string placeholder
+    that would wedge every later read (CANNOT_MERGE_SCHEMAS)."""
+    store = ParquetStorage(spark, str(tmp_path / "nulls.parquet"))
+    store.insert_one({"robot": {"x": 1.0}, "n": 1})
+    store.insert_one({"robot": {"x": 2.0}, "n": None})  # was the footgun
+    df = store.to_df()
+    assert dict(df.dtypes)["n"] == "bigint"
+    assert df.count() == 2
+    assert store.find({"n": {"$exists": False}}).count() == 1
+
+
+def test_append_conflicting_type_fails_at_write_time(spark, tmp_path):
+    """An append whose type genuinely conflicts must fail THE WRITE with
+    a clear error — never succeed and poison all subsequent reads."""
+    import pytest as _pytest
+
+    store = ParquetStorage(spark, str(tmp_path / "conflict.parquet"))
+    store.insert_one({"n": 1, "nested": {"v": 2.5}})
+    with _pytest.raises(ValueError, match="RaggedParquetStorage"):
+        store.insert_one({"n": "not a number"})
+    with _pytest.raises(ValueError, match="nested.v"):
+        store.insert_one({"nested": {"v": "also wrong"}})
+    # the store is still fully readable after the refused appends
+    assert store.to_df().count() == 1
+    assert store.find({"n": 1}).count() == 1

@@ -328,25 +328,87 @@ def merge_types(left: T.DataType, right: T.DataType) -> T.DataType:
     return T.StringType()  # ragged corpora fall back to string (variant-style)
 
 
-def infer_schema(documents: list[dict]) -> T.StructType:
+def infer_schema(
+    documents: list[dict], reference: T.StructType | None = None
+) -> T.StructType:
+    """Widening-merge schema over a batch of sanitized documents.
+
+    ``reference`` (e.g. an existing store's schema): a field that is
+    null in EVERY batch document carries no type evidence of its own —
+    it adopts the reference's type instead of the string placeholder, so
+    appending ``{"n": None}`` to a store where ``n`` is BIGINT stays
+    BIGINT instead of poisoning the store with an unmergeable STRING
+    file."""
     merged: T.DataType = T.NullType()
     for doc in documents:
         merged = merge_types(merged, _infer_type(doc))
     if not isinstance(merged, T.StructType):
         raise ValueError("documents must be dicts")
-    return _denull(merged)
+    return _denull(merged, reference)
 
 
-def _denull(dtype: T.DataType) -> T.DataType:
+def _denull(
+    dtype: T.DataType, ref: T.DataType | None = None
+) -> T.DataType:
     if isinstance(dtype, T.NullType):
-        return T.StringType()
+        return ref if ref is not None and not isinstance(ref, T.NullType) else T.StringType()
     if isinstance(dtype, T.ArrayType):
-        return T.ArrayType(_denull(dtype.elementType))
+        elem_ref = ref.elementType if isinstance(ref, T.ArrayType) else None
+        return T.ArrayType(_denull(dtype.elementType, elem_ref))
     if isinstance(dtype, T.StructType):
+        ref_fields = (
+            {f.name: f.dataType for f in ref.fields}
+            if isinstance(ref, T.StructType)
+            else {}
+        )
         return T.StructType(
-            [T.StructField(f.name, _denull(f.dataType), True) for f in dtype.fields]
+            [
+                T.StructField(f.name, _denull(f.dataType, ref_fields.get(f.name)), True)
+                for f in dtype.fields
+            ]
         )
     return dtype
+
+
+_INT_FAMILY = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_FAMILY = (T.FloatType, T.DoubleType)
+
+
+def schema_merge_conflicts(
+    existing: T.DataType, incoming: T.DataType, _path: str = ""
+) -> list[str]:
+    """Dotted paths where ``incoming`` cannot parquet-schema-merge with
+    ``existing`` (mirrors Spark's merge rules: identical types, widening
+    within the integer or float family, recursive struct/array/map;
+    everything else conflicts).  Used to fail an append at WRITE time —
+    an incompatible part file would otherwise poison every subsequent
+    read of the store with CANNOT_MERGE_SCHEMAS."""
+    a, b = existing, incoming
+    if a == b or isinstance(a, T.NullType) or isinstance(b, T.NullType):
+        return []
+    if isinstance(a, _INT_FAMILY) and isinstance(b, _INT_FAMILY):
+        return []
+    if isinstance(a, _FLOAT_FAMILY) and isinstance(b, _FLOAT_FAMILY):
+        return []
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        a_fields = {f.name: f.dataType for f in a.fields}
+        out: list[str] = []
+        for f in b.fields:
+            if f.name in a_fields:
+                out += schema_merge_conflicts(
+                    a_fields[f.name], f.dataType, f"{_path}{f.name}."
+                )
+        return out
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return schema_merge_conflicts(a.elementType, b.elementType, _path + "[].")
+    if isinstance(a, T.MapType) and isinstance(b, T.MapType):
+        return schema_merge_conflicts(
+            a.keyType, b.keyType, _path + "key."
+        ) + schema_merge_conflicts(a.valueType, b.valueType, _path + "value.")
+    return [
+        f"{_path.rstrip('.') or '<root>'}: "
+        f"{a.simpleString()} (store) vs {b.simpleString()} (incoming)"
+    ]
 
 
 def _coerce(value: Any, dtype: T.DataType) -> Any:

@@ -124,7 +124,10 @@ class ParquetStorage(Storage):
             d if isinstance(d, TopicStore) else TopicStore(d) for d in documents
         ]
         docs = [s.dict for s in stores]
-        schema = infer_schema(docs)
+        # all-null fields adopt the store's existing type (no evidence of
+        # their own), so {"n": None} appends cleanly to a BIGINT column
+        reference = self.to_df().schema if self._exists() else None
+        schema = infer_schema(docs, reference=reference)
         df = self.spark.createDataFrame(documents_to_rows(docs, schema), schema)
         self.write_df(df)
         return [s.id for s in stores]
@@ -136,6 +139,20 @@ class ParquetStorage(Storage):
             df = externalize_blobs(
                 df, self.blob_dir, threshold=self.blob_threshold or DEFAULT_THRESHOLD
             )
+        if self._exists():
+            # guard runs on the FINAL written shape (after blob pointer
+            # rewrite): an incompatible part file would poison every
+            # subsequent read, so refuse the write instead
+            from topic_store_spark.codec import schema_merge_conflicts
+
+            conflicts = schema_merge_conflicts(self.to_df().schema, df.schema)
+            if conflicts:
+                raise ValueError(
+                    "append would corrupt the store (subsequent reads fail "
+                    "with CANNOT_MERGE_SCHEMAS): incompatible column types "
+                    f"{conflicts}; cast the data, or use RaggedParquetStorage "
+                    "for structurally heterogeneous corpora"
+                )
         writer = df.write.mode("append")
         if self.partition_by:
             missing = [c for c in self.partition_by if c not in df.columns]
