@@ -588,3 +588,58 @@ def test_type_operator(spark):
         n({"k": {"$type": "javascriptWithScope"}})
     with pytest.raises(ValueError):
         n({"k": {"$type": 99}})
+
+
+def test_expr_elemmatch_all(spark):
+    """$expr (aggregation expression in a find filter), $elemMatch
+    (operator-doc and query-doc forms), and $all."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, 4, [1, 5, 9], [(2, "a"), (7, "b")]),
+            (2, 3, 8, [2, 3], [(1, "a")]),
+            (3, 6, 6, [], []),
+        ],
+        "k long, x long, y long, xs array<long>, "
+        "objs array<struct<n:long, tag:string>>",
+    )
+    def keys(q):
+        return sorted(r["k"] for r in df.filter(compile_query(q, df.schema)).collect())
+
+    assert keys({"$expr": {"$gt": ["$x", "$y"]}}) == [1]
+    assert keys({"$expr": {"$eq": ["$x", "$y"]}}) == [3]
+    assert keys({"xs": {"$elemMatch": {"$gte": 5, "$lt": 9}}}) == [1]
+    assert keys({"objs": {"$elemMatch": {"n": {"$gt": 5}, "tag": "b"}}}) == [1]
+    assert keys({"objs": {"$elemMatch": {"tag": "a"}}}) == [1, 2]
+    assert keys({"xs": {"$all": [1, 9]}}) == [1]
+    assert keys({"xs": {"$all": [2]}}) == [2]
+
+
+def test_pipeline_union_with(spark):
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([(2, "y", 9.5)], "id long, v string, extra double")
+    out = apply_pipeline(
+        a, [{"$unionWith": {"coll": "b", "pipeline": [{"$match": {"id": {"$gte": 0}}}]}}],
+        tables={"b": b},
+    )
+    rows = {r["id"]: (r["v"], r["extra"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9.5)}  # null-filled missing col
+    with pytest.raises(ValueError):
+        apply_pipeline(a, [{"$unionWith": "missing"}], tables={"b": b})
+
+
+def test_pipeline_bucket_auto(spark):
+    """$bucketAuto: ~equal-count buckets, Mongo {min,max} _id chaining
+    (max of bucket k = min of bucket k+1; global max last)."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(12)], "k long, v double")
+    out = apply_pipeline(
+        df,
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                          "output": {"count": {"$sum": 1}, "vmax": {"$max": "$v"}}}}],
+    ).collect()
+    assert len(out) == 3
+    assert [r["count"] for r in out] == [4, 4, 4]
+    # boundary chaining: each bucket's _id.max is the next bucket's _id.min
+    for cur, nxt in zip(out, out[1:]):
+        assert cur["_id"]["max"] == nxt["_id"]["min"]
+    assert out[0]["_id"]["min"] == 0.0 and out[-1]["_id"]["max"] == 11.0
+    assert out[-1]["vmax"] == 11.0

@@ -119,6 +119,30 @@ def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column
         return col % _lit(divisor) == _lit(remainder)
     if op == "$size":
         return F.size(col) == _lit(value)
+    if op == "$all":
+        cond = F.lit(True)
+        for v in value:
+            cond = cond & F.array_contains(col, _lit(v))
+        return cond
+    if op == "$elemMatch":
+        # operator-doc form ({"$gt": 5}) matches the element itself;
+        # query-doc form ({"f": cond}) matches fields of struct elements
+        if _is_operator_doc(value):
+            return F.exists(col, lambda e: _compile_field(e, value))
+
+        def _elem_pred(e: Column) -> Column:
+            cond = F.lit(True)
+            for fname, fval in value.items():
+                fcol = e[fname]
+                if _is_operator_doc(fval):
+                    cond = cond & _compile_field(fcol, fval)
+                elif fval is None:
+                    cond = cond & fcol.isNull()
+                else:
+                    cond = cond & (fcol == _lit(fval))
+            return cond
+
+        return F.exists(col, _elem_pred)
     if op == "$not":
         if isinstance(value, dict):
             inner = _compile_field(col, value)
@@ -227,6 +251,12 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
                     cond = ~cond
         elif key == "$not":
             cond = ~compile_query(value, schema, resolver)
+        elif key == "$expr":
+            # aggregation-expression predicate inside a find filter —
+            # shares the pipeline's value-expression compiler
+            from topic_store_spark.query.pipeline import compile_value
+
+            cond = F.coalesce(compile_value(value).cast("boolean"), F.lit(False))
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {key}")
         else:

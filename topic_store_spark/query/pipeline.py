@@ -3,7 +3,8 @@
 Parity (SURVEY §2.5 A4, reference database.py:206-217 pass-through):
 ``$match $project $group $sort $limit $skip $unwind $count $addFields
 $set $unset $replaceRoot $replaceWith $sample $setWindowFields $fill
-$densify $facet $graphLookup`` with accumulator operators ``$sum $avg $min $max $first
+$densify $facet $graphLookup $unionWith $bucket $bucketAuto $sortByCount
+$out $merge`` with accumulator operators ``$sum $avg $min $max $first
 $last $push $addToSet`` and a value-expression language covering field
 refs (``"$a.b"``), literals, arithmetic, string ops and the date-part
 operators the reference's legacy session pipeline uses
@@ -552,6 +553,66 @@ def _graph_lookup(
     )
 
 
+def _bucket_auto(out: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    """``$bucketAuto``: ~equal-count buckets with data-derived boundaries.
+
+    Scale shape: Mongo "attempts to evenly distribute documents"; the
+    engine derives boundary values from quantiles (``percentile_approx``
+    at high accuracy — exact on modest data, bounded-memory sketch at
+    scale) and assigns buckets with a broadcast literal comparison — one
+    aggregation + one groupBy, NO global sort / single-partition ntile.
+    ``_id`` is Mongo's ``{min, max}`` doc: max of bucket k = min of
+    bucket k+1, global max for the last (inclusive).
+    """
+    val = compile_value(spec["groupBy"])
+    n = int(spec["buckets"])
+    tmp = out.withColumn("_ba_v", val).filter(F.col("_ba_v").isNotNull())
+    if n < 1:
+        raise ValueError("$bucketAuto: buckets must be >= 1")
+    qs = [k / n for k in range(1, n)]
+    bounds_row = tmp.agg(
+        F.percentile_approx("_ba_v", qs, 100_000).alias("b")
+    ).first()
+    bounds = sorted(set(bounds_row["b"] or []))  # dedupe collapsed quantiles
+    # the quantile value itself closes its own bucket (rank <= p*n stays
+    # below the cut), so assignment is strictly-greater
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("_ba_v") > F.lit(b)).cast("int")
+    grouped = tmp.withColumn("_ba_bucket", bucket).groupBy("_ba_bucket")
+
+    aggs = [
+        F.min("_ba_v").alias("_ba_min"),
+        F.max("_ba_v").alias("_ba_max"),
+    ]
+    output = spec.get("output", {"count": {"$sum": 1}})
+    for name, acc in output.items():
+        acc_op, arg = next(iter(acc.items()))
+        if acc_op == "$count" or (acc_op == "$sum" and arg == 1):
+            aggs.append(F.count(F.lit(1)).alias(name))
+        elif acc_op in _ACCUMULATORS:
+            aggs.append(_ACCUMULATORS[acc_op](compile_value(arg)).alias(name))
+        else:
+            raise ValueError(f"unsupported $bucketAuto accumulator: {acc_op}")
+    agged = grouped.agg(*aggs)
+    # _id.max chains to the next bucket's min (n rows — window is cheap)
+    from pyspark.sql import Window as _W
+
+    nxt = F.lead("_ba_min").over(_W.orderBy("_ba_bucket"))
+    return (
+        agged.withColumn(
+            "_id",
+            F.struct(
+                F.col("_ba_min").alias("min"),
+                F.coalesce(nxt, F.col("_ba_max")).alias("max"),
+            ),
+        )
+        .orderBy("_ba_bucket")
+        .drop("_ba_bucket", "_ba_min", "_ba_max")
+        .select("_id", *[c for c in output])
+    )
+
+
 def apply_pipeline(
     df: DataFrame,
     pipeline: list[dict[str, Any]],
@@ -744,6 +805,19 @@ def apply_pipeline(
             out = grouped.agg(*aggs).withColumnRenamed("_id__group", "_id")
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op == "$unionWith":
+            # {"$unionWith": "coll"} or {"coll": ..., "pipeline": [...]};
+            # Mongo concatenates heterogeneous documents — missing fields
+            # null-fill on either side (unionByName allowMissingColumns)
+            coll = spec if isinstance(spec, str) else spec["coll"]
+            if not tables or coll not in tables:
+                raise ValueError(f"$unionWith: unknown collection {coll!r}")
+            other = tables[coll]
+            if isinstance(spec, dict) and spec.get("pipeline"):
+                other = apply_pipeline(other, spec["pipeline"], tables)
+            out = out.unionByName(other, allowMissingColumns=True)
+        elif op == "$bucketAuto":
+            out = _bucket_auto(out, spec)
         elif op in ("$out", "$merge"):
             if stage is not pipeline[-1]:
                 raise ValueError(f"{op} must be the final pipeline stage")
