@@ -301,6 +301,64 @@ def test_pipeline_out_and_merge(spark, tmp_path):
     assert leftovers == []
 
 
+def test_pipeline_merge_mode_matrix(spark, tmp_path):
+    """$merge whenMatched/whenNotMatched modes against a parquet store:
+    merge coalesces fields, replace swaps whole docs, keepExisting and
+    discard leave rows alone, fail raises."""
+    import topic_store_spark as ts
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    path = str(tmp_path / "m.parquet")
+    store = ts.load(path, spark)
+    a, b = store.insert_one({"k": 1, "v": "old", "keep": "x"}), store.insert_one(
+        {"k": 2, "v": "old2", "keep": "y"}
+    )
+
+    def df_for(rows):
+        return spark.createDataFrame(rows, "k long, v string, extra string")
+
+    # whenMatched=merge (default): matched doc's fields coalesce, new
+    # column appears, untouched column survives
+    apply_pipeline(
+        df_for([(1, "new", "E"), (3, "ins", None)]),
+        [{"$merge": {"into": path, "on": "k"}}],
+    )
+    rows = {r["k"]: r for r in ts.load(path, spark).find().collect()}
+    assert rows[1]["v"] == "new" and rows[1]["keep"] == "x" and rows[1]["extra"] == "E"
+    assert rows[2]["v"] == "old2" and rows[3]["v"] == "ins"
+
+    # whenMatched=replace: whole-document replacement (keep drops to null)
+    apply_pipeline(
+        df_for([(2, "swapped", None)]),
+        [{"$merge": {"into": path, "on": "k", "whenMatched": "replace",
+                     "whenNotMatched": "discard"}}],
+    )
+    rows = {r["k"]: r for r in ts.load(path, spark).find().collect()}
+    assert rows[2]["v"] == "swapped" and rows[2]["keep"] is None
+    assert sorted(rows) == [1, 2, 3]  # discard: no inserts
+
+    # keepExisting + insert: only new keys land
+    apply_pipeline(
+        df_for([(1, "IGNORED", None), (9, "nine", None)]),
+        [{"$merge": {"into": path, "on": "k", "whenMatched": "keepExisting"}}],
+    )
+    rows = {r["k"]: r for r in ts.load(path, spark).find().collect()}
+    assert rows[1]["v"] == "new" and rows[9]["v"] == "nine"
+
+    # fail modes raise without touching the store
+    with pytest.raises(ValueError, match="whenMatched=fail"):
+        apply_pipeline(
+            df_for([(1, "boom", None)]),
+            [{"$merge": {"into": path, "on": "k", "whenMatched": "fail"}}],
+        )
+    with pytest.raises(ValueError, match="whenNotMatched=fail"):
+        apply_pipeline(
+            df_for([(77, "boom", None)]),
+            [{"$merge": {"into": path, "on": "k", "whenNotMatched": "fail"}}],
+        )
+    assert ts.load(path, spark).count() == 4
+
+
 def test_pipeline_unset_and_replace_root(spark):
     df = spark.createDataFrame([(1, 2, "x")], "a int, b int, c string")
     out = apply_pipeline(df, [{"$unset": ["b", "c"]}])

@@ -272,3 +272,19 @@ def test_append_conflicting_type_fails_at_write_time(spark, tmp_path):
     # the store is still fully readable after the refused appends
     assert store.to_df().count() == 1
     assert store.find({"n": 1}).count() == 1
+
+
+def test_distinct_field_and_array_elements(spark, tmp_path):
+    """pymongo-surface distinct: dotted fields, optional filter, array
+    fields contribute distinct ELEMENTS (reference database.py:266)."""
+    store = ParquetStorage(spark, str(tmp_path / "distinct.parquet"))
+    store.insert_many(
+        [
+            {"robot": {"name": "husky"}, "tags": ["a", "b"], "n": 1},
+            {"robot": {"name": "husky"}, "tags": ["b", "c"], "n": 2},
+            {"robot": {"name": "thorvald"}, "tags": [], "n": 3},
+        ]
+    )
+    assert store.distinct("robot.name") == ["husky", "thorvald"]
+    assert store.distinct("tags") == ["a", "b", "c"]
+    assert store.distinct("robot.name", {"n": {"$lte": 2}}) == ["husky"]

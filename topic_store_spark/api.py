@@ -129,6 +129,28 @@ class Storage(ABC):
         """Parity: reference database.py:206-217."""
         return apply_pipeline(self.to_df(), pipeline)
 
+    def distinct(self, field: str, query: dict | None = None) -> list:
+        """Distinct values of a (dotted) field, optionally under a filter
+        — the pymongo ``collection.distinct`` surface the reference leans
+        on (reference database.py:266).  Mongo semantics: an array field
+        contributes its distinct ELEMENTS.  Distributed distinct + sorted
+        driver-side list (result cardinality is the caller's contract,
+        exactly as with pymongo)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from topic_store_spark.query.compiler import path_col
+
+        df = self.to_df()
+        if query:
+            df = df.filter(self._compile_query(df, query))
+        col = path_col(field, df.schema)
+        vals = df.select(col.alias("_d"))
+        if isinstance(vals.schema["_d"].dataType, T.ArrayType):
+            vals = vals.select(F.explode("_d").alias("_d"))
+        rows = vals.filter(F.col("_d").isNotNull()).distinct().collect()
+        return sorted(r["_d"] for r in rows)
+
     def get_unique_sessions(self) -> DataFrame:
         """Per-session {time, date, count} in ONE pass — replaces the
         reference's distinct + N+1 per-session count queries

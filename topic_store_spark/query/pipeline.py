@@ -553,6 +553,88 @@ def _graph_lookup(
     )
 
 
+def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> None:
+    """``$merge`` with Mongo's mode matrix.
+
+    ``{"into": path, "on": key(s), "whenMatched": "merge"|"replace"|
+    "keepExisting"|"fail", "whenNotMatched": "insert"|"discard"|"fail"}``
+    (defaults ``merge``/``insert``, ``on: _id`` — Mongo's).  Matching is
+    one equi-join on the ``on`` keys; ``merge`` coalesces incoming
+    non-null fields over existing ones field-wise.  Any mode that touches
+    existing rows rewrites through the storage's atomic ``_overwrite``
+    swap; pure inserts stay on the append path.
+    """
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    target = load_storage(spec["into"], out.sparkSession)
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = spec.get("whenMatched", "merge")
+    when_not_matched = spec.get("whenNotMatched", "insert")
+
+    existing = target.to_df()
+    have_keys = all(k in existing.columns for k in keys) and all(
+        k in out.columns for k in keys
+    )
+    if not have_keys or existing.isEmpty():
+        if when_not_matched == "discard":
+            return
+        target.write_df(out)
+        return
+
+    key_df = existing.select(*keys)
+    incoming_matched = out.join(key_df, keys, "left_semi")
+    incoming_new = out.join(key_df, keys, "left_anti")
+
+    if when_not_matched == "fail" and not incoming_new.isEmpty():
+        raise ValueError("$merge: whenNotMatched=fail and new documents exist")
+    if when_matched == "fail" and not incoming_matched.isEmpty():
+        raise ValueError("$merge: whenMatched=fail and matching documents exist")
+
+    inserts = incoming_new if when_not_matched == "insert" else None
+    if when_matched == "keepExisting":
+        if inserts is not None:
+            target.write_df(inserts)
+        return
+
+    in_keys = incoming_matched.select(*keys)
+    untouched = existing.join(in_keys, keys, "left_anti")
+    if when_matched == "replace":
+        replaced = incoming_matched
+    else:  # merge: incoming non-null fields override, field-wise
+        inc = incoming_matched.select(
+            *keys,
+            *[
+                F.col(f"`{c}`").alias(f"_in_{c}")
+                for c in incoming_matched.columns
+                if c not in keys
+            ],
+        )
+        joined = existing.join(inc, keys)
+        merged_cols = [F.col(f"`{k}`") for k in keys]
+        for c in existing.columns:
+            if c in keys:
+                continue
+            if f"_in_{c}" in joined.columns:
+                merged_cols.append(
+                    F.coalesce(F.col(f"`_in_{c}`"), F.col(f"`{c}`")).alias(c)
+                )
+            else:
+                merged_cols.append(F.col(f"`{c}`"))
+        for c in incoming_matched.columns:
+            if c not in keys and c not in existing.columns:
+                merged_cols.append(F.col(f"`_in_{c}`").alias(c))
+        replaced = joined.select(*merged_cols)
+
+    result = untouched.unionByName(replaced, allowMissingColumns=True)
+    if inserts is not None:
+        result = result.unionByName(inserts, allowMissingColumns=True)
+    overwrite = getattr(target, "_overwrite", None)
+    if overwrite is None:
+        raise ValueError("$merge: target storage cannot rewrite existing rows")
+    overwrite(result)
+
+
 def _bucket_auto(out: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$bucketAuto``: ~equal-count buckets with data-derived boundaries.
 
@@ -831,16 +913,7 @@ def apply_pipeline(
                     raise ValueError("$out target storage cannot be replaced")
                 replace(out)
             else:
-                # $merge default semantics: insert new documents, keep
-                # existing ones (match on _id) — the copy/dedup anti-join
-                into = spec["into"] if isinstance(spec, dict) else spec
-                target = load_storage(into, out.sparkSession)
-                df = out
-                if "_id" in df.columns:
-                    existing = target.to_df()
-                    if "_id" in existing.columns:
-                        df = df.join(existing.select("_id"), "_id", "left_anti")
-                target.write_df(df)
+                _merge_into(out, spec, load_storage)
         else:
             raise ValueError(f"unsupported pipeline stage: {op}")
     return out
