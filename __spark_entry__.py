@@ -527,6 +527,33 @@ def q_mongo_legacy_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation PII pass: emails/IPv4/phone-shaped runs masked +
+    per-class audit counts.  PII is injected deterministically from doc
+    fields so the oracle sees byte-identical input; patterns are
+    alternation-free so Java regex and RE2 agree (functions/text.py
+    PII_PATTERNS)."""
+    from topic_store_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 tel +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    counts = pii_counts(pii)
+    return docs.select(
+        "doc_id",
+        redact_pii(pii).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+    )
+
+
 def q_size_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-source corpus size accounting (exact integer byte/char
     sums; the humanized string form is engine-side only, scalars.py)."""
@@ -1286,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "objectid_sessions": q_objectid_sessions,
         "mongo_legacy_sessions": q_mongo_legacy_sessions,
         "sessionize": q_sessionize,
+        # --- new in round 3 --------------------------------------------------
+        "pii_redact": q_pii_redact,
         # --- (c) changed / structurally complex -----------------------------
         "mongo_graph_lookup": q_mongo_graph_lookup,
         "dedup_clusters": q_dedup_clusters,
@@ -1680,6 +1709,29 @@ def oracle_sql() -> dict[str, str]:
                make_timestamp(CAST(('0x' || substr(min_id, 1, 8)) AS BIGINT)
                               * 1000000) AS date_collected
         FROM g
+    """
+
+    sql["pii_redact"] = r"""
+        WITH src AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.1 tel +1 (555) 010-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+          FROM documents WHERE doc_id < 1000
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(pii,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\+?\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(pii,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(pii,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+        FROM src
     """
 
     sql["size_summary"] = """

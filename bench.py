@@ -55,6 +55,8 @@ HEADLINE = [
     "mongo_fill_telemetry",
     "text_repetition",
     "pack_sequences",
+    # round 3: PII redaction pass
+    "pii_redact",
     "contamination_ngram",
     "quality_funnel",
     "domain_topk",

@@ -49,3 +49,27 @@ def test_char_jaccard_finds_intraword_edit(spark):
     pairs = char_jaccard_pairs(df, n=5, threshold_num=7, threshold_den=10).collect()
     assert {(r["a_doc"], r["b_doc"]) for r in pairs} == {(1, 2)}
     assert all(0.7 <= r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_redact_pii_classes(spark):
+    from topic_store_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.12 port 80"),
+            (3, "call +44 (0)20 7946-0958 today"),
+            (4, "clean text, version 2.5, room 12"),
+        ],
+        "k long, t string",
+    )
+    out = {r["k"]: r["red"] for r in df.select("k", redact_pii(F.col("t")).alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> port 80"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text, version 2.5, room 12"  # no false positives
+    c = pii_counts(F.col("t"))
+    n = df.select(c["n_emails"].alias("e"), c["n_ips"].alias("i")).agg(
+        F.sum("e").alias("e"), F.sum("i").alias("i")
+    ).first()
+    assert (n["e"], n["i"]) == (1, 1)

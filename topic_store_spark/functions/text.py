@@ -154,3 +154,39 @@ def quality_score(col: Column) -> Column:
         + 0.3 * length_ok
         + 0.3 * (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0)))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (corpus-curation step before training-data release).
+# Patterns are deliberately alternation-free so Java regex (Spark,
+# leftmost-first) and RE2 (DuckDB oracle, leftmost-longest) match the
+# same spans; greedy character-class quantifiers agree in both.
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) — applied in order; order matters (emails are
+#: redacted before phone digit-runs could eat their numeric fragments).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d() .-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails, IPv4 addresses, and phone-shaped digit runs — the
+    text-corpus analog of the reference's credential masking
+    (reference convert.py:254-259 redacts `user:pass@` URIs; training
+    corpora redact person-contact strings).  Pure JVM regexp_replace
+    chain: codegen-covered, no Python in the hot path."""
+    out = col
+    for pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document hit counts for each PII class (audit signal)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[0][0]), 0)),
+        "n_ips": F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[1][0]), 0)),
+    }
