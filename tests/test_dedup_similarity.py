@@ -295,3 +295,44 @@ def test_semantic_cluster_dedup_matches_brute_within_cluster(spark, sf_dir):
         assert brute_pairs[pair] == cos
     # recall on this corpus: near-identical vectors co-cluster
     assert len(sem_pairs) / len(brute_pairs) >= 0.9
+
+
+def test_kmeans_centroids_recovers_blobs(spark):
+    """Distributed Lloyd's on 3 well-separated blobs: k dense ids, each
+    learned centroid lands on a true blob mean, assignment is stable."""
+    import numpy as np
+
+    from topic_store_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(11)
+    means = np.array([[0.0, 0.0, 0.0], [10.0, 10.0, 10.0], [-10.0, 5.0, 0.0]])
+    rows = []
+    for i in range(90):
+        m = means[i % 3]
+        rows.append((i, (m + rng.normal(0, 0.05, 3)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cen = kmeans_centroids(df, k=3, max_iter=15).collect()
+    assert sorted(r["cen_id"] for r in cen) == [0, 1, 2]
+    got = np.array(sorted([r["embedding"] for r in cen]))
+    want = np.array(sorted(means.tolist()))
+    assert np.abs(got - want).max() < 0.1
+
+
+def test_kmeans_centroids_feeds_ivf(spark, sf_dir):
+    """End-to-end IVF build: train centroids on the embeddings table,
+    then probe them — the FAISS train-then-search shape."""
+    from tests.conftest import table
+    from topic_store_spark.operators.similarity import (
+        ivf_ann_neighbors,
+        kmeans_centroids,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cen = kmeans_centroids(emb, k=4, max_iter=3).withColumnRenamed(
+        "cen_id", "vec_id"
+    )
+    out = ivf_ann_neighbors(
+        emb, queries=emb.filter(F.col("vec_id") < 5), centroids=cen, k=3, nprobe=2
+    )
+    assert out.count() == 15  # 5 queries x top-3
+    assert out.filter(F.col("cosine_q").isNull()).count() == 0

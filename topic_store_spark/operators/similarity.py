@@ -283,3 +283,113 @@ def lsh_ann_neighbors(
             ),
         )
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — trains the
+    centroid table ``ivf_ann_neighbors`` probes (the missing half of an
+    IVF index build; FAISS-style train-then-assign, expressed as
+    DataFrame ops).
+
+    Returns ``(cen_id long, embedding array<double>)``, ``cen_id`` dense
+    0..k-1.
+
+    Determinism + scale shape:
+
+    - init is k-means||-flavored but deterministic: the k seeds are the
+      vectors with the smallest ``md5(id)`` (a reproducible uniform
+      sample — no RNG, no driver-side data);
+    - each iteration = ONE broadcast of the k centroids over the corpus
+      (nearest-centroid assignment, tie on lower cen_id) + ONE
+      groupBy(cluster) mean with map-side partials.  The corpus never
+      shuffles its vectors by cluster — only k*dim partial sums move;
+    - per-iteration results are materialized (``materialize_iter``), so
+      lineage stays flat and the convergence check costs one k-row
+      comparison, not a recompute of every prior round;
+    - empty clusters keep their previous centroid (standard Lloyd
+      fallback), so the output is always exactly k rows.
+    """
+    from topic_store_spark.operators.util import materialize_iter
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("kmeans_centroids: empty input")
+    vecs = df.select(
+        F.col(id_col).alias("_km_id"),
+        F.col(vec_col).cast("array<double>").alias("_km_v"),
+    )
+    seeds = (
+        vecs.orderBy(F.md5(F.col("_km_id").cast("string")), F.col("_km_id"))
+        .limit(k)
+        .select("_km_v")
+    )
+    centroids = materialize_iter(
+        seeds.select(
+            (F.row_number().over(Window.orderBy("_km_v")) - 1).alias("cen_id"),
+            F.col("_km_v").alias("_km_c"),
+        )
+    )
+
+    def _dist2(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    for _ in range(max_iter):
+        w = Window.partitionBy("_km_id").orderBy("d2", "cen_id")
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", _dist2("_km_v", "_km_c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cen_id", "_km_v")
+        )
+        # mean per cluster: element-wise partial sums via posexplode —
+        # only (k * dim) aggregated cells shuffle, never the vectors
+        sums = (
+            assigned.select("cen_id", F.posexplode("_km_v").alias("pos", "x"))
+            .groupBy("cen_id", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .groupBy("cen_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", (F.col("sx") / F.col("n")).alias("m")))
+                ).alias("pm")
+            )
+            .select("cen_id", F.transform("pm", lambda s: s["m"]).alias("_km_new"))
+        )
+        new_centroids = materialize_iter(
+            centroids.join(sums, "cen_id", "left").select(
+                "cen_id", F.coalesce("_km_new", "_km_c").alias("_km_c")
+            )
+        )
+        shift = (
+            centroids.alias("o")
+            .join(new_centroids.alias("n"), "cen_id")
+            .select(
+                F.max(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("o._km_c"), F.col("n._km_c"),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("s")
+            )
+            .first()["s"]
+        )
+        centroids = new_centroids
+        if shift is not None and shift <= tol:
+            break
+    return centroids.select("cen_id", F.col("_km_c").alias("embedding"))
