@@ -288,3 +288,31 @@ def test_distinct_field_and_array_elements(spark, tmp_path):
     assert store.distinct("robot.name") == ["husky", "thorvald"]
     assert store.distinct("tags") == ["a", "b", "c"]
     assert store.distinct("robot.name", {"n": {"$lte": 2}}) == ["husky"]
+
+
+def test_delete_many_and_compact(spark, tmp_path):
+    """Retention sweep + small-file compaction: delete_many removes the
+    matched set in one rewrite and reports the count; compact collapses
+    the one-file-per-insert fragmentation into a bounded file count."""
+    store = ParquetStorage(spark, str(tmp_path / "retention.parquet"))
+    for i in range(8):
+        store.insert_one({"n": i, "keep": i % 2 == 0})
+    import os as _os
+
+    files_before = sum(
+        1
+        for _r, _d, names in _os.walk(store.path)
+        for f in names
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert files_before >= 8  # append-only: one part file per insert
+
+    with pytest.raises(ValueError):
+        store.delete_many({})  # dropping the store must be explicit
+    assert store.delete_many({"keep": False}) == 4
+    assert sorted(r["n"] for r in store.find().collect()) == [0, 2, 4, 6]
+
+    n_files = store.compact()
+    assert n_files == 1
+    assert sorted(r["n"] for r in store.find().collect()) == [0, 2, 4, 6]
+    assert store.count(estimate=True) == 4  # footer fast path intact

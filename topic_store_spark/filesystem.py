@@ -262,6 +262,53 @@ class ParquetStorage(Storage):
             delete_blobs(collect_blob_paths(doomed))
         self._overwrite(df.filter(F.col("_id") != document_id))
 
+    def delete_many(self, query: dict, gc_blobs: bool = True) -> int:
+        """Query-matched bulk delete (retention/TTL sweeps): one filtered
+        rewrite through the atomic overwrite swap, survivors counted via
+        ``observe`` so the pass costs no second scan.  Empty query is
+        refused — dropping a whole store should be an explicit
+        ``_overwrite(empty)`` / directory delete, not a default."""
+        from pyspark.sql import Observation
+
+        from topic_store_spark.blob import collect_blob_paths, delete_blobs
+
+        if not query:
+            raise ValueError("delete_many: empty query would drop the store")
+        df = self.to_df()
+        pred = self._compile_query(df, query)
+        if gc_blobs:
+            delete_blobs(collect_blob_paths(df.filter(pred)))
+        before = df.count()
+        obs = Observation("delete_many")
+        survivors = df.filter(~F.coalesce(pred, F.lit(False))).observe(
+            obs, F.count(F.lit(1)).alias("kept")
+        )
+        self._overwrite(survivors)
+        return before - int(obs.get["kept"])
+
+    def compact(self, target_rows_per_file: int = 1_000_000) -> int:
+        """Small-file maintenance: append-only ingest (one part file per
+        ``insert_one``) fragments the store; at scale the file-listing +
+        footer reads dominate scan setup.  Rewrites the store into
+        ``ceil(rows / target_rows_per_file)`` files via the atomic
+        overwrite swap and returns the new file count.  Partitioned
+        layouts compact within each partition directory (the
+        repartition keys on the partition columns)."""
+        import math
+
+        df = self.to_df()
+        n = df.count()
+        files = max(1, math.ceil(n / max(1, target_rows_per_file)))
+        if self.partition_by:
+            df = df.repartition(files, *[F.col(c) for c in self.partition_by])
+        else:
+            df = df.repartition(files)
+        self._overwrite(df)
+        count = 0
+        for _root, _dirs, names in os.walk(self.path):
+            count += sum(1 for f in names if f.endswith(".parquet") or f.startswith("part-"))
+        return count
+
 
 @register_storage
 class ScenarioStorage(Storage):
