@@ -136,3 +136,30 @@ def test_pipeline_split_literal_delimiter(spark):
         df, [{"$project": {"parts": {"$split": ["$s", "."]}}}]
     ).collect()
     assert out[0]["parts"] == ["x", "y", "z"]
+
+
+def test_cli_maintenance_flags(spark, tmp_path, capsys):
+    """--delete (query-matched), --distinct, --compact through the CLI."""
+    import topic_store_spark as ts
+    from topic_store_spark.cli import main
+
+    path = str(tmp_path / "maint.parquet")
+    store = ts.load(path, spark)
+    for i in range(6):
+        store.insert_one({"n": i, "grp": "even" if i % 2 == 0 else "odd"})
+
+    rc = main(["-i", path, "--distinct", "grp"])
+    assert rc == 0
+    assert capsys.readouterr().out.splitlines() == ["even", "odd"]
+
+    rc = main(["-i", path, "--delete", "-q", '{"grp": "odd"}'])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"deleted": 3}
+
+    assert main(["-i", path, "--delete"]) == 2  # no filter: refused
+    capsys.readouterr()
+
+    rc = main(["-i", path, "--compact"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {"files": 1}
+    assert sorted(r["n"] for r in ts.load(path, spark).find().collect()) == [0, 2, 4]

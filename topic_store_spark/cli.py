@@ -56,6 +56,24 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--count", action="store_true", help="print matching-document count and exit"
     )
+    parser.add_argument(
+        "--delete",
+        action="store_true",
+        help="delete documents matching -q from the INPUT store (requires -q)",
+    )
+    parser.add_argument(
+        "--distinct", default=None, metavar="FIELD",
+        help="print distinct values of FIELD (dotted ok) under -q and exit",
+    )
+    parser.add_argument(
+        "--compact",
+        nargs="?",
+        const=1_000_000,
+        type=int,
+        default=None,
+        metavar="ROWS_PER_FILE",
+        help="rewrite the INPUT store into ceil(rows/N) files and exit",
+    )
     return parser
 
 
@@ -83,6 +101,22 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.count:
         print(src.count(query))
+        return 0
+
+    if args.distinct:
+        for v in src.distinct(args.distinct, query):
+            print(v)
+        return 0
+
+    if args.delete:
+        if not query:
+            print("error: --delete requires a -q filter", file=sys.stderr)
+            return 2
+        print(json.dumps({"deleted": src.delete_many(query)}))
+        return 0
+
+    if args.compact is not None:
+        print(json.dumps({"files": src.compact(args.compact)}))
         return 0
 
     if not args.output:
