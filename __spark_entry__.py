@@ -554,6 +554,24 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: near-dup pairs of a NEW batch (the
+    near-dup clones) against the standing corpus (the originals) —
+    (new x corpus) + (new x new) candidates only, the corpus never
+    self-joins (operators/dedup.py minhash_lsh_pairs_incremental)."""
+    from topic_store_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww")).alias("text"),
+    )
+    return minhash_lsh_pairs_incremental(
+        new_batch, docs, n=3, num_perm=12, bands=4,
+        threshold_num=8, threshold_den=10,
+    )
+
+
 def q_size_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: per-source corpus size accounting (exact integer byte/char
     sums; the humanized string form is engine-side only, scalars.py)."""
@@ -1315,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         # --- new in round 3 --------------------------------------------------
         "pii_redact": q_pii_redact,
+        "dedup_incremental": q_dedup_incremental,
         # --- (c) changed / structurally complex -----------------------------
         "mongo_graph_lookup": q_mongo_graph_lookup,
         "dedup_clusters": q_dedup_clusters,
@@ -2052,6 +2071,39 @@ banded AS (
 cands AS (
   SELECT DISTINCT x.doc AS a_doc, y.doc AS b_doc
   FROM banded x JOIN banded y ON x.band = y.band AND x.doc < y.doc
+),
+"""
+        + _VERIFY_JACCARD.format(
+            candidate_filter="JOIN cands ON cands.a_doc = a.doc AND cands.b_doc = b.doc"
+        )
+    )
+
+    # incremental: same band scheme as dedup_minhash_lsh, but candidates
+    # require at least one NEW-side (clone, id >= 100000) endpoint — the
+    # corpus-corpus pair space is excluded by construction
+    sql["dedup_incremental"] = (
+        "WITH "
+        + _NEAR_CORPUS
+        + ","
+        + _SHINGLES
+        + ""","""
+        + """
+sig AS (
+  SELECT doc_id,
+         [list_min(list_transform(sh, s -> md5(i || ':' || s)))
+          for i in range(0, 12)] AS sig
+  FROM sh WHERE len(sh) > 0
+),
+banded AS (
+  SELECT doc_id AS doc,
+         unnest([CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*3+1:b*3+3], '')
+                 for b in range(0, 4)]) AS band
+  FROM sig
+),
+cands AS (
+  SELECT DISTINCT x.doc AS a_doc, y.doc AS b_doc
+  FROM banded x JOIN banded y ON x.band = y.band AND x.doc < y.doc
+  WHERE x.doc >= 100000 OR y.doc >= 100000
 ),
 """
         + _VERIFY_JACCARD.format(

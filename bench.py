@@ -55,8 +55,9 @@ HEADLINE = [
     "mongo_fill_telemetry",
     "text_repetition",
     "pack_sequences",
-    # round 3: PII redaction pass
+    # round 3: PII redaction pass + incremental ingest dedup
     "pii_redact",
+    "dedup_incremental",
     "contamination_ngram",
     "quality_funnel",
     "domain_topk",

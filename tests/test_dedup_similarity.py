@@ -336,3 +336,47 @@ def test_kmeans_centroids_feeds_ivf(spark, sf_dir):
     )
     assert out.count() == 15  # 5 queries x top-3
     assert out.filter(F.col("cosine_q").isNull()).count() == 0
+
+
+def test_exact_duplicates_incremental(spark):
+    from topic_store_spark.operators.dedup import exact_duplicates_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta"),   # dup of corpus doc 1
+         (11, "fresh text"),   # genuinely new
+         (12, "fresh text")],  # intra-batch dup of 11
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["keep_id"] for r in exact_duplicates_incremental(new, corpus).collect()}
+    assert got == {10: 1, 12: 11}  # keeper = min id across corpus+batch
+
+
+def test_minhash_incremental_excludes_corpus_pairs(docs):
+    """Incremental pairs = full-union pairs that touch the new batch;
+    pure corpus-corpus pairs never appear (the whole point)."""
+    from topic_store_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = docs.select("doc_id", "text").limit(200)
+    new = corpus.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww")).alias("text"),
+    )
+    inc = {
+        (r["a_doc"], r["b_doc"])
+        for r in minhash_lsh_pairs_incremental(new, corpus).collect()
+    }
+    full = {
+        (r["a_doc"], r["b_doc"])
+        for r in minhash_lsh_pairs(corpus.unionByName(new)).collect()
+    }
+    assert inc == {p for p in full if p[0] >= 100000 or p[1] >= 100000}
+    assert all(b >= 100000 or a >= 100000 for a, b in inc)
+    # every clone is recovered against its original
+    clone_pairs = {p for p in inc if p[1] - p[0] == 100000}
+    assert len(clone_pairs) >= 190  # near-dup threshold recovers ~all

@@ -755,3 +755,96 @@ def semantic_cluster_dedup(
             ).alias("cosine_q"),
         )
     )
+
+
+def exact_duplicates_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an existing corpus (plus
+    within-batch): returns one row per new document that collides,
+    with the keeper (minimum id across corpus+batch for its
+    fingerprint).  The production ingest shape — the corpus side
+    contributes only its fingerprint column, never re-pairs itself.
+    """
+    fp_corpus = ensure_parallelism(corpus_df).select(
+        md5_fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).alias("doc"),
+    )
+    fp_new = ensure_parallelism(new_df).select(
+        md5_fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).alias("doc"),
+    )
+    keepers = (
+        fp_corpus.unionByName(fp_new)
+        .groupBy("fp")
+        .agg(F.min("doc").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        fp_new.join(keepers, "fp")
+        .filter((F.col("n_docs") > 1) & (F.col("doc") != F.col("keep_id")))
+        .select(F.col("doc").alias("doc_id"), "keep_id", "fp")
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 12,
+    bands: int = 4,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    persist: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs where at least one side is in the NEW
+    batch: (new x corpus) and (new x new) candidates only — the corpus
+    NEVER self-joins, so incremental ingest cost is proportional to the
+    batch's band collisions, not the corpus pair space.
+
+    Scale shape: in a standing pipeline the corpus's banded signatures
+    are the persisted index (compute once, append per batch); here they
+    are derived in-line from ``corpus_df``.  The band join keys
+    (batch side) against (corpus+batch) bands; candidates canonicalize
+    to (smaller, larger) and verify with exact per-pair Jaccard, same as
+    ``minhash_lsh_pairs``.
+    """
+    rows = num_perm // bands
+    all_df = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        new_df.select(F.col(id_col), F.col(text_col))
+    )
+    sh = _shingle_arrays(all_df, text_col, id_col, n)
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.filter(F.size("shs") > 0).select(
+        "doc", minhash_signature(F.col("shs"), num_perm).alias("sig")
+    )
+    banded_all = explode_nonempty(
+        sig.select("doc", lsh_band_keys(F.col("sig"), bands, rows).alias("_bands")),
+        "_bands",
+        "band",
+        "doc",
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        banded_all = banded_all.persist(StorageLevel.MEMORY_AND_DISK)
+    new_ids = new_df.select(F.col(id_col).alias("doc"))
+    banded_new = banded_all.join(new_ids, "doc", "left_semi")
+    cands = (
+        banded_new.alias("x")
+        .join(banded_all.alias("y"), "band")
+        .filter(F.col("x.doc") != F.col("y.doc"))
+        .select(
+            F.least("x.doc", "y.doc").alias("a_doc"),
+            F.greatest("x.doc", "y.doc").alias("b_doc"),
+        )
+        .distinct()
+    )
+    return _jaccard_out(_pair_jaccard(sh, cands), threshold_num, threshold_den)
