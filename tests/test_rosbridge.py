@@ -87,20 +87,32 @@ def _publish_frame(topic: str, value: str, stamp_sec: float | None = None) -> st
 
 
 class FakeRosbridge:
-    """One-connection scripted server; records subscribe ops, then sends
-    the given publish frames and holds the connection open."""
+    """Scripted server; records subscribe ops, then sends the given
+    publish frames and holds the connection open.  Pass ``rounds`` (a
+    list of frame batches) to script DROPS: each batch is served on its
+    own accepted connection, which then closes — exercising receiver
+    reconnect."""
 
-    def __init__(self, transport: str, frames: list[str], n_subs: int):
+    def __init__(
+        self,
+        transport: str,
+        frames: list[str] | None = None,
+        n_subs: int = 1,
+        rounds: list[list[str]] | None = None,
+    ):
         self.transport = transport
-        self.frames = frames
+        self.rounds = rounds if rounds is not None else [frames or []]
+        self.hold_last = rounds is None  # single-round mode keeps conn open
         self.n_subs = n_subs
         self.subscribed: list[str] = []
-        self.ready = threading.Event()  # set once subscriptions arrived
+        self.connections = 0
+        self.ready = threading.Event()  # set once first subs arrived
+        self.done = threading.Event()  # set once all rounds served
         self.stop = threading.Event()
         self.server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self.server.bind(("127.0.0.1", 0))
-        self.server.listen(1)
+        self.server.listen(2)
         self.port = self.server.getsockname()[1]
         threading.Thread(target=self._serve, daemon=True).start()
 
@@ -109,32 +121,43 @@ class FakeRosbridge:
         scheme = "ws" if self.transport == "ws" else "tcp"
         return f"{scheme}://127.0.0.1:{self.port}"
 
+    def _serve_round(self, conn: socket.socket, frames: list[str]) -> None:
+        if self.transport == "ws":
+            _ws_server_handshake(conn)
+            for _ in range(self.n_subs):
+                self.subscribed.append(
+                    json.loads(_ws_server_recv_text(conn))["topic"]
+                )
+            self.ready.set()
+            for frame in frames:
+                _ws_server_send_text(conn, frame)
+        else:
+            buf = b""
+            while buf.count(b'"subscribe"') < self.n_subs:
+                buf += conn.recv(4096)
+            self.subscribed += [
+                json.loads(line)["topic"]
+                for line in buf.decode().splitlines()
+                if line.strip()
+            ]
+            self.ready.set()
+            conn.sendall(("\n".join(frames) + "\n").encode())
+
     def _serve(self) -> None:
-        conn, _ = self.server.accept()
         try:
-            if self.transport == "ws":
-                _ws_server_handshake(conn)
-                for _ in range(self.n_subs):
-                    self.subscribed.append(
-                        json.loads(_ws_server_recv_text(conn))["topic"]
-                    )
-                self.ready.set()
-                for frame in self.frames:
-                    _ws_server_send_text(conn, frame)
-            else:
-                buf = b""
-                while buf.count(b'"subscribe"') < self.n_subs:
-                    buf += conn.recv(4096)
-                self.subscribed = [
-                    json.loads(line)["topic"]
-                    for line in buf.decode().splitlines()
-                    if line.strip()
-                ]
-                self.ready.set()
-                conn.sendall(("\n".join(self.frames) + "\n").encode())
-            self.stop.wait(60)
+            for i, frames in enumerate(self.rounds):
+                conn, _ = self.server.accept()
+                self.connections += 1
+                try:
+                    self._serve_round(conn, frames)
+                    last = i == len(self.rounds) - 1
+                    if last:
+                        self.done.set()
+                    if last and self.hold_last:
+                        self.stop.wait(60)
+                finally:
+                    conn.close()
         finally:
-            conn.close()
             self.server.close()
 
 
@@ -194,6 +217,36 @@ def test_rosbridge_receiver_buffers_before_client_connects():
         rows = _drain_relay(rx, n=5)
         assert [json.loads(r["value"])["data"] for r in rows] == [
             "v0", "v1", "v2", "v3", "v4",
+        ]
+    finally:
+        server.stop.set()
+        rx.stop()
+
+
+@pytest.mark.parametrize("transport", ["ws", "tcp"])
+def test_rosbridge_reconnects_after_drop(transport):
+    """The server drops the connection after each batch; the receiver
+    reconnects with backoff, re-subscribes, and the relay sees every
+    frame from both connections."""
+    rounds = [
+        [_publish_frame("/t", "before-drop")],
+        [_publish_frame("/t", "after-reconnect"), _publish_frame("/t", "again")],
+    ]
+    server = FakeRosbridge(transport, n_subs=1, rounds=rounds)
+    rx = RosbridgeReceiver(
+        server.uri, ["/t"], max_reconnects=5, reconnect_backoff=0.1
+    ).start()
+    try:
+        assert server.done.wait(20)
+        deadline = time.time() + 10
+        while rx.received < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert rx.received == 3
+        assert rx.reconnects == 1
+        assert server.connections == 2
+        rows = _drain_relay(rx, n=3)
+        assert [json.loads(r["value"])["data"] for r in rows] == [
+            "before-drop", "after-reconnect", "again",
         ]
     finally:
         server.stop.set()

@@ -231,6 +231,8 @@ class RosbridgeReceiver:
         topics: list[str],
         buffer_size: int = 10_000,
         connect_timeout: float = 10.0,
+        max_reconnects: int = 0,
+        reconnect_backoff: float = 0.5,
     ) -> None:
         parsed = urlparse(uri)
         if parsed.scheme not in ("ws", "tcp"):
@@ -251,6 +253,9 @@ class RosbridgeReceiver:
         self.host = "127.0.0.1"
         self.port: int | None = None
         self.received = 0  # publish frames seen (observability/tests)
+        self.max_reconnects = max_reconnects
+        self.reconnect_backoff = reconnect_backoff
+        self.reconnects = 0  # successful re-subscribes after a drop
 
     # -- local relay ---------------------------------------------------------
 
@@ -305,7 +310,7 @@ class RosbridgeReceiver:
             else:
                 sock.sendall((op + "\n").encode())
 
-    def _pump(self) -> None:
+    def _pump_once(self) -> None:
         assert self._remote is not None
         if self.scheme == "ws":
             frames = (
@@ -313,27 +318,50 @@ class RosbridgeReceiver:
             )
         else:
             frames = _iter_tcp_json(self._remote)
-        try:
-            for frame in frames:
-                if self._stop.is_set():
-                    return
-                if not isinstance(frame, dict) or frame.get("op") != "publish":
-                    continue  # status/service ops pass through silently
-                msg = frame.get("msg")
-                self.received += 1
-                self._broadcast(
-                    json.dumps(
-                        {
-                            "topic": frame.get("topic"),
-                            "value": msg
-                            if isinstance(msg, str)
-                            else json.dumps(msg, sort_keys=True),
-                            "ts": _frame_ts(msg, time.time()),
-                        }
-                    )
+        for frame in frames:
+            if self._stop.is_set():
+                return
+            if not isinstance(frame, dict) or frame.get("op") != "publish":
+                continue  # status/service ops pass through silently
+            msg = frame.get("msg")
+            self.received += 1
+            self._broadcast(
+                json.dumps(
+                    {
+                        "topic": frame.get("topic"),
+                        "value": msg
+                        if isinstance(msg, str)
+                        else json.dumps(msg, sort_keys=True),
+                        "ts": _frame_ts(msg, time.time()),
+                    }
                 )
-        except (ValueError, OSError):
-            return  # remote closed / bad frame: end of stream
+            )
+
+    def _pump(self) -> None:
+        """Read until the remote drops, then reconnect + re-subscribe with
+        exponential backoff up to ``max_reconnects`` times (0 = give up
+        on first drop, the pre-reconnect behavior).  rosbridge holds no
+        subscription state across connections, so a fresh subscribe op
+        per topic fully restores the stream; Spark's socket source stays
+        attached to the LOCAL relay the whole time and never notices."""
+        attempts = 0
+        while not self._stop.is_set():
+            try:
+                self._pump_once()
+            except (ValueError, OSError):
+                pass  # bad frame / connection error: treat as a drop
+            if self._stop.is_set() or attempts >= self.max_reconnects:
+                return
+            delay = self.reconnect_backoff * (2**attempts)
+            attempts += 1
+            if self._stop.wait(delay):
+                return
+            try:
+                self._remote = self._connect_remote()
+                self._subscribe_all(self._remote)
+                self.reconnects += 1
+            except OSError:
+                continue  # next loop iteration backs off longer
 
     # -- lifecycle -----------------------------------------------------------
 
