@@ -70,6 +70,9 @@ FULL_SCAN_OK = {
     # Filters are explode_nonempty's generator-output null drop and (for
     # salient_terms) the window rank<=k — nothing pushable exists.
     "salient_terms", "merge_pairs",
+    # same band-join family as dedup_minhash_lsh: whole-corpus scan, the
+    # only Filters are on computed shingle/band/doc-pair columns
+    "dedup_incremental",
 }
 
 
