@@ -701,3 +701,53 @@ def test_pipeline_bucket_auto(spark):
         assert cur["_id"]["max"] == nxt["_id"]["min"]
     assert out[0]["_id"]["min"] == 0.0 and out[-1]["_id"]["max"] == 11.0
     assert out[-1]["vmax"] == 11.0
+
+
+def test_value_expression_hof_and_scalars(spark):
+    """Array higher-order ops ($filter/$map/$reduce with $$var bindings),
+    set ops, boolean exprs, casts, and math scalars in the expression
+    language."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4], [3, 4, 5], 2.7)], "k long, xs array<long>, ys array<long>, v double"
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$project": {
+                    "k": 1,
+                    "evens": {"$filter": {"input": "$xs", "as": "x",
+                                          "cond": {"$eq": [{"$mod": ["$$x", 2]}, 0]}}},
+                    "doubled": {"$map": {"input": "$xs", "as": "x",
+                                         "in": {"$multiply": ["$$x", 2]}}},
+                    "total": {"$reduce": {"input": "$xs", "initialValue": 0,
+                                          "in": {"$add": ["$$value", "$$this"]}}},
+                    "union": {"$setUnion": ["$xs", "$ys"]},
+                    "common": {"$setIntersection": ["$xs", "$ys"]},
+                    "only_xs": {"$setDifference": ["$xs", "$ys"]},
+                    "has3": {"$in": [3, "$xs"]},
+                    "both": {"$and": [{"$gt": ["$v", 2]}, {"$lt": ["$v", 3]}]},
+                    "neg": {"$not": {"$gt": ["$v", 2]}},
+                    "rooted": {"$sqrt": {"$pow": ["$v", 2]}},
+                    "lo": {"$min": ["$v", 1.5]},
+                    "s": {"$substrCP": [{"$toString": "$k"}, 0, 1]},
+                    "trunc1": {"$trunc": ["$v", 1]},
+                }
+            }
+        ],
+    ).first()
+    assert out["evens"] == [2, 4]
+    assert out["doubled"] == [2, 4, 6, 8]
+    assert out["total"] == 10
+    assert sorted(out["union"]) == [1, 2, 3, 4, 5]
+    assert sorted(out["common"]) == [3, 4]
+    assert sorted(out["only_xs"]) == [1, 2]
+    assert out["has3"] is True and out["both"] is True and out["neg"] is False
+    assert abs(out["rooted"] - 2.7) < 1e-9
+    assert out["lo"] == 1.5 and out["s"] == "1"
+    assert abs(out["trunc1"] - 2.7) < 1e-9
+
+    with pytest.raises(ValueError, match="unbound"):
+        apply_pipeline(df, [{"$project": {"bad": {"$add": ["$$nope", 1]}}}])

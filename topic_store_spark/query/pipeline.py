@@ -6,8 +6,11 @@ $set $unset $replaceRoot $replaceWith $sample $setWindowFields $fill
 $densify $facet $graphLookup $unionWith $bucket $bucketAuto $sortByCount
 $out $merge`` with accumulator operators ``$sum $avg $min $max $first
 $last $push $addToSet`` and a value-expression language covering field
-refs (``"$a.b"``), literals, arithmetic, string ops and the date-part
-operators the reference's legacy session pipeline uses
+refs (``"$a.b"``), literals, arithmetic/boolean/comparison/math ops,
+string and cast ops, set ops (``$setUnion/$setIntersection/
+$setDifference``), array higher-order ops (``$filter/$map/$reduce`` with
+``$$variable`` bindings -> Spark higher-order functions) and the
+date-part operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
 ``$second`` applied to ObjectId creation time).
 
@@ -38,8 +41,21 @@ def _as_timestamp(col: Column) -> Column:
     ).otherwise(col.cast("timestamp"))
 
 
-def compile_value(expr: Any) -> Column:
-    """Mongo value expression -> Column."""
+def compile_value(expr: Any, vars_: dict[str, Column] | None = None) -> Column:
+    """Mongo value expression -> Column.
+
+    ``vars_`` carries ``$$variable`` bindings introduced by the array
+    higher-order operators (``$filter``/``$map``/``$reduce``): ``"$$x"``
+    resolves to the bound Column, ``"$$x.field"`` to a field access on
+    it."""
+    if isinstance(expr, str) and expr.startswith("$$"):
+        name, _, rest = expr[2:].partition(".")
+        if not vars_ or name not in vars_:
+            raise ValueError(f"unbound expression variable: $${name}")
+        col = vars_[name]
+        for part in rest.split(".") if rest else []:
+            col = col[part]
+        return col
     if isinstance(expr, str) and expr.startswith("$"):
         return path_col(expr[1:])
     if isinstance(expr, (int, float, bool)) or expr is None:
@@ -47,15 +63,17 @@ def compile_value(expr: Any) -> Column:
     if isinstance(expr, str):
         return F.lit(expr)
     if isinstance(expr, list):
-        return F.array(*[compile_value(e) for e in expr])
+        return F.array(*[compile_value(e, vars_) for e in expr])
     if not isinstance(expr, dict):
         raise ValueError(f"unsupported value expression: {expr!r}")
     if len(expr) == 1:
         op, arg = next(iter(expr.items()))
         if op.startswith("$"):
-            return _compile_value_op(op, arg)
+            return _compile_value_op(op, arg, vars_)
     # plain document -> struct
-    return F.struct(*[compile_value(v).alias(str(k)) for k, v in expr.items()])
+    return F.struct(
+        *[compile_value(v, vars_).alias(str(k)) for k, v in expr.items()]
+    )
 
 
 _DATE_PARTS = {
@@ -83,22 +101,27 @@ def _fold(cols: list[Column], fn) -> Column:
     return out
 
 
-def _compile_value_op(op: str, arg: Any) -> Column:
+def _compile_value_op(
+    op: str, arg: Any, vars_: dict[str, Column] | None = None
+) -> Column:
+    def cv(e: Any) -> Column:
+        return compile_value(e, vars_)
+
     if op == "$literal":
         return F.lit(arg)
     if op in _VARIADIC:
-        return _VARIADIC[op]([compile_value(a) for a in arg])
+        return _VARIADIC[op]([cv(a) for a in arg])
     if op in _DATE_PARTS:
-        return _DATE_PARTS[op](_as_timestamp(compile_value(arg)))
+        return _DATE_PARTS[op](_as_timestamp(cv(arg)))
     if op == "$millisecond":
-        ts = _as_timestamp(compile_value(arg))
+        ts = _as_timestamp(cv(arg))
         return (ts.cast("double") * 1000 % 1000).cast("int")
     if op == "$toDate":
-        return _as_timestamp(compile_value(arg))
+        return _as_timestamp(cv(arg))
     if op == "$dateFromParts":
-        get = lambda k, d: compile_value(arg[k]) if k in arg else F.lit(d)  # noqa: E731
+        get = lambda k, d: cv(arg[k]) if k in arg else F.lit(d)  # noqa: E731
         return F.make_timestamp(
-            compile_value(arg["year"]),
+            cv(arg["year"]),
             get("month", 1),
             get("day", 1),
             get("hour", 0),
@@ -106,18 +129,18 @@ def _compile_value_op(op: str, arg: Any) -> Column:
             get("second", 0).cast("double") + get("millisecond", 0) / 1000.0,
         )
     if op == "$floor":
-        return F.floor(compile_value(arg))
+        return F.floor(cv(arg))
     if op == "$mod":
-        left, right = (compile_value(a) for a in arg)
+        left, right = (cv(a) for a in arg)
         return left % right
     if op == "$round":
         if isinstance(arg, list):
-            value, place = compile_value(arg[0]), arg[1] if len(arg) > 1 else 0
+            value, place = cv(arg[0]), arg[1] if len(arg) > 1 else 0
         else:
-            value, place = compile_value(arg), 0
+            value, place = cv(arg), 0
         return F.round(value, int(place))
     if op == "$arrayElemAt":
-        array, idx = compile_value(arg[0]), int(arg[1])
+        array, idx = cv(arg[0]), int(arg[1])
         # Mongo is 0-based (negative = from the end); element_at is 1-based
         return F.element_at(array, idx + 1 if idx >= 0 else idx)
     if op == "$split":
@@ -126,25 +149,25 @@ def _compile_value_op(op: str, arg: Any) -> Column:
             raise ValueError("$split delimiter must be a string literal")
         import re
 
-        return F.split(compile_value(arg[0]), re.escape(arg[1]))
+        return F.split(cv(arg[0]), re.escape(arg[1]))
     if op == "$toLower":
-        return F.lower(compile_value(arg))
+        return F.lower(cv(arg))
     if op == "$toUpper":
-        return F.upper(compile_value(arg))
+        return F.upper(cv(arg))
     if op == "$size":
-        return F.size(compile_value(arg))
+        return F.size(cv(arg))
     if op == "$ifNull":
-        return F.coalesce(*[compile_value(a) for a in arg])
+        return F.coalesce(*[cv(a) for a in arg])
     if op == "$cond":
         if isinstance(arg, dict):
             branches = [arg["if"], arg["then"], arg["else"]]
         else:
             branches = arg
         return F.when(
-            compile_value(branches[0]), compile_value(branches[1])
-        ).otherwise(compile_value(branches[2]))
+            cv(branches[0]), cv(branches[1])
+        ).otherwise(cv(branches[2]))
     if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
-        left, right = (compile_value(a) for a in arg)
+        left, right = (cv(a) for a in arg)
         import operator as _op
 
         table = {
@@ -152,6 +175,105 @@ def _compile_value_op(op: str, arg: Any) -> Column:
             "$gte": _op.ge, "$lt": _op.lt, "$lte": _op.le,
         }
         return table[op](left, right)
+    if op == "$and":
+        return _fold([cv(a) for a in arg], lambda a, b: a & b)
+    if op == "$or":
+        return _fold([cv(a) for a in arg], lambda a, b: a | b)
+    if op == "$not":
+        inner = arg[0] if isinstance(arg, list) else arg
+        return ~cv(inner).cast("boolean")
+    if op == "$in":
+        needle, haystack = cv(arg[0]), cv(arg[1])
+        return F.array_contains(haystack, needle)
+    if op == "$abs":
+        return F.abs(cv(arg))
+    if op == "$ceil":
+        return F.ceil(cv(arg))
+    if op == "$sqrt":
+        return F.sqrt(cv(arg))
+    if op == "$exp":
+        return F.exp(cv(arg))
+    if op == "$ln":
+        return F.log(cv(arg))
+    if op == "$pow":
+        base, exponent = (cv(a) for a in arg)
+        return F.pow(base, exponent)
+    if op == "$trunc":
+        if isinstance(arg, list):
+            value, place = cv(arg[0]), int(arg[1]) if len(arg) > 1 else 0
+        else:
+            value, place = cv(arg), 0
+        scale = 10**place
+        return F.floor(value * scale) / scale if place else F.floor(value)
+    if op == "$min":  # expression form (aggregation form handled by $group)
+        return F.least(*[cv(a) for a in arg])
+    if op == "$max":
+        return F.greatest(*[cv(a) for a in arg])
+    if op == "$strLenCP":
+        return F.length(cv(arg))
+    if op == "$substrCP":
+        value, start, count = cv(arg[0]), cv(arg[1]), cv(arg[2])
+        return F.substring(value, start + F.lit(1), count)  # Mongo is 0-based
+    if op == "$toString":
+        return cv(arg).cast("string")
+    if op in ("$toInt", "$toLong"):
+        return cv(arg).cast("long" if op == "$toLong" else "int")
+    if op in ("$toDouble", "$toDecimal"):
+        return cv(arg).cast("double")
+    if op == "$toBool":
+        return cv(arg).cast("boolean")
+    if op == "$setUnion":
+        return _fold([cv(a) for a in arg], F.array_union)
+    if op == "$setIntersection":
+        return _fold([cv(a) for a in arg], F.array_intersect)
+    if op == "$setDifference":
+        left, right = (cv(a) for a in arg)
+        return F.array_except(left, right)
+    if op == "$dateToString":
+        fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
+        java_fmt = (
+            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+            .replace("%L", "SSS")
+        )
+        return F.date_format(_as_timestamp(cv(arg["date"])), java_fmt)
+    if op == "$filter":
+        inp = cv(arg["input"])
+        name = arg.get("as", "this")
+
+        def _fpred(x: Column) -> Column:
+            return compile_value(arg["cond"], {**(vars_ or {}), name: x}).cast(
+                "boolean"
+            )
+
+        return F.filter(inp, _fpred)
+    if op == "$map":
+        inp = cv(arg["input"])
+        name = arg.get("as", "this")
+
+        def _fmap(x: Column) -> Column:
+            return compile_value(arg["in"], {**(vars_ or {}), name: x})
+
+        return F.transform(inp, _fmap)
+    if op == "$reduce":
+        inp = cv(arg["input"])
+        init = cv(arg["initialValue"])
+        # Spark's aggregate() requires the merge lambda's type to equal the
+        # init type exactly; widen numeric literal inits so {initialValue: 0}
+        # folds bigint/double arrays the way Mongo's dynamic typing does
+        if isinstance(arg["initialValue"], bool):
+            pass
+        elif isinstance(arg["initialValue"], int):
+            init = init.cast("long")
+        elif isinstance(arg["initialValue"], float):
+            init = init.cast("double")
+
+        def _fred(acc: Column, x: Column) -> Column:
+            return compile_value(
+                arg["in"], {**(vars_ or {}), "value": acc, "this": x}
+            )
+
+        return F.aggregate(inp, init, _fred)
     raise ValueError(f"unsupported value operator: {op}")
 
 
