@@ -1745,7 +1745,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(pii,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                 '\+?\d[\d() .-]{7,}\d', '<PHONE>', 'g') AS redacted,
+                 '\+?(?:\d{1,3}[ .-])?\(?\b\d{3}\)?[ .-]?\d{3}[ .-]?\d{2,4}\b', '<PHONE>', 'g') AS redacted,
                len(regexp_extract_all(pii,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
                len(regexp_extract_all(pii,

@@ -347,11 +347,16 @@ def test_exact_duplicates_incremental(spark):
     new = spark.createDataFrame(
         [(10, "alpha beta"),   # dup of corpus doc 1
          (11, "fresh text"),   # genuinely new
-         (12, "fresh text")],  # intra-batch dup of 11
+         (12, "fresh text"),   # intra-batch dup of 11
+         (0, "gamma delta")],  # dup of corpus doc 2 — but NEW id sorts first
         ["doc_id", "text"],
     )
-    got = {r["doc_id"]: r["keep_id"] for r in exact_duplicates_incremental(new, corpus).collect()}
-    assert got == {10: 1, 12: 11}  # keeper = min id across corpus+batch
+    rows = exact_duplicates_incremental(new, corpus).collect()
+    got = {r["doc_id"]: (r["keep_id"], r["is_keeper"]) for r in rows}
+    # keeper = min id across corpus+batch; the new doc that IS the keeper
+    # is still reported (is_keeper=True) so the caller can evict the
+    # corpus-side copy instead of silently keeping both.
+    assert got == {10: (1, False), 11: (11, True), 12: (11, False), 0: (0, True)}
 
 
 def test_minhash_incremental_excludes_corpus_pairs(docs):

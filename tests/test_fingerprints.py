@@ -58,8 +58,13 @@ def test_redact_pii_classes(spark):
         [
             (1, "mail bob.smith+x@corp.example.org now"),
             (2, "server at 192.168.0.12 port 80"),
-            (3, "call +44 (0)20 7946-0958 today"),
+            (3, "call +1 (555) 010-1234 today"),
             (4, "clean text, version 2.5, room 12"),
+            (5, "dial 555-010-1234 or 5550101234 ok"),
+            # digit runs that must NOT be phone-redacted: ISO dates
+            # (4-2-2 runs) and long numeric IDs (> 13 digits)
+            (6, "shipped 2026-08-13 at 12:34:56"),
+            (7, "order id 12345678901234567890 tracked"),
         ],
         "k long, t string",
     )
@@ -68,6 +73,9 @@ def test_redact_pii_classes(spark):
     assert out[2] == "server at <IP> port 80"
     assert out[3] == "call <PHONE> today"
     assert out[4] == "clean text, version 2.5, room 12"  # no false positives
+    assert out[5] == "dial <PHONE> or <PHONE> ok"
+    assert out[6] == "shipped 2026-08-13 at 12:34:56"
+    assert out[7] == "order id 12345678901234567890 tracked"
     c = pii_counts(F.col("t"))
     n = df.select(c["n_emails"].alias("e"), c["n_ips"].alias("i")).agg(
         F.sum("e").alias("e"), F.sum("i").alias("i")

@@ -201,6 +201,42 @@ def test_wav_roundtrip_formats(dtype):
         decode_wav(b"RIFFxxxxJUNK")
 
 
+def _extensible_wav(payload: bytes, channels: int, bits: int, sub_tag: int | None) -> bytes:
+    """Hand-build a WAVE_FORMAT_EXTENSIBLE file (fmt tag 0xFFFE with the
+    real format in the SubFormat GUID) — numpy/struct only."""
+    import struct
+
+    if sub_tag is None:
+        ext = b""  # truncated: no cbSize/extension at all
+    else:
+        # 16-byte SubFormat GUID; only the leading u16 tag is semantic
+        guid = struct.pack("<H", sub_tag) + b"\x00" * 14
+        ext = struct.pack("<HHI", 22, bits, 0x3) + guid
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 0xFFFE, channels, 8000, 8000 * block, block, bits) + ext
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_wav_extensible_reads_subformat_tag():
+    """WAVE_FORMAT_EXTENSIBLE: the real tag lives in the SubFormat GUID —
+    a float32 extensible file must decode as float, not be guessed as
+    int32 from its bit depth; a truncated extension must raise."""
+    from topic_store_spark.multimodal.codecs import decode_wav
+
+    arr = (np.arange(64, dtype="float32") / 64.0).reshape(-1, 2)
+    out = decode_wav(_extensible_wav(arr.tobytes(), 2, 32, sub_tag=3))
+    np.testing.assert_array_equal(out, arr)
+
+    ints = np.arange(64, dtype="int32").reshape(-1, 2)
+    out = decode_wav(_extensible_wav(ints.tobytes(), 2, 32, sub_tag=1))
+    np.testing.assert_array_equal(out, ints)
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(_extensible_wav(arr.tobytes(), 2, 32, sub_tag=None))
+
+
 def test_decode_compressed_png_wav_via_spark(spark):
     """The mapInPandas decode path with the REAL codecs: payload bytes ->
     decoded {data, shape, dtype} struct, exact pixels/samples back."""

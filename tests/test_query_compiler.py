@@ -358,6 +358,27 @@ def test_pipeline_merge_mode_matrix(spark, tmp_path):
         )
     assert ts.load(path, spark).count() == 4
 
+    # edge matrix: empty target honors whenNotMatched=fail (no silent
+    # insert), and a missing "on" key raises instead of blind-appending
+    empty_path = str(tmp_path / "empty.parquet")
+    ts.load(empty_path, spark)
+    with pytest.raises(ValueError, match="whenNotMatched=fail"):
+        apply_pipeline(
+            df_for([(1, "x", None)]),
+            [{"$merge": {"into": empty_path, "on": "k", "whenNotMatched": "fail"}}],
+        )
+    with pytest.raises(ValueError, match="missing from incoming"):
+        apply_pipeline(
+            df_for([(1, "x", None)]),
+            [{"$merge": {"into": path, "on": "nope"}}],
+        )
+    with pytest.raises(ValueError, match="missing from target"):
+        apply_pipeline(
+            spark.createDataFrame([(1, "x")], "other long, v string"),
+            [{"$merge": {"into": path, "on": "other"}}],
+        )
+    assert ts.load(path, spark).count() == 4  # store untouched by the raises
+
 
 def test_pipeline_unset_and_replace_root(spark):
     df = spark.createDataFrame([(1, 2, "x")], "a int, b int, c string")
@@ -670,6 +691,7 @@ def test_expr_elemmatch_all(spark):
     assert keys({"objs": {"$elemMatch": {"tag": "a"}}}) == [1, 2]
     assert keys({"xs": {"$all": [1, 9]}}) == [1]
     assert keys({"xs": {"$all": [2]}}) == [2]
+    assert keys({"xs": {"$all": []}}) == []  # Mongo: empty $all matches nothing
 
 
 def test_pipeline_union_with(spark):

@@ -168,7 +168,13 @@ def quality_score(col: Column) -> Column:
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d() .-]{7,}\d", "<PHONE>"),
+    # Phone: optional +country-code, then a NANP-shaped 3-3-(2..4) digit
+    # body with at most one separator between groups.  The \b after the
+    # optional "(" forces the country-code group to be separator-delimited,
+    # so ISO dates ("2026-08-13": runs of 4-2-2) and digit runs >13 chars
+    # (IDs, card numbers) can never satisfy the group structure + trailing
+    # \b — the old [\d() .-]{7,} run matched both.  Alternation-free.
+    (r"\+?(?:\d{1,3}[ .-])?\(?\b\d{3}\)?[ .-]?\d{3}[ .-]?\d{2,4}\b", "<PHONE>"),
 ]
 
 

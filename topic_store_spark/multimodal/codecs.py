@@ -219,6 +219,7 @@ def decode_wav(data: bytes) -> np.ndarray:
         raise ValueError("not a WAV: bad RIFF header")
     pos = 12
     fmt = None
+    fmt_body = b""
     frames = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -227,14 +228,22 @@ def decode_wav(data: bytes) -> np.ndarray:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             frames = body
     if fmt is None or frames is None:
         raise ValueError("WAV: missing fmt/data chunk")
     audio_format, channels, _rate, _byte_rate, _block, bits = fmt
     if audio_format == _WAV_EXTENSIBLE:
-        # SubFormat GUID's leading u16 is the real format tag
-        audio_format = _WAV_PCM if bits in (8, 16, 24, 32) else _WAV_FLOAT
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the SubFormat
+        # GUID's leading u16 at fmt-body offset 24 (after cbSize at 16-18
+        # and the 6-byte extension prefix). Refuse to guess if absent.
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise NotImplementedError(
+                "WAV: WAVE_FORMAT_EXTENSIBLE without a SubFormat extension"
+            )
     if audio_format == _WAV_PCM:
         dtype = {8: "u1", 16: "<i2", 32: "<i4"}.get(bits)
         if dtype is None:

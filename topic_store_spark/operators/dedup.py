@@ -766,8 +766,11 @@ def exact_duplicates_incremental(
     """Exact dedup of a NEW batch against an existing corpus (plus
     within-batch): returns one row per new document that collides,
     with the keeper (minimum id across corpus+batch for its
-    fingerprint).  The production ingest shape — the corpus side
-    contributes only its fingerprint column, never re-pairs itself.
+    fingerprint) and ``is_keeper`` flagging the case where the new doc
+    itself sorts first — the caller must then evict the corpus copy
+    rather than drop the new one.  The production ingest shape — the
+    corpus side contributes only its fingerprint column, never
+    re-pairs itself.
     """
     fp_corpus = ensure_parallelism(corpus_df).select(
         md5_fingerprint(F.col(text_col)).alias("fp"),
@@ -784,8 +787,13 @@ def exact_duplicates_incremental(
     )
     return (
         fp_new.join(keepers, "fp")
-        .filter((F.col("n_docs") > 1) & (F.col("doc") != F.col("keep_id")))
-        .select(F.col("doc").alias("doc_id"), "keep_id", "fp")
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "keep_id",
+            "fp",
+            (F.col("doc") == F.col("keep_id")).alias("is_keeper"),
+        )
     )
 
 

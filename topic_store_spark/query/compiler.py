@@ -120,6 +120,9 @@ def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column
     if op == "$size":
         return F.size(col) == _lit(value)
     if op == "$all":
+        if not value:
+            # Mongo: {field: {$all: []}} matches NO documents
+            return F.lit(False)
         cond = F.lit(True)
         for v in value:
             cond = cond & F.array_contains(col, _lit(v))

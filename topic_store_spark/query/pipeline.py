@@ -695,14 +695,22 @@ def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> Non
     when_not_matched = spec.get("whenNotMatched", "insert")
 
     existing = target.to_df()
-    have_keys = all(k in existing.columns for k in keys) and all(
-        k in out.columns for k in keys
-    )
-    if not have_keys or existing.isEmpty():
+    if not all(k in out.columns for k in keys):
+        # Mongo errors when the "on" field is absent from an incoming doc
+        raise ValueError(f"$merge: 'on' fields {keys} missing from incoming documents")
+    if existing.isEmpty():
+        # empty target: every incoming doc is "not matched"
         if when_not_matched == "discard":
             return
+        if when_not_matched == "fail" and not out.isEmpty():
+            raise ValueError("$merge: whenNotMatched=fail and new documents exist")
         target.write_df(out)
         return
+    if not all(k in existing.columns for k in keys):
+        # non-empty target whose docs lack the "on" field can never match
+        # and Mongo's unique-index requirement on "on" cannot hold — error
+        # instead of blind-appending
+        raise ValueError(f"$merge: 'on' fields {keys} missing from target collection")
 
     key_df = existing.select(*keys)
     incoming_matched = out.join(key_df, keys, "left_semi")
