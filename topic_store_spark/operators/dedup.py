@@ -147,21 +147,17 @@ def _jaccard_out(pairs: DataFrame, threshold_num: int, threshold_den: int) -> Da
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    threshold_num: int = 8,
-    threshold_den: int = 10,
-    max_shingle_freq: int | None = None,
-) -> DataFrame:
-    """All pairs with exact n-gram Jaccard >= threshold_num/threshold_den.
+def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
+    """Shared skeleton of the exact overlap family: shingle-keyed
+    self-join -> per-pair common count + both set sizes.
 
-    Brute-exact path: co-shingled pairs via shingle-key self-join (pairs
-    that share no shingle can never pass a positive threshold, so keying
-    on shingle IS the pair pruning)."""
-    sh = _shingle_arrays(df, text_col, id_col, n)
+    ``sh`` is (doc, shs array).  Keying on shingle IS the pair pruning —
+    pairs sharing no shingle can never pass a positive threshold.
+    ``max_shingle_freq`` drops shingles appearing in more than that many
+    docs before the self-join: one stop-shingle shared by d docs alone
+    contributes d^2/2 candidate pairs, so an uncapped join is the
+    canonical 100x scale-killer.  A dropped shingle only LOWERS a pair's
+    observed overlap — safe for >= thresholds on near-dup work."""
     shingles = explode_nonempty(sh, "shs", "shingle", "doc")
     sizes = sh.select("doc", F.size("shs").alias("sz"))
 
@@ -181,10 +177,29 @@ def ngram_jaccard_pairs(
         .groupBy("a_doc", "b_doc")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    pairs = (
+    return (
         common.join(sizes.withColumnsRenamed({"doc": "a_doc", "sz": "a_sz"}), "a_doc")
         .join(sizes.withColumnsRenamed({"doc": "b_doc", "sz": "b_sz"}), "b_doc")
-        .withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with exact n-gram Jaccard >= threshold_num/threshold_den.
+
+    Brute-exact path: co-shingled pairs via shingle-key self-join (pairs
+    that share no shingle can never pass a positive threshold, so keying
+    on shingle IS the pair pruning)."""
+    sh = _shingle_arrays(df, text_col, id_col, n)
+    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumn(
+        "union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common")
     )
     return _jaccard_out(pairs, threshold_num, threshold_den)
 
@@ -207,29 +222,8 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` — only the final threshold differs, and it
     stays an exact cross-multiplied integer test."""
     sh = _shingle_arrays(df, text_col, id_col, n)
-    shingles = explode_nonempty(sh, "shs", "shingle", "doc")
-    sizes = sh.select("doc", F.size("shs").alias("sz"))
-
-    joinable = shingles
-    if max_shingle_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        joinable = shingles.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
-            "shingle",
-        )
-
-    left = joinable.select(F.col("doc").alias("a_doc"), "shingle")
-    right = joinable.select(F.col("doc").alias("b_doc"), "shingle")
-    common = (
-        left.join(right, "shingle")
-        .filter(F.col("a_doc") < F.col("b_doc"))
-        .groupBy("a_doc", "b_doc")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    pairs = (
-        common.join(sizes.withColumnsRenamed({"doc": "a_doc", "sz": "a_sz"}), "a_doc")
-        .join(sizes.withColumnsRenamed({"doc": "b_doc", "sz": "b_sz"}), "b_doc")
-        .withColumn("min_sz", F.least("a_sz", "b_sz"))
+    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumn(
+        "min_sz", F.least("a_sz", "b_sz")
     )
     return pairs.filter(
         F.col("common") * threshold_den >= threshold_num * F.col("min_sz")
@@ -239,6 +233,47 @@ def containment_pairs(
         "common",
         "min_sz",
         (F.col("common") / F.col("min_sz")).alias("containment"),
+    )
+
+
+def word_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    jaccard_num: int = 8,
+    jaccard_den: int = 10,
+    containment_num: int = 9,
+    containment_den: int = 10,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Jaccard AND containment in ONE shingle self-join: pairs passing
+    either threshold, with both metrics and per-metric hit flags.
+
+    Running ``ngram_jaccard_pairs`` and ``containment_pairs`` separately
+    scans + shuffles the shingle relation twice for the same candidate
+    set; this computes both screens from one per-pair (common, |A|, |B|)
+    triple — the production shape when a curation pipeline applies
+    multiple overlap rules."""
+    sh = _shingle_arrays(df, text_col, id_col, n)
+    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumns(
+        {
+            "union_sz": F.col("a_sz") + F.col("b_sz") - F.col("common"),
+            "min_sz": F.least("a_sz", "b_sz"),
+        }
+    )
+    jac_hit = F.col("common") * jaccard_den >= jaccard_num * F.col("union_sz")
+    con_hit = F.col("common") * containment_den >= containment_num * F.col("min_sz")
+    return pairs.filter(jac_hit | con_hit).select(
+        "a_doc",
+        "b_doc",
+        "common",
+        "union_sz",
+        "min_sz",
+        (F.col("common") / F.col("union_sz")).alias("jaccard"),
+        (F.col("common") / F.col("min_sz")).alias("containment"),
+        jac_hit.alias("jaccard_hit"),
+        con_hit.alias("containment_hit"),
     )
 
 
@@ -264,29 +299,8 @@ def char_jaccard_pairs(
     sh = norm.select(
         "doc", F.array_distinct(char_shingles_from_norm(F.col("_nt"), n)).alias("shs")
     )
-    shingles = explode_nonempty(sh, "shs", "shingle", "doc")
-    sizes = sh.select("doc", F.size("shs").alias("sz"))
-
-    joinable = shingles
-    if max_shingle_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        joinable = shingles.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
-            "shingle",
-        )
-
-    left = joinable.select(F.col("doc").alias("a_doc"), "shingle")
-    right = joinable.select(F.col("doc").alias("b_doc"), "shingle")
-    common = (
-        left.join(right, "shingle")
-        .filter(F.col("a_doc") < F.col("b_doc"))
-        .groupBy("a_doc", "b_doc")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    pairs = (
-        common.join(sizes.withColumnsRenamed({"doc": "a_doc", "sz": "a_sz"}), "a_doc")
-        .join(sizes.withColumnsRenamed({"doc": "b_doc", "sz": "b_sz"}), "b_doc")
-        .withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
+    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumn(
+        "union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common")
     )
     return _jaccard_out(pairs, threshold_num, threshold_den)
 
@@ -483,21 +497,38 @@ def embedding_dup_pairs_lsh(
     )
 
 
+#: ``embedding_dup_pairs`` refuses inputs past this size — the crossJoin
+#: pair space (n^2/2) stops being a "verification baseline" around here.
+EMBEDDING_EXACT_MAX_ROWS = 50_000
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold_num: int = 95,
     threshold_den: int = 100,
+    max_rows: int | None = EMBEDDING_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """Near-duplicate pairs by quantized cosine >= num/den.
 
     Quantized components make dot/norms exact longs; the threshold test is
     the cross-multiplied ``den^2 * dot^2 >= num^2 * n_a * n_b`` in
     DECIMAL(38,0) — no FP summation-order hazard, oracle-identical.
-    Brute-force O(n^2) pair space: correct baseline at verification scale;
-    the bucketed scale path is ``similarity.lsh_ann_neighbors``.
+    Brute-force O(n^2) pair space: correct VERIFICATION BASELINE only —
+    guarded by ``max_rows`` (default 50k vectors; pass ``None`` to bypass
+    deliberately).  The scale path is ``embedding_dup_pairs_lsh`` /
+    ``similarity.lsh_ann_neighbors``.
     """
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dup_pairs is the O(n^2) verification baseline: "
+                f"{n} input vectors > max_rows={max_rows}. Use "
+                f"embedding_dup_pairs_lsh (bucketed scale path) or pass "
+                f"max_rows=None to force."
+            )
     q = ensure_parallelism(df).select(
         F.col(id_col).alias("vid"),
         quantize_vector(F.col(vec_col)).alias("qv"),
