@@ -18,56 +18,12 @@ import time
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-HEADLINE = [
-    "tpch_q1_pricing",
-    "tpch_q3_topk",
-    "region_revenue",
-    "mongo_find_and_or",
-    "mongo_pipeline_group",
-    "mongo_pipeline_unwind",
-    "mongo_pipeline_lookup",
-    "mongo_pipeline_bucket",
-    "json_props",
-    "objectid_sessions",
-    "flatten_dotted",
-    "set_except",
-    "anti_join_incremental",
-    "session_summary",
-    "sessionize",
-    "latest_snapshot",
-    "windowed_rates",
-    # dedup_char_jaccard is oracle-checked at sf0.01 but excluded here:
-    # the synthetic corpus has a ~50-word vocabulary, so char-5-gram
-    # document frequencies hit 78% of the corpus and the exact all-pairs
-    # variant degenerates to a 3x10^9-pair join by construction.  On real
-    # prose (diverse n-grams) or with max_shingle_freq it is well-behaved.
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_topk",
-    "ann_topk_partial",
-    "ann_ivf",
-    "text_quality",
-    "text_stats",
-    "text_fingerprints",
-    # round 2: pipeline-dialect window/fill stages + corpus curation
-    "mongo_window_fields",
-    "mongo_fill_telemetry",
-    "text_repetition",
-    "pack_sequences",
-    # round 3: PII redaction pass + incremental ingest dedup
-    "pii_redact",
-    "dedup_incremental",
-    "contamination_ngram",
-    "quality_funnel",
-    "domain_topk",
-    "mixture_sample",
-    "dedup_semantic",
-    "salient_terms",
-    "merge_pairs",
-    "length_percentiles",
-    "split_report",
-]
+# Since round 4 the bench covers EVERY registered query — the registry is
+# exactly 50 entries, each with a same-round oracle row, and the one
+# historically degenerate plan (uncapped char-5-gram self-join) now runs
+# with its max_shingle_freq hot-key cap, so nothing needs excluding.
+# None = all of queries(); set a list to restrict during development.
+HEADLINE: list[str] | None = None
 
 
 def main() -> None:
@@ -101,6 +57,7 @@ def main() -> None:
     ).mode("overwrite").save()
 
     queries = entry_mod.queries()
+    headline = HEADLINE if HEADLINE is not None else list(queries)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # Two interleaved rounds (AABB -> ABAB): a query's two samples land
@@ -110,7 +67,7 @@ def main() -> None:
     # lesson): failures are recorded per-query and the JSON line is always
     # emitted.
     for round_idx in range(2):
-        for name in HEADLINE:
+        for name in headline:
             if name in errors:
                 continue
             fn = queries[name]

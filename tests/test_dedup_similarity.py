@@ -125,6 +125,56 @@ def test_exact_jaccard_pairs(spark):
     assert (1, 4) not in got and (3, 4) not in got
 
 
+def test_word_overlap_pairs_both_metrics(spark):
+    """One shingle join yields BOTH screens: a near-subset pair passes
+    containment but not jaccard; an identical pair passes both."""
+    from topic_store_spark.operators.dedup import word_overlap_pairs
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),   # identical: jaccard=containment=1
+        (3, "a b c d e"),             # subset of 1: containment 1, low jaccard
+        (4, "q w r t y u o p s k"),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["a_doc"], r["b_doc"]): r
+        for r in word_overlap_pairs(
+            df, n=3, jaccard_num=8, jaccard_den=10,
+            containment_num=9, containment_den=10,
+        ).collect()
+    }
+    assert out[(1, 2)]["jaccard_hit"] and out[(1, 2)]["containment_hit"]
+    assert out[(1, 2)]["jaccard"] == 1.0 and out[(1, 2)]["containment"] == 1.0
+    # doc 3's 3 shingles are all inside doc 1's 8 -> containment 1.0,
+    # jaccard 3/8 — containment-only hit
+    assert out[(1, 3)]["containment_hit"] and not out[(1, 3)]["jaccard_hit"]
+    assert (1, 4) not in out
+
+
+def test_shingle_freq_cap_filters_universe(spark):
+    """max_shingle_freq drops stop-shingles from BOTH numerator and
+    denominator: a pair identical except for ubiquitous shingles still
+    scores 1.0 in the filtered universe, and the hot shingle generates
+    no candidate pairs on its own."""
+    from topic_store_spark.operators.dedup import ngram_jaccard_pairs
+
+    # "z z z" appears in every doc (the stop-shingle); docs 1/2 are
+    # otherwise identical, docs 3/4 share ONLY the stop-shingle
+    rows = [
+        (1, "z z z a b c d e"),
+        (2, "z z z a b c d e"),
+        (3, "z z z m n o p q"),
+        (4, "z z z u v w x y"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(
+        df, n=3, threshold_num=8, threshold_den=10, max_shingle_freq=2
+    ).collect()
+    got = {(r["a_doc"], r["b_doc"]): r["jaccard"] for r in capped}
+    assert got == {(1, 2): 1.0}  # 3/4 pair never materializes
+
+
 def test_minhash_lsh_finds_exact_dups(docs_with_dups):
     pairs = minhash_lsh_pairs(
         docs_with_dups, num_perm=8, bands=4, threshold_num=9, threshold_den=10

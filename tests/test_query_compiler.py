@@ -467,6 +467,22 @@ def test_pipeline_facet(events):
     assert (out["n_types"], out["n_high"]) == (n_types, n_high)
 
 
+def test_pipeline_facet_preserves_subpipeline_order(spark):
+    """Mongo guarantees each facet array is in its sub-pipeline's output
+    order — a $sortByCount branch must come back count-desc (then _id
+    asc), not in collect_list's physical order or struct-sort order."""
+    rows = [(i, "t%d" % (i % 3)) for i in range(30)] + [(100, "t1"), (101, "t1")]
+    df = spark.createDataFrame(rows, "k long, t string").repartition(8)
+    out = apply_pipeline(
+        df,
+        [{"$facet": {"by_t": [{"$sortByCount": "$t"}],
+                     "sorted_k": [{"$sort": {"k": -1}}, {"$limit": 3}]}}],
+    ).first()
+    by_t = [(r["_id"], r["count"]) for r in out["by_t"]]
+    assert by_t == [("t1", 12), ("t0", 10), ("t2", 10)]
+    assert [r["k"] for r in out["sorted_k"]] == [101, 100, 29]
+
+
 def test_pipeline_graph_lookup_ancestors(spark):
     # chain 1 <- 2 <- 4 <- 8 with a self-loop at the root (cycle guard)
     base = spark.createDataFrame(

@@ -45,15 +45,20 @@ ARROW_ONLY = {"multimodal_stats"}
 # Queries that legitimately scan a full table with no filter (full-corpus
 # analytics) — absence of PushedFilters is fine.
 FULL_SCAN_OK = {
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_char_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
-    "dedup_embedding_lsh", "ann_topk", "ann_lsh", "ann_ivf",
-    "text_language_id", "text_quality", "text_stats", "text_fingerprints",
-    "flatten_dotted", "json_props", "session_summary", "objectid_sessions",
-    "latest_snapshot", "windowed_rates", "sessionize", "set_except",
-    "anti_join_incremental", "multimodal_stats", "redact_uris",
-    "size_summary", "mongo_legacy_sessions", "mongo_sort_by_count",
-    "dedup_embedding", "tpch_q1_pricing", "salted_sessions",
+    # exact/overlap/banded dedup + ANN: whole-corpus scans where the only
+    # Filters are on computed shingle/band/signature/pair columns
+    "dedup_exact_groups", "dedup_word_overlap", "dedup_char_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "ann_topk_both", "ann_lsh", "ann_ivf", "dedup_clusters",
+    "dedup_incremental", "dedup_semantic",
+    # per-document expression pipelines over the full corpus
+    "text_profile", "text_tokens", "multimodal_stats", "pii_redact",
+    # full-table rollups / reshapes — nothing pushable exists
+    "mongo_projection_flatten", "store_scalars", "session_rollup_salted",
+    "objectid_sessions", "latest_snapshot", "windowed_rates", "sessionize",
+    "set_except", "anti_join_incremental", "mongo_legacy_sessions",
+    "tpch_q1_pricing", "corpus_lengths", "mongo_window_fill",
+    "mongo_sample_reshape", "mongo_facet", "mongo_densify_histogram",
     # $unwind's only Filter is the Mongo null/empty-array drop on the
     # computed $split column — nothing pushable exists in the query.
     "mongo_pipeline_unwind",
@@ -61,18 +66,8 @@ FULL_SCAN_OK = {
     # columns (window rank / shingle-join keys / funnel flags), nothing
     # pushable exists.  domain_topk's rank<=5 actually compiles to a
     # map-side WindowGroupLimit (partial top-k before the shuffle).
-    "dedup_containment", "dedup_keep_first", "dedup_clusters",
-    "domain_topk", "quality_funnel", "token_histogram",
-    "ann_topk_partial",
-    # centroid affinity / cosine thresholds are computed columns
-    "dedup_semantic",
-    # whole-corpus rollups (added late in r2, never allowlisted): the only
-    # Filters are explode_nonempty's generator-output null drop and (for
-    # salient_terms) the window rank<=k — nothing pushable exists.
-    "salient_terms", "merge_pairs",
-    # same band-join family as dedup_minhash_lsh: whole-corpus scan, the
-    # only Filters are on computed shingle/band/doc-pair columns
-    "dedup_incremental",
+    "domain_topk", "quality_funnel", "salient_terms", "merge_pairs",
+    "pack_sequences", "mixture_sample", "split_report",
 }
 
 
@@ -162,8 +157,9 @@ def main() -> int:
     )
 
     queries = entry_mod.queries()
-    names = [n for n in HEADLINE if n in queries] + [
-        n for n in extra if n in queries and n not in HEADLINE]
+    headline = HEADLINE if HEADLINE is not None else list(queries)
+    names = [n for n in headline if n in queries] + [
+        n for n in extra if n in queries and n not in headline]
     results = []
     n_hard = 0
     for name in names:

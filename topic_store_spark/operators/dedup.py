@@ -156,10 +156,12 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     ``max_shingle_freq`` drops shingles appearing in more than that many
     docs before the self-join: one stop-shingle shared by d docs alone
     contributes d^2/2 candidate pairs, so an uncapped join is the
-    canonical 100x scale-killer.  A dropped shingle only LOWERS a pair's
-    observed overlap — safe for >= thresholds on near-dup work."""
+    canonical 100x scale-killer.  When the cap is active, set sizes are
+    recomputed over the SURVIVING shingles too, so the metrics are exact
+    Jaccard/containment in the stop-shingle-filtered universe — a true
+    dup pair keeps its score (both members lose the same hot shingles)
+    instead of being diluted by a full-size denominator."""
     shingles = explode_nonempty(sh, "shs", "shingle", "doc")
-    sizes = sh.select("doc", F.size("shs").alias("sz"))
 
     joinable = shingles
     if max_shingle_freq is not None:
@@ -168,6 +170,9 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
             freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
             "shingle",
         )
+        sizes = joinable.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sh.select("doc", F.size("shs").alias("sz"))
 
     left = joinable.select(F.col("doc").alias("a_doc"), "shingle")
     right = joinable.select(F.col("doc").alias("b_doc"), "shingle")

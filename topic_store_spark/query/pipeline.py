@@ -825,6 +825,52 @@ def _bucket_auto(out: DataFrame, spec: dict[str, Any]) -> DataFrame:
     )
 
 
+#: stages that keep their input's row order (for $facet order tracking)
+_ORDER_PRESERVING_STAGES = {
+    "$match", "$project", "$addFields", "$set", "$unset", "$limit",
+    "$skip", "$replaceRoot", "$replaceWith", "$fill", "$count",
+}
+
+
+def _facet_final_order(sub: list[dict[str, Any]]) -> list[tuple[str, int]] | None:
+    """The (key, direction) ordering a $facet sub-pipeline's output is
+    defined to have, or None when no stage establishes one.  $sortByCount
+    is $group + $sort {count: -1} with _id as Mongo's implicit tiebreak;
+    grouping/bucketing stages reset any earlier order."""
+    order: list[tuple[str, int]] | None = None
+    for stage in sub:
+        op = next(iter(stage))
+        if op == "$sort":
+            order = list(stage[op].items())
+        elif op == "$sortByCount":
+            order = [("count", -1), ("_id", 1)]
+        elif op in _ORDER_PRESERVING_STAGES:
+            continue
+        else:
+            order = None
+    return order
+
+
+def _struct_comparator(order: list[tuple[str, int]]):
+    """array_sort comparator over struct elements for a (key, direction)
+    chain — restores the sub-pipeline's logical order after the
+    physically-unordered collect_list."""
+
+    def cmp(a: Column, b: Column) -> Column:
+        expr: Column = F.lit(0)
+        for key, direction in reversed(order):
+            lt = F.lit(-1 if direction >= 0 else 1)
+            gt = F.lit(1 if direction >= 0 else -1)
+            expr = (
+                F.when(a[key] < b[key], lt)
+                .when(a[key] > b[key], gt)
+                .otherwise(expr)
+            )
+        return expr
+
+    return cmp
+
+
 def apply_pipeline(
     df: DataFrame,
     pipeline: list[dict[str, Any]],
@@ -924,19 +970,26 @@ def apply_pipeline(
             out = _compile_densify(out, spec)
         elif op == "$facet":
             # Each sub-pipeline runs over the SAME input; results land as
-            # one row of array<struct> fields.  Sub-results are
-            # array_sort-ed so the facet row is deterministic.
+            # one row of array<struct> fields.  Mongo guarantees each
+            # facet array preserves its sub-pipeline's output order, and
+            # collect_list over a shuffled agg does NOT — so the array is
+            # re-sorted by the sub-pipeline's FINAL ordering (tracked
+            # through order-preserving stages); sub-pipelines with no
+            # defined order fall back to whole-struct array_sort so the
+            # facet row stays deterministic.
             parts = []
             for name, sub in spec.items():
                 sub_df = apply_pipeline(out, sub, tables)
                 sstruct = F.struct(
                     *[F.col(f"`{c}`").alias(c) for c in sub_df.columns]
                 )
-                parts.append(
-                    sub_df.agg(
-                        F.array_sort(F.collect_list(sstruct)).alias(name)
-                    )
-                )
+                order = _facet_final_order(sub)
+                collected = F.collect_list(sstruct)
+                if order and all(k in sub_df.columns for k, _ in order):
+                    arr = F.array_sort(collected, _struct_comparator(order))
+                else:
+                    arr = F.array_sort(collected)
+                parts.append(sub_df.agg(arr.alias(name)))
             row = parts[0]
             for p in parts[1:]:
                 row = row.crossJoin(p)
