@@ -19,7 +19,6 @@ the file system only when actually selected.
 from __future__ import annotations
 
 import os
-from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,33 +69,45 @@ def externalize_blobs(
         ]
     )
 
-    col_idx = {name: i for i, name in enumerate(df.columns)}
-    id_idx = col_idx.get(id_col)
+    has_id = id_col in df.columns
+    field_order = [f.name for f in out_schema.fields]
 
-    def write_partition(rows: Iterator) -> Iterator:
+    # Arrow-batched externalization, mirror of the rehydrate path below:
+    # rows cross to Python as columnar batches (no per-row pickling of
+    # the full row even when nothing exceeds the threshold), and each
+    # batch writes only its oversized cells.
+    def _write_batches(batches):
         import os as _os
         import uuid as _uuid
 
-        for row in rows:
-            values = list(row)
-            for name in columns:
-                i = col_idx[name]
-                payload = values[i]
-                if payload is None:
-                    continue
-                payload = bytes(payload)
-                if len(payload) > threshold:
-                    doc_id = values[id_idx] if id_idx is not None else _uuid.uuid4().hex
-                    fname = f"{doc_id}_{name}.bin"
-                    fpath = _os.path.join(blob_dir, fname)
-                    with open(fpath, "wb") as fh:
-                        fh.write(payload)
-                    values[i] = (fpath, len(payload), None)
-                else:
-                    values[i] = (None, len(payload), payload)
-            yield tuple(values)
+        import pandas as pd
 
-    return df.rdd.mapPartitions(write_partition).toDF(out_schema)
+        for pdf in batches:
+            for name in columns:
+                pointers = []
+                for pos, cell in enumerate(pdf[name]):
+                    if cell is None:
+                        pointers.append(None)
+                        continue
+                    payload = bytes(cell)
+                    if len(payload) > threshold:
+                        doc_id = (
+                            pdf[id_col].iloc[pos] if has_id else _uuid.uuid4().hex
+                        )
+                        fpath = _os.path.join(blob_dir, f"{doc_id}_{name}.bin")
+                        with open(fpath, "wb") as fh:
+                            fh.write(payload)
+                        pointers.append(
+                            {"__blob__": fpath, "size": len(payload), "inline": None}
+                        )
+                    else:
+                        pointers.append(
+                            {"__blob__": None, "size": len(payload), "inline": payload}
+                        )
+                pdf[name] = pd.Series(pointers, index=pdf.index, dtype=object)
+            yield pdf[field_order]
+
+    return df.mapInPandas(_write_batches, out_schema)
 
 
 def rehydrate_blobs(
