@@ -347,6 +347,42 @@ def test_semantic_cluster_dedup_matches_brute_within_cluster(spark, sf_dir):
     assert len(sem_pairs) / len(brute_pairs) >= 0.9
 
 
+def test_semantic_dedup_multiprobe_recovers_boundary_pairs(spark):
+    """A near-identical pair straddling the bisector of two centroids is
+    MISSED by single-assignment (each member lands in a different
+    cluster) and RECOVERED by n_probe=2, whose epsilon near-tie rule
+    also assigns boundary vectors to the runner-up centroid.  Interior
+    pairs are unaffected and the multi-probe pair set stays deduplicated."""
+    from topic_store_spark.operators.dedup import semantic_cluster_dedup
+
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    vecs = spark.createDataFrame(
+        [
+            # boundary pair: nearly identical, opposite sides of the bisector
+            (10, [0.71, 0.70]),
+            (11, [0.70, 0.71]),
+            # interior pair: both clearly in cluster 0
+            (20, [1.0, 0.01]),
+            (21, [1.0, 0.012]),
+            # a lone far vector in cluster 1
+            (30, [0.1, 0.9]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    single = semantic_cluster_dedup(vecs, cen)
+    probed = semantic_cluster_dedup(vecs, cen, n_probe=2, probe_eps=0.05)
+    single_pairs = {(r["a_id"], r["b_id"]) for r in single.collect()}
+    probed_rows = probed.collect()
+    probed_pairs = [(r["a_id"], r["b_id"]) for r in probed_rows]
+    assert (10, 11) not in single_pairs          # the single-probe miss
+    assert (20, 21) in single_pairs
+    assert (10, 11) in probed_pairs              # recovered
+    assert (20, 21) in probed_pairs
+    assert len(probed_pairs) == len(set(probed_pairs))  # deduplicated
+
+
 def test_kmeans_centroids_recovers_blobs(spark):
     """Distributed Lloyd's on 3 well-separated blobs: k dense ids, each
     learned centroid lands on a true blob mean, assignment is stable."""

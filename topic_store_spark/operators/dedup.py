@@ -691,6 +691,8 @@ def semantic_cluster_dedup(
     id_col: str = "vec_id",
     threshold_num: int = 95,
     threshold_den: int = 100,
+    n_probe: int = 1,
+    probe_eps: float = 0.05,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: broadcast centroid
     assignment partitions the corpus into clusters, near-dup pairs are
@@ -701,11 +703,19 @@ def semantic_cluster_dedup(
     The 100 TB shape of semantic dedup: pair space falls from n^2 to
     sum(|cluster|^2), assignment is one broadcast pass (centroid count is
     small by construction), and the only shuffle keys on cluster id.
-    Recall caveat (same as any single-assignment scheme): a near-dup pair
-    split across two clusters is missed — near-identical vectors have
-    near-identical centroid affinities, so this needs a boundary case
-    (affinity ties); multi-probe assignment (rn <= 2) is the standard
-    fix when that matters more than the pair-space saving.
+
+    Recall caveat of ``n_probe=1`` (any single-assignment scheme): a
+    near-dup pair split across two clusters is missed — near-identical
+    vectors have near-identical centroid affinities, so the failure mode
+    is an affinity near-tie at a cluster boundary.  ``n_probe=2`` is the
+    standard fix: a vector is ALSO assigned to its runner-up centroid
+    when that affinity is within ``probe_eps`` (relative) of the best,
+    and the pair set is deduplicated (a pair found in two shared
+    clusters reports its smallest discovering cluster).  Cost: the
+    assignment aggregate carries the per-vector centroid list through
+    the shuffle (n x |centroids| rows instead of n) plus boundary
+    vectors joining in two clusters — pay it when boundary recall
+    matters more than the pair-space saving.
 
     Deterministic end-to-end (md5-free: affinity ranking uses exact
     integer dots with ``cen_id`` tie-break), so the SQL oracle reproduces
@@ -723,34 +733,69 @@ def semantic_cluster_dedup(
             lambda acc, v: acc + v,
         )
 
-    # argmax via max(struct) instead of a row_number window: the partial
-    # aggregate reduces each vector's |centroids| candidate rows to one
-    # BEFORE the exchange, so the assignment shuffle moves n rows, not
-    # n x |centroids|, and needs no sort.  max over (aff, -cen_id) ==
-    # "affinity desc, cen_id asc" — same deterministic tie-break as the
-    # oracle's row_number.
     aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
-    best = F.max(
-        F.struct(
-            F.col("aff"),
-            (-F.col("cen_id")).alias("neg_cen"),
-            F.col("cen_id"),
-            F.col("c_qv"),
-            F.col("c_n"),
+    scored = c.crossJoin(F.broadcast(cen)).withColumn("aff", aff)
+    if n_probe <= 1:
+        # argmax via max(struct) instead of a row_number window: the
+        # partial aggregate reduces each vector's |centroids| candidate
+        # rows to one BEFORE the exchange, so the assignment shuffle
+        # moves n rows, not n x |centroids|, and needs no sort.  max over
+        # (aff, -cen_id) == "affinity desc, cen_id asc" — same
+        # deterministic tie-break as the oracle's row_number.
+        best = F.max(
+            F.struct(
+                F.col("aff"),
+                (-F.col("cen_id")).alias("neg_cen"),
+                F.col("cen_id"),
+                F.col("c_qv"),
+                F.col("c_n"),
+            )
+        ).alias("best")
+        assigned = (
+            scored.groupBy("c_id")
+            .agg(best)
+            .select(
+                "c_id",
+                F.col("best.c_qv").alias("c_qv"),
+                F.col("best.c_n").alias("c_n"),
+                F.col("best.cen_id").alias("cluster_id"),
+            )
         )
-    ).alias("best")
-    assigned = (
-        c.crossJoin(F.broadcast(cen))
-        .withColumn("aff", aff)
-        .groupBy("c_id")
-        .agg(best)
-        .select(
-            "c_id",
-            F.col("best.c_qv").alias("c_qv"),
-            F.col("best.c_n").alias("c_n"),
-            F.col("best.cen_id").alias("cluster_id"),
+    else:
+        # multi-probe: rank the (small, constant) centroid list per
+        # vector and keep probe 1 unconditionally plus probes 2..n_probe
+        # whose affinity is within probe_eps (relative) of the best
+        probes = F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("aff"),
+                        (-F.col("cen_id")).alias("neg_cen"),
+                        F.col("cen_id"),
+                        F.col("c_qv"),
+                        F.col("c_n"),
+                    )
+                ),
+                asc=False,
+            ),
+            1,
+            n_probe,
         )
-    )
+        grouped = scored.groupBy("c_id").agg(probes.alias("probes"))
+        best_aff = F.col("probes")[0]["aff"]
+        near_tie = (best_aff - F.col("p.aff")) <= probe_eps * F.greatest(
+            F.abs(best_aff), F.lit(1.0)
+        )
+        assigned = (
+            grouped.select("c_id", "probes", F.posexplode("probes").alias("pos", "p"))
+            .filter((F.col("pos") == 0) | near_tie)
+            .select(
+                "c_id",
+                F.col("p.c_qv").alias("c_qv"),
+                F.col("p.c_n").alias("c_n"),
+                F.col("p.cen_id").alias("cluster_id"),
+            )
+        )
     # both sides of the pair join consume the assignment — materialize it
     # once (same pattern as minhash_lsh_pairs' two-consumer persist)
     from pyspark import StorageLevel
@@ -770,7 +815,7 @@ def semantic_cluster_dedup(
         lambda acc, v: acc + v,
     )
     dec = "decimal(38,0)"
-    return (
+    pairs = (
         left.join(right, "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("dot", dot)
@@ -791,6 +836,14 @@ def semantic_cluster_dedup(
             ).alias("cosine_q"),
         )
     )
+    if n_probe > 1:
+        # a pair co-assigned to two shared clusters is found twice —
+        # dedupe on the ids, reporting the smallest discovering cluster
+        pairs = pairs.groupBy("a_id", "b_id").agg(
+            F.min("cluster_id").alias("cluster_id"),
+            F.first("cosine_q").alias("cosine_q"),
+        ).select("cluster_id", "a_id", "b_id", "cosine_q")
+    return pairs
 
 
 def exact_duplicates_incremental(
