@@ -43,6 +43,12 @@ def main() -> None:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
+        # r4 A/B vs the 10MB default on tpch_q3_topk (the r3 +25% "drift"
+        # suspect): both thresholds produce the identical
+        # 2xBroadcastHashJoin + TakeOrderedAndProject plan and their
+        # min-of-4 timings overlap within +-0.3s across JVMs — the drift
+        # was host noise, so the 64m setting (which broadcast-protects
+        # larger dims at bigger SFs) stays.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

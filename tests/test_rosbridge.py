@@ -259,6 +259,119 @@ def test_rosbridge_rejects_unknown_scheme():
 
 
 # ---------------------------------------------------------------------------
+# CBOR framing (compression negotiation + binary websocket frames)
+# ---------------------------------------------------------------------------
+
+
+def test_cbor_codec_roundtrip_and_typed_arrays():
+    from topic_store_spark.streaming import cbor
+
+    doc = {
+        "op": "publish",
+        "topic": "/imu",
+        "msg": {
+            "seq": 42,
+            "neg": -7,
+            "ok": True,
+            "none": None,
+            "ratio": 0.25,
+            "blob": b"\x00\x01\xfe",
+            "values": [1, 2, 3],
+            "label": "café",
+        },
+    }
+    assert cbor.loads(cbor.dumps(doc)) == doc
+
+    # RFC 8746 typed array: tag 85 = float32 little-endian
+    payload = struct.pack("<3f", 1.0, 2.5, -3.0)
+    typed = b"\xd8\x55" + cbor.dumps(payload)  # tag(85) + byte string
+    assert cbor.loads(typed) == [1.0, 2.5, -3.0]
+
+    # indefinite-length array + text string
+    indef = b"\x9f\x01\x02\xff"  # [_ 1, 2]
+    assert cbor.loads(indef) == [1, 2]
+    with pytest.raises(ValueError):
+        cbor.loads(b"\x01\x02")  # trailing bytes
+    with pytest.raises(ValueError):
+        cbor.loads(b"\x58")  # truncated
+
+
+def _ws_server_send_binary(conn: socket.socket, data: bytes) -> None:
+    header = bytearray([0x82])  # FIN + binary opcode
+    if len(data) < 126:
+        header.append(len(data))
+    else:
+        header.append(126)
+        header += struct.pack(">H", len(data))
+    conn.sendall(bytes(header) + data)
+
+
+def test_rosbridge_cbor_subscription_and_binary_frames():
+    """compression='cbor': the subscribe op advertises cbor, the server
+    answers with CBOR binary frames (typed arrays + raw bytes), and the
+    relay emits the same JSON-lines contract (bytes as base64) — mixed
+    text-JSON frames still work on the same connection."""
+    from topic_store_spark.streaming import cbor
+
+    server_socket = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server_socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server_socket.bind(("127.0.0.1", 0))
+    server_socket.listen(1)
+    port = server_socket.getsockname()[1]
+    subs: list[dict] = []
+    stop = threading.Event()
+
+    def serve() -> None:
+        conn, _ = server_socket.accept()
+        try:
+            _ws_server_handshake(conn)
+            subs.append(json.loads(_ws_server_recv_text(conn)))
+            cbor_frame = cbor.dumps(
+                {
+                    "op": "publish",
+                    "topic": "/imu",
+                    "msg": {
+                        "header": {"stamp": {"secs": 1700000001, "nsecs": 0}},
+                        "ranges": None,  # replaced below by typed array
+                        "raw": b"\x01\x02",
+                    },
+                }
+            )
+            # splice a typed array (tag 85, float32 LE) in place of null:
+            # encode manually since dumps() emits plain lists
+            typed = b"\xd8\x55" + cbor.dumps(struct.pack("<2f", 0.5, 1.5))
+            cbor_frame = cbor_frame.replace(b"\xf6", typed, 1)
+            _ws_server_send_binary(conn, cbor_frame)
+            _ws_server_send_text(conn, _publish_frame("/imu", "json-too"))
+            stop.wait(30)
+        finally:
+            conn.close()
+            server_socket.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    rx = RosbridgeReceiver(
+        f"ws://127.0.0.1:{port}", ["/imu"], compression="cbor"
+    ).start()
+    try:
+        rows = _drain_relay(rx, n=2)
+        assert subs[0] == {"op": "subscribe", "topic": "/imu", "compression": "cbor"}
+        assert [r["topic"] for r in rows] == ["/imu", "/imu"]
+        first = json.loads(rows[0]["value"])
+        assert first["ranges"] == [0.5, 1.5]       # typed array decoded
+        assert first["raw"] == base64.b64encode(b"\x01\x02").decode()
+        assert rows[0]["ts"].startswith("2023-11-14 22:13:21")
+        assert json.loads(rows[1]["value"])["data"] == "json-too"
+    finally:
+        stop.set()
+        rx.stop()
+
+
+def test_rosbridge_cbor_requires_websocket():
+    with pytest.raises(ValueError, match="cbor"):
+        RosbridgeReceiver("tcp://x:1", ["/t"], compression="cbor")
+
+
+# ---------------------------------------------------------------------------
 # End-to-end: ScenarioRunner driven through the rosbridge websocket source
 # ---------------------------------------------------------------------------
 

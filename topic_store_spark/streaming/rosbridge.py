@@ -123,9 +123,12 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 
 def _ws_read_messages(sock: socket.socket):
-    """Yield text payloads; transparently answer pings, stop on close.
-    Handles fragmentation (continuation frames) for completeness."""
+    """Yield ``(is_binary, payload_bytes)`` per message; transparently
+    answer pings, stop on close.  Handles fragmentation (continuation
+    frames) for completeness.  Binary frames carry CBOR when the
+    subscription negotiated it."""
     fragments: list[bytes] = []
+    frame_binary = False
     while True:
         try:
             b0, b1 = _recv_exact(sock, 2)
@@ -153,15 +156,14 @@ def _ws_read_messages(sock: socket.socket):
             except OSError:
                 return
             continue
-        if opcode in (0x1, 0x0):  # text / continuation
+        if opcode in (0x1, 0x2, 0x0):  # text / binary / continuation
+            if opcode != 0x0:
+                frame_binary = opcode == 0x2
             fragments.append(payload)
             if fin:
-                try:
-                    yield b"".join(fragments).decode()
-                except UnicodeDecodeError:
-                    pass  # tolerate one bad frame, keep the stream alive
+                yield frame_binary, b"".join(fragments)
                 fragments = []
-        # binary (0x2) and pong (0xA) frames are ignored
+        # pong (0xA) frames are ignored
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +197,14 @@ def _iter_tcp_json(sock: socket.socket):
                 break  # incomplete document: wait for more bytes
             yield obj
             buf = stripped[end:]
+
+
+def _json_bytes(obj: object) -> str:
+    """JSON fallback for binary message fields (CBOR byte strings):
+    base64, the same spelling rosbridge's own JSON mode uses."""
+    if isinstance(obj, (bytes, bytearray, memoryview)):
+        return base64.b64encode(bytes(obj)).decode("ascii")
+    raise TypeError(f"not JSON serializable: {type(obj).__name__}")
 
 
 def _frame_ts(msg: object, fallback: float) -> str:
@@ -233,10 +243,18 @@ class RosbridgeReceiver:
         connect_timeout: float = 10.0,
         max_reconnects: int = 0,
         reconnect_backoff: float = 0.5,
+        compression: str = "none",
     ) -> None:
         parsed = urlparse(uri)
         if parsed.scheme not in ("ws", "tcp"):
             raise ValueError(f"rosbridge uri must be ws:// or tcp://, got {uri!r}")
+        if compression not in ("none", "cbor"):
+            raise ValueError(f"compression must be 'none' or 'cbor', got {compression!r}")
+        if compression == "cbor" and parsed.scheme != "ws":
+            # rosbridge_tcp is a JSON-document stream; CBOR framing is a
+            # websocket binary-frame feature
+            raise ValueError("compression='cbor' requires a ws:// transport")
+        self.compression = compression
         self.scheme = parsed.scheme
         self.remote_host = parsed.hostname or "127.0.0.1"
         self.remote_port = parsed.port or 9090
@@ -304,18 +322,35 @@ class RosbridgeReceiver:
 
     def _subscribe_all(self, sock: socket.socket) -> None:
         for topic in self.topics:
-            op = json.dumps({"op": "subscribe", "topic": topic})
+            sub: dict = {"op": "subscribe", "topic": topic}
+            if self.compression != "none":
+                sub["compression"] = self.compression
+            op = json.dumps(sub)
             if self.scheme == "ws":
                 _ws_send_text(sock, op)
             else:
                 sock.sendall((op + "\n").encode())
 
+    def _ws_frames(self):
+        """Decode websocket messages by frame type: text frames are JSON
+        ops; binary frames are CBOR ops (sent once the subscription
+        negotiated ``compression: cbor``).  A single undecodable frame is
+        skipped rather than dropping the connection."""
+        from topic_store_spark.streaming import cbor
+
+        for is_binary, payload in _ws_read_messages(self._remote):
+            try:
+                if is_binary:
+                    yield cbor.loads(payload)
+                else:
+                    yield json.loads(payload.decode())
+            except (ValueError, UnicodeDecodeError, NotImplementedError):
+                continue  # tolerate one bad frame, keep the stream alive
+
     def _pump_once(self) -> None:
         assert self._remote is not None
         if self.scheme == "ws":
-            frames = (
-                json.loads(m) for m in _ws_read_messages(self._remote)
-            )
+            frames = self._ws_frames()
         else:
             frames = _iter_tcp_json(self._remote)
         for frame in frames:
@@ -331,7 +366,7 @@ class RosbridgeReceiver:
                         "topic": frame.get("topic"),
                         "value": msg
                         if isinstance(msg, str)
-                        else json.dumps(msg, sort_keys=True),
+                        else json.dumps(msg, sort_keys=True, default=_json_bytes),
                         "ts": _frame_ts(msg, time.time()),
                     }
                 )
