@@ -801,14 +801,46 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference parity: streaming ops, batch form (SURVEY §2.10 T5/T8/T9)
 # ---------------------------------------------------------------------------
 
-def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: latest-value snapshot per topic (event_type = topic)."""
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 + as-of join composite, one tagged union: the latest-value
+    snapshot per topic (event_type = topic), and the backward AS-OF
+    join — every click event annotated with the user's latest purchase
+    value at-or-before its timestamp (operators/asof.py: tag-union +
+    one keyed window pass, the merge-join shape — never a range cross
+    join).  The DuckDB oracle uses its NATIVE ASOF JOIN (partitioned
+    search), so the two engines verify the semantics via independent
+    algorithms."""
+    from topic_store_spark.operators.asof import asof_join
     from topic_store_spark.operators.snapshot import latest_snapshot
 
     events = _t(spark, sf_dir, "events")
-    return latest_snapshot(
+    latest = latest_snapshot(
         events, key_col="event_type", ts_col="ts", tie_col="event_id"
-    ).select("event_type", "event_id", "ts", "user_id", "value")
+    ).select(
+        F.lit("latest").alias("part"),
+        F.col("event_id").alias("k"),
+        F.col("ts"),
+        F.col("event_type").alias("key"),
+        F.col("value").cast("double").alias("v"),
+    )
+    probes = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    quotes = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        probes, quotes, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], tie_col="event_id",
+    )
+    asof_part = joined.select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").alias("k"),
+        F.col("ts"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("asof_value").cast("double").alias("v"),
+    )
+    return latest.unionByName(asof_part)
 
 
 def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1374,7 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mongo_densify_histogram": q_mongo_densify_histogram,
         "anti_join_incremental": q_anti_join_incremental,
         "set_except": q_set_except,
-        "latest_snapshot": q_latest_snapshot,
+        "snapshot_asof": q_snapshot_asof,
     }
 
 
@@ -1864,10 +1896,25 @@ def oracle_sql() -> dict[str, str]:
         FROM numbered GROUP BY 1, 2
     """
 
-    sql["latest_snapshot"] = """
-        SELECT event_type, event_id, ts, user_id, value FROM events
+    # the asof half uses DuckDB's NATIVE ASOF JOIN — a different
+    # algorithm (partitioned search) than Spark's union+window merge
+    # plan, making this a genuinely independent semantic check
+    sql["snapshot_asof"] = """
+        SELECT 'latest' AS part, event_id AS k, ts,
+               event_type AS key, CAST(value AS DOUBLE) AS v
+        FROM events
         QUALIFY row_number() OVER (PARTITION BY event_type
                                    ORDER BY ts DESC, event_id DESC) = 1
+        UNION ALL
+        SELECT 'asof', p.event_id, p.ts,
+               CAST(p.user_id AS VARCHAR), CAST(q.v AS DOUBLE)
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, max_by(value, event_id) AS v
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1, 2) q
+          ON p.user_id = q.user_id AND p.ts >= q.ts
     """
 
     sql["windowed_rates"] = """

@@ -1,0 +1,96 @@
+"""As-of join: known-answer semantics + DuckDB ASOF JOIN cross-check."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def sides(spark):
+    probes = spark.createDataFrame(
+        [
+            (1, 5, "p5"), (1, 2, "p2"), (1, 1, "p1"),
+            (2, 10, "x"), (3, 7, "lonely"),
+        ],
+        "k long, t long, tag string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, 1, 10.0, 100), (1, 4, 40.0, 100), (1, 6, 60.0, 100),
+            # duplicate (key, ts) pair — tie resolved by larger seq
+            (2, 10, 7.0, 1), (2, 10, 9.0, 2),
+        ],
+        "k long, t long, v double, seq long",
+    )
+    return probes, quotes
+
+
+def test_asof_join_backward_semantics(spark, sides):
+    from topic_store_spark.operators.asof import asof_join
+
+    probes, quotes = sides
+    out = {
+        (r["k"], r["t"]): (r["asof_t"], r["asof_v"])
+        for r in asof_join(
+            probes, quotes, on="k", left_ts="t", right_ts="t",
+            value_cols=["v"], tie_col="seq",
+        ).collect()
+    }
+    assert out[(1, 1)] == (1, 10.0)     # inclusive: quote AT probe ts wins
+    assert out[(1, 2)] == (1, 10.0)
+    assert out[(1, 5)] == (4, 40.0)     # t=6 quote is in the future
+    assert out[(2, 10)] == (10, 9.0)    # (key, ts) tie -> max seq
+    assert out[(3, 7)] == (None, None)  # no quotes for key 3
+
+
+def test_asof_join_tolerance(spark, sides):
+    from topic_store_spark.operators.asof import asof_join
+
+    probes, quotes = sides
+    out = {
+        (r["k"], r["t"]): r["asof_v"]
+        for r in asof_join(
+            probes, quotes, on="k", left_ts="t", right_ts="t",
+            value_cols=["v"], tie_col="seq", tolerance=F.lit(0),
+        ).collect()
+    }
+    assert out[(1, 1)] == 10.0          # exact-ts match survives tol=0
+    assert out[(1, 2)] is None          # quote at t=1 is 1 tick stale
+    assert out[(1, 5)] is None          # quote at t=4 is stale too
+
+
+def test_asof_join_matches_duckdb_asof(spark):
+    """Cross-engine check on a bigger random-ish keyed series: Spark's
+    union+window merge plan vs DuckDB's native partitioned-search ASOF."""
+    from topic_store_spark.operators.asof import asof_join
+
+    probes = [(i % 7, (i * 13) % 101, i) for i in range(300)]
+    quotes = [(i % 7, (i * 29) % 97, float(i), i) for i in range(200)]
+    pdf = spark.createDataFrame(probes, "k long, t long, pid long")
+    qdf = spark.createDataFrame(quotes, "k long, t long, v double, seq long")
+    got = {
+        r["pid"]: (r["asof_t"], r["asof_v"])
+        for r in asof_join(
+            pdf, qdf, on="k", left_ts="t", right_ts="t",
+            value_cols=["v"], tie_col="seq",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(k BIGINT, t BIGINT, pid BIGINT)")
+    con.execute("CREATE TABLE q(k BIGINT, t BIGINT, v DOUBLE, seq BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)", probes)
+    con.executemany("INSERT INTO q VALUES (?, ?, ?, ?)", quotes)
+    want = {
+        pid: (t, v)
+        for pid, t, v in con.execute(
+            """
+            SELECT p.pid, q.t, q.v
+            FROM p ASOF LEFT JOIN
+                 (SELECT k, t, max_by(v, seq) AS v FROM q GROUP BY 1, 2) q
+              ON p.k = q.k AND p.t >= q.t
+            """
+        ).fetchall()
+    }
+    assert got == want

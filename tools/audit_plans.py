@@ -55,7 +55,7 @@ FULL_SCAN_OK = {
     "text_profile", "text_tokens", "multimodal_stats", "pii_redact",
     # full-table rollups / reshapes — nothing pushable exists
     "mongo_projection_flatten", "store_scalars", "session_rollup_salted",
-    "objectid_sessions", "latest_snapshot", "windowed_rates", "sessionize",
+    "objectid_sessions", "snapshot_asof", "windowed_rates", "sessionize",
     "set_except", "anti_join_incremental", "mongo_legacy_sessions",
     "tpch_q1_pricing", "corpus_lengths", "mongo_window_fill",
     "mongo_sample_reshape", "mongo_facet", "mongo_densify_histogram",

@@ -1,0 +1,139 @@
+"""As-of (backward-looking temporal) join.
+
+The canonical telemetry/training-data primitive Spark lacks as a
+built-in: for every left row, find the single right row with the
+greatest ``right_ts <= left_ts`` within the same key — "the last sensor
+reading / price quote / model snapshot known at event time".  The
+reference has no join engine at all (its J1/J2 are id-set anti-joins),
+so this is a pure training-pipeline extension in the spirit of
+SURVEY §2.4.
+
+100 TB plan: the naive formulations are a range join (``l.ts >= r.ts``
+theta-join — a per-key cross product) or a per-row correlated subquery —
+both scale-killers.  This implementation is the distributed merge-join
+shape instead:
+
+1. reduce the right side to ONE row per (key, ts) with a deterministic
+   ``max_by`` tie-break (exactly what any sane quote stream needs
+   anyway);
+2. tag-union both sides into one relation — quotes sort BEFORE probes
+   at equal timestamps, giving inclusive ``>=`` semantics;
+3. one shuffle on the key, one sort, one running
+   ``last(value, ignorenulls=True)`` window pass carries the latest
+   quote forward into each probe row.
+
+Cost: a single exchange + sort over |left| + |right'| rows — no pair
+explosion, no driver loop.  Skew on the key column is the same
+AQE/salting story as any keyed aggregation.
+
+DuckDB implements ``ASOF JOIN`` natively with a different algorithm
+(partitioned binary search), which makes it a genuinely independent
+oracle for the carrier query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    tie_col: str | None = None,
+    tolerance: Column | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: each ``left`` row gains ``<prefix><v>`` for
+    every ``v`` in ``value_cols`` (and ``<prefix><right_ts>``, the
+    matched quote's timestamp), taken from the latest ``right`` row at
+    or before its ``left_ts`` with equal ``on`` key(s); null when no
+    quote precedes it.
+
+    ``tie_col``: deterministic winner among quotes sharing (key, ts) —
+    the one with the greatest ``tie_col`` (required when duplicates are
+    possible and reproducibility matters).  ``tolerance``: a Column in
+    the timestamp's own algebra (``F.expr("INTERVAL 10 MINUTES")`` for
+    timestamps, ``F.lit(600.0)`` for numeric epochs); matches older
+    than ``left_ts - tolerance`` null out.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in keys and c != right_ts
+        ]
+
+    # 1. unique quote per (key, ts), deterministic under duplicates
+    if tie_col is not None:
+        aggs = [
+            F.max_by(F.col(v), F.col(tie_col)).alias(v) for v in value_cols
+        ]
+    else:
+        aggs = [F.max(F.col(v)).alias(v) for v in value_cols]
+    quotes = right.groupBy(
+        *keys, F.col(right_ts).alias("_asof_event_ts")
+    ).agg(*aggs)
+
+    # 2. tag-union: quotes carry the payload, probes carry the left row.
+    #    _asof_side 0 sorts before 1 at equal ts -> inclusive ">=".
+    left_payload = [c for c in left.columns]
+    probe = left.select(
+        *[F.col(f"`{c}`") for c in left_payload],
+        F.col(left_ts).alias("_asof_event_ts"),
+        F.lit(1).alias("_asof_side"),
+        *[F.lit(None).cast(quotes.schema[v].dataType).alias(f"_q_{v}")
+          for v in value_cols],
+    )
+    quote = quotes.select(
+        *[
+            F.col(f"`{c}`") if c in keys
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_payload
+        ],
+        F.col("_asof_event_ts"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(f"`{v}`").alias(f"_q_{v}") for v in value_cols],
+    )
+    unioned = probe.unionByName(quote)
+
+    # 3. one keyed window pass carries the latest quote forward
+    ts_out = f"{prefix}{right_ts}"
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_asof_event_ts", "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last(
+        F.when(F.col("_asof_side") == 0, F.col("_asof_event_ts")),
+        ignorenulls=True,
+    ).over(w)
+    filled = unioned.withColumn(ts_out, matched_ts)
+    for v in value_cols:
+        filled = filled.withColumn(
+            f"{prefix}{v}",
+            F.last(
+                F.when(F.col("_asof_side") == 0, F.col(f"_q_{v}")),
+                ignorenulls=True,
+            ).over(w),
+        )
+
+    out = filled.filter(F.col("_asof_side") == 1)
+    if tolerance is not None:
+        in_range = F.col(ts_out) >= F.col(left_ts) - tolerance
+        for v in value_cols:
+            out = out.withColumn(
+                f"{prefix}{v}", F.when(in_range, F.col(f"{prefix}{v}"))
+            )
+        out = out.withColumn(
+            ts_out, F.when(in_range, F.col(ts_out))
+        )
+    return out.select(
+        *[F.col(f"`{c}`") for c in left_payload],
+        ts_out,
+        *[F.col(f"{prefix}{v}") for v in value_cols],
+    )
