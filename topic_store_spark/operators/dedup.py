@@ -170,6 +170,11 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
             freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
             "shingle",
         )
+        # three consumers (join left/right + sizes) would each re-derive
+        # the shingle scan AND the frequency join — materialize once
+        from pyspark import StorageLevel
+
+        joinable = joinable.persist(StorageLevel.MEMORY_AND_DISK)
         sizes = joinable.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = sh.select("doc", F.size("shs").alias("sz"))
