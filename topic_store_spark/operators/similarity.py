@@ -211,16 +211,23 @@ def ivf_ann_neighbors(
 
 def _hyperplane_sign(vec_col, plane: int, dim: int):
     """Sign of <v, h_plane> where h_plane[i] is a deterministic
-    pseudo-random in [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5."""
-    prefix = f"{plane}:"
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), i.cast("string"))), 1, 4), 16, 10
-        ).cast("double")
-        / 65536.0
-        - 0.5,
-    )
+    pseudo-random in [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5.
+
+    The weights are pure constants, but Catalyst does not constant-fold
+    higher-order functions — an in-plan ``transform(sequence(...), md5)``
+    formulation re-hashed dim x planes md5s PER ROW.  So the weights are
+    computed driver-side with the byte-identical formula (hashlib md5;
+    /65536 and -0.5 are exact binary ops, so the doubles match the SQL
+    oracle bit-for-bit) and emitted as a literal array; the projection
+    stays the same left-fold over the same operand order."""
+    import hashlib
+
+    ws = [
+        int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:4], 16) / 65536.0
+        - 0.5
+        for i in range(dim)
+    ]
+    weights = F.array(*[F.lit(w) for w in ws])
     proj = F.aggregate(
         F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
