@@ -59,8 +59,9 @@ def test_frame_sample(spark):
 
 
 def test_compressed_decode_is_stubbed(image_df):
+    # video frame demux is the one remaining stub (needs ffmpeg)
     with pytest.raises(NotImplementedError):
-        decode_compressed(image_df, "jpeg")
+        decode_compressed(image_df, "mp4_frames")
 
 
 def test_full_encoding_table_roundtrip(spark):

@@ -41,14 +41,16 @@ ENCODINGS: dict[str, tuple[str, int]] = {
 }
 
 #: pluggable compressed-format decoders: name -> bytes -> np.ndarray.
-#: png/wav are REAL stdlib+numpy codecs (multimodal/codecs.py); the
-#: remaining ``None`` entries are stubs — entropy-coded formats (JPEG,
-#: video) need cv2/PIL/ffmpeg, absent from this container; register a
-#: callable in a real deployment and nothing else changes.
+#: png/wav/jpeg are REAL from-scratch codecs (multimodal/codecs.py,
+#: multimodal/jpeg.py — baseline DCT JPEG per ITU-T T.81, numpy only).
+#: Video remains the one stub — frame demuxing needs ffmpeg, absent from
+#: this container; register a callable in a real deployment and nothing
+#: else changes.
 from topic_store_spark.multimodal.codecs import decode_png, decode_wav
+from topic_store_spark.multimodal.jpeg import decode_jpeg
 
 DECODERS: dict[str, Callable[[bytes], np.ndarray] | None] = {
-    "jpeg": None,
+    "jpeg": decode_jpeg,
     "png": decode_png,
     "wav": decode_wav,
     "mp4_frames": None,

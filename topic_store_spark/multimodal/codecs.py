@@ -11,9 +11,10 @@ formats are fully decodable with the standard library alone:
 - **WAV/RIFF** (audio payloads): direct RIFF chunk walk supporting PCM
   8/16/32-bit and IEEE float32/64, returned as ``(frames, channels)``.
 
-JPEG and video remain registry stubs (``DECODERS['jpeg'] is None``):
-entropy-coded DCT decode without a library is out of scope, and a wrong
-pixel is worse than ``NotImplementedError``.
+Baseline JPEG is implemented from the ITU-T T.81 spec in the sibling
+``multimodal/jpeg.py`` (huffman + DCT, numpy only).  Video remains the
+one registry stub: frame demuxing without ffmpeg is out of scope, and a
+wrong pixel is worse than ``NotImplementedError``.
 
 These run row-wise inside Arrow-batched ``mapInPandas``
 (binary.decode_compressed) — correctness-first reference codecs; a real
