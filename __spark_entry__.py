@@ -168,8 +168,13 @@ def q_mongo_pipeline_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mongo_pipeline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: $lookup (collection join) + $unwind + $project — the foreign
-    side pre-aggregates per key so only the dimension shuffles."""
+    """A4: BOTH $lookup forms in one pipeline — the equality form
+    (localField/foreignField: foreign side pre-aggregates per key, only
+    the dimension shuffles) via $lookup+$unwind against customer, THEN
+    the correlated let+pipeline form (r4): per urgent order, count the
+    same customer's strictly-pricier orders across the whole orders
+    table ($eq key + $gt residual — the general row-id path of
+    query/pipeline.py _lookup_pipeline)."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     orders = _t(spark, sf_dir, "orders")
@@ -186,15 +191,38 @@ def q_mongo_pipeline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         {"$unwind": "$cust"},
         {
+            "$lookup": {
+                "from": "orders",
+                "let": {"c": "$o_custkey", "p": "$o_totalprice"},
+                "pipeline": [
+                    {
+                        "$match": {
+                            "$expr": {
+                                "$and": [
+                                    {"$eq": ["$o_custkey", "$$c"]},
+                                    {"$gt": ["$o_totalprice", "$$p"]},
+                                ]
+                            }
+                        }
+                    },
+                    {"$sort": {"o_orderkey": 1}},
+                ],
+                "as": "pricier_peers",
+            }
+        },
+        {
             "$project": {
                 "o_orderkey": 1,
                 "o_totalprice": 1,
                 "cust_name": "$cust.c_name",
                 "segment": "$cust.c_mktsegment",
+                "n_pricier_peers": {"$toLong": {"$size": "$pricier_peers"}},
             }
         },
     ]
-    return apply_pipeline(orders, pipeline, tables={"customer": customer})
+    return apply_pipeline(
+        orders, pipeline, tables={"customer": customer, "orders": orders}
+    )
 
 
 def q_mongo_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,7 +1588,10 @@ def oracle_sql() -> dict[str, str]:
 
     sql["mongo_pipeline_lookup"] = """
         SELECT o.o_orderkey, o.o_totalprice,
-               c.c_name AS cust_name, c.c_mktsegment AS segment
+               c.c_name AS cust_name, c.c_mktsegment AS segment,
+               (SELECT count(*) FROM orders p
+                WHERE p.o_custkey = o.o_custkey
+                  AND p.o_totalprice > o.o_totalprice) AS n_pricier_peers
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 350000.0
     """

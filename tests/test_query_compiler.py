@@ -228,6 +228,115 @@ def test_pipeline_lookup_and_unwind(spark):
     assert got == [(1, "ada"), (2, "bob"), (4, "ada")]  # oid=3 dropped
 
 
+def test_pipeline_lookup_let_pipeline_fast_path(spark):
+    """let + single-$eq correlation with a var-free prefix $match and a
+    $sort+$limit suffix — the key-grouped "latest N per entity" shape:
+    foreign pre-aggregates per key, arrays come back in $sort order."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    custs = spark.createDataFrame(
+        [(10, "ada"), (20, "bob"), (30, "cee")], "cid int, name string"
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 9.0), (3, 10, 7.0), (4, 20, 1.0), (5, 20, 8.0)],
+        "oid int, cust int, total double",
+    )
+    out = apply_pipeline(
+        custs,
+        [
+            {
+                "$lookup": {
+                    "from": "orders",
+                    "let": {"c": "$cid"},
+                    "pipeline": [
+                        {"$match": {"total": {"$gt": 2.0}}},       # var-free prefix
+                        {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                        {"$sort": {"total": -1}},
+                        {"$limit": 2},
+                    ],
+                    "as": "top_orders",
+                }
+            }
+        ],
+        tables={"orders": orders},
+    )
+    rows = {r["cid"]: [(o["oid"], o["total"]) for o in r["top_orders"]] for o_, r in
+            ((None, r) for r in out.collect())}
+    assert rows[10] == [(2, 9.0), (3, 7.0)]     # top-2 by total desc
+    assert rows[20] == [(5, 8.0)]               # order 4 cut by the prefix
+    assert rows[30] == []                       # no match -> empty array
+
+
+def test_pipeline_lookup_let_pipeline_general_path(spark):
+    """Residual correlation (a second $$var in a non-equi comparison)
+    takes the row-id path: per-row arrays, empty when nothing passes."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    custs = spark.createDataFrame(
+        [(10, 6.0), (20, 100.0)], "cid int, min_total double"
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 9.0), (4, 20, 1.0), (5, 20, 8.0)],
+        "oid int, cust int, total double",
+    )
+    out = apply_pipeline(
+        custs,
+        [
+            {
+                "$lookup": {
+                    "from": "orders",
+                    "let": {"c": "$cid", "m": "$min_total"},
+                    "pipeline": [
+                        {
+                            "$match": {
+                                "$expr": {
+                                    "$and": [
+                                        {"$eq": ["$cust", "$$c"]},
+                                        {"$gte": ["$total", "$$m"]},
+                                    ]
+                                }
+                            }
+                        },
+                        {"$sort": {"oid": 1}},
+                    ],
+                    "as": "big",
+                }
+            }
+        ],
+        tables={"orders": orders},
+    )
+    rows = {r["cid"]: [o["oid"] for o in r["big"]] for r in out.collect()}
+    assert rows[10] == [2]      # only total >= 6.0
+    assert rows[20] == []       # nothing reaches 100
+
+
+def test_pipeline_lookup_uncorrelated_and_errors(spark):
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    ref = spark.createDataFrame([(7, "x"), (3, "y")], "rid int, tag string")
+    out = apply_pipeline(
+        left,
+        [{"$lookup": {"from": "ref",
+                      "pipeline": [{"$sort": {"rid": 1}}], "as": "all_ref"}}],
+        tables={"ref": ref},
+    )
+    for r in out.collect():
+        assert [x["rid"] for x in r["all_ref"]] == [3, 7]  # shared, sorted
+
+    with pytest.raises(NotImplementedError, match="limit"):
+        apply_pipeline(
+            left,
+            [{"$lookup": {"from": "ref", "let": {"kk": "$k"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$gte": ["$rid", "$$kk"]}}},
+                              {"$sort": {"rid": 1}},
+                              {"$limit": 1},
+                          ], "as": "a"}}],
+            tables={"ref": ref},
+        ).collect()
+
+
 def test_pipeline_sort_by_count(spark):
     from topic_store_spark.query.pipeline import apply_pipeline
 

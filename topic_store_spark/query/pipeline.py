@@ -871,6 +871,219 @@ def _struct_comparator(order: list[tuple[str, int]]):
     return cmp
 
 
+def _contains_var(obj: Any) -> bool:
+    """Does a pipeline fragment reference a ``$$variable`` anywhere?"""
+    if isinstance(obj, str):
+        return obj.startswith("$$")
+    if isinstance(obj, dict):
+        return any(_contains_var(v) for v in obj.values())
+    if isinstance(obj, list):
+        return any(_contains_var(v) for v in obj)
+    return False
+
+
+def _single_eq_correlation(expr: Any) -> tuple[Any, str] | None:
+    """If a correlated ``$expr`` is exactly one ``$eq`` between a
+    var-free foreign expression and a bare ``$$var`` reference, return
+    ``(foreign_expr, var_name)`` — the shape eligible for the
+    key-grouped fast path.  Anything else returns None."""
+    if not (isinstance(expr, dict) and len(expr) == 1):
+        return None
+    op, arg = next(iter(expr.items()))
+    if op != "$eq" or not isinstance(arg, list) or len(arg) != 2:
+        return None
+    a, b = arg
+    for fexpr, var in ((a, b), (b, a)):
+        if (
+            isinstance(var, str)
+            and var.startswith("$$")
+            and "." not in var
+            and not _contains_var(fexpr)
+        ):
+            return fexpr, var[2:]
+    return None
+
+
+def _lookup_pipeline(
+    out: DataFrame,
+    foreign: DataFrame,
+    spec: dict[str, Any],
+    tables: dict[str, DataFrame] | None,
+) -> DataFrame:
+    """``$lookup`` with ``let`` + ``pipeline`` (correlated sub-pipeline).
+
+    Supported shape: ``[<var-free prefix stages...>, {"$match":
+    {"$expr": E}}, <suffix: [] | [$sort] | [$sort, $limit]>]`` — the
+    prefix runs once over the foreign collection through the ordinary
+    pipeline compiler; E correlates against the outer document via
+    ``$$let`` vars; the suffix orders/limits matches PER OUTER DOCUMENT.
+    An entirely var-free pipeline (no correlation) collects one shared
+    array and cross-joins it — the broadcast-constant case.
+
+    Physical strategy, in order of preference:
+
+    - **key-grouped fast path** (E is a single ``$eq`` of a foreign
+      expression against one ``$$var``): group the foreign side by the
+      key expression — with the suffix's per-key window top-k applied
+      BEFORE grouping — and equi-join the pre-aggregated arrays.  One
+      shuffle of the (typically dimension-sized) foreign table keyed by
+      the join key; the outer side joins broadcast/hash as Catalyst
+      sees fit.  This is the 100 TB shape and covers the canonical
+      "latest N per entity" pattern.
+    - **general path** (extra residual conditions on ``$$vars``): tag
+      outer rows with a monotonic row id, LEFT-join on the full compiled
+      condition (Catalyst still extracts any embedded equality for the
+      hash join), then collect per row id.  Honest cost: the collect
+      shuffles the outer relation by row id — same as Mongo's own
+      uncached pipeline lookup; prefer expressing pure-equi lookups in
+      the fast-path shape at scale.  ``$limit`` with residual
+      correlation is refused (a per-key window cannot express a
+      per-outer-row cutoff when residuals differ per row).
+
+    Array ordering follows the suffix ``$sort`` exactly (array_sort
+    comparator — collect_list order is physical, not logical); without
+    a ``$sort`` the array is whole-struct sorted for determinism.
+    """
+    let = dict(spec.get("let") or {})
+    sub = list(spec.get("pipeline") or [])
+    as_name = spec["as"]
+    if "localField" in spec or "foreignField" in spec:
+        raise NotImplementedError(
+            "$lookup: combining localField/foreignField with pipeline is "
+            "not supported — fold the equality into the $expr"
+        )
+
+    corr_idx = [i for i, st in enumerate(sub) if _contains_var(st)]
+    if not corr_idx:
+        # uncorrelated sub-pipeline: one shared array for every row
+        sub_df = apply_pipeline(foreign, sub, tables)
+        fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in sub_df.columns])
+        order = _facet_final_order(sub)
+        collected = F.collect_list(fstruct)
+        if order and all(k in sub_df.columns for k, _ in order):
+            arr = F.array_sort(collected, _struct_comparator(order))
+        else:
+            arr = F.array_sort(collected)
+        return out.crossJoin(F.broadcast(sub_df.agg(arr.alias(as_name))))
+    if len(corr_idx) != 1:
+        raise NotImplementedError(
+            "$lookup pipeline: exactly one correlated stage is supported"
+        )
+    idx = corr_idx[0]
+    stage = sub[idx]
+    if set(stage) != {"$match"} or set(stage["$match"]) != {"$expr"}:
+        raise NotImplementedError(
+            "$lookup pipeline: the correlated stage must be "
+            '{"$match": {"$expr": ...}}'
+        )
+    expr = stage["$match"]["$expr"]
+    prefix, suffix = sub[:idx], sub[idx + 1 :]
+
+    # suffix: [] | [$sort] | [$sort, $limit]
+    order: list[tuple[str, int]] | None = None
+    limit: int | None = None
+    for st in suffix:
+        op_name = next(iter(st))
+        if op_name == "$sort" and order is None and limit is None:
+            order = list(st["$sort"].items())
+        elif op_name == "$limit" and limit is None and order is not None:
+            limit = int(st["$limit"])
+        else:
+            raise NotImplementedError(
+                "$lookup pipeline: suffix stages after the correlated "
+                "$match may only be [$sort] or [$sort, $limit]"
+            )
+
+    prepped = apply_pipeline(foreign, prefix, tables) if prefix else foreign
+    f_cols = list(prepped.columns)
+    fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in f_cols])
+    arr_sorter = (
+        _struct_comparator(order)
+        if order and all(k in f_cols for k, _ in order)
+        else None
+    )
+
+    def _sorted_collect(item: Column) -> Column:
+        collected = F.collect_list(item)
+        return (
+            F.array_sort(collected, arr_sorter)
+            if arr_sorter is not None
+            else F.array_sort(collected)
+        )
+
+    eq = _single_eq_correlation(expr)
+    if eq is not None and (eq[1] in let):
+        fexpr, var = eq
+        key_col = compile_value(fexpr)
+        keyed = prepped.withColumn("_lk_key", key_col)
+        if order is not None and limit is not None:
+            sort_cols = [
+                F.col(f"`{k}`").asc() if d >= 0 else F.col(f"`{k}`").desc()
+                for k, d in order
+            ]
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy("_lk_key").orderBy(*sort_cols)
+            keyed = keyed.withColumn("_lk_rn", F.row_number().over(w)).filter(
+                F.col("_lk_rn") <= limit
+            )
+        grouped = keyed.groupBy("_lk_key").agg(_sorted_collect(fstruct).alias(as_name))
+        outer_key = compile_value(let[var]).alias("_lk_okey")
+        arr_type = grouped.schema[as_name].dataType.simpleString()
+        return (
+            out.withColumn("_lk_okey", outer_key)
+            .join(grouped, F.col("_lk_okey") == F.col("_lk_key"), "left")
+            .drop("_lk_key", "_lk_okey")
+            .withColumn(
+                as_name,
+                F.coalesce(F.col(f"`{as_name}`"), F.array().cast(arr_type)),
+            )
+        )
+
+    # general path: rename outer columns, compile the full condition,
+    # LEFT join, collect per outer row id
+    if limit is not None:
+        raise NotImplementedError(
+            "$lookup pipeline: $limit requires the pure single-$eq "
+            "correlation (per-outer-row cutoffs with residual conditions "
+            "do not reduce to a per-key window)"
+        )
+    out_cols = list(out.columns)
+    clash = set(f_cols) & {f"_lkl_{c}" for c in out_cols}
+    if clash:
+        raise ValueError(f"$lookup pipeline: column name clash {clash}")
+    l2 = out.select(
+        *[F.col(f"`{c}`").alias(f"_lkl_{c}") for c in out_cols]
+    ).withColumn("_lk_rowid", F.monotonically_increasing_id())
+    r2 = prepped.withColumn("_lk_hit", F.lit(1))
+    vars_ = {
+        name: compile_value(_rewrite_outer_refs(vexpr)) for name, vexpr in let.items()
+    }
+    cond = compile_value(expr, vars_)
+    joined = l2.join(r2, cond, "left")
+    item = F.when(F.col("_lk_hit") == 1, fstruct)
+    res = joined.groupBy("_lk_rowid").agg(
+        *[F.first(f"`_lkl_{c}`").alias(f"_lkl_{c}") for c in out_cols],
+        _sorted_collect(item).alias(as_name),
+    )
+    return res.select(
+        *[F.col(f"`_lkl_{c}`").alias(c) for c in out_cols],
+        F.col(f"`{as_name}`").alias(as_name),
+    )
+
+
+def _rewrite_outer_refs(expr: Any) -> Any:
+    """Rewrite ``$path`` field refs in a ``let`` value expression to the
+    ``_lkl_``-renamed outer columns (leaves ``$$`` and operators alone)."""
+    if isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$"):
+        return "$_lkl_" + expr[1:]
+    if isinstance(expr, dict):
+        return {k: _rewrite_outer_refs(v) for k, v in expr.items()}
+    if isinstance(expr, list):
+        return [_rewrite_outer_refs(v) for v in expr]
+    return expr
+
+
 def apply_pipeline(
     df: DataFrame,
     pipeline: list[dict[str, Any]],
@@ -891,6 +1104,9 @@ def apply_pipeline(
             if not tables or spec["from"] not in tables:
                 raise ValueError(f"$lookup: unknown collection {spec.get('from')!r}")
             foreign = tables[spec["from"]]
+            if "pipeline" in spec or "let" in spec:
+                out = _lookup_pipeline(out, foreign, spec, tables)
+                continue
             local, remote, as_name = (
                 spec["localField"],
                 spec["foreignField"],
