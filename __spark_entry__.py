@@ -130,25 +130,60 @@ def q_mongo_projection_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_dotted(proj)
 
 
-def q_mongo_pipeline_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: $match -> $group aggregation-pipeline subset."""
+def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 composite, one tagged union over the same orders scan: the
+    $match -> $group subset (compound _id, $sum/$max/$min accumulators)
+    and the $bucket histogram (explicit boundaries + default overflow
+    bucket).  Two pipeline invocations, each a single partial-aggregated
+    shuffle."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     orders = _t(spark, sf_dir, "orders")
-    pipeline = [
-        {"$match": {"o_orderstatus": {"$in": ["F", "O"]}}},
-        {
-            "$group": {
-                "_id": {"priority": "$o_orderpriority", "status": "$o_orderstatus"},
-                "n": {"$sum": 1},
-                "max_price": {"$max": "$o_totalprice"},
-                "min_price": {"$min": "$o_totalprice"},
-            }
-        },
-    ]
-    return apply_pipeline(orders, pipeline).select(
-        "priority", "status", "n", "max_price", "min_price"
+    grouped = apply_pipeline(
+        orders,
+        [
+            {"$match": {"o_orderstatus": {"$in": ["F", "O"]}}},
+            {
+                "$group": {
+                    "_id": {"priority": "$o_orderpriority", "status": "$o_orderstatus"},
+                    "n": {"$sum": 1},
+                    "max_price": {"$max": "$o_totalprice"},
+                    "min_price": {"$min": "$o_totalprice"},
+                }
+            },
+        ],
+    ).select(
+        F.lit("group").alias("part"),
+        F.col("priority").alias("g1"),
+        F.col("status").alias("g2"),
+        "n",
+        "max_price",
+        "min_price",
     )
+    bucketed = apply_pipeline(
+        orders,
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$o_totalprice",
+                    "boundaries": [0, 100000, 200000, 300000, 400000],
+                    "default": "big",
+                    "output": {
+                        "n": {"$sum": 1},
+                        "max_price": {"$max": "$o_totalprice"},
+                    },
+                }
+            },
+        ],
+    ).select(
+        F.lit("bucket").alias("part"),
+        F.col("_id").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        "n",
+        "max_price",
+        F.lit(None).cast("double").alias("min_price"),
+    )
+    return grouped.unionByName(bucketed)
 
 
 def q_mongo_pipeline_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,24 +258,6 @@ def q_mongo_pipeline_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_pipeline(
         orders, pipeline, tables={"customer": customer, "orders": orders}
     )
-
-
-def q_mongo_pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: $bucket histogram + $sortByCount-style rollup of order prices."""
-    from topic_store_spark.query.pipeline import apply_pipeline
-
-    orders = _t(spark, sf_dir, "orders")
-    pipeline = [
-        {
-            "$bucket": {
-                "groupBy": "$o_totalprice",
-                "boundaries": [0, 100000, 200000, 300000, 400000],
-                "default": "big",
-                "output": {"n": {"$sum": 1}, "max_price": {"$max": "$o_totalprice"}},
-            }
-        },
-    ]
-    return apply_pipeline(orders, pipeline).select("_id", "n", "max_price")
 
 
 def q_mongo_window_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,9 +676,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O4: set difference — users with a big purchase but no comparably
-    big signup event."""
+def q_id_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 + J1/J2 composite, one tagged union: the id-set DIFFERENCE
+    (users with a big purchase but no comparably big signup —
+    ``subtract`` compiles to a hash left-anti aggregate) and the
+    incremental-clone ANTI-JOIN (customers with no finished 1995 order —
+    left_anti replaces the reference's $nin id-list + 15MB fallback,
+    convert.py:72)."""
     events = _t(spark, sf_dir, "events")
     left = events.filter(
         (F.col("event_type") == "purchase") & (F.col("value") > 80.0)
@@ -669,7 +690,26 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = events.filter(
         (F.col("event_type") == "signup") & (F.col("value") > 80.0)
     ).select("user_id")
-    return left.subtract(right)
+    exc = left.subtract(right).select(
+        F.lit("except").alias("part"),
+        F.col("user_id").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    anti = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select(
+        F.lit("anti").alias("part"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return exc.unionByName(anti)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,19 +829,6 @@ def q_orders_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Reference parity: joins / sorts / sessions (SURVEY §2.4-2.6)
 # ---------------------------------------------------------------------------
-
-def q_anti_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J2: incremental-clone anti-join — customers with no finished 1995
-    order (left_anti replaces the reference's $nin id-list + 15MB fallback)."""
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderstatus") == "F")
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
-    )
-    return customer.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + running sum of
@@ -1092,6 +1119,59 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     both = emb.unionByName(clone)
     return embedding_dup_pairs_lsh(both, threshold_num=95, threshold_den=100)
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (ExactSubstr-shaped): corpus
+    = documents + token-SUFFIX clones (each clone drops the original's
+    first 5 tokens), so every original shares an exact >=20-token
+    substring with its clone without being a whole-document duplicate —
+    the case doc-level dedup misses and span-level dedup exists for.
+    Emits the merged maximal duplicated spans per document
+    (operators/dedup.py duplicated_spans)."""
+    from topic_store_spark.functions.text import tokens
+    from topic_store_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    clone = tk.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice("_tk", 6, 1000000), " ").alias("text"),
+    )
+    corpus = docs.unionByName(clone)
+    return duplicated_spans(corpus, window=20, min_occurrences=2)
+
+
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup (FineWeb-recipe): a two-paragraph
+    corpus where each body paragraph appears in exactly two documents
+    (XOR-partner construction) plus a corpus-wide boilerplate footer —
+    the keep-first-occurrence rule must retain each paragraph exactly
+    once and strip the footer everywhere but document 0
+    (operators/dedup.py paragraph_dedup)."""
+    from topic_store_spark.functions.text import tokens
+    from topic_store_spark.operators.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("_tk"))
+    p = tk.select(
+        "doc_id", F.array_join(F.slice("_tk", 1, 10), " ").alias("para")
+    )
+    a = p.alias("a")
+    b = p.alias("b")
+    corpus = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id").bitwiseXOR(F.lit(1))
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.concat(
+            F.col("a.para"),
+            F.lit("\n\n"),
+            F.col("b.para"),
+            F.lit("\n\n"),
+            F.lit("shared footer boilerplate"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(corpus)
 
 
 # ---------------------------------------------------------------------------
@@ -1385,10 +1465,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     composites that exercise the same code branches (find-dialect
     composites, tagged probe unions, one-pass jaccard+containment,
     window+fill pipeline, sample+replaceRoot pipeline, salted session
-    rollup) — no operator branch lost its last carrier.  New/changed
-    queries lead; unchanged complex carriers follow."""
+    rollup) — no operator branch lost its last carrier.  Two further r4
+    folds (set-difference + anti-join -> id_set_ops; $group + $bucket ->
+    mongo_group_bucket) freed the slots for the two new span/paragraph
+    dedup operators.  New/changed queries lead; unchanged complex
+    carriers follow."""
     return {
         # --- new or changed in round 4 --------------------------------------
+        "dedup_substring": q_dedup_substring,
+        "dedup_paragraph": q_dedup_paragraph,
+        "id_set_ops": q_id_set_ops,
+        "mongo_group_bucket": q_mongo_group_bucket,
         "mongo_find_events": q_mongo_find_events,
         "mongo_find_docs": q_mongo_find_docs,
         "mongo_projection_flatten": q_mongo_projection_flatten,
@@ -1432,13 +1519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_topk": q_tpch_q3_topk,
         "region_revenue": q_region_revenue,
-        "mongo_pipeline_group": q_mongo_pipeline_group,
         "mongo_pipeline_unwind": q_mongo_pipeline_unwind,
         "mongo_pipeline_lookup": q_mongo_pipeline_lookup,
-        "mongo_pipeline_bucket": q_mongo_pipeline_bucket,
         "mongo_densify_histogram": q_mongo_densify_histogram,
-        "anti_join_incremental": q_anti_join_incremental,
-        "set_except": q_set_except,
         "snapshot_asof": q_snapshot_asof,
     }
 
@@ -1573,14 +1656,28 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
 
-    sql["mongo_pipeline_group"] = """
-        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+    sql["mongo_group_bucket"] = """
+        SELECT 'group' AS part,
+               o_orderpriority AS g1, o_orderstatus AS g2,
                count(*) AS n,
                max(o_totalprice) AS max_price,
                min(o_totalprice) AS min_price
         FROM orders
         WHERE o_orderstatus IN ('F', 'O')
-        GROUP BY 1, 2
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'bucket',
+               CASE
+                 WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
+                 WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100000'
+                 WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200000'
+                 WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN '300000'
+                 ELSE 'big' END,
+               CAST(NULL AS VARCHAR),
+               count(*),
+               max(o_totalprice),
+               CAST(NULL AS DOUBLE)
+        FROM orders GROUP BY 2
     """
 
     sql["mongo_pipeline_unwind"] = """
@@ -1599,18 +1696,6 @@ def oracle_sql() -> dict[str, str]:
                   AND p.o_totalprice > o.o_totalprice) AS n_pricier_peers
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 350000.0
-    """
-
-    sql["mongo_pipeline_bucket"] = """
-        SELECT CASE
-                 WHEN o_totalprice >= 0 AND o_totalprice < 100000 THEN '0'
-                 WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN '100000'
-                 WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN '200000'
-                 WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN '300000'
-                 ELSE 'big' END AS _id,
-               count(*) AS n,
-               max(o_totalprice) AS max_price
-        FROM orders GROUP BY 1
     """
 
     sql["mongo_sample_reshape"] = """
@@ -1817,11 +1902,125 @@ def oracle_sql() -> dict[str, str]:
         FROM src
     """
 
-    sql["set_except"] = """
-        SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80.0
-        EXCEPT
-        SELECT user_id FROM events WHERE event_type = 'signup' AND value > 80.0
+    sql["id_set_ops"] = """
+        SELECT 'except' AS part, user_id AS k,
+               CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS segment
+        FROM (
+          SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 80.0
+          EXCEPT
+          SELECT user_id FROM events WHERE event_type = 'signup' AND value > 80.0
+        )
+        UNION ALL
+        SELECT 'anti', c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderstatus = 'F'
+            AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        )
     """
+
+    sql["dedup_substring"] = (
+        """
+        WITH tok0 AS (
+          SELECT doc_id, """
+        + _TOKENS.format(col="text")
+        + """ AS tk FROM documents
+        ),
+        corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, array_to_string(tk[6:1000000], ' ')
+          FROM tok0
+        ),
+        tok AS (
+          SELECT doc_id, """
+        + _TOKENS.format(col="text")
+        + """ AS tk FROM corpus
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(tk) >= 20
+                      THEN [{'pos': i - 1,
+                             'fp': md5(array_to_string(tk[i:i+19], ' '))}
+                            for i in range(1, len(tk) - 18)]
+                      ELSE [] END AS wins
+          FROM tok
+        ),
+        win AS (
+          SELECT doc_id AS doc, unnest(wins, recursive := true) FROM sh
+        ),
+        dupfp AS (SELECT fp FROM win GROUP BY fp HAVING count(*) >= 2),
+        d AS (SELECT doc, pos FROM win WHERE fp IN (SELECT fp FROM dupfp)),
+        lagged AS (
+          SELECT doc, pos, lag(pos) OVER (PARTITION BY doc ORDER BY pos) AS prev
+          FROM d
+        ),
+        isl AS (
+          SELECT doc, pos,
+                 sum(CASE WHEN prev IS NULL OR pos > prev + 20 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                   AS island
+          FROM lagged
+        )
+        SELECT doc AS doc_id,
+               min(pos) AS span_start,
+               max(pos) + 20 AS span_end,
+               max(pos) + 20 - min(pos) AS n_dup_tokens,
+               count(*) AS n_windows
+        FROM isl GROUP BY doc, island
+    """
+    )
+
+    sql["dedup_paragraph"] = (
+        r"""
+        WITH tok0 AS (
+          SELECT doc_id, """
+        + _TOKENS.format(col="text")
+        + r""" AS tk FROM documents
+        ),
+        p AS (
+          SELECT doc_id, array_to_string(tk[1:10], ' ') AS para FROM tok0
+        ),
+        c AS (
+          SELECT a.doc_id,
+                 a.para || chr(10) || chr(10) || b.para || chr(10) || chr(10)
+                        || 'shared footer boilerplate' AS text
+          FROM p a JOIN p b ON b.doc_id = xor(a.doc_id, 1)
+        ),
+        parr AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\n{2,}'), x -> x <> '')
+                   AS ps
+          FROM c
+        ),
+        paras AS (
+          SELECT doc_id AS doc,
+                 unnest([{'pos': i - 1, 'para': ps[i]}
+                         for i in range(1, len(ps) + 1)], recursive := true)
+          FROM parr
+        ),
+        fpd AS (
+          SELECT doc, pos, para,
+                 md5(lower(trim(regexp_replace(para, '\s+', ' ', 'g')))) AS fp
+          FROM paras
+        ),
+        kept AS (
+          SELECT doc, pos, para FROM fpd
+          QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc, pos) = 1
+        ),
+        tot AS (SELECT doc, count(*) AS n_paras FROM fpd GROUP BY doc),
+        agg AS (
+          SELECT doc, count(*) AS n_kept,
+                 string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+          FROM kept GROUP BY doc
+        )
+        SELECT t.doc AS doc_id, t.n_paras,
+               coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.clean_text, '') AS clean_text
+        FROM tot t LEFT JOIN agg a ON t.doc = a.doc
+    """
+    )
 
     sql["ann_ivf"] = (
         """
@@ -1899,16 +2098,6 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'point', event_id, CAST(value AS DOUBLE)
         FROM events WHERE event_id = 4242
-    """
-
-    sql["anti_join_incremental"] = """
-        SELECT c_custkey, c_name, c_mktsegment FROM customer c
-        WHERE NOT EXISTS (
-          SELECT 1 FROM orders o
-          WHERE o.o_custkey = c.c_custkey
-            AND o.o_orderstatus = 'F'
-            AND o.o_orderdate < TIMESTAMP '1996-01-01'
-        )
     """
 
     sql["sessionize"] = """

@@ -471,3 +471,99 @@ def test_minhash_incremental_excludes_corpus_pairs(docs):
     # every clone is recovered against its original
     clone_pairs = {p for p in inc if p[1] - p[0] == 100000}
     assert len(clone_pairs) >= 190  # near-dup threshold recovers ~all
+
+
+def test_duplicated_spans_suffix_clone(spark):
+    """A clone sharing only a token suffix yields ONE merged span per
+    side with exact 0-based [start, end) token offsets."""
+    from topic_store_spark.operators.dedup import duplicated_spans
+
+    t0 = " ".join(f"a{i}" for i in range(30))
+    t1 = " ".join(f"a{i}" for i in range(5, 30))  # suffix of t0
+    t2 = " ".join(f"b{i}" for i in range(30))  # unrelated
+    df = spark.createDataFrame(
+        [(0, t0), (1, t1), (2, t2)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_spans(df, window=10).collect()
+    }
+    # shared content = tokens a5..a29: doc 0 positions 5..20 (16 windows
+    # of width 10 covering [5, 30)), doc 1 fully covered [0, 25)
+    assert rows == {0: (5, 30, 16), 1: (0, 25, 16)}
+
+
+def test_duplicated_spans_intra_doc_repeat(spark):
+    """ExactSubstr counts total occurrences: a window repeated WITHIN one
+    document is duplicated even with no cross-doc match, and two
+    disjoint duplicated regions stay two spans."""
+    from topic_store_spark.operators.dedup import duplicated_spans
+
+    rep = " ".join(f"r{i % 5}" for i in range(10))  # r0..r4 r0..r4
+    # doc: 5 unique tokens, the 10-token repeat block, 5 unique, the
+    # same block again -> the two blocks duplicate each other
+    text = (
+        " ".join(f"u{i}" for i in range(5))
+        + " " + rep + " "
+        + " ".join(f"v{i}" for i in range(5))
+        + " " + rep
+    )
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, window=5).collect()
+    )
+    # every 5-window inside each block matches the other block (the
+    # repeat period is 5) -> two disjoint spans, one per block
+    assert len(spans) == 2
+    (s0, e0), (s1, e1) = spans
+    assert e0 <= s1  # disjoint
+    assert s0 == 5 and e1 == 30
+
+
+def test_duplicated_spans_short_docs_empty(spark):
+    from topic_store_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(0, "too short"), (1, "too short")], ["doc_id", "text"]
+    )
+    # both docs identical but shorter than the window -> no windows at all
+    assert duplicated_spans(df, window=20).count() == 0
+
+
+def test_paragraph_dedup_keep_first_and_reassemble(spark):
+    from topic_store_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "alpha beta\n\nshared footer"),
+        (1, "alpha beta\n\nunique para\n\nshared footer"),
+        (2, "shared footer"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    assert got == {
+        0: (2, 2, "alpha beta\n\nshared footer"),
+        1: (3, 1, "unique para"),
+        2: (1, 0, ""),
+    }
+
+
+def test_paragraph_dedup_normalized_fingerprint(spark):
+    """Whitespace/case variants of a paragraph are the SAME paragraph
+    (normalized fingerprint), and intra-doc repeats collapse too."""
+    from topic_store_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (0, "Alpha  Beta\n\nalpha beta"),  # same para twice, variant forms
+        (1, "ALPHA BETA"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+        for r in paragraph_dedup(df).collect()
+    }
+    # first occurrence (doc 0, pos 0) survives in its ORIGINAL form
+    assert got == {0: (2, 1, "Alpha  Beta"), 1: (1, 0, "")}

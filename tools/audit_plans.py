@@ -51,12 +51,16 @@ FULL_SCAN_OK = {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "ann_topk_both", "ann_lsh", "ann_ivf", "dedup_clusters",
     "dedup_incremental", "dedup_semantic",
+    # span/paragraph dedup: full-corpus scans; the only Filters are the
+    # generator-output null drops and computed fingerprint/position
+    # predicates — nothing pushable exists
+    "dedup_substring", "dedup_paragraph",
     # per-document expression pipelines over the full corpus
     "text_profile", "text_tokens", "multimodal_stats", "pii_redact",
     # full-table rollups / reshapes — nothing pushable exists
     "mongo_projection_flatten", "store_scalars", "session_rollup_salted",
     "objectid_sessions", "snapshot_asof", "windowed_rates", "sessionize",
-    "set_except", "anti_join_incremental", "mongo_legacy_sessions",
+    "mongo_legacy_sessions",
     "tpch_q1_pricing", "corpus_lengths", "mongo_window_fill",
     "mongo_sample_reshape", "mongo_facet", "mongo_densify_histogram",
     # $unwind's only Filter is the Mongo null/empty-array drop on the

@@ -49,7 +49,11 @@ from topic_store_spark.functions.hashing import (
     simhash_long_from_hashes,
     token_md5s,
 )
-from topic_store_spark.functions.text import shingles_from_tokens, tokens
+from topic_store_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
 from topic_store_spark.functions.vectors import int_self_dot, quantize_vector
 from topic_store_spark.operators.util import ensure_parallelism, explode_nonempty
 
@@ -887,6 +891,153 @@ def exact_duplicates_incremental(
             "keep_id",
             "fp",
             (F.col("doc") == F.col("keep_id")).alias("is_keeper"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring duplication (the ExactSubstr family
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): every ``window``-token sliding window is
+    fingerprinted; windows whose exact content occurs ``min_occurrences``
+    or more times ANYWHERE in the corpus (another document or a repeat
+    within the same one) mark their token range as duplicated, and
+    overlapping marked ranges merge into maximal spans per document.
+
+    Returns one row per maximal duplicated span: ``(doc_id, span_start,
+    span_end, n_dup_tokens, n_windows)`` with 0-based token offsets,
+    ``span_end`` exclusive.  Callers remove or clip the spans (the
+    paper's treatment) or threshold on the per-doc duplicated fraction.
+
+    Scale shape — the reference engine has no analog (single-node suffix
+    arrays don't distribute); this is the Spark-native equivalent:
+
+    - window fingerprints are md5 of the space-joined token slice —
+      content-exact, engine-portable (the SQL oracle reproduces them),
+      and computed in a staged projection (perf contract of
+      ``shingles_from_tokens``);
+    - the only corpus-wide shuffle is the fingerprint frequency count,
+      which partial-aggregates map-side; duplicated fingerprints attach
+      back via a LEFT SEMI join — fan-out 1, so a boilerplate window
+      shared by millions of documents costs its row count, never a
+      pair-space blowup (contrast the capped Jaccard self-joins);
+    - span merging is gaps-and-islands per document: with a fixed window
+      width the positions are sorted per doc and a new island starts
+      exactly when ``pos > prev_pos + window``; the per-doc sort is
+      bounded by document length, never corpus size.
+    """
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    grams = tk.select(
+        "doc", shingles_from_tokens(F.col("_tk"), window).alias("_grams")
+    )
+    wins = grams.select(
+        "doc", F.posexplode_outer("_grams").alias("pos", "_gram")
+    ).filter(F.col("_gram").isNotNull()).select(
+        "doc", F.col("pos").cast("long").alias("pos"), F.md5("_gram").alias("fp")
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("fp")
+    )
+    dup_wins = wins.join(dup_fps, "fp", "left_semi")
+    w = Window.partitionBy("doc").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = dup_wins.withColumn(
+        "_new", F.when(prev.isNull() | (F.col("pos") > prev + window), 1).otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        flagged.groupBy(F.col("doc").alias("doc_id"), "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_dup_tokens"),
+            "n_windows",
+        )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep_pattern: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-level paragraph deduplication (the FineWeb / RefinedWeb
+    recipe): documents split into paragraphs, each paragraph kept only at
+    its FIRST corpus occurrence (minimum ``(doc, pos)`` over its
+    normalized fingerprint — boilerplate headers/footers repeated across
+    a crawl survive exactly once), and every document reassembled from
+    its surviving paragraphs in original order.
+
+    Returns ``(doc_id, n_paras, n_kept, clean_text)`` — one row per
+    input document, ``clean_text`` empty when every paragraph was seen
+    earlier elsewhere.
+
+    Scale shape: one shuffle groups paragraph fingerprints (the keeper
+    is a ``min(struct(doc, pos))`` partial aggregate — no window sort
+    over the paragraph relation); keepers attach back by fingerprint
+    with fan-out 1 (a footer shared by the whole crawl is ONE group row
+    joined against its occurrences — never a self-join); reassembly is
+    one shuffle on the document id with a bounded per-doc sort.
+    """
+    paras = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode_outer(
+                F.filter(F.split(F.col(text_col), sep_pattern), lambda p: p != "")
+            ).alias("pos", "para"),
+        )
+        .filter(F.col("para").isNotNull())
+        .select("doc", F.col("pos").cast("long").alias("pos"), "para")
+    )
+    paras = paras.withColumn("fp", F.md5(normalize_text(F.col("para"))))
+    keepers = paras.groupBy("fp").agg(
+        F.min(F.struct("doc", "pos")).alias("_k")
+    ).select("fp", F.col("_k.doc").alias("k_doc"), F.col("_k.pos").alias("k_pos"))
+    kept = (
+        paras.join(keepers, "fp")
+        .filter((F.col("doc") == F.col("k_doc")) & (F.col("pos") == F.col("k_pos")))
+        .select("doc", "pos", "para")
+    )
+    totals = paras.groupBy("doc").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
 
