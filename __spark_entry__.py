@@ -68,34 +68,34 @@ def _epoch_sec(df: DataFrame, col: str = "ts"):
 # Reference parity: Mongo query-dict frontend (SURVEY §2.2 P1-P6, §2.3 R1-R3)
 # ---------------------------------------------------------------------------
 
-def q_mongo_find_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1/P5 composite A: one find whose predicate exercises $in, $nin,
-    range comparisons ($gt/$lt), $exists, and $mod in a single compiled
-    conjunction (query/compiler.py) — all pushed to the scan."""
+def q_mongo_find_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P5 composite, one tagged union of two compiled finds: the
+    events predicate exercises $in, $nin, range comparisons ($gt/$lt),
+    $exists and $mod in a single conjunction; the documents predicate
+    covers the boolean/string corners — $or over implicit-AND branches,
+    nested $and, $gte/$lt, positive $regex, $not($regex) (Mongo
+    null-safe negation), $ne and $mod (reference database.py:193-204
+    passes this dialect through to the server; the compiler turns it
+    into Catalyst predicates, each branch pushed to its own scan)."""
     from topic_store_spark.query.compiler import compile_query
 
     events = _t(spark, sf_dir, "events")
-    query = {
+    ev_query = {
         "event_type": {"$in": ["click", "purchase", "view"], "$nin": ["view"]},
         "value": {"$gt": 5.0, "$lt": 400.0},
         "props": {"$exists": True},
         "user_id": {"$mod": [3, 1]},
     }
-    return events.filter(compile_query(query, events.schema)).select(
-        "event_id", "user_id", "event_type", "value"
+    ev = events.filter(compile_query(ev_query, events.schema)).select(
+        F.lit("events").alias("part"),
+        F.col("event_id").alias("id"),
+        F.col("user_id").alias("num"),
+        F.col("event_type").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("value").cast("double").alias("v"),
     )
-
-
-def q_mongo_find_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 composite B: boolean/string corners of the find dialect in one
-    predicate — $or over implicit-AND branches, nested $and, $gte/$lt,
-    positive $regex, $not($regex) (Mongo null-safe negation), $ne and
-    $mod (reference database.py:193-204 passes this dialect through to
-    the server; the compiler turns it into Catalyst predicates)."""
-    from topic_store_spark.query.compiler import compile_query
-
     docs = _t(spark, sf_dir, "documents")
-    query = {
+    doc_query = {
         "$or": [
             {"lang": "en", "n_chars": {"$gte": 700}},
             {"$and": [{"source": {"$regex": "^src[13]"}}, {"n_chars": {"$lt": 150}}]},
@@ -104,9 +104,15 @@ def q_mongo_find_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang": {"$ne": "xx"},
         "doc_id": {"$mod": [2, 1]},
     }
-    return docs.filter(compile_query(query, docs.schema)).select(
-        "doc_id", "lang", "source", "n_chars"
+    dc = docs.filter(compile_query(doc_query, docs.schema)).select(
+        F.lit("docs").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").cast("long").alias("num"),
+        F.col("lang").alias("s1"),
+        F.col("source").alias("s2"),
+        F.lit(None).cast("double").alias("v"),
     )
+    return ev.unionByName(dc)
 
 
 def q_mongo_projection_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,6 +1206,32 @@ def q_ann_topk_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.unionByName(par)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (FAISS IVFPQ shape): coarse inverted lists (8
+    centroids, nprobe=2) + asymmetric-distance scoring over 8x16
+    product-quantization codes — the searched representation is 8 small
+    codes per vector, not the 64-cell vector (the 100 TB memory story).
+    Codebooks derive deterministically from the first 16 vectors
+    (operators/similarity.py pq_codebooks; the k-means trainer is the
+    pytest-covered production path), so the integer argmin encoding and
+    integer ADC sums reproduce exactly in the DuckDB oracle."""
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=8)
+    return ivf_pq_ann_neighbors(
+        emb,
+        queries=emb.filter(F.col("vec_id") < 10),
+        centroids=emb.filter(F.col("vec_id") < 8),
+        codebooks=books,
+        k=5,
+        nprobe=2,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (the 100 TB
     plan: bucket-key equi-join instead of a cross join).  Oracle-checked:
@@ -1474,10 +1506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed in round 4 --------------------------------------
         "dedup_substring": q_dedup_substring,
         "dedup_paragraph": q_dedup_paragraph,
+        "ann_pq": q_ann_pq,
         "id_set_ops": q_id_set_ops,
         "mongo_group_bucket": q_mongo_group_bucket,
-        "mongo_find_events": q_mongo_find_events,
-        "mongo_find_docs": q_mongo_find_docs,
+        "mongo_find_dialect": q_mongo_find_dialect,
         "mongo_projection_flatten": q_mongo_projection_flatten,
         "orders_probe": q_orders_probe,
         "store_scalars": q_store_scalars,
@@ -1608,6 +1640,12 @@ _INT_DOT = (
     "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
 )
 
+# exact integer L2^2 between two equal-length quantized sub-vectors
+_INT_L2 = (
+    "CAST(list_sum(list_transform(range(1, len({b}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
 _LANG_PATTERNS = {
     "en": r"\b(the|and|of|to|in|is|you|that|it|for|on|with|as|are)\b",
     "es": r"\b(el|la|de|que|y|los|del|las|un|por|con|una|es|para)\b",
@@ -1631,17 +1669,20 @@ def _lang_score_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
-    sql["mongo_find_events"] = """
-        SELECT event_id, user_id, event_type, value FROM events
+    sql["mongo_find_dialect"] = """
+        SELECT 'events' AS part, event_id AS id, user_id AS num,
+               event_type AS s1, CAST(NULL AS VARCHAR) AS s2,
+               CAST(value AS DOUBLE) AS v
+        FROM events
         WHERE event_type IN ('click', 'purchase', 'view')
           AND event_type NOT IN ('view')
           AND value > 5.0 AND value < 400.0
           AND props IS NOT NULL
           AND user_id % 3 = 1
-    """
-
-    sql["mongo_find_docs"] = """
-        SELECT doc_id, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT 'docs', doc_id, CAST(n_chars AS BIGINT),
+               lang, source, CAST(NULL AS DOUBLE)
+        FROM documents
         WHERE ((lang = 'en' AND n_chars >= 700)
             OR (regexp_matches(source, '^src[13]') AND n_chars < 150))
           AND NOT coalesce(regexp_matches(source, '^src0'), FALSE)
@@ -2072,6 +2113,89 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (PARTITION BY q_id
                                        ORDER BY dot DESC, c_id ASC) AS INT) AS rank,
                dot / sqrt(CAST(q_n * c_n AS DOUBLE)) AS cosine_q
+        FROM scored
+        QUALIFY rank <= 5
+    """
+    )
+
+    _csub = "c_qv[cb.s*8+1 : cb.s*8+8]"
+    _qsub = "q_qv[cb.s*8+1 : cb.s*8+8]"
+    sql["ann_pq"] = (
+        """
+        WITH q0 AS (
+          SELECT vec_id, """
+        + _QUANT_EMB
+        + """ AS qv FROM embeddings
+        ),
+        n0 AS (
+          SELECT vec_id, qv, """
+        + _INT_DOT.format(a="qv", b="qv")
+        + """ AS nrm FROM q0
+        ),
+        cen AS (SELECT vec_id AS cen_id, qv AS cen_qv, nrm AS cen_n
+                FROM n0 WHERE vec_id < 8),
+        src AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS sqv
+          FROM q0 WHERE vec_id < 16
+        ),
+        cb AS (
+          SELECT ss.s, src.j, src.sqv[ss.s*8+1 : ss.s*8+8] AS sv
+          FROM src CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+        ),
+        assigned AS (
+          SELECT vec_id AS c_id, qv AS c_qv, cen_id AS list_id
+          FROM (
+            SELECT c.vec_id, c.qv, cen.cen_id,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY """
+        + _INT_DOT.format(a="c.qv", b="cen.cen_qv")
+        + """ / sqrt(CAST(cen.cen_n AS DOUBLE)) DESC, cen.cen_id ASC) AS rn
+            FROM n0 c CROSS JOIN cen
+          ) WHERE rn = 1
+        ),
+        codes AS (
+          SELECT c_id, list_id, s, j AS code
+          FROM (
+            SELECT a.c_id, a.list_id, cb.s, cb.j,
+                   row_number() OVER (
+                     PARTITION BY a.c_id, cb.s
+                     ORDER BY """
+        + _INT_L2.format(a=f"a.{_csub}", b="cb.sv")
+        + """ ASC, cb.j ASC) AS rn
+            FROM assigned a CROSS JOIN cb
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS q_id, qv AS q_qv, cen_id AS list_id
+          FROM (
+            SELECT qs.vec_id, qs.qv, cen.cen_id,
+                   row_number() OVER (
+                     PARTITION BY qs.vec_id
+                     ORDER BY """
+        + _INT_DOT.format(a="qs.qv", b="cen.cen_qv")
+        + """ / sqrt(CAST(cen.cen_n AS DOUBLE)) DESC, cen.cen_id ASC) AS rn
+            FROM n0 qs CROSS JOIN cen
+            WHERE qs.vec_id < 10
+          ) WHERE rn <= 2
+        ),
+        lut AS (
+          SELECT p.q_id, cb.s, cb.j, """
+        + _INT_L2.format(a=f"p.{_qsub}", b="cb.sv")
+        + """ AS d2
+          FROM (SELECT DISTINCT q_id, q_qv FROM probes) p CROSS JOIN cb
+        ),
+        scored AS (
+          SELECT p.q_id, c.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
+          FROM probes p
+          JOIN codes c ON c.list_id = p.list_id AND c.c_id <> p.q_id
+          JOIN lut l ON l.q_id = p.q_id AND l.s = c.s AND l.j = c.code
+          GROUP BY 1, 2
+        )
+        SELECT q_id AS query_id, c_id AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                      ORDER BY adc_dist ASC, c_id ASC) AS INT) AS rank,
+               adc_dist
         FROM scored
         QUALIFY rank <= 5
     """

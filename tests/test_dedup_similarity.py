@@ -567,3 +567,89 @@ def test_paragraph_dedup_normalized_fingerprint(spark):
     }
     # first occurrence (doc 0, pos 0) survives in its ORIGINAL form
     assert got == {0: (2, 1, "Alpha  Beta"), 1: (1, 0, "")}
+
+
+def test_ivf_pq_exact_when_corpus_is_codebook(spark, embeddings):
+    """Lossless-encoding limit: when every corpus vector IS a codebook
+    source, each vector encodes to its own code (sub-slice distance 0)
+    and ADC equals the exact quantized L2^2 — so IVF-PQ with nprobe =
+    |lists| must reproduce brute-force integer L2 ranking exactly."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.functions.vectors import quantize_vector
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        pq_codebooks,
+    )
+
+    corpus = embeddings.filter(F.col("vec_id") < 16)
+    queries = corpus.filter(F.col("vec_id") < 4)
+    cen = corpus.filter(F.col("vec_id") < 4)
+    books = pq_codebooks(corpus, m=8)
+    got = ivf_pq_ann_neighbors(
+        corpus, queries, cen, books, k=3, nprobe=4
+    ).collect()
+
+    # brute-force exact quantized L2^2 reference, same tie-break
+    qv = quantize_vector(F.col("embedding"))
+    rows = corpus.select(F.col("vec_id").alias("id"), qv.alias("qv")).collect()
+    vecs = {r["id"]: r["qv"] for r in rows}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for q_id in (0, 1, 2, 3):
+        want = sorted(
+            ((l2(vecs[q_id], vecs[c]), c) for c in vecs if c != q_id)
+        )[:3]
+        mine = sorted(
+            (r["adc_dist"], r["neighbor_id"])
+            for r in got
+            if r["query_id"] == q_id
+        )
+        assert mine == want, (q_id, mine, want)
+
+
+def test_ivf_pq_shape_and_order(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        pq_codebooks,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    cen = embeddings.filter(F.col("vec_id") < 8)
+    books = pq_codebooks(embeddings.filter(F.col("vec_id") < 16), m=8)
+    rows = ivf_pq_ann_neighbors(
+        embeddings, queries, cen, books, k=5, nprobe=2
+    ).collect()
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q_id, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_train_pq_codebooks_shapes(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        train_pq_codebooks,
+    )
+
+    small = embeddings.filter(F.col("vec_id") < 60)
+    books = train_pq_codebooks(small, m=4, k=4, max_iter=2)
+    assert len(books) == 4
+    assert all(len(b) == 4 for b in books)
+    assert all(len(code) == 16 for b in books for code in b)
+    # trained books drive the full ADC pipeline end-to-end
+    queries = small.filter(F.col("vec_id") < 3)
+    cen = small.filter(F.col("vec_id") < 4)
+    out = ivf_pq_ann_neighbors(small, queries, cen, books, k=3, nprobe=2)
+    assert out.count() == 9
