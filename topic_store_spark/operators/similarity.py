@@ -165,18 +165,36 @@ def ivf_ann_neighbors(
             lambda acc, v: acc + v,
         )
 
+    # argmax via max(struct) instead of a row_number window (same
+    # rationale and tie-break as semantic_cluster_dedup): the partial
+    # aggregate reduces each vector's |centroids| candidate rows to one
+    # BEFORE the exchange, so assignment shuffles n rows, not
+    # n x |centroids|, and needs no sort.
     aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
-    w_assign = Window.partitionBy("c_id").orderBy(
-        F.col("aff").desc(), F.col("cen_id").asc()
-    )
+    best = F.max(
+        F.struct(
+            F.col("aff"),
+            (-F.col("cen_id")).alias("neg_cen"),
+            F.col("cen_id"),
+            F.col("c_qv"),
+            F.col("c_n"),
+        )
+    ).alias("best")
     assigned = (
         c.crossJoin(F.broadcast(cen))
         .withColumn("aff", aff)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "c_qv", "c_n", F.col("cen_id").alias("list_id"))
+        .groupBy("c_id")
+        .agg(best)
+        .select(
+            "c_id",
+            F.col("best.c_qv").alias("c_qv"),
+            F.col("best.c_n").alias("c_n"),
+            F.col("best.cen_id").alias("list_id"),
+        )
     )
 
+    # probe side is query-count-sized — the window is over Q x |centroids|
+    # rows, never corpus-scale
     q_aff = _dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.col("aff").desc(), F.col("cen_id").asc()
@@ -400,9 +418,13 @@ def ivf_pq_ann_neighbors(
     if m == 0:
         raise ValueError("ivf_pq_ann_neighbors: empty codebooks")
     sub = len(codebooks[0][0])
+    # one array-Literal node per code (not one Cast(Literal) per CELL):
+    # the codes/LUT expressions embed every codebook m*k times across the
+    # plan, so per-cell nodes blow the analyzer/codegen tree up ~8x —
+    # measurable driver-side seconds per invocation at m=8, k=16
     book_lits = [
         F.array(*[
-            F.array(*[F.lit(int(v)).cast("long") for v in code]) for code in book
+            F.lit([int(v) for v in code]).cast("array<long>") for code in book
         ])
         for book in codebooks
     ]
@@ -414,24 +436,38 @@ def ivf_pq_ann_neighbors(
             lambda acc, v: acc + v,
         )
 
-    def _codes(qv_name: str):
+    # Sub-vector slices must be STAGED as plain attributes before the
+    # per-code transform lambdas reference them (perf contract of
+    # shingles_from_tokens: HOFs are interpreted with no subexpression
+    # elimination, so an inline slice() would re-slice once per code —
+    # measured ~2x on the whole query at sf0.1).
+    def _stage_subs(df: DataFrame, qv_name: str, keep: list[str]) -> DataFrame:
+        return df.select(
+            *keep,
+            *[
+                F.slice(F.col(qv_name), s * sub + 1, sub).alias(f"_sub{s}")
+                for s in range(m)
+            ],
+        )
+
+    def _codes():
         cols = []
         for s in range(m):
-            sv = F.slice(F.col(qv_name), s * sub + 1, sub)
+            sv = F.col(f"_sub{s}")
             dists = F.transform(book_lits[s], lambda cb: _dist2_int(sv, cb))
             cols.append(
                 (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
             )
         return F.array(*cols)
 
-    def _lut(qv_name: str):
-        return F.array(*[
-            F.transform(
-                book_lits[s],
-                lambda cb: _dist2_int(F.slice(F.col(qv_name), s * sub + 1, sub), cb),
-            )
-            for s in range(m)
-        ])
+    def _lut():
+        # NB: bind the subspace via closure, never a lambda default arg —
+        # F.transform dispatches on lambda ARITY (2 args = element+index)
+        def _one(s: int):
+            sv = F.col(f"_sub{s}")
+            return F.transform(book_lits[s], lambda cb: _dist2_int(sv, cb))
+
+        return F.array(*[_one(s) for s in range(m)])
 
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(corpus, id_col, vec_col, "c")
@@ -444,21 +480,34 @@ def ivf_pq_ann_neighbors(
             lambda acc, v: acc + v,
         )
 
-    # coarse quantizer: same broadcast-assign shape as ivf_ann_neighbors
+    # coarse quantizer: same broadcast-assign shape as ivf_ann_neighbors —
+    # argmax via max(struct) partial aggregate (n-row shuffle, no sort)
     aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
-    w_assign = Window.partitionBy("c_id").orderBy(
-        F.col("aff").desc(), F.col("cen_id").asc()
-    )
+    best = F.max(
+        F.struct(
+            F.col("aff"),
+            (-F.col("cen_id")).alias("neg_cen"),
+            F.col("cen_id"),
+            F.col("c_qv"),
+        )
+    ).alias("best")
     assigned = (
         c.crossJoin(F.broadcast(cen))
         .withColumn("aff", aff)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("c_id", "c_qv", F.col("cen_id").alias("list_id"))
+        .groupBy("c_id")
+        .agg(best)
+        .select(
+            "c_id",
+            F.col("best.c_qv").alias("c_qv"),
+            F.col("best.cen_id").alias("list_id"),
+        )
     )
-    # PQ-encode in a staged projection (codes evaluate once per row);
-    # the full vector is DROPPED here — downstream carries 8 codes/row
-    encoded = assigned.select("c_id", "list_id", _codes("c_qv").alias("codes"))
+    # PQ-encode in staged projections (slices once, then codes once per
+    # row); the full vector is DROPPED here — downstream carries 8
+    # codes/row
+    encoded = _stage_subs(assigned, "c_qv", ["c_id", "list_id"]).select(
+        "c_id", "list_id", _codes().alias("codes")
+    )
 
     q_aff = _dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     w_probe = Window.partitionBy("q_id").orderBy(
@@ -471,7 +520,9 @@ def ivf_pq_ann_neighbors(
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_qv", F.col("cen_id").alias("list_id"))
     )
-    luts = probes.select("q_id", "list_id", _lut("q_qv").alias("lut"))
+    luts = _stage_subs(probes, "q_qv", ["q_id", "list_id"]).select(
+        "q_id", "list_id", _lut().alias("lut")
+    )
 
     adc = F.aggregate(
         F.zip_with(
