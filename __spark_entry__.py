@@ -1272,41 +1272,31 @@ def q_dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenization + fingerprint composite per document: whitespace and
-    BPE-ish token counts, the order-sensitive rolling-hash fingerprint,
-    and the order-insensitive md5 content fingerprint — every per-doc
-    hashing/counting primitive in one projection pipeline."""
-    from topic_store_spark.functions.hashing import md5_fingerprint, rolling_fingerprint
-    from topic_store_spark.functions.text import bpe_token_count, tokens
-
-    docs = _t(spark, sf_dir, "documents")
-    tk = docs.select("doc_id", "text", tokens(F.col("text")).alias("_tk"))
-    return tk.select(
-        "doc_id",
-        F.size("_tk").alias("n_tokens_ws"),
-        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
-        rolling_fingerprint(F.col("_tk")).alias("rolling_hash"),
-        md5_fingerprint(F.col("text")).alias("fingerprint"),
-    )
-
-
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile in one pass: stopword-heuristic
     language ID, quality features + composite score (all JVM-side
-    expressions; ratios are divisions of exact integers), and the
+    expressions; ratios are divisions of exact integers), the
     Gopher-family intra-doc repetition signals (duplicate-2-gram and
-    top-2-gram fractions) joined on doc_id."""
+    top-2-gram fractions) joined on doc_id, and (folded from the former
+    text_tokens carrier, r4) every per-doc hashing/counting primitive:
+    the BPE-ish token count, the order-sensitive rolling-hash
+    fingerprint, and the order-insensitive md5 content fingerprint."""
+    from topic_store_spark.functions.hashing import md5_fingerprint, rolling_fingerprint
     from topic_store_spark.functions.text import (
         language_id,
         quality_features,
         quality_score,
+        tokens,
+        bpe_token_count,
     )
     from topic_store_spark.operators.corpus import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
     feats = quality_features(F.col("text"))
-    base = docs.select(
+    tk = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("_tk")
+    )
+    base = tk.select(
         "doc_id",
         language_id(F.col("text")).alias("lang_guess"),
         feats["n_chars"].alias("n_chars"),
@@ -1316,6 +1306,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["alpha_ratio"].alias("alpha_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         quality_score(F.col("text")).alias("quality"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        rolling_fingerprint(F.col("_tk")).alias("rolling_hash"),
+        md5_fingerprint(F.col("text")).alias("fingerprint"),
     )
     rep = repetition_stats(docs.select("doc_id", "text"), n=2).select(
         F.col("doc").alias("doc_id"), "dup_frac", "top_frac"
@@ -1422,16 +1415,6 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/val/test split audit: assignment
-    is a map-side md5-bucket expression (reproducible, no coordination),
-    the only shuffle is the tiny (lang, split) rollup."""
-    from topic_store_spark.operators.corpus import stratified_split
-
-    docs = _t(spark, sf_dir, "documents")
-    return stratified_split(docs, val_permille=100, test_permille=100)
-
-
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 salient terms (TF-IDF family, integer-exact
     ranking: tf desc, df asc, term asc); TF/DF rollups with map-side
@@ -1452,20 +1435,71 @@ def q_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_pair_counts(docs, k=20)
 
 
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based mixture sampling — per-domain keep rates
-    applied as a map-side predicate (zero shuffles for the sample
-    itself); rolled up per source for the contract."""
-    from topic_store_spark.operators.corpus import mixture_sample
+def q_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sampling composite, one tagged union (r4 fold of the
+    former mixture_sample + split_report carriers): (a) hash-based
+    mixture sampling — per-domain keep rates applied as a map-side
+    predicate, rolled up per source; (b) the hash-bucket train/val/test
+    split audit — assignment is a map-side md5-bucket expression, the
+    only shuffle is the tiny (lang, split) rollup.  Both decisions are
+    RNG-free: re-runs and late shards make identical choices."""
+    from topic_store_spark.operators.corpus import mixture_sample, stratified_split
 
     docs = _t(spark, sf_dir, "documents")
     weights = {"src0": 1.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
-    kept = mixture_sample(docs, weights)
-    return kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
+    mix = (
+        mixture_sample(docs, weights)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("mixture").alias("kind"),
+            F.col("source").alias("strata"),
+            F.lit("kept").alias("subkey"),
+            "n_docs",
+            "min_doc",
+            "max_doc",
+        )
     )
+    split = stratified_split(docs, val_permille=100, test_permille=100).select(
+        F.lit("split").alias("kind"),
+        "strata",
+        F.col("split").alias("subkey"),
+        "n_docs",
+        "min_doc",
+        "max_doc",
+    )
+    return mix.unionByName(split)
+
+
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped perplexity quality signal: per-document NLL under
+    the corpus's own unigram LM, with fixed-point (milli-nat) integer
+    log-probs so distributed sums are exact and engine-reproducible.
+    Plan: two rollups (doc-term tf, vocabulary), a term-keyed join that
+    AQE broadcasts for small vocabularies, and a per-doc rollup."""
+    from topic_store_spark.operators.corpus import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance resampling: hashed-unigram (64-bucket)
+    feature distributions for a curated target slice (doc_id % 10 == 1 —
+    same eval-side asymmetry as the contamination carrier) vs the raw
+    corpus; per-doc importance weight = exact integer sum of fixed-point
+    per-bucket log-ratios; acceptance by deterministic md5-thresholded
+    resampling.  Both feature tables collapse to 64 rows and broadcast —
+    nothing large joins anything large."""
+    from topic_store_spark.operators.corpus import importance_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 10 == 1)
+    return importance_resample(docs, target)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,10 +1534,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup) — no operator branch lost its last carrier.  Two further r4
     folds (set-difference + anti-join -> id_set_ops; $group + $bucket ->
     mongo_group_bucket) freed the slots for the two new span/paragraph
-    dedup operators.  New/changed queries lead; unchanged complex
-    carriers follow."""
+    dedup operators; two more (text_tokens -> text_profile;
+    mixture_sample + split_report -> sampling_report) freed the slots
+    for the unigram-perplexity and DSIR importance-resampling quality
+    operators.  New/changed queries lead; unchanged complex carriers
+    follow."""
     return {
         # --- new or changed in round 4 --------------------------------------
+        "unigram_perplexity": q_unigram_perplexity,
+        "importance_resample": q_importance_resample,
+        "sampling_report": q_sampling_report,
         "dedup_substring": q_dedup_substring,
         "dedup_paragraph": q_dedup_paragraph,
         "ann_pq": q_ann_pq,
@@ -1518,7 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_char_jaccard": q_dedup_char_jaccard,
         "ann_topk_both": q_ann_topk_both,
         "text_profile": q_text_profile,
-        "text_tokens": q_text_tokens,
         "session_rollup_salted": q_session_rollup_salted,
         "mongo_facet": q_mongo_facet,
         "mongo_window_fill": q_mongo_window_fill,
@@ -1531,10 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "domain_topk": q_domain_topk,
         "dedup_semantic": q_dedup_semantic,
-        "split_report": q_split_report,
         "salient_terms": q_salient_terms,
         "merge_pairs": q_merge_pairs,
-        "mixture_sample": q_mixture_sample,
         "pack_sequences": q_pack_sequences,
         "objectid_sessions": q_objectid_sessions,
         "mongo_legacy_sessions": q_mongo_legacy_sessions,
@@ -2513,23 +2550,6 @@ sizes AS (SELECT doc, count(*) AS sz FROM shx GROUP BY doc),
     )
 
     ws_tokens = _TOKENS.format(col="text")
-    sql["text_tokens"] = rf"""
-        WITH tk AS (
-          SELECT doc_id, text, {ws_tokens} AS tks FROM documents
-        )
-        SELECT doc_id,
-               len(tks) AS n_tokens_ws,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
-                 AS n_tokens_bpe,
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(tks,
-                     t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
-                 (a, b) -> (a * 257 + b) % 2147483647) AS rolling_hash,
-               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-        FROM tk
-    """
-
     sql["dedup_simhash"] = (
         "WITH "
         + _EXACT_CORPUS
@@ -2692,7 +2712,16 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  length(regexp_replace(trim(text), '\s+', '', 'g')) AS squashed,
                  len(regexp_extract_all(text, '[\.,;:!\?]')) AS n_punct,
                  len(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
-                 len(regexp_extract_all(lower(text), '{en_pat}')) AS n_stop
+                 len(regexp_extract_all(lower(text), '{en_pat}')) AS n_stop,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+                   AS n_tokens_bpe,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform({ntok},
+                       t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+                   (a, b) -> (a * 257 + b) % 2147483647) AS rolling_hash,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                   AS fingerprint
           FROM documents
         ),
         tok AS (SELECT doc_id, {ntok} AS tk FROM documents),
@@ -2725,6 +2754,7 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  + 0.3 * (CASE WHEN f.n_tokens >= 5 AND f.n_chars >= 30
                                THEN 1.0 ELSE 0.0 END)
                  + 0.3 * (1.0 - least((n_punct / f.n_chars) * 5.0, 1.0)) AS quality,
+               f.n_tokens_bpe, f.rolling_hash, f.fingerprint,
                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
                     ELSE 1.0 - p.n_distinct / p.n_grams END AS dup_frac,
                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
@@ -2932,22 +2962,117 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
     """
     )
 
-    sql["split_report"] = """
-        WITH assigned AS (
+    sql["sampling_report"] = """
+        WITH rated AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10000 AS bucket,
+                 CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
+                             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75
+                             ELSE 0.0 END AS rate
+          FROM documents
+        ),
+        assigned AS (
           SELECT lang AS strata, doc_id,
                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                       AS BIGINT) % 1000 AS bucket
           FROM documents
         )
-        SELECT strata,
+        SELECT 'mixture' AS kind, source AS strata, 'kept' AS subkey,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM rated WHERE bucket < rate * 10000
+        GROUP BY source
+        UNION ALL
+        SELECT 'split' AS kind, strata,
                CASE WHEN bucket < 100 THEN 'val'
                     WHEN bucket < 200 THEN 'test'
-                    ELSE 'train' END AS split,
+                    ELSE 'train' END AS subkey,
                count(*) AS n_docs,
                min(doc_id) AS min_doc,
                max(doc_id) AS max_doc
         FROM assigned
-        GROUP BY 1, 2
+        GROUP BY 1, 2, 3
+    """
+
+    sql["unigram_perplexity"] = rf"""
+        WITH terms AS (
+          SELECT doc_id AS doc, unnest({ws_tokens}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ),
+        vocab AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+        lp AS (
+          SELECT term,
+                 CAST(round(ln(cnt / n_total) * 1000) AS BIGINT) AS lp_milli
+          FROM vocab, tot
+        ),
+        agg AS (
+          SELECT doc,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(-sum(tf * lp_milli) AS BIGINT) AS nll_milli
+          FROM tf JOIN lp USING (term) GROUP BY doc
+        )
+        SELECT doc, n_tokens, nll_milli,
+               nll_milli // n_tokens AS mean_nll_milli,
+               (nll_milli // n_tokens) // 500 AS ppl_bucket
+        FROM agg
+    """
+
+    sql["importance_resample"] = rf"""
+        WITH terms AS (
+          SELECT doc_id AS doc, unnest({ws_tokens}) AS term FROM documents
+        ),
+        raw_tf AS (
+          SELECT doc,
+                 CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64
+                   AS bucket,
+                 count(*) AS tf
+          FROM terms GROUP BY 1, 2
+        ),
+        tgt AS (
+          SELECT bucket, CAST(sum(tf) AS BIGINT) AS t_cnt
+          FROM raw_tf WHERE doc % 10 = 1 GROUP BY 1
+        ),
+        srcc AS (
+          SELECT bucket, CAST(sum(tf) AS BIGINT) AS s_cnt
+          FROM raw_tf GROUP BY 1
+        ),
+        spine AS (
+          SELECT bucket,
+                 coalesce(t_cnt, 0) AS t_cnt, coalesce(s_cnt, 0) AS s_cnt
+          FROM (SELECT range AS bucket FROM range(64)) b
+          LEFT JOIN tgt USING (bucket) LEFT JOIN srcc USING (bucket)
+        ),
+        tot AS (
+          SELECT CAST(sum(t_cnt) AS BIGINT) AS t_total,
+                 CAST(sum(s_cnt) AS BIGINT) AS s_total
+          FROM spine
+        ),
+        ratios AS (
+          SELECT bucket,
+                 CAST(round(ln(((t_cnt + 1) / (t_total + 64))
+                              / ((s_cnt + 1) / (s_total + 64))) * 1000)
+                      AS BIGINT) AS ratio_milli
+          FROM spine, tot
+        ),
+        scored AS (
+          SELECT doc,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(sum(tf * ratio_milli) AS BIGINT) AS weight_milli
+          FROM raw_tf JOIN ratios USING (bucket) GROUP BY doc
+        )
+        SELECT doc, n_tokens, weight_milli,
+               weight_milli // n_tokens AS avg_ratio_milli,
+               (CAST(('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10000) / 10000.0
+                 < exp(least(weight_milli // n_tokens, 0) / 1000.0) AS accept
+        FROM scored
     """
 
     sql["salient_terms"] = rf"""
@@ -2986,24 +3111,6 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         FROM grams GROUP BY pair
         ORDER BY n_occurrences DESC, pair ASC
         LIMIT 20
-    """
-
-    sql["mixture_sample"] = """
-        WITH rated AS (
-          SELECT doc_id, source,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) % 10000 AS bucket,
-                 CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.25
-                             WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.75
-                             ELSE 0.0 END AS rate
-          FROM documents
-        )
-        SELECT source,
-               count(*) AS n_kept,
-               min(doc_id) AS min_doc,
-               max(doc_id) AS max_doc
-        FROM rated WHERE bucket < rate * 10000
-        GROUP BY source
     """
 
     sql["pack_sequences"] = rf"""

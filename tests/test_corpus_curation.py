@@ -224,3 +224,71 @@ def test_length_percentiles_known_answer(spark):
     assert a["n_docs"] == 10
     b = out["b"]
     assert (b["p50"], b["p90"], b["p99"]) == (7, 7, 7)
+
+
+def test_unigram_logprob_known_answer(spark):
+    """Two-doc corpus: 'a a b' + 'a c'.  Vocab: a=3, b=1, c=1, N=5.
+    lp_milli(a)=round(ln(3/5)*1000)=-511, lp(b)=lp(c)=round(ln(1/5)*1000)
+    =-1609.  Doc 0 nll = 2*511+1609 = 2631; doc 1 = 511+1609 = 2120."""
+    import math
+
+    from topic_store_spark.operators.corpus import unigram_logprob
+
+    df = spark.createDataFrame([(0, "a a b"), (1, "a c")], ["doc_id", "text"])
+    out = {r["doc"]: r for r in unigram_logprob(df).collect()}
+    lp_a = round(math.log(3 / 5) * 1000)  # -511
+    lp_rare = round(math.log(1 / 5) * 1000)  # -1609
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["nll_milli"] == -(2 * lp_a + lp_rare)
+    assert out[1]["nll_milli"] == -(lp_a + lp_rare)
+    assert out[0]["mean_nll_milli"] == out[0]["nll_milli"] // 3
+    assert out[0]["ppl_bucket"] == out[0]["mean_nll_milli"] // 500
+
+
+def test_unigram_logprob_rare_scores_worse(docs):
+    """A gibberish-token doc must land in a strictly higher perplexity
+    bucket than the corpus it was appended to (rare tokens -> high NLL)."""
+    from topic_store_spark.operators.corpus import unigram_logprob
+
+    base = docs.limit(50).select("doc_id", "text")
+    spark = base.sparkSession
+    noise = spark.createDataFrame(
+        [(999999, "zzqx1 zzqx2 zzqx3 zzqx4 zzqx5")], ["doc_id", "text"]
+    )
+    out = unigram_logprob(base.unionByName(noise))
+    noise_row = out.filter(F.col("doc") == 999999).collect()[0]
+    avg_rest = out.filter(F.col("doc") != 999999).agg(
+        F.avg("mean_nll_milli")
+    ).collect()[0][0]
+    assert noise_row["mean_nll_milli"] > avg_rest
+
+
+def test_importance_resample_favors_target_like_docs(spark):
+    """Docs drawn from the target's vocabulary must carry higher average
+    log-ratios than docs from a disjoint vocabulary, and every
+    target-like doc with avg_ratio >= 0 must be accepted."""
+    from topic_store_spark.operators.corpus import importance_resample
+
+    tgt_docs = [(i, "alpha beta gamma delta " * 3) for i in range(10)]
+    off_docs = [(100 + i, "omega sigma theta kappa " * 3) for i in range(10)]
+    raw = spark.createDataFrame(tgt_docs + off_docs, ["doc_id", "text"])
+    target = spark.createDataFrame(tgt_docs, ["doc_id", "text"])
+    out = {r["doc"]: r for r in importance_resample(raw, target).collect()}
+    tgt_avg = sum(out[i]["avg_ratio_milli"] for i in range(10)) / 10
+    off_avg = sum(out[100 + i]["avg_ratio_milli"] for i in range(10)) / 10
+    assert tgt_avg > off_avg
+    for i in range(10):
+        if out[i]["avg_ratio_milli"] >= 0:
+            assert out[i]["accept"]
+
+
+def test_importance_resample_deterministic(docs):
+    """Re-running the operator yields byte-identical decisions (no RNG
+    state anywhere)."""
+    from topic_store_spark.operators.corpus import importance_resample
+
+    base = docs.limit(80).select("doc_id", "text")
+    target = base.filter(F.col("doc_id") % 10 == 1)
+    a = sorted(importance_resample(base, target).collect())
+    b = sorted(importance_resample(base, target).collect())
+    assert a == b

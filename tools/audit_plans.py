@@ -56,7 +56,7 @@ FULL_SCAN_OK = {
     # predicates — nothing pushable exists
     "dedup_substring", "dedup_paragraph",
     # per-document expression pipelines over the full corpus
-    "text_profile", "text_tokens", "multimodal_stats", "pii_redact",
+    "text_profile", "multimodal_stats", "pii_redact",
     # full-table rollups / reshapes — nothing pushable exists
     "mongo_projection_flatten", "store_scalars", "session_rollup_salted",
     "objectid_sessions", "snapshot_asof", "windowed_rates", "sessionize",
@@ -71,7 +71,11 @@ FULL_SCAN_OK = {
     # pushable exists.  domain_topk's rank<=5 actually compiles to a
     # map-side WindowGroupLimit (partial top-k before the shuffle).
     "domain_topk", "quality_funnel", "salient_terms", "merge_pairs",
-    "pack_sequences", "mixture_sample", "split_report",
+    "pack_sequences", "sampling_report",
+    # LM-derived quality scores over the full corpus: vocab / feature
+    # distributions come from the corpus itself, so every row is read by
+    # construction; the importance filter is on computed hash buckets.
+    "unigram_perplexity", "importance_resample",
 }
 
 

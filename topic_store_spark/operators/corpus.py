@@ -491,3 +491,196 @@ def pack_sequences(
         F.min("doc").alias("first_doc"),
         F.sum("n_tok").cast("long").alias("tokens_started"),
     )
+
+
+def _md5_bucket(col, mod: int):
+    """Deterministic cross-engine hash bucket in [0, mod): integer value
+    of the first 8 md5 hex digits, mod ``mod``.  Identical in DuckDB:
+    ``CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % mod``."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % mod
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    precision: int = 1000,
+    bucket_width_milli: int = 500,
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus's own
+    unigram LM — the CCNet-style perplexity quality signal (Wenzek et
+    al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): well-formed prose lands near the corpus distribution
+    (low NLL); boilerplate, gibberish and rare-token soup land in the
+    high-NLL tail that a quality funnel drops or down-weights.
+
+    Determinism across engines: every token's log-probability is rounded
+    to a fixed-point integer (``round(ln(tf_corpus / total) * precision)``
+    as BIGINT) *before* any summation, so per-doc totals are exact
+    integer sums — immune to the float-summation order differences that
+    would otherwise make a distributed sum unreproducible (and break the
+    DuckDB oracle).  The one ``ln`` call per *distinct vocabulary term*
+    operates on an identical double in both engines.
+
+    Plan at 100 TB: (doc, term) tf rollup (one shuffle, map-side
+    partials over the Zipf-hot terms), a vocabulary rollup off the tf
+    relation (second rollup is over distinct (doc, term) — far smaller
+    than the token stream), a term-keyed join to attach log-probs (AQE
+    broadcasts a small vocab; a web-scale vocab shuffle-joins — correct
+    either way), and a per-doc rollup.  The corpus total rides a 1-row
+    broadcast cross join.  No Python anywhere.
+
+    Returns (doc, n_tokens, nll_milli, mean_nll_milli, ppl_bucket):
+    ``nll_milli``   = -sum over tokens of logprob_milli (exact integer),
+    ``mean_nll_milli`` = nll_milli div n_tokens (integer division),
+    ``ppl_bucket``  = mean_nll_milli div bucket_width_milli — the
+    fixed-width histogram bucket a CCNet-style head/middle/tail split
+    thresholds on.
+    """
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    terms = explode_nonempty(tk, "_tk", "term", "doc")
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    total = vocab.select(F.sum("cnt").cast("long").alias("n_total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(F.log(F.col("cnt") / F.col("n_total")) * precision)
+        .cast("long")
+        .alias("lp_milli"),
+    )
+    return (
+        tf.join(lp, "term")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (-F.sum(F.col("tf") * F.col("lp_milli"))).cast("long").alias("nll_milli"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "nll_milli",
+            F.expr("nll_milli div n_tokens").alias("mean_nll_milli"),
+            F.expr(f"(nll_milli div n_tokens) div {bucket_width_milli}").alias(
+                "ppl_bucket"
+            ),
+        )
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    precision: int = 1000,
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how much its hashed-unigram feature distribution looks
+    like a (small, curated) ``target`` corpus rather than the raw corpus
+    itself, then accept documents by deterministic hash-thresholded
+    importance resampling.
+
+    Features are hashed buckets (md5 of the term mod ``n_buckets``) so
+    the feature tables are tiny and fixed-width no matter how large the
+    vocabulary grows — both distributions broadcast.  Per-bucket
+    log-ratios use Laplace (+1) smoothing and are rounded to fixed-point
+    integers before any per-document summation (same cross-engine
+    determinism contract as ``unigram_logprob``).
+
+    Acceptance: a document with per-token average log-ratio ``r`` is
+    kept iff ``md5_bucket(id)/10000 < exp(min(r, 0))`` — i.e. documents
+    that look *more* target-like than raw are always kept, others are
+    kept with probability exp(avg log-ratio), reproducibly (no RNG
+    state; re-runs and late-arriving shards make identical decisions).
+
+    Plan at 100 TB: target-side bucket rollup (small by construction),
+    raw-side bucket rollup off the (doc, bucket) tf relation, both
+    collapsed to ``n_buckets`` rows and broadcast; the raw corpus is
+    scanned once, its per-doc score is one rollup shuffle; the accept
+    decision is a map-side expression.  Nothing large ever joins
+    anything large.
+
+    Returns (doc, n_tokens, weight_milli, avg_ratio_milli, accept).
+    """
+    def _bucket_tf(frame: DataFrame) -> DataFrame:
+        tk = ensure_parallelism(frame).select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+        )
+        terms = explode_nonempty(tk, "_tk", "term", "doc")
+        return terms.select(
+            "doc", _md5_bucket(F.col("term"), n_buckets).alias("bucket")
+        ).groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+
+    raw_tf = _bucket_tf(df)
+    tgt_counts = (
+        _bucket_tf(target)
+        .groupBy("bucket")
+        .agg(F.sum("tf").cast("long").alias("t_cnt"))
+    )
+    raw_counts = raw_tf.groupBy("bucket").agg(
+        F.sum("tf").cast("long").alias("s_cnt")
+    )
+    # dense bucket spine so +1-smoothed ratios exist for unseen buckets
+    spine = df.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    joined = (
+        spine.join(F.broadcast(tgt_counts), "bucket", "left")
+        .join(F.broadcast(raw_counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+            F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+        )
+    )
+    tot = joined.select(
+        F.sum("t_cnt").cast("long").alias("t_total"),
+        F.sum("s_cnt").cast("long").alias("s_total"),
+    )
+    ratios = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    ((F.col("t_cnt") + 1) / (F.col("t_total") + n_buckets))
+                    / ((F.col("s_cnt") + 1) / (F.col("s_total") + n_buckets))
+                )
+            )
+            * precision
+        )
+        .cast("long")
+        .alias("ratio_milli"),
+    )
+    scored = (
+        raw_tf.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("ratio_milli"))
+            .cast("long")
+            .alias("weight_milli"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "weight_milli",
+            F.expr("weight_milli div n_tokens").alias("avg_ratio_milli"),
+        )
+    )
+    accept_p = F.exp(
+        F.least(F.col("avg_ratio_milli"), F.lit(0)).cast("double") / precision
+    )
+    return scored.select(
+        "doc",
+        "n_tokens",
+        "weight_milli",
+        "avg_ratio_milli",
+        (_md5_bucket(F.col("doc"), 10000) / 10000.0 < accept_p).alias("accept"),
+    )
