@@ -1,0 +1,123 @@
+"""BPE trainer/tokenizer tests: the distributed trainer must reproduce
+a pure-Python reference implementation of Sennrich-style BPE exactly
+(merge order incl. tie-breaks), and the tokenizer must replay training
+segmentation on the training corpus."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import table
+from topic_store_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_bpe,
+    segment_word,
+    train_bpe,
+    word_freq_table,
+)
+
+
+def ref_train_bpe(texts, n_merges, min_freq=2, end_of_word=END_OF_WORD):
+    """Reference single-machine trainer: word-frequency table, argmax
+    pair by (count desc, a asc, b asc), greedy left-to-right merge."""
+    wf = Counter()
+    for t in texts:
+        for w in t.split():
+            wf[w] += 1
+    vocab = {w: list(w) + ([end_of_word] if end_of_word else []) for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += wf[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+]
+
+
+def test_trainer_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    got = train_bpe(df, n_merges=12, min_freq=2)
+    want, _ = ref_train_bpe(CORPUS, n_merges=12, min_freq=2)
+    assert got == want
+    assert len(got) > 3  # the corpus supports a non-trivial merge table
+
+
+def test_trainer_min_freq_stops(spark):
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    # every pair occurs once -> min_freq=2 stops immediately
+    assert train_bpe(df, n_merges=5, min_freq=2) == []
+
+
+def test_word_freq_table_counts(spark):
+    df = spark.createDataFrame([(0, "x y x"), (1, "x")], ["doc_id", "text"])
+    rows = {r["word"]: r for r in word_freq_table(df).collect()}
+    assert rows["x"]["freq"] == 3 and rows["y"]["freq"] == 1
+    assert rows["x"]["syms"] == ["x", END_OF_WORD]
+
+
+def test_apply_replays_training_segmentation(spark):
+    """Tokenizing the training corpus with the learned table must give
+    the trainer's own final word segmentations."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges = train_bpe(df, n_merges=12, min_freq=2)
+    _, ref_vocab = ref_train_bpe(CORPUS, n_merges=12, min_freq=2)
+    out = {r["doc_id"]: r for r in apply_bpe(df, merges).collect()}
+    for i, t in enumerate(CORPUS):
+        want = [s for w in t.split() for s in ref_vocab[w]]
+        assert out[i]["bpe_tokens"] == want
+        assert out[i]["n_bpe"] == len(want)
+
+
+def test_segment_word_unseen_word_falls_back_to_chars():
+    merges = [("l", "o"), ("lo", "w")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert segment_word("low", ranks, END_OF_WORD) == ["low", END_OF_WORD]
+    assert segment_word("zq", ranks, END_OF_WORD) == ["z", "q", END_OF_WORD]
+
+
+def test_train_and_apply_on_real_corpus(spark, sf_dir):
+    """End-to-end on the documents table: trained merges apply cleanly
+    and compression is real (fewer BPE tokens than characters)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    merges = train_bpe(docs, n_merges=20, min_freq=2)
+    assert len(merges) == 20
+    out = apply_bpe(docs, merges)
+    joined = out.join(docs, "doc_id").select(
+        "doc_id",
+        "n_bpe",
+        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars"),
+    )
+    bad = joined.filter(F.col("n_bpe") > F.col("n_chars") + 200).count()
+    assert bad == 0
+    # at least some compression happened somewhere
+    assert joined.filter(F.col("n_bpe") < F.col("n_chars")).count() > 0

@@ -1,0 +1,217 @@
+"""Distributed BPE tokenizer training and application.
+
+Completes the tokenization story started by
+``operators/corpus.merge_pair_counts`` (which computes the candidate
+table of ONE merge iteration): a full byte-pair-encoding trainer loop
+(Sennrich, Haddow & Birch, "Neural Machine Translation of Rare Words
+with Subword Units", ACL 2016) and a vectorized tokenizer that applies
+the learned merge table to a corpus.
+
+Scale design (the part that matters at 100 TB):
+
+- **The trainer never iterates over the corpus.**  The corpus is read
+  ONCE to build the (word, freq) table — distinct whitespace words with
+  corpus frequencies.  By Zipf's law that table is orders of magnitude
+  smaller than the token stream, and every merge iteration runs against
+  it alone.  This is exactly the classic single-machine optimization,
+  and it distributes: the word table is hash-partitioned, each
+  iteration is (a) an adjacent-pair rollup with map-side partials
+  weighted by word frequency and (b) a 1-row ``TakeOrdered`` argmax —
+  no full sort, no driver-side data beyond the winning pair.
+- **Merge application inside the trainer is a JVM fold** — a greedy
+  left-to-right non-overlapping pair replacement expressed with
+  ``F.aggregate`` over the symbol array (no Python in the loop).
+- **Lineage is truncated** every ``checkpoint_every`` iterations via
+  ``materialize_iter`` (localCheckpoint / checkpoint), the same
+  contract as the connected-components loop — without it iteration k
+  replays iterations 1..k-1.
+- **The tokenizer is an Arrow-batched Pandas UDF** with the (tiny)
+  merge-rank table broadcast in the closure and a per-batch word cache:
+  a batch's distinct words are segmented once each, then looked up —
+  the classic whole-word memoization, amortized across every repeated
+  word in the batch.
+
+The trainer returns plain Python data (the merge list), which is the
+natural shape: a merge table is a model artifact a pipeline persists
+and ships, not a DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from topic_store_spark.functions.text import tokens
+from topic_store_spark.operators.util import (
+    ensure_parallelism,
+    explode_nonempty,
+    materialize_iter,
+)
+
+END_OF_WORD = "</w>"
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text", end_of_word: str = END_OF_WORD
+) -> DataFrame:
+    """(word, freq, syms): distinct corpus words with frequencies and
+    their initial character-level symbol arrays (+ end-of-word marker).
+    One shuffle over the token stream; everything downstream of the
+    trainer touches only this (Zipf-small) relation."""
+    tk = ensure_parallelism(df).select(tokens(F.col(text_col)).alias("_tk"))
+    words = explode_nonempty(tk, "_tk", "word")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    # one element per character: split at every inter-character position
+    # ((?=.) forbids the end-of-string match that Spark's limit=-1 would
+    # otherwise keep as a trailing "" element)
+    syms = F.split(F.col("word"), "(?!^)(?=.)")
+    if end_of_word:
+        syms = F.concat(syms, F.array(F.lit(end_of_word)))
+    return wf.select("word", "freq", syms.alias("syms"))
+
+
+def _merge_fold(syms, a: str, b: str):
+    """Greedy left-to-right non-overlapping replacement of the adjacent
+    symbol pair (a, b) with the merged symbol a+b, as a single JVM
+    ``aggregate`` fold: merge whenever the accumulator's last element is
+    ``a`` and the current symbol is ``b``.  Because the merged symbol
+    ``a+b`` can never equal ``a`` (``b`` is non-empty), a freshly merged
+    element never re-merges with the next ``b`` — exactly BPE's
+    non-overlapping scan order."""
+    ab = F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(ab)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 2,
+    end_of_word: str = END_OF_WORD,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a corpus.  Returns the ordered
+    merge list [(a, b), ...] (rank = list position).
+
+    Each iteration: weighted adjacent-pair counts over the word table
+    (map-side partials), a deterministic 1-row argmax (count desc, pair
+    asc — ties never depend on partitioning), then a JVM fold applies
+    the merge to the symbol arrays.  Stops early when the best pair's
+    corpus frequency drops below ``min_freq``."""
+    wf = word_freq_table(df, text_col, end_of_word)
+    wf = materialize_iter(wf)
+    merges: list[tuple[str, str]] = []
+    for it in range(n_merges):
+        staged = wf.select(
+            "freq",
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            ).alias("_ps"),
+        )
+        pairs = (
+            explode_nonempty(staged, "_ps", "p", "freq")
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+        )
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc()
+        ).limit(1).collect()
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        wf = wf.select("word", "freq", _merge_fold(F.col("syms"), a, b).alias("syms"))
+        if (it + 1) % checkpoint_every == 0:
+            wf = materialize_iter(wf)
+    return merges
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int], end_of_word: str) -> list[str]:
+    """Reference greedy BPE segmentation of one word: repeatedly merge
+    the lowest-rank adjacent pair until none applies.  Matches the
+    trainer's fold exactly (left-to-right non-overlapping within a
+    rank's pass, ranks applied best-first)."""
+    syms = list(word)
+    if end_of_word:
+        syms.append(end_of_word)
+    while len(syms) > 1:
+        best_rank, best_idx = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_idx = r, i
+        if best_rank is None:
+            break
+        a, b = syms[best_idx], syms[best_idx + 1]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+    end_of_word: str = END_OF_WORD,
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge table: whitespace words,
+    each segmented by greedy rank-order BPE, concatenated back into one
+    ``array<string>`` per document (plus an ``n_bpe`` count column).
+
+    Arrow-batched ``mapInPandas``; the merge table rides the closure
+    (broadcast, tiny) and a per-batch dict memoizes distinct words, so
+    the per-row cost is a hash lookup for every repeated word."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_fields = [f for f in df.schema.fields if f.name in (id_col,)]
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+        + f", {out_col} array<string>, n_bpe int"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def seg(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is None:
+                got = cache[word] = segment_word(word, ranks, end_of_word)
+            return got
+
+        for pdf in batches:
+            toks, counts = [], []
+            for text in pdf[text_col]:
+                doc: list[str] = []
+                for w in (text or "").split():
+                    doc.extend(seg(w))
+                toks.append(doc)
+                counts.append(len(doc))
+            out = pd.DataFrame({id_col: pdf[id_col], out_col: toks, "n_bpe": counts})
+            yield out
+
+    return ensure_parallelism(df).select(id_col, text_col).mapInPandas(run, schema)
