@@ -1657,6 +1657,32 @@ _QUANT_EMB = (
 )
 
 
+def _minhash_sig_sql(num_perm: int) -> str:
+    """Universal-hash MinHash signature CTE — the DuckDB twin of
+    ``hashing.shingle_keys`` + ``minhash_signature_from_keys``: one
+    md5-derived 28-bit key per shingle, then ``num_perm`` integer
+    multiply-mod permutations whose (a_i, b_i) literals come from the
+    SAME ``mix_constants`` the Spark plan embeds."""
+    from topic_store_spark.functions.hashing import MERSENNE31, mix_constants
+
+    perms = ",\n          ".join(
+        f"list_min(list_transform(ks, x -> (x * {a} + {b}) % {MERSENNE31}))"
+        for a, b in mix_constants(num_perm)
+    )
+    return f"""
+keyed AS (
+  SELECT doc_id,
+         list_transform(sh,
+           s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS ks
+  FROM sh WHERE len(sh) > 0
+),
+sig AS (
+  SELECT doc_id,
+         [{perms}] AS sig
+  FROM keyed
+)"""
+
+
 def _hyperplane_sign_sql(p: int) -> str:
     """Hyperplane sign bit for plane ``p`` over ``embedding`` — weight_i =
     hexint(md5('p:i')[0:4])/65536 - 0.5, projection folds left over index
@@ -2457,23 +2483,22 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
-    # full MinHash->LSH->verify pipeline, same md5 permutations / bands
+    # full MinHash->LSH->verify pipeline, same universal-hash signature
+    # family: one md5-derived 28-bit key per shingle, permutation i =
+    # min((a_i*x+b_i) mod 2^31-1) with the (a_i, b_i) literals produced
+    # by the SAME mix_constants() the Spark plan embeds
     sql["dedup_minhash_lsh"] = (
         "WITH "
         + _NEAR_CORPUS
         + ","
         + _SHINGLES
         + ""","""
-        + """
-sig AS (
-  SELECT doc_id,
-         [list_min(list_transform(sh, s -> md5(i || ':' || s)))
-          for i in range(0, 12)] AS sig
-  FROM sh WHERE len(sh) > 0
-),
+        + _minhash_sig_sql(12)
+        + """,
 banded AS (
   SELECT doc_id AS doc,
-         unnest([CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*3+1:b*3+3], '')
+         unnest([CAST(b AS VARCHAR) || '|' ||
+                 array_to_string(sig[b*3+1:b*3+3], ',')
                  for b in range(0, 4)]) AS band
   FROM sig
 ),
@@ -2496,16 +2521,12 @@ cands AS (
         + ","
         + _SHINGLES
         + ""","""
-        + """
-sig AS (
-  SELECT doc_id,
-         [list_min(list_transform(sh, s -> md5(i || ':' || s)))
-          for i in range(0, 12)] AS sig
-  FROM sh WHERE len(sh) > 0
-),
+        + _minhash_sig_sql(12)
+        + """,
 banded AS (
   SELECT doc_id AS doc,
-         unnest([CAST(b AS VARCHAR) || '|' || array_to_string(sig[b*3+1:b*3+3], '')
+         unnest([CAST(b AS VARCHAR) || '|' ||
+                 array_to_string(sig[b*3+1:b*3+3], ',')
                  for b in range(0, 4)]) AS band
   FROM sig
 ),

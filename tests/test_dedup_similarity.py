@@ -653,3 +653,63 @@ def test_train_pq_codebooks_shapes(spark, embeddings):
     cen = small.filter(F.col("vec_id") < 4)
     out = ivf_pq_ann_neighbors(small, queries, cen, books, k=3, nprobe=2)
     assert out.count() == 9
+
+
+def test_minhash_universal_family_matches_duckdb(spark, docs):
+    """The universal-hash MinHash family (one md5-derived key per
+    shingle + integer multiply-mod permutations) must be bit-identical
+    to its DuckDB formulation with the same mix_constants literals."""
+    import duckdb as _duck
+
+    from topic_store_spark.functions.hashing import (
+        MERSENNE31,
+        minhash_signature_from_keys,
+        mix_constants,
+        shingle_keys,
+    )
+
+    staged = docs.limit(50).select(
+        "doc_id",
+        shingle_keys(
+            F.array_distinct(word_shingles(F.col("text"), 3))
+        ).alias("_keys"),
+    )
+    sdf = staged.select(
+        "doc_id", minhash_signature_from_keys(F.col("_keys"), 4).alias("sig")
+    ).collect()
+    spark_sigs = {r["doc_id"]: list(r["sig"]) for r in sdf}
+    perms = ", ".join(
+        f"list_min(list_transform(ks, x -> (x * {a} + {b}) % {MERSENNE31}))"
+        for a, b in mix_constants(4)
+    )
+    duck_sql = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(tk[i:i+2], ' ')
+                   for i in range(1, len(tk) - 1)]) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS tk
+                FROM '/root/testdata/sf0.001/documents.parquet') t
+          WHERE len(tk) >= 3
+        ),
+        keyed AS (
+          SELECT doc_id,
+                 list_transform(sh,
+                   s -> CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT)) AS ks
+          FROM tok WHERE len(sh) > 0
+        )
+        SELECT doc_id, [{perms}] AS sig FROM keyed
+        WHERE doc_id IN (SELECT doc_id FROM
+          (SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet'
+           ORDER BY doc_id LIMIT 50))
+    """
+    duck_sigs = {
+        r[0]: list(r[1]) for r in _duck.connect().execute(duck_sql).fetchall()
+    }
+    checked = 0
+    for doc, sig in spark_sigs.items():
+        if doc in duck_sigs:
+            assert sig == duck_sigs[doc], doc
+            checked += 1
+    assert checked >= 30

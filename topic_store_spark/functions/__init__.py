@@ -26,6 +26,8 @@ from topic_store_spark.functions.text import (
 from topic_store_spark.functions.hashing import (
     md5_fingerprint,
     minhash_signature,
+    minhash_signature_from_keys,
+    shingle_keys,
     simhash_bits,
 )
 from topic_store_spark.functions.vectors import (
@@ -39,6 +41,7 @@ __all__ = [
     "humanize_size", "objectid_timestamp", "redact_uri", "ros_time_as_ms",
     "time_as_ms", "char_shingles", "language_id", "normalize_text",
     "quality_features", "token_count", "tokens", "word_shingles",
-    "md5_fingerprint", "minhash_signature", "simhash_bits",
+    "md5_fingerprint", "minhash_signature", "minhash_signature_from_keys",
+    "shingle_keys", "simhash_bits",
     "cosine_similarity", "dot_product", "l2_norm", "quantize_vector",
 ]

@@ -59,6 +59,79 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     )
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
+def mix_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal-hash MinHash
+    family, derived from md5 so Python (plan build), Spark (literals in
+    the plan) and the DuckDB oracle (literals in the SQL string) all see
+    identical constants.  a_i is forced odd and both are reduced mod
+    2^31-1 so a_i * x never overflows a signed 64-bit integer for
+    28-bit x."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:7], 16)
+        out.append(((a % MERSENNE31) or 1, b % MERSENNE31))
+    return out
+
+
+def shingle_keys(shingles: Column) -> Column:
+    """28-bit integer key per shingle: first 7 md5 hex digits.  ONE md5
+    per shingle — the k permutation values are derived from this key by
+    cheap integer mixing (``minhash_signature_from_keys``), versus the
+    k-md5s-per-shingle cost of ``minhash_signature``.  Materialize this
+    with its own ``select`` before building signatures (perf contract:
+    see text.shingles_from_tokens)."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+
+
+def minhash_signature_from_keys(keys: Column, k: int = 12) -> Column:
+    """Array of k MinHash values (longs) from a *materialized* shingle
+    key array: perm i is ``min over keys of (a_i * x + b_i) mod 2^31-1``
+    — a multiply-shift universal hash whose arithmetic is exact and
+    identical in any engine with 64-bit signed integers (operands stay
+    < 2^59; no overflow, no negative mod).  ~k× cheaper than the md5
+    family: the md5 work is one pass in ``shingle_keys``, the k
+    permutations are integer ops inside whole-stage codegen."""
+    consts = mix_constants(k)
+
+    # NB: the lambda must take exactly ONE parameter (see _perm_min note)
+    # — default-arg closures would make F.transform bind it as a
+    # multi-arg (value, index) lambda, so constants ride a factory.
+    def _perm(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
+    return F.array(
+        *[F.array_min(F.transform(keys, _perm(a, b))) for a, b in consts]
+    )
+
+
+def lsh_band_keys_int(signature: Column, bands: int, rows: int) -> Column:
+    """Band bucket keys ('<band>|<comma-joined row values>') over an
+    integer MinHash signature."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def token_md5s(token_array: Column) -> Column:
     """md5 hex of every token — materialize this with its own ``select``
     before ``simhash_bits_from_hashes`` (perf contract: see

@@ -42,9 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from topic_store_spark.functions.hashing import (
-    lsh_band_keys,
     md5_fingerprint,
-    minhash_signature,
     simhash_long_band_keys,
     simhash_long_from_hashes,
     token_md5s,
@@ -319,6 +317,44 @@ def char_jaccard_pairs(
     return _jaccard_out(pairs, threshold_num, threshold_den)
 
 
+def _minhash_banded(sh: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc, band) LSH band-key relation from a (doc, shs) shingle-array
+    relation, in the scale-canonical flat formulation: explode shingles,
+    one codegen'd md5 per shingle reduced to a 28-bit key, then every
+    permutation ``min((a_i*x+b_i) mod 2^31-1)`` as a map-side-partial
+    aggregate — the only shuffle moves ``num_perm`` longs per document.
+    Band key = '<band>|<comma-joined row minima>', identical values to
+    ``hashing.minhash_signature_from_keys`` + ``lsh_band_keys_int`` (and
+    to the DuckDB oracle), just a cheaper plan."""
+    from topic_store_spark.functions.hashing import MERSENNE31, mix_constants
+
+    rows = num_perm // bands
+    flat = explode_nonempty(sh.filter(F.size("shs") > 0), "shs", "shingle", "doc")
+    x = F.conv(F.substring(F.md5("shingle"), 1, 7), 16, 10).cast("long")
+    keyed = flat.select("doc", x.alias("_x"))
+    aggs = [
+        F.min((F.col("_x") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(
+            f"_h{i}"
+        )
+        for i, (a, b) in enumerate(mix_constants(num_perm))
+    ]
+    sig = keyed.groupBy("doc").agg(*aggs)
+    band_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.concat_ws(
+                    ",", *[F.col(f"_h{b * rows + r}") for r in range(rows)]
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return explode_nonempty(
+        sig.select("doc", band_keys.alias("_bands")), "_bands", "band", "doc"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -341,26 +377,24 @@ def minhash_lsh_pairs(
     self-join; pair verify) — without it each branch recomputes
     tokenize+shingle+hash.  Standard MinHash practice at any scale; pass
     False to keep the plan fully lazy.
+
+    Signature family: universal-hash mixing over one md5-derived 28-bit
+    key per shingle — the md5 cost is paid once, the ``num_perm``
+    permutations are integer multiply-mods (~num_perm× cheaper than the
+    md5-per-permutation family, same banding guarantees).  Computed in
+    the flat formulation (``_minhash_banded``): explode shingles, hash
+    the flat column inside whole-stage codegen, and reduce each
+    permutation as a map-side-partial ``min`` — the per-doc shuffle
+    moves ``num_perm`` longs per document, and no interpreted
+    higher-order function ever runs per shingle (measured 3× faster
+    than the array-HOF form at sf0.1).
     """
-    rows = num_perm // bands
     sh = _shingle_arrays(df, text_col, id_col, n)
     if persist:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = sh.filter(F.size("shs") > 0).select(
-        "doc", minhash_signature(F.col("shs"), num_perm).alias("sig")
-    )
-    if persist:
-        from pyspark import StorageLevel
-
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    banded = explode_nonempty(
-        sig.select("doc", lsh_band_keys(F.col("sig"), bands, rows).alias("_bands")),
-        "_bands",
-        "band",
-        "doc",
-    )
+    banded = _minhash_banded(sh, num_perm, bands)
     cands = (
         banded.alias("x")
         .join(banded.alias("y"), "band")
@@ -1066,7 +1100,6 @@ def minhash_lsh_pairs_incremental(
     to (smaller, larger) and verify with exact per-pair Jaccard, same as
     ``minhash_lsh_pairs``.
     """
-    rows = num_perm // bands
     all_df = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
         new_df.select(F.col(id_col), F.col(text_col))
     )
@@ -1075,15 +1108,7 @@ def minhash_lsh_pairs_incremental(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = sh.filter(F.size("shs") > 0).select(
-        "doc", minhash_signature(F.col("shs"), num_perm).alias("sig")
-    )
-    banded_all = explode_nonempty(
-        sig.select("doc", lsh_band_keys(F.col("sig"), bands, rows).alias("_bands")),
-        "_bands",
-        "band",
-        "doc",
-    )
+    banded_all = _minhash_banded(sh, num_perm, bands)
     if persist:
         from pyspark import StorageLevel
 
