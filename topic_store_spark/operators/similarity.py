@@ -418,26 +418,24 @@ def ivf_pq_ann_neighbors(
     if m == 0:
         raise ValueError("ivf_pq_ann_neighbors: empty codebooks")
     sub = len(codebooks[0][0])
-    # one array-Literal node per code (not one Cast(Literal) per CELL):
-    # the codes/LUT expressions embed every codebook m*k times across the
-    # plan, so per-cell nodes blow the analyzer/codegen tree up ~8x —
-    # measurable driver-side seconds per invocation at m=8, k=16
-    book_lits = [
-        F.array(*[
-            F.lit([int(v) for v in code]).cast("array<long>") for code in book
-        ])
-        for book in codebooks
-    ]
 
-    def _dist2_int(sub_col, cb):
-        return F.aggregate(
-            F.zip_with(sub_col, cb, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+    # The per-subspace expressions are built as SQL STRINGS (one F.expr
+    # per subspace), not as Column trees: the Column form costs thousands
+    # of py4j round-trips for the m*k codebook literals and their
+    # zip_with/aggregate lambdas — ~2s of pure driver time per invocation
+    # at m=8, k=16, versus one JVM-side parse of a ~2 KB string here.
+    def _book_sql(book: list[list[int]]) -> str:
+        return (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in code) + ")"
+                for code in book
+            )
+            + ")"
         )
 
     # Sub-vector slices must be STAGED as plain attributes before the
-    # per-code transform lambdas reference them (perf contract of
+    # per-code lambdas reference them (perf contract of
     # shingles_from_tokens: HOFs are interpreted with no subexpression
     # elimination, so an inline slice() would re-slice once per code —
     # measured ~2x on the whole query at sf0.1).
@@ -450,24 +448,31 @@ def ivf_pq_ann_neighbors(
             ],
         )
 
-    def _codes():
-        cols = []
-        for s in range(m):
-            sv = F.col(f"_sub{s}")
-            dists = F.transform(book_lits[s], lambda cb: _dist2_int(sv, cb))
-            cols.append(
-                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-            )
-        return F.array(*cols)
+    def _stage_dists(df: DataFrame, keep: list[str]) -> DataFrame:
+        """Stage the per-subspace distance arrays (_d0.._dm-1): exact
+        integer L2^2 from the staged sub-slice to every code.  Staging
+        means the downstream argmin (codes) reads a materialized array
+        instead of re-evaluating the 16-way distance transform twice."""
+        return df.select(
+            *keep,
+            *[
+                F.expr(
+                    f"transform({_book_sql(codebooks[s])}, cb -> "
+                    f"aggregate(zip_with(_sub{s}, cb, "
+                    "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+                ).alias(f"_d{s}")
+                for s in range(m)
+            ],
+        )
 
-    def _lut():
-        # NB: bind the subspace via closure, never a lambda default arg —
-        # F.transform dispatches on lambda ARITY (2 args = element+index)
-        def _one(s: int):
-            sv = F.col(f"_sub{s}")
-            return F.transform(book_lits[s], lambda cb: _dist2_int(sv, cb))
-
-        return F.array(*[_one(s) for s in range(m)])
+    codes_sql = (
+        "array("
+        + ",".join(
+            f"cast(array_position(_d{s}, array_min(_d{s})) - 1 as int)"
+            for s in range(m)
+        )
+        + ")"
+    )
 
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(corpus, id_col, vec_col, "c")
@@ -502,12 +507,13 @@ def ivf_pq_ann_neighbors(
             F.col("best.cen_id").alias("list_id"),
         )
     )
-    # PQ-encode in staged projections (slices once, then codes once per
-    # row); the full vector is DROPPED here — downstream carries 8
-    # codes/row
-    encoded = _stage_subs(assigned, "c_qv", ["c_id", "list_id"]).select(
-        "c_id", "list_id", _codes().alias("codes")
-    )
+    # PQ-encode in staged projections (slices once, dists once, argmin
+    # over the staged arrays); the full vector is DROPPED here —
+    # downstream carries 8 codes/row
+    encoded = _stage_dists(
+        _stage_subs(assigned, "c_qv", ["c_id", "list_id"]),
+        ["c_id", "list_id"],
+    ).select("c_id", "list_id", F.expr(codes_sql).alias("codes"))
 
     q_aff = _dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     w_probe = Window.partitionBy("q_id").orderBy(
@@ -520,8 +526,13 @@ def ivf_pq_ann_neighbors(
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_qv", F.col("cen_id").alias("list_id"))
     )
-    luts = _stage_subs(probes, "q_qv", ["q_id", "list_id"]).select(
-        "q_id", "list_id", _lut().alias("lut")
+    luts = _stage_dists(
+        _stage_subs(probes, "q_qv", ["q_id", "list_id"]),
+        ["q_id", "list_id"],
+    ).select(
+        "q_id",
+        "list_id",
+        F.array(*[F.col(f"_d{s}") for s in range(m)]).alias("lut"),
     )
 
     adc = F.aggregate(
