@@ -1049,13 +1049,17 @@ def q_dedup_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard (>= 0.8) and near-subset containment (>= 0.9) computed from
     the same per-pair (common, |A|, |B|) triple, with per-metric hit
     flags — two curation rules for the price of one shuffle
-    (operators/dedup.py word_overlap_pairs)."""
+    (operators/dedup.py word_overlap_pairs).  Runs with the same
+    ``max_shingle_freq`` hot-key cap as the char-gram carrier: boilerplate
+    word-3-grams ("all rights reserved") carry quadratic pair fan-out at
+    web scale, so the capped plan is the one you'd actually run."""
     from topic_store_spark.operators.dedup import word_overlap_pairs
 
     corpus = _docs_with_near_dups(spark, sf_dir)
     return word_overlap_pairs(
         corpus, n=3, jaccard_num=8, jaccard_den=10,
         containment_num=9, containment_den=10,
+        max_shingle_freq=_CHAR_SHINGLE_FREQ_CAP,
     )
 
 
@@ -2417,15 +2421,23 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # hot-key cap mirrors word_overlap_pairs(max_shingle_freq=64): stop
+    # shingles (df > 64) leave BOTH the join and the size denominators,
+    # so the metrics are exact in the filtered universe
     sql["dedup_word_overlap"] = (
         "WITH "
         + _NEAR_CORPUS
         + ","
         + _SHINGLES
         + """,
+        keep AS (
+          SELECT shingle FROM shx GROUP BY shingle HAVING count(*) <= 64
+        ),
+        shk AS (SELECT shx.doc, shx.shingle FROM shx JOIN keep USING (shingle)),
+        sizesk AS (SELECT doc, count(*) AS sz FROM shk GROUP BY doc),
         common AS (
           SELECT a.doc AS a_doc, b.doc AS b_doc, count(*) AS common
-          FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc < b.doc
+          FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc < b.doc
           GROUP BY 1, 2
         )
         SELECT c.a_doc, c.b_doc, c.common,
@@ -2436,8 +2448,8 @@ def oracle_sql() -> dict[str, str]:
                c.common * 10 >= 8 * (sa.sz + sb.sz - c.common) AS jaccard_hit,
                c.common * 10 >= 9 * least(sa.sz, sb.sz) AS containment_hit
         FROM common c
-        JOIN sizes sa ON sa.doc = c.a_doc
-        JOIN sizes sb ON sb.doc = c.b_doc
+        JOIN sizesk sa ON sa.doc = c.a_doc
+        JOIN sizesk sb ON sb.doc = c.b_doc
         WHERE c.common * 10 >= 8 * (sa.sz + sb.sz - c.common)
            OR c.common * 10 >= 9 * least(sa.sz, sb.sz)
     """
