@@ -679,6 +679,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_incremental(
         new_batch, docs, n=3, num_perm=12, bands=4,
         threshold_num=8, threshold_den=10,
+        # map-side Bloom prefilter of the corpus band relation: the plan
+        # the ingest would run at 100 TB.  Bit-identical results with the
+        # flag off (operators/bloom.py; test_bloom.py proves it), so the
+        # oracle below is unchanged.
+        bloom_prefilter=True,
     )
 
 

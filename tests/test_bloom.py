@@ -1,0 +1,93 @@
+"""Bloom-filter prefilter: no false negatives, bounded false positives,
+and bit-identical incremental-dedup results with the filter on or off."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from topic_store_spark.operators.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_contains,
+)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    # 2,000 inserted keys and 20,000 disjoint probe keys
+    ins = spark.range(2000).select(F.concat(F.lit("in-"), "id").alias("k"))
+    out = spark.range(20000).select(F.concat(F.lit("out-"), "id").alias("k"))
+    return ins, out
+
+
+def test_no_false_negatives(spark, keys_df):
+    ins, _ = keys_df
+    bf = bloom_build(ins, "k", expected_items=2000)
+    n = ins.filter(bloom_contains(bf, F.col("k"))).count()
+    assert n == 2000
+
+
+def test_false_positive_rate_bounded(spark, keys_df):
+    ins, out = keys_df
+    bf = bloom_build(ins, "k", expected_items=2000)
+    fp = out.filter(bloom_contains(bf, F.col("k"))).count()
+    # 10 bits/key, k=7 -> ~1% theoretical; allow generous slack
+    assert fp / 20000 < 0.05
+
+
+def test_filter_shape_and_sizing(spark, keys_df):
+    ins, _ = keys_df
+    bf = bloom_build(ins, "k", expected_items=2000)
+    assert isinstance(bf, BloomFilter)
+    assert bf.num_bits & (bf.num_bits - 1) == 0  # power of two
+    assert len(bf.words) == bf.num_bits // 64
+    assert bf.num_bits >= 10 * 2000
+    # implicit count path sizes identically
+    bf2 = bloom_build(ins, "k")
+    assert bf2.num_bits == bf.num_bits
+
+
+def test_overfull_filter_stays_correct(spark, keys_df):
+    ins, _ = keys_df
+    # force a tiny filter: still zero false negatives, just saturated
+    bf = bloom_build(ins, "k", expected_items=10)
+    assert ins.filter(bloom_contains(bf, F.col("k"))).count() == 2000
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark, sf_dir):
+    from tests.conftest import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.limit(40).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return docs, batch
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_exact_incremental_bloom_identical(spark, corpus_and_batch):
+    from topic_store_spark.operators.dedup import exact_duplicates_incremental
+
+    docs, batch = corpus_and_batch
+    # exact collisions need identical text: re-ingest 25 corpus docs verbatim
+    clone = docs.limit(25).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    plain = exact_duplicates_incremental(clone, docs)
+    bloom = exact_duplicates_incremental(clone, docs, bloom_prefilter=True)
+    assert _rows(plain) == _rows(bloom)
+    assert plain.count() > 0
+
+
+def test_minhash_incremental_bloom_identical(spark, corpus_and_batch):
+    from topic_store_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    docs, batch = corpus_and_batch
+    plain = minhash_lsh_pairs_incremental(batch, docs)
+    bloom = minhash_lsh_pairs_incremental(batch, docs, bloom_prefilter=True)
+    assert _rows(plain) == _rows(bloom)
+    assert plain.count() > 0

@@ -894,6 +894,7 @@ def exact_duplicates_incremental(
     corpus_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Exact dedup of a NEW batch against an existing corpus (plus
     within-batch): returns one row per new document that collides,
@@ -903,6 +904,15 @@ def exact_duplicates_incremental(
     rather than drop the new one.  The production ingest shape — the
     corpus side contributes only its fingerprint column, never
     re-pairs itself.
+
+    ``bloom_prefilter=True`` builds a Bloom filter over the BATCH
+    fingerprints (~10 bits/doc, one extra job over the small side) and
+    drops corpus rows map-side before the keeper shuffle: at 100 TB the
+    corpus scan then feeds the shuffle only its actual collisions plus a
+    ~1% false-positive sliver, instead of every corpus fingerprint.
+    Results are bit-identical either way — Bloom filters have no false
+    negatives, and false positives match nothing in the exact groupBy
+    (`operators/bloom.py`).
     """
     fp_corpus = ensure_parallelism(corpus_df).select(
         md5_fingerprint(F.col(text_col)).alias("fp"),
@@ -912,6 +922,14 @@ def exact_duplicates_incremental(
         md5_fingerprint(F.col(text_col)).alias("fp"),
         F.col(id_col).alias("doc"),
     )
+    if bloom_prefilter:
+        from pyspark import StorageLevel
+
+        from topic_store_spark.operators.bloom import bloom_build, bloom_contains
+
+        fp_new = fp_new.persist(StorageLevel.MEMORY_AND_DISK)
+        bf = bloom_build(fp_new, "fp")
+        fp_corpus = fp_corpus.filter(bloom_contains(bf, F.col("fp")))
     keepers = (
         fp_corpus.unionByName(fp_new)
         .groupBy("fp")
@@ -1087,6 +1105,7 @@ def minhash_lsh_pairs_incremental(
     threshold_num: int = 8,
     threshold_den: int = 10,
     persist: bool = True,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs where at least one side is in the NEW
     batch: (new x corpus) and (new x new) candidates only — the corpus
@@ -1099,6 +1118,13 @@ def minhash_lsh_pairs_incremental(
     (batch side) against (corpus+batch) bands; candidates canonicalize
     to (smaller, larger) and verify with exact per-pair Jaccard, same as
     ``minhash_lsh_pairs``.
+
+    ``bloom_prefilter=True`` additionally builds a Bloom filter over the
+    BATCH band keys and applies it map-side to the corpus+batch band
+    relation before the candidate join: corpus bands that cannot collide
+    with the batch never reach the join's shuffle.  Identical results
+    (no false negatives; a false positive's band still equi-matches
+    nothing) — see `operators/bloom.py` for the cost model.
     """
     all_df = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
         new_df.select(F.col(id_col), F.col(text_col))
@@ -1115,9 +1141,15 @@ def minhash_lsh_pairs_incremental(
         banded_all = banded_all.persist(StorageLevel.MEMORY_AND_DISK)
     new_ids = new_df.select(F.col(id_col).alias("doc"))
     banded_new = banded_all.join(new_ids, "doc", "left_semi")
+    banded_rhs = banded_all
+    if bloom_prefilter:
+        from topic_store_spark.operators.bloom import bloom_build, bloom_contains
+
+        bf = bloom_build(banded_new, "band")
+        banded_rhs = banded_all.filter(bloom_contains(bf, F.col("band")))
     cands = (
         banded_new.alias("x")
-        .join(banded_all.alias("y"), "band")
+        .join(banded_rhs.alias("y"), "band")
         .filter(F.col("x.doc") != F.col("y.doc"))
         .select(
             F.least("x.doc", "y.doc").alias("a_doc"),
