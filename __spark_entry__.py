@@ -868,15 +868,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5 + as-of join composite, one tagged union: the latest-value
-    snapshot per topic (event_type = topic), and the backward AS-OF
-    join — every click event annotated with the user's latest purchase
-    value at-or-before its timestamp (operators/asof.py: tag-union +
-    one keyed window pass, the merge-join shape — never a range cross
-    join).  The DuckDB oracle uses its NATIVE ASOF JOIN (partitioned
-    search), so the two engines verify the semantics via independent
-    algorithms."""
+    """T5 + temporal-join composite, one tagged union of the three
+    temporal primitives: the latest-value snapshot per topic
+    (event_type = topic); the backward AS-OF join — every click event
+    annotated with the user's latest purchase value at-or-before its
+    timestamp (operators/asof.py: tag-union + one keyed window pass,
+    the merge-join shape — never a range cross join); and the INTERVAL
+    join — every click landing inside a same-user [purchase,
+    purchase+4h) attribution window, summed per click
+    (operators/interval.py: bin-and-equi-join decomposition, one hash
+    shuffle — never a per-key cross product).  The DuckDB oracle uses
+    its NATIVE ASOF JOIN (partitioned search) and IEJoin range join, so
+    both engines verify the semantics via independent algorithms."""
     from topic_store_spark.operators.asof import asof_join
+    from topic_store_spark.operators.interval import interval_join
     from topic_store_spark.operators.snapshot import latest_snapshot
 
     events = _t(spark, sf_dir, "events")
@@ -906,7 +911,33 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("key"),
         F.col("asof_value").cast("double").alias("v"),
     )
-    return latest.unionByName(asof_part)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", _epoch_sec(events).alias("ts_sec")
+    )
+    wins = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        _epoch_sec(events).alias("w_start"),
+        (_epoch_sec(events) + 14400.0).alias("w_end"),
+        F.round(F.col("value") * 1000).cast("long").alias("w_milli"),
+    )
+    iv = interval_join(
+        clicks, wins, on="user_id", left_ts="ts_sec",
+        right_start="w_start", right_end="w_end", bin_width=3600.0,
+    )
+    # quantize-then-sum: the per-click attribution total stays derivable
+    # as an exact integer regardless of float summation order
+    iv_part = (
+        iv.groupBy("event_id", "user_id", "ts")
+        .agg(F.sum("w_milli").alias("milli"))
+        .select(
+            F.lit("interval").alias("part"),
+            F.col("event_id").alias("k"),
+            F.col("ts"),
+            F.col("user_id").cast("string").alias("key"),
+            (F.col("milli") / 1000.0).cast("double").alias("v"),
+        )
+    )
+    return latest.unionByName(asof_part).unionByName(iv_part)
 
 
 def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2336,6 +2367,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events WHERE event_type = 'purchase'
               GROUP BY 1, 2) q
           ON p.user_id = q.user_id AND p.ts >= q.ts
+        UNION ALL
+        SELECT 'interval', p.event_id, p.ts, CAST(p.user_id AS VARCHAR),
+               CAST(sum(w.w_milli) / 1000.0 AS DOUBLE)
+        FROM (SELECT event_id, user_id, ts, epoch(ts) AS ts_sec FROM events
+              WHERE event_type = 'click') p
+        JOIN (SELECT user_id, epoch(ts) AS w_start, epoch(ts) + 14400.0 AS w_end,
+                     CAST(round(value * 1000) AS BIGINT) AS w_milli
+              FROM events WHERE event_type = 'purchase') w
+          ON p.user_id = w.user_id
+         AND p.ts_sec >= w.w_start AND p.ts_sec < w.w_end
+        GROUP BY 1, 2, 3, 4
     """
 
     sql["windowed_rates"] = """
