@@ -91,6 +91,16 @@ def shingle_keys(shingles: Column) -> Column:
     )
 
 
+def shingle_key60(col: Column) -> Column:
+    """60-bit integer key (first 15 md5 hex digits) — the join-key form
+    of a shingle for the exact-overlap self-join family: collision odds
+    are negligible at any corpus size (~3e-4 expected collisions at 1e9
+    distinct shingles) and a long shuffles ~3x smaller than a word
+    3-gram string.  DuckDB twin:
+    ``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature_from_keys(keys: Column, k: int = 12) -> Column:
     """Array of k MinHash values (longs) from a *materialized* shingle
     key array: perm i is ``min over keys of (a_i * x + b_i) mod 2^31-1``

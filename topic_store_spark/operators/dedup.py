@@ -162,8 +162,22 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     recomputed over the SURVIVING shingles too, so the metrics are exact
     Jaccard/containment in the stop-shingle-filtered universe — a true
     dup pair keeps its score (both members lose the same hot shingles)
-    instead of being diluted by a full-size denominator."""
-    shingles = explode_nonempty(sh, "shs", "shingle", "doc")
+    instead of being diluted by a full-size denominator.
+
+    The join runs on a 60-bit md5-derived integer key per shingle, not
+    the shingle string: the self-join shuffles longs instead of 20-40
+    byte grams (~25% faster measured at sf0.1, linearly more at wider
+    grams).  Two distinct shingles sharing a key would inflate one
+    pair's ``common`` by 1, but 60-bit collisions over even a
+    billion-shingle vocabulary are ~3e-4 expected occurrences — and the
+    key is a pure function of the shingle, so any engine mirroring the
+    derivation (md5 is bit-identical everywhere) reproduces the exact
+    output."""
+    from topic_store_spark.functions.hashing import shingle_key60
+
+    shingles = explode_nonempty(sh, "shs", "shingle", "doc").select(
+        "doc", shingle_key60(F.col("shingle")).alias("shingle")
+    )
 
     joinable = shingles
     if max_shingle_freq is not None:
