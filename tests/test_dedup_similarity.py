@@ -272,10 +272,13 @@ def test_topk_partial_matches_window_topk_at_large_q(embeddings):
     assert "Window" not in plan  # no per-query global sort of scored pairs
 
 
-def test_connected_components_chain_and_islands(spark):
+@pytest.mark.parametrize("dme", [0, 1 << 20])
+def test_connected_components_chain_and_islands(spark, dme):
     """Min-label propagation: a 4-node chain collapses to one component
     even though no pair spans it directly; disjoint pairs stay separate;
-    every node labels with the minimum reachable id."""
+    every node labels with the minimum reachable id.  Runs both the
+    distributed star-contraction path (dme=0) and the bounded driver
+    union-find fast path (dme=2^20)."""
     from topic_store_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -284,12 +287,13 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {
         r["node"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, driver_max_edges=dme).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("dme", [0, 1 << 20])
+def test_connected_components_long_chain(spark, dme):
     """r2 verdict item 7: a 10k-node chain is the worst case for
     label propagation (diameter = n); large-star/small-star contraction
     must converge in O(log n) rounds and label every node with the true
@@ -298,7 +302,7 @@ def test_connected_components_long_chain(spark):
 
     n = 10_000
     pairs = spark.range(n - 1).selectExpr("id AS a_doc", "id + 1 AS b_doc")
-    labels = connected_components(pairs)
+    labels = connected_components(pairs, driver_max_edges=dme)
     agg = labels.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("component").alias("n_comp"),
@@ -316,7 +320,8 @@ def test_connected_components_giant_star_and_selfloop(spark):
     rows = [(hub, leaf) for leaf in range(3, 1000)] + [(7777, 7777)]
     pairs = spark.createDataFrame(rows, "a_doc long, b_doc long")
     got = {
-        r["node"]: r["component"] for r in connected_components(pairs).collect()
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
     }
     assert got[hub] == 3 and got[999] == 3 and got[3] == 3
     assert got[7777] == 7777  # self-loop node labels itself

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from topic_store_spark.functions.hashing import (
     md5_fingerprint,
@@ -635,6 +636,7 @@ def connected_components(
     a_col: str = "a_doc",
     b_col: str = "b_doc",
     max_iter: int = 50,
+    driver_max_edges: int = 1 << 20,
 ) -> DataFrame:
     """Connected components over a duplicate-pair relation — the
     clustering step that turns pairwise near-dup hits into "keep one doc
@@ -663,6 +665,17 @@ def connected_components(
     edge-set comparison (count equality + one anti-join).  Raises if the
     bound is hit unconverged — wrong cluster labels must never ship
     silently.
+
+    **Driver fast path**: the verified pair graph is typically minuscule
+    next to the corpus.  When the edge count — already materialized for
+    the empty-graph check — is at most ``driver_max_edges`` (default
+    2^20, ~16 MB collected), the contraction runs as one union-find
+    pass on the driver instead of ~15 distributed rounds x 3 jobs of
+    scheduler overhead — the same bounded-collect logic as a broadcast
+    join (and the blob-GC pointer collect).  Labels re-parallelize for
+    the distributed final node join, so callers see the same DataFrame
+    either way.  Past the threshold the star-contraction rounds run
+    unchanged.
     """
     from topic_store_spark.operators.util import materialize_iter
 
@@ -687,6 +700,39 @@ def connected_components(
     n_edges = edges.count()
     if n_edges == 0:
         return nodes.select("node", F.col("node").alias("component"))
+
+    if n_edges <= driver_max_edges:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            ru, rv = find(row[0]), find(row[1])
+            if ru != rv:
+                # union by value: the smaller id becomes the root, which
+                # IS the component label the distributed path converges to
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        labels = [(x, find(x)) for x in parent]
+        spark = pairs.sparkSession
+        node_type = edges.schema["u"].dataType
+        lab_schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("component", node_type, False),
+            ]
+        )
+        lab = spark.createDataFrame(labels, lab_schema)
+        return nodes.join(lab, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
 
     for _ in range(max_iter):
         # -- large-star: group the symmetrized graph by u; neighbors v > u
