@@ -1481,9 +1481,16 @@ def q_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture sampling — per-domain keep rates applied as a map-side
     predicate, rolled up per source; (b) the hash-bucket train/val/test
     split audit — assignment is a map-side md5-bucket expression, the
-    only shuffle is the tiny (lang, split) rollup.  Both decisions are
+    only shuffle is the tiny (lang, split) rollup; (c) temperature
+    (alpha=1/2) mixture flattening — per-stratum ``sqrt(n_min/n_s)``
+    keep rates evaluated in SQUARED integer form (decimal(38), no float
+    pow/sqrt) so the kept set is engine-exact.  All three decisions are
     RNG-free: re-runs and late shards make identical choices."""
-    from topic_store_spark.operators.corpus import mixture_sample, stratified_split
+    from topic_store_spark.operators.corpus import (
+        mixture_sample,
+        stratified_split,
+        temperature_sample,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     weights = {"src0": 1.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
@@ -1512,7 +1519,24 @@ def q_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_doc",
         "max_doc",
     )
-    return mix.unionByName(split)
+    temp = (
+        temperature_sample(docs, strata_col="source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.lit("temperature").alias("kind"),
+            F.col("source").alias("strata"),
+            F.lit("kept").alias("subkey"),
+            "n_docs",
+            "min_doc",
+            "max_doc",
+        )
+    )
+    return mix.unionByName(split).unionByName(temp)
 
 
 def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,13 +1567,44 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing into 128-token context windows,
+    """Sequence-layout composite, one tagged union of the two training
+    layouts: (a) concat-and-chunk PACKING into 128-token context windows,
     16-way sharded — one shuffle on the shard key, packing is
-    partition-parallel (never a global sort)."""
-    from topic_store_spark.operators.corpus import pack_sequences
+    partition-parallel (never a global sort); (b) overlapping 64/16
+    token-window CHUNKING (the retrieval/RAG layout,
+    operators/corpus.py chunk_documents) — chunk fan-out is a map-side
+    explode, audited per (shard, chunks-per-doc) with the group-min
+    chunk fingerprint proving the slice content end-to-end."""
+    from topic_store_spark.operators.corpus import chunk_documents, pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return pack_sequences(docs, ctx=128, shards=16)
+    pack = pack_sequences(docs, ctx=128, shards=16).select(
+        F.lit("pack").alias("kind"),
+        "shard",
+        "window_id",
+        "n_docs",
+        "first_doc",
+        "tokens_started",
+        F.lit(None).cast("string").alias("group_fp"),
+    )
+    ch = chunk_documents(docs, chunk=64, overlap=16).withColumn(
+        "shard", F.col("doc_id") % 16
+    )
+    per_doc = ch.groupBy("shard", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+        F.min("chunk_fp").alias("fp"),
+    )
+    chunk_part = per_doc.groupBy("shard", F.col("n_chunks").alias("window_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum("tok").cast("long").alias("tokens_started"),
+        F.min("fp").alias("group_fp"),
+    ).select(
+        F.lit("chunk").alias("kind"), "shard", "window_id",
+        "n_docs", "first_doc", "tokens_started", "group_fp",
+    )
+    return pack.unionByName(chunk_part)
 
 
 
@@ -3074,6 +3129,25 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                max(doc_id) AS max_doc
         FROM assigned
         GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'temperature' AS kind, source AS strata, 'kept' AS subkey,
+               count(*) AS n_docs,
+               min(doc_id) AS min_doc,
+               max(doc_id) AS max_doc
+        FROM (
+          SELECT d.doc_id, d.source
+          FROM documents d
+          JOIN (SELECT source, count(*) AS n FROM documents GROUP BY 1) c
+            ON d.source = c.source
+          CROSS JOIN (SELECT min(n) AS nmin FROM
+                      (SELECT count(*) AS n FROM documents GROUP BY source))
+          WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))
+                          AS BIGINT) AS HUGEINT)
+                * CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 7))
+                       AS BIGINT)
+                * c.n < CAST(72057594037927936 AS HUGEINT) * nmin
+        )
+        GROUP BY 1, 2, 3
     """
 
     sql["unigram_perplexity"] = rf"""
@@ -3207,11 +3281,34 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  ), 0) / 128) AS BIGINT) AS window_id
           FROM t
         )
-        SELECT shard, window_id,
+        SELECT 'pack' AS kind, shard, window_id,
                count(*) AS n_docs,
                min(doc) AS first_doc,
-               CAST(sum(n_tok) AS BIGINT) AS tokens_started
-        FROM placed GROUP BY 1, 2
+               CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+               CAST(NULL AS VARCHAR) AS group_fp
+        FROM placed GROUP BY 2, 3
+        UNION ALL
+        SELECT 'chunk' AS kind, shard, n_chunks AS window_id,
+               count(*) AS n_docs,
+               min(doc) AS first_doc,
+               CAST(sum(tok) AS BIGINT) AS tokens_started,
+               min(fp) AS group_fp
+        FROM (
+          SELECT shard, doc, count(*) AS n_chunks,
+                 sum(n_tokens) AS tok, min(chunk_fp) AS fp
+          FROM (
+            SELECT shard, doc, cid,
+                   len(tk[cid * 48 + 1 : cid * 48 + 64]) AS n_tokens,
+                   md5(array_to_string(tk[cid * 48 + 1 : cid * 48 + 64], ' '))
+                     AS chunk_fp
+            FROM (
+              SELECT doc_id % 16 AS shard, doc_id AS doc, {ntok} AS tk,
+                     unnest(range(greatest(1,
+                       (len({ntok}) - 16 + 47) // 48))) AS cid
+              FROM documents
+            )
+          ) GROUP BY 1, 2
+        ) GROUP BY 2, 3
     """
 
     return sql

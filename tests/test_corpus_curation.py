@@ -292,3 +292,58 @@ def test_importance_resample_deterministic(docs):
     a = sorted(importance_resample(base, target).collect())
     b = sorted(importance_resample(base, target).collect())
     assert a == b
+
+
+def test_temperature_sample_flattens_toward_smallest(spark):
+    """alpha=1/2 flattening: the smallest stratum keeps everything,
+    larger strata keep ~sqrt(n_min/n_s) of their docs, decisions are
+    deterministic and integer-exact (no float pow in the predicate)."""
+    from topic_store_spark.operators.corpus import temperature_sample
+
+    rows = (
+        [("big", i) for i in range(1000)]
+        + [("mid", 10_000 + i) for i in range(250)]
+        + [("small", 20_000 + i) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        r["source"]: r["n"]
+        for r in temperature_sample(df)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got["small"] == 40  # rate 1: nothing dropped
+    # expected ~ n * sqrt(40/n): big ~200, mid ~100 (hash noise ~+-15%)
+    assert 150 <= got["big"] <= 260
+    assert 70 <= got["mid"] <= 130
+    again = temperature_sample(df).count()
+    assert again == sum(got.values())
+
+
+def test_chunk_documents_layout_and_overlap(spark):
+    """150 tokens at chunk=64/overlap=16 -> stride 48 -> chunks of
+    64/64/54; a doc of exactly one chunk emits exactly one; a short doc
+    still emits chunk 0; fingerprints differ across chunks of the same
+    doc (the slices differ) and repeat across identical docs."""
+    from topic_store_spark.operators.corpus import chunk_documents
+
+    long_text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "a b"), (3, " ".join(f"x{i}" for i in range(64))),
+         (4, long_text)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    assert [rows[(1, i)]["n_tokens"] for i in range(3)] == [64, 64, 54]
+    assert rows[(2, 0)]["n_tokens"] == 2 and (2, 1) not in rows
+    assert rows[(3, 0)]["n_tokens"] == 64 and (3, 1) not in rows
+    fps = [rows[(1, i)]["chunk_fp"] for i in range(3)]
+    assert len(set(fps)) == 3
+    assert [rows[(4, i)]["chunk_fp"] for i in range(3)] == fps
+    # overlap: chunk 1 starts at token 48, so tokens 48..63 are in both
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk=16, overlap=16)

@@ -334,6 +334,97 @@ def stratified_split(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture flattening (alpha = 1/2): every stratum
+    is deterministically down-sampled toward the SMALLEST stratum with
+    keep rate ``sqrt(n_min / n_s)`` — the multilingual-pretraining
+    rebalance (XLM-R's temperature sampling) that halves the log-scale
+    spread between head and tail sources instead of truncating the head
+    to the tail's size.
+
+    Exactness: the keep decision ``hash/2^28 < sqrt(n_min/n_s)`` is
+    evaluated in SQUARED integer form ``hash^2 * n_s < 2^56 * n_min``
+    (decimal(38,0) arithmetic, values < 10^29) — no float ``sqrt`` or
+    ``pow`` whose last-ulp could differ between engines, so any engine
+    reproduces the exact kept set.  No RNG state: re-runs and late
+    shards make identical choices (same property as ``mixture_sample``).
+
+    Plan: one tiny stratum rollup, its 1-row global min crossJoin'd back
+    (both broadcast), then a map-side predicate on the corpus scan —
+    the corpus itself never shuffles.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    counts = df.groupBy(F.col(strata_col).alias("_ts_strata")).agg(
+        F.count(F.lit(1)).alias("_ts_n")
+    )
+    nmin = counts.agg(F.min("_ts_n").alias("_ts_nmin"))
+    rates = F.broadcast(counts.crossJoin(F.broadcast(nmin)))
+    dec = "decimal(38,0)"
+    keep = (
+        F.col("_h").cast(dec) * F.col("_h").cast(dec) * F.col("_ts_n").cast(dec)
+        < F.lit(1 << 56).cast(dec) * F.col("_ts_nmin").cast(dec)
+    )
+    return (
+        df.withColumn("_h", h)
+        .join(rates, F.col(strata_col) == F.col("_ts_strata"))
+        .filter(keep)
+        .drop("_h", "_ts_strata", "_ts_n", "_ts_nmin")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/RAG layout
+    (each document becomes ``ceil((n_tok - overlap) / stride)`` windows
+    of ``chunk`` tokens advancing by ``stride = chunk - overlap``), as
+    opposed to ``pack_sequences``' boundary-free pretraining layout.
+
+    Returns one row per chunk: ``(doc_id, chunk_id, n_tokens,
+    chunk_fp)`` where ``chunk_fp`` is the md5 of the space-joined token
+    slice (the form a downstream embedder or chunk-level dedup keys on).
+    Documents shorter than one stride still produce chunk 0.
+
+    Plan: tokens are materialized once per document in a staged
+    projection, the chunk index explodes map-side (fan-out
+    ~n_tok/stride), and every per-chunk value is a JVM array-slice
+    expression — no shuffle at all; whatever rollup follows brings its
+    own.
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    stride = chunk - overlap
+    tk = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.size("_tk") - overlap + stride - 1) / stride).cast("int"),
+    )
+    chunked = tk.select(
+        F.col(id_col),
+        "_tk",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_tk"), F.col("chunk_id") * stride + 1, chunk)
+    return chunked.select(
+        F.col(id_col),
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )
+
+
 def salient_terms(
     df: DataFrame,
     text_col: str = "text",
