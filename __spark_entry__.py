@@ -1320,7 +1320,11 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-2-gram fractions) joined on doc_id, and (folded from the former
     text_tokens carrier, r4) every per-doc hashing/counting primitive:
     the BPE-ish token count, the order-sensitive rolling-hash
-    fingerprint, and the order-insensitive md5 content fingerprint."""
+    fingerprint, and the order-insensitive md5 content fingerprint —
+    plus (r4) the fastText-shaped hashed-linear classifier score
+    (operators/classify.py): unigram+bigram feature hashing folded
+    map-side inside codegen, deterministic stub weights, zero extra
+    shuffle."""
     from topic_store_spark.functions.hashing import md5_fingerprint, rolling_fingerprint
     from topic_store_spark.functions.text import (
         language_id,
@@ -1329,6 +1333,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
         bpe_token_count,
     )
+    from topic_store_spark.operators.classify import hashed_linear_score
     from topic_store_spark.operators.corpus import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
@@ -1349,6 +1354,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
         rolling_fingerprint(F.col("_tk")).alias("rolling_hash"),
         md5_fingerprint(F.col("text")).alias("fingerprint"),
+        hashed_linear_score(F.col("_tk")).alias("clf_score"),
     )
     rep = repetition_stats(docs.select("doc_id", "text"), n=2).select(
         F.col("doc").alias("doc_id"), "dup_frac", "top_frac"
@@ -2860,6 +2866,25 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
           FROM documents
         ),
         tok AS (SELECT doc_id, {ntok} AS tk FROM documents),
+        clf AS (
+          SELECT doc_id,
+                 CASE WHEN len(feats) > 0
+                      THEN list_sum(list_transform(feats,
+                        t -> CAST(('0x' || substr(md5('w:' ||
+                               CAST(CAST(('0x' || substr(md5(t), 1, 7))
+                                    AS BIGINT) % 4096 AS VARCHAR)), 1, 7))
+                             AS BIGINT) % 2001 - 1000)) / len(feats)
+                      ELSE NULL END AS clf_score
+          FROM (
+            SELECT doc_id,
+                   list_concat(tk,
+                     CASE WHEN len(tk) >= 2
+                          THEN [array_to_string(tk[i:i+1], ' ')
+                                for i in range(1, len(tk))]
+                          ELSE [] END) AS feats
+            FROM tok
+          )
+        ),
         g AS (
           SELECT doc_id,
                  unnest(CASE WHEN len(tk) >= 2
@@ -2893,9 +2918,11 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
                     ELSE 1.0 - p.n_distinct / p.n_grams END AS dup_frac,
                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
-                    ELSE p.top_freq / p.n_grams END AS top_frac
+                    ELSE p.top_freq / p.n_grams END AS top_frac,
+               c.clf_score
         FROM f
         JOIN s ON s.doc_id = f.doc_id
+        JOIN clf c ON c.doc_id = f.doc_id
         LEFT JOIN per p ON p.doc_id = f.doc_id
     """
     )
