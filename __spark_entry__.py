@@ -1398,13 +1398,36 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain balancing: top-5 docs per source by quality score
-    (deterministic tie-break on doc_id) — the per-domain cap of a
-    web-scale corpus build.  One shuffle on the domain key."""
+    """Frequency-structure composite, one tagged union: (a) domain
+    balancing — top-5 docs per source by quality score (deterministic
+    tie-break on doc_id), the per-domain cap of a web-scale corpus
+    build, one shuffle on the domain key; (b) EXACT heavy-hitter tokens
+    (>= 300 occurrences) via the count-min-sketch-pruned two-pass plan
+    (operators/sketch.py) — the first pass shuffles at most depth*width
+    partial-aggregated counter rows no matter the corpus size, and the
+    CMS's one-sided error makes the pruned exact count identical to the
+    oracle's plain GROUP BY ... HAVING."""
+    from topic_store_spark.functions.text import tokens
     from topic_store_spark.operators.corpus import domain_topk
+    from topic_store_spark.operators.sketch import heavy_hitters
 
     docs = _t(spark, sf_dir, "documents")
-    return domain_topk(docs, domain_col="source", k=5)
+    topk = domain_topk(docs, domain_col="source", k=5).select(
+        F.lit("topk").alias("kind"),
+        F.col("domain").alias("key"),
+        F.col("rank").cast("long").alias("k"),
+        F.col("doc_id").cast("long").alias("n"),
+        F.col("quality").alias("v"),
+    )
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    heavy = heavy_hitters(tok, "token", min_count=300).select(
+        F.lit("heavy").alias("kind"),
+        F.col("value").alias("key"),
+        F.lit(0).cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return topk.unionByName(heavy)
 
 
 def q_corpus_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3030,13 +3053,18 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
           FROM documents
         ),
         s AS (SELECT domain, doc_id, {_qexpr} AS quality FROM f)
-        SELECT domain,
+        SELECT 'topk' AS kind, domain AS key,
                CAST(row_number() OVER (PARTITION BY domain
                                        ORDER BY quality DESC, doc_id ASC)
-                    AS INT) AS rank,
-               doc_id, quality
+                    AS BIGINT) AS k,
+               doc_id AS n, quality AS v
         FROM s
-        QUALIFY rank <= 5
+        QUALIFY k <= 5
+        UNION ALL
+        SELECT 'heavy' AS kind, token AS key, CAST(0 AS BIGINT) AS k,
+               count(*) AS n, CAST(NULL AS DOUBLE) AS v
+        FROM (SELECT unnest({ws_tokens}) AS token FROM documents)
+        GROUP BY 2 HAVING count(*) >= 300
     """
     )
 

@@ -1,0 +1,96 @@
+"""CMS-pruned exact heavy hitters: equality with the naive plan,
+one-sided guarantee, and real pruning on skewed data."""
+
+from pyspark.sql import functions as F
+
+from topic_store_spark.operators.sketch import heavy_hitters
+
+
+def _zipf_df(spark):
+    # value v_k appears ~ 3000/k times for k in 1..50, plus a long tail
+    # of singletons
+    head = spark.range(50).selectExpr(
+        "explode(sequence(1, cast(3000 / (id + 1) as int))) AS rep",
+        "concat('v', id) AS value",
+    ).select("value")
+    tail = spark.range(5000).select(
+        F.concat(F.lit("tail"), "id").alias("value")
+    )
+    return head.unionByName(tail)
+
+
+def test_matches_naive_group_by_having(spark):
+    df = _zipf_df(spark)
+    got = {
+        (r["value"], r["n"])
+        for r in heavy_hitters(df, "value", min_count=100).collect()
+    }
+    want = {
+        (r["value"], r["n"])
+        for r in df.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+        .collect()
+    }
+    assert got == want and len(want) >= 20
+
+
+def test_no_false_negatives_with_tiny_sketch(spark):
+    # a deliberately saturated sketch: results must STILL be exact
+    df = _zipf_df(spark)
+    got = {
+        (r["value"], r["n"])
+        for r in heavy_hitters(df, "value", min_count=500, width=32, depth=2).collect()
+    }
+    want = {
+        (r["value"], r["n"])
+        for r in df.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 500)
+        .collect()
+    }
+    assert got == want
+
+
+def test_sketch_actually_prunes(spark):
+    """With an adequate sketch the candidate predicate must discard
+    nearly the whole singleton tail before the exact groupBy — rebuild
+    the operator's own counters and predicate and count survivors."""
+    from topic_store_spark.operators.sketch import _positions
+
+    df = _zipf_df(spark)
+    width, depth, min_count = 1 << 13, 4, 100
+    pos = _positions(F.col("value"), width, depth)
+    rows = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("d"), p.alias("pos"))
+                        for i, p in enumerate(pos)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.d", "c.pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tables = [[0] * width for _ in range(depth)]
+    for r in rows:
+        tables[r["d"]][r["pos"]] = r["n"]
+    cand = F.lit(True)
+    for i, p in enumerate(pos):
+        cand = cand & (
+            F.element_at(F.lit(tables[i]), (p + 1).cast("int")) >= min_count
+        )
+    n_cand = df.filter(cand).select("value").distinct().count()
+    n_all = df.select("value").distinct().count()
+    n_true = (
+        df.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .count()
+    )
+    assert n_all > 5000
+    assert n_cand < n_true + 0.02 * n_all  # tail survives only as a sliver

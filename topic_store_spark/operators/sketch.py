@@ -1,0 +1,93 @@
+"""Count-min-sketch-pruned EXACT heavy hitters.
+
+The frequent-items problem at 100 TB: "which tokens / domains / user
+ids occur at least T times" via a naive ``groupBy(col).count()`` builds
+a hash table over EVERY distinct value — for web-scale token vocabularies
+that is billions of keys through a full shuffle, even though only a few
+thousand survive the HAVING.  The classic two-pass fix (Cormode &
+Muthukrishnan 2005) bounds the first pass by SKETCH size instead of key
+cardinality:
+
+1. **sketch pass**: each row increments ``depth`` counters at
+   md5-derived positions; the only shuffle carries at most
+   ``depth x width`` partial-aggregated rows (a few thousand — constant,
+   regardless of data size), collected to ~128 KB on the driver;
+2. **prune + exact pass**: the counters ride the plan as literal arrays;
+   a row is a candidate iff ALL its ``depth`` counters reach the
+   threshold (the CMS min-estimate).  CMS only ever OVER-estimates, so
+   every truly-heavy value is a candidate — the exact
+   ``groupBy().count()`` then runs over a relation whose distinct-key
+   cardinality is tiny (true heavies + a collision sliver), with
+   map-side partial aggregation doing almost all of it.
+
+The output is EXACT (identical to ``GROUP BY ... HAVING count >= T`` —
+that plain SQL is the carrier's oracle); the sketch is pure pruning, the
+same role the Bloom filter plays in `operators/bloom.py`.  Positions
+use the `hashing.mix_constants` universal family over 28-bit md5 keys —
+portable, ANSI-overflow-safe integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from topic_store_spark.functions.hashing import MERSENNE31, mix_constants
+
+
+def _positions(col: Column, width: int, depth: int) -> list[Column]:
+    key = F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+    return [
+        F.pmod((key * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31), F.lit(width))
+        for a, b in mix_constants(depth)
+    ]
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    width: int = 1 << 13,
+    depth: int = 4,
+) -> DataFrame:
+    """Every value of ``df[col]`` occurring at least ``min_count``
+    times, with its EXACT count: ``(value, n)``.  ``width`` trades
+    collision slivers (extra candidates surviving to the exact pass)
+    against sketch size; guarantees are one-sided, so the result set is
+    exact for any width."""
+    pos = _positions(F.col(col), width, depth)
+    counters_rows = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("d"), p.alias("pos")
+                        )
+                        for i, p in enumerate(pos)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.d", "c.pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    tables: list[list[int]] = [[0] * width for _ in range(depth)]
+    for r in counters_rows:
+        tables[r["d"]][r["pos"]] = r["n"]
+
+    cand = F.lit(True)
+    for i, p in enumerate(pos):
+        cand = cand & (
+            F.element_at(F.lit(tables[i]), (p + 1).cast("int"))
+            >= F.lit(min_count)
+        )
+    return (
+        df.filter(cand)
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
