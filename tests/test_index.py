@@ -1,0 +1,62 @@
+"""Persistent MinHash-LSH index: query parity with the in-line
+incremental operator, append lifecycle, and Bloom-pruning equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from topic_store_spark.operators.index import MinHashIndex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    from tests.conftest import table
+
+    return table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def batch(corpus):
+    return corpus.limit(40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww")).alias("text"),
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_query_matches_inline_incremental(spark, corpus, batch, tmp_path):
+    from topic_store_spark.operators.dedup import minhash_lsh_pairs_incremental
+
+    idx = MinHashIndex.build(corpus, str(tmp_path / "idx"))
+    got = idx.query(batch)
+    want = minhash_lsh_pairs_incremental(batch, corpus)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_bloom_pruning_identical(spark, corpus, batch, tmp_path):
+    idx = MinHashIndex.build(corpus, str(tmp_path / "idx2"))
+    assert _rows(idx.query(batch)) == _rows(
+        idx.query(batch, bloom_prefilter=False)
+    )
+
+
+def test_append_then_query_sees_appended_docs(spark, corpus, tmp_path):
+    idx = MinHashIndex.build(corpus, str(tmp_path / "idx3"))
+    first_batch = corpus.limit(10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    idx.append(first_batch)
+    # second batch: near-dups of the FIRST batch (already only in the
+    # index, not in the original corpus relation)
+    second = first_batch.select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    out = idx.query(second)
+    pair_lo = {r["a_doc"] for r in out.collect()}
+    # every second-batch doc should collide with its first-batch source
+    assert any(200000 <= p < 300000 for p in pair_lo)
+    assert out.count() >= 10
