@@ -60,3 +60,43 @@ def test_append_then_query_sees_appended_docs(spark, corpus, tmp_path):
     # every second-batch doc should collide with its first-batch source
     assert any(200000 <= p < 300000 for p in pair_lo)
     assert out.count() >= 10
+
+
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    from tests.conftest import table
+
+    return table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+def test_ivf_index_query_matches_inline(spark, vectors, tmp_path):
+    from topic_store_spark.operators.similarity import (
+        ivf_ann_neighbors,
+        kmeans_centroids,
+    )
+    from topic_store_spark.operators.index import IVFIndex
+
+    cen = kmeans_centroids(vectors, 4, max_iter=3).select(
+        F.col("cen_id").alias("vec_id"), F.col("embedding")
+    )
+    queries = vectors.limit(6)
+    idx = IVFIndex.build(vectors, str(tmp_path / "ivf"), centroids=cen)
+    got = idx.query(queries, k=3, nprobe=2)
+    want = ivf_ann_neighbors(vectors, queries, cen, k=3, nprobe=2)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_ivf_index_append_visible(spark, vectors, tmp_path):
+    from topic_store_spark.operators.index import IVFIndex
+
+    idx = IVFIndex.build(vectors, str(tmp_path / "ivf2"), k=4)
+    batch = vectors.limit(5).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    idx.append(batch)
+    # querying with the identical vectors must surface the appended
+    # clones as rank-1 neighbors (cosine 1.0 within their list)
+    out = idx.query(vectors.limit(5), k=1, nprobe=1)
+    top = {r["neighbor_id"] for r in out.collect()}
+    assert any(n >= 900000 for n in top)

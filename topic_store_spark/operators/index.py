@@ -41,6 +41,89 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class IVFIndex:
+    """Persistent IVF inverted-list index — the similarity-side sibling
+    of ``MinHashIndex``: ``build`` trains nothing (pass centroids from
+    `similarity.kmeans_centroids` or train in-line with ``k``), writes
+    ``centroids/`` and the assigned inverted lists ``lists/``;
+    ``append`` assigns only the batch against the FROZEN centroids;
+    ``query`` probes via `similarity.search_lists` — identical results
+    to running `ivf_ann_neighbors` over the same corpus + centroids.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.path = path
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def _lists_path(self) -> str:
+        return os.path.join(self.path, "lists")
+
+    def _cen_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        path: str,
+        centroids: DataFrame | None = None,
+        k: int | None = None,
+        **kw,
+    ) -> "IVFIndex":
+        idx = cls(path, **kw)
+        if centroids is None:
+            if k is None:
+                raise ValueError("pass trained centroids or k to train")
+            from topic_store_spark.operators.similarity import kmeans_centroids
+
+            centroids = kmeans_centroids(
+                corpus, k, id_col=idx.id_col, vec_col=idx.vec_col
+            ).select(
+                F.col("cen_id").alias(idx.id_col),
+                F.col("embedding").alias(idx.vec_col),
+            )
+        from topic_store_spark.operators.similarity import assign_to_lists
+
+        centroids.write.mode("overwrite").parquet(idx._cen_path())
+        cen = corpus.sparkSession.read.parquet(idx._cen_path())
+        assign_to_lists(corpus, cen, idx.id_col, idx.vec_col).write.mode(
+            "overwrite"
+        ).parquet(idx._lists_path())
+        return idx
+
+    def append(self, new_df: DataFrame) -> None:
+        """Assign the batch against the frozen centroids and append —
+        corpus cost per batch: zero."""
+        from topic_store_spark.operators.similarity import assign_to_lists
+
+        cen = new_df.sparkSession.read.parquet(self._cen_path())
+        assign_to_lists(new_df, cen, self.id_col, self.vec_col).write.mode(
+            "append"
+        ).parquet(self._lists_path())
+
+    def query(
+        self, queries: DataFrame, k: int = 5, nprobe: int = 2
+    ) -> DataFrame:
+        from topic_store_spark.operators.similarity import search_lists
+
+        spark = queries.sparkSession
+        return search_lists(
+            spark.read.parquet(self._lists_path()),
+            queries,
+            spark.read.parquet(self._cen_path()),
+            k,
+            nprobe,
+            self.id_col,
+            self.vec_col,
+        )
+
+
 class MinHashIndex:
     """Handle to a persisted LSH index directory (see module doc)."""
 

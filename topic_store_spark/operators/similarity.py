@@ -134,43 +134,34 @@ def topk_neighbors_partial(
     )
 
 
-def ivf_ann_neighbors(
+def _int_dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_to_lists(
     corpus: DataFrame,
-    queries: DataFrame,
     centroids: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate top-k: corpus vectors are partitioned into
-    inverted lists by nearest centroid; a query probes only its ``nprobe``
-    closest lists.
+    """Inverted-list assignment: each corpus vector to its nearest
+    centroid.  Returns ``(c_id, c_qv, c_n, list_id)`` — the relation an
+    IVF index persists (`operators/index.py` IVFIndex) and
+    ``search_lists`` probes.
 
-    The 100 TB shape: assignment is one broadcast pass over the corpus
-    (centroid count is small by construction), the search join is
-    equi-keyed on list id — candidate fan-out is corpus/|lists| * nprobe
-    per query instead of the whole corpus.  Affinity ranking uses
-    ``dot / sqrt(centroid_norm)`` on exact integer dots — IEEE ops on
-    identical operands, so assignment is reproducible engine-to-engine.
+    Argmax via max(struct) instead of a row_number window (same
+    rationale and tie-break as semantic_cluster_dedup): the partial
+    aggregate reduces each vector's |centroids| candidate rows to one
+    BEFORE the exchange, so assignment shuffles n rows, not
+    n x |centroids|, and needs no sort.
     """
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(corpus, id_col, vec_col, "c")
-    q = _quantized(queries, id_col, vec_col, "q")
-
-    def _dot(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    # argmax via max(struct) instead of a row_number window (same
-    # rationale and tie-break as semantic_cluster_dedup): the partial
-    # aggregate reduces each vector's |centroids| candidate rows to one
-    # BEFORE the exchange, so assignment shuffles n rows, not
-    # n x |centroids|, and needs no sort.
-    aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+    aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
         F.struct(
             F.col("aff"),
@@ -180,7 +171,7 @@ def ivf_ann_neighbors(
             F.col("c_n"),
         )
     ).alias("best")
-    assigned = (
+    return (
         c.crossJoin(F.broadcast(cen))
         .withColumn("aff", aff)
         .groupBy("c_id")
@@ -192,6 +183,23 @@ def ivf_ann_neighbors(
             F.col("best.cen_id").alias("list_id"),
         )
     )
+
+
+def search_lists(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an inverted-list relation (``assign_to_lists`` output, live
+    or re-read from a persisted index) with a query set — the search
+    half of ``ivf_ann_neighbors``."""
+    cen = _quantized(centroids, id_col, vec_col, "cen")
+    q = _quantized(queries, id_col, vec_col, "q")
+    _dot = _int_dot
 
     # probe side is query-count-sized — the window is over Q x |centroids|
     # rows, never corpus-scale
@@ -224,6 +232,35 @@ def ivf_ann_neighbors(
                 "cosine_q"
             ),
         )
+    )
+
+
+def ivf_ann_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are partitioned into
+    inverted lists by nearest centroid; a query probes only its ``nprobe``
+    closest lists.
+
+    The 100 TB shape: assignment is one broadcast pass over the corpus
+    (centroid count is small by construction), the search join is
+    equi-keyed on list id — candidate fan-out is corpus/|lists| * nprobe
+    per query instead of the whole corpus.  Affinity ranking uses
+    ``dot / sqrt(centroid_norm)`` on exact integer dots — IEEE ops on
+    identical operands, so assignment is reproducible engine-to-engine.
+    Composition of ``assign_to_lists`` + ``search_lists`` (split so the
+    assignment relation can be persisted as a standing index —
+    `operators/index.py`).
+    """
+    assigned = assign_to_lists(corpus, centroids, id_col, vec_col)
+    return search_lists(
+        assigned, queries, centroids, k, nprobe, id_col, vec_col
     )
 
 
