@@ -672,18 +672,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topic_store_spark.operators.dedup import minhash_lsh_pairs_incremental
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    new_batch = docs.select(
+    # the batch is 10% of the corpus — the production asymmetry.  (With
+    # a batch as large as the corpus a Bloom filter of its bands keeps
+    # ~everything and the prefilter is pure overhead; at 10% it drops
+    # ~90% of the corpus band relation map-side.)
+    new_batch = docs.filter(F.col("doc_id") % 10 == 3).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qq ww")).alias("text"),
     )
+    # bloom_prefilter stays OFF here by cost model, not capability: the
+    # IN-LINE operator must compute corpus signatures from text either
+    # way, so a Bloom can only prune the (cheap) band-join input — pure
+    # added jobs.  The prefilter pays when corpus bands are READ, not
+    # computed: MinHashIndex.query (operators/index.py) runs it against
+    # the persisted index by default, and test_bloom/test_index prove
+    # results are bit-identical with it on or off.
     return minhash_lsh_pairs_incremental(
         new_batch, docs, n=3, num_perm=12, bands=4,
         threshold_num=8, threshold_den=10,
-        # map-side Bloom prefilter of the corpus band relation: the plan
-        # the ingest would run at 100 TB.  Bit-identical results with the
-        # flag off (operators/bloom.py; test_bloom.py proves it), so the
-        # oracle below is unchanged.
-        bloom_prefilter=True,
     )
 
 
@@ -1419,7 +1425,13 @@ def q_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("n"),
         F.col("quality").alias("v"),
     )
-    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    from topic_store_spark.operators.util import ensure_parallelism
+
+    # parallelize BEFORE the explode: a single-file parquet scan would
+    # otherwise run the whole token fan-out on one core
+    tok = ensure_parallelism(docs).select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
     heavy = heavy_hitters(tok, "token", min_count=300).select(
         F.lit("heavy").alias("kind"),
         F.col("value").alias("key"),
@@ -2659,9 +2671,12 @@ cands AS (
     # require at least one NEW-side (clone, id >= 100000) endpoint — the
     # corpus-corpus pair space is excluded by construction
     sql["dedup_incremental"] = (
-        "WITH "
-        + _NEAR_CORPUS
-        + ","
+        """WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' qq ww' AS text
+          FROM documents WHERE doc_id % 10 = 3
+        ),"""
         + _SHINGLES
         + ""","""
         + _minhash_sig_sql(12)

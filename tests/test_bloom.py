@@ -39,7 +39,7 @@ def test_filter_shape_and_sizing(spark, keys_df):
     bf = bloom_build(ins, "k", expected_items=2000)
     assert isinstance(bf, BloomFilter)
     assert bf.num_bits & (bf.num_bits - 1) == 0  # power of two
-    assert len(bf.words) == bf.num_bits // 64
+    assert len(bf.blob) == bf.num_bits // 8
     assert bf.num_bits >= 10 * 2000
     # implicit count path sizes identically
     bf2 = bloom_build(ins, "k")

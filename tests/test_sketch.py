@@ -76,14 +76,25 @@ def test_sketch_actually_prunes(spark):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    tables = [[0] * width for _ in range(depth)]
+    tables = [bytearray(4 * width) for _ in range(depth)]
     for r in rows:
-        tables[r["d"]][r["pos"]] = r["n"]
+        off = 4 * r["pos"]
+        tables[r["d"]][off : off + 4] = min(r["n"], (1 << 31) - 1).to_bytes(
+            4, "big"
+        )
     cand = F.lit(True)
     for i, p in enumerate(pos):
-        cand = cand & (
-            F.element_at(F.lit(tables[i]), (p + 1).cast("int")) >= min_count
-        )
+        cnt = F.conv(
+            F.hex(
+                F.call_function(
+                    "substring", F.lit(tables[i]), (p * 4 + 1).cast("int"),
+                    F.lit(4),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+        cand = cand & (cnt >= min_count)
     n_cand = df.filter(cand).select("value").distinct().count()
     n_all = df.select("value").distinct().count()
     n_true = (

@@ -33,11 +33,15 @@ DataFrame primitives so the pipeline controls when it applies:
   one md5.
 - **build**: explode k positions per key, map to (word=pos>>6,
   mask=1<<(pos&63)), one `bit_or` groupBy over at most m/64 word rows,
-  collect the dense long[] (m=2^23 bits -> 128K longs = 1 MiB; bounded
-  by the filter size, never by data size).
-- **probe**: the long[] rides the plan as ONE array literal;
-  membership = AND over k of `words[pos>>6] & (1<<(pos&63)) != 0` —
-  whole-stage-codegen integer ops, no Python, no join.
+  collected and packed into a dense byte blob (m=2^23 bits -> 1 MiB;
+  bounded by the filter size, never by data size).
+- **probe**: the bitset rides the plan as ONE BinaryType literal —
+  bytes cross py4j in a single transfer, where an equal-size array
+  literal costs one driver round-trip PER ELEMENT (measured: 71 s for
+  131k longs vs 0.5 s as bytes).  Membership = AND over k of
+  `(blob[pos>>3] >> (pos&7)) & 1`, extracted with
+  `conv(hex(substring(blob, byte, 1)))` — whole-stage-codegen, no
+  Python, no join.
 """
 
 from __future__ import annotations
@@ -52,12 +56,13 @@ from topic_store_spark.functions.hashing import MERSENNE31, mix_constants
 
 @dataclass(frozen=True)
 class BloomFilter:
-    """Immutable built filter: ``num_bits`` is a power of two,
-    ``words`` has exactly ``num_bits // 64`` entries."""
+    """Immutable built filter: ``num_bits`` is a power of two, ``blob``
+    is the dense bitset (``num_bits // 8`` bytes; bit ``p`` lives at
+    ``blob[p >> 3] >> (p & 7)``)."""
 
     num_bits: int
     num_hashes: int
-    words: tuple[int, ...]
+    blob: bytes
 
 
 def _key28(col: Column) -> Column:
@@ -121,24 +126,38 @@ def bloom_build(
         .agg(F.bit_or("mask").alias("bits"))
         .collect()
     )
-    words = [0] * (num_bits // 64)
+    arr = bytearray(num_bits // 8)
     for r in rows:
-        words[r["word"]] = r["bits"]
-    return BloomFilter(num_bits, num_hashes, tuple(words))
+        bits = r["bits"] & ((1 << 64) - 1)
+        base = r["word"] * 8
+        for k in range(8):
+            byte = (bits >> (8 * k)) & 0xFF
+            if byte:
+                arr[base + k] = byte
+    return BloomFilter(num_bits, num_hashes, bytes(arr))
 
 
 def bloom_contains(bf: BloomFilter, col: Column) -> Column:
     """Membership predicate: true for every inserted value (no false
-    negatives), true for a ~1% sliver of others.  Pure codegen integer
-    arithmetic against one broadcast array literal."""
-    words = F.lit(list(bf.words))
+    negatives), true for a ~1% sliver of others.  Pure codegen
+    arithmetic against one broadcast binary literal."""
+    blob = F.lit(bytearray(bf.blob))
     cond = F.lit(True)
     for pos in _positions(col, bf.num_bits, bf.num_hashes):
-        word = F.element_at(words, (F.shiftright(pos, 6) + 1).cast("int"))
-        mask = F.call_function(
-            "shiftleft",
-            F.lit(1).cast("bigint"),
-            F.pmod(pos, F.lit(64)).cast("int"),
-        )
-        cond = cond & (word.bitwiseAND(mask) != 0)
+        byte = F.conv(
+            F.hex(
+                F.call_function(
+                    "substring",
+                    blob,
+                    (F.shiftright(pos, 3) + 1).cast("int"),
+                    F.lit(1),
+                )
+            ),
+            16,
+            10,
+        ).cast("int")
+        bit = F.call_function(
+            "shiftright", byte, F.pmod(pos, F.lit(8)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        cond = cond & (bit == 1)
     return cond

@@ -35,14 +35,25 @@ from pyspark.sql import functions as F
 from topic_store_spark.functions.hashing import MERSENNE31, mix_constants
 
 
-def _positions(col: Column, width: int, depth: int) -> list[Column]:
-    key = F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
+def _key28(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
         "long"
     )
+
+
+def _positions_from_key(key: Column, width: int, depth: int) -> list[Column]:
+    """``depth`` probe positions from a STAGED 28-bit key attribute —
+    integer mixing only.  The md5 runs once per row in the projection
+    that materialized the key, not once per position (the same staging
+    contract as ``hashing.shingle_keys``)."""
     return [
         F.pmod((key * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31), F.lit(width))
         for a, b in mix_constants(depth)
     ]
+
+
+def _positions(col: Column, width: int, depth: int) -> list[Column]:
+    return _positions_from_key(_key28(col), width, depth)
 
 
 def heavy_hitters(
@@ -57,9 +68,18 @@ def heavy_hitters(
     collision slivers (extra candidates surviving to the exact pass)
     against sketch size; guarantees are one-sided, so the result set is
     exact for any width."""
-    pos = _positions(F.col(col), width, depth)
+    from topic_store_spark.operators.util import ensure_parallelism
+
+    # stage the 28-bit key once per row; every position is then integer
+    # mixing over the staged attribute (one md5/row/pass, not depth).
+    # ensure_parallelism: both passes are CPU-bound scans — a
+    # single-file parquet input must not serialize them onto one core.
+    keyed = ensure_parallelism(df).select(
+        F.col(col).alias("value"), _key28(F.col(col)).alias("_k")
+    )
+    pos = _positions_from_key(F.col("_k"), width, depth)
     counters_rows = (
-        df.select(
+        keyed.select(
             F.explode(
                 F.array(
                     *[
@@ -75,19 +95,36 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    tables: list[list[int]] = [[0] * width for _ in range(depth)]
+    # pack each row's counters as 4-byte big-endian words in ONE binary
+    # literal: bytes cross py4j in a single transfer, where an
+    # equal-size array literal costs one driver round-trip per element.
+    # Counts cap at 2^31-1 — the candidate test is `>= min_count`, so
+    # capping never creates a false negative.
+    cap = (1 << 31) - 1
+    tables = [bytearray(4 * width) for _ in range(depth)]
     for r in counters_rows:
-        tables[r["d"]][r["pos"]] = r["n"]
+        n = min(r["n"], cap)
+        off = 4 * r["pos"]
+        tables[r["d"]][off : off + 4] = n.to_bytes(4, "big")
 
     cand = F.lit(True)
     for i, p in enumerate(pos):
-        cand = cand & (
-            F.element_at(F.lit(tables[i]), (p + 1).cast("int"))
-            >= F.lit(min_count)
-        )
+        cnt = F.conv(
+            F.hex(
+                F.call_function(
+                    "substring",
+                    F.lit(tables[i]),
+                    (p * 4 + 1).cast("int"),
+                    F.lit(4),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+        cand = cand & (cnt >= F.lit(min_count))
     return (
-        df.filter(cand)
-        .groupBy(F.col(col).alias("value"))
+        keyed.filter(cand)
+        .groupBy("value")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
