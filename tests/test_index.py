@@ -100,3 +100,72 @@ def test_ivf_index_append_visible(spark, vectors, tmp_path):
     out = idx.query(vectors.limit(5), k=1, nprobe=1)
     top = {r["neighbor_id"] for r in out.collect()}
     assert any(n >= 900000 for n in top)
+
+
+def test_near_dedup_ingest_stream(spark, corpus, tmp_path):
+    """Streaming near-dup ingest end-to-end: batch 1 seeds novel docs,
+    batch 2 replays near-dup clones of batch 1 plus one novel doc —
+    only the novel doc survives, and both store and index grew."""
+    import json
+
+    import topic_store_spark as ts
+    from topic_store_spark.operators.index import MinHashIndex
+    from topic_store_spark.streaming.ingest import near_dedup_ingest_stream
+
+    base = [r["text"] for r in corpus.limit(3).collect()]
+    idx = MinHashIndex.build(corpus, str(tmp_path / "nidx"))
+    store = ts.load(str(tmp_path / "nstore.parquet"), spark)
+
+    src = tmp_path / "nsrc"
+    src.mkdir()
+    seen = []
+
+    def run(files, ckpt):
+        for name, rows in files.items():
+            (src / name).write_text(
+                "\n".join(json.dumps(r) for r in rows)
+            )
+        stream = spark.readStream.schema("doc_id long, text string").json(
+            str(src)
+        )
+        q = (
+            near_dedup_ingest_stream(
+                stream, store, idx,
+                on_batch=lambda b, n_in, n_kept: seen.append((n_in, n_kept)),
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: 2 novel docs + 1 near-dup of the standing corpus
+    run(
+        {
+            "b1.json": [
+                {"doc_id": 500001,
+                 "text": " ".join(f"alpha{i}" for i in range(120))},
+                {"doc_id": 500002,
+                 "text": " ".join(f"beta{i}" for i in range(120))},
+                {"doc_id": 500003, "text": base[0] + " qq"},
+            ]
+        },
+        "ck1",
+    )
+    stored = sorted(r["doc_id"] for r in store.to_df().collect())
+    assert stored == [500001, 500002]
+    # batch 2: clones of batch-1 survivors + 1 novel
+    run(
+        {
+            "b2.json": [
+                {"doc_id": 600001,
+                 "text": " ".join(f"alpha{i}" for i in range(120)) + " x"},
+                {"doc_id": 600002,
+                 "text": " ".join(f"gamma{i}" for i in range(120))},
+            ]
+        },
+        "ck1",  # SAME checkpoint: only the new file forms batch 2
+    )
+    stored = sorted(r["doc_id"] for r in store.to_df().collect())
+    assert stored == [500001, 500002, 600002]
+    assert seen == [(3, 2), (2, 1)]

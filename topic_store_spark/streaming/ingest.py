@@ -58,3 +58,66 @@ def ingest_stream(
             on_batch(batch_id, n)
 
     return deduped.writeStream.foreachBatch(_sink)
+
+
+def near_dedup_ingest_stream(
+    stream: DataFrame,
+    store,
+    index,
+    id_col: str = "doc_id",
+    on_batch: Callable[[int, int, int], None] | None = None,
+):
+    """Streaming NEAR-duplicate ingest against a standing MinHash-LSH
+    index (`operators/index.MinHashIndex`) — the third dedup level on
+    top of ``ingest_stream``'s exact two: each micro-batch is LSH-queried
+    against everything ingested so far, colliding documents are dropped
+    (batch-vs-index losers, and the larger id of batch-vs-batch pairs),
+    and the survivors are appended to BOTH the store and the index, so
+    the next batch dedups against them too.
+
+    Per-batch cost is the incremental-ingest shape end-to-end: the index
+    side is READ (parquet bands, Bloom-pruned by the batch's band set),
+    never recomputed; only the batch is signed.  ``on_batch(batch_id,
+    n_in, n_kept)`` is the observability hook.
+    """
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        n_in = batch.count()
+        if n_in == 0:
+            if on_batch is not None:
+                on_batch(batch_id, 0, 0)
+            return
+        pairs = index.query(batch)
+        ids = batch.select(F.col(id_col))
+        # membership tags: a batch doc loses to any index doc it pairs
+        # with, and to any smaller-id batch doc
+        tagged = pairs.join(
+            ids.select(F.col(id_col).alias("a_doc")).withColumn(
+                "_a_in", F.lit(True)
+            ),
+            "a_doc",
+            "left",
+        ).join(
+            ids.select(F.col(id_col).alias("b_doc")).withColumn(
+                "_b_in", F.lit(True)
+            ),
+            "b_doc",
+            "left",
+        )
+        drops = tagged.select(
+            F.when(
+                F.col("_a_in").isNotNull() & F.col("_b_in").isNull(),
+                F.col("a_doc"),
+            )
+            .otherwise(F.col("b_doc"))
+            .alias(id_col)
+        ).distinct()
+        survivors = batch.join(drops, id_col, "left_anti")
+        n_kept = survivors.count()
+        if n_kept:
+            store.write_df(survivors)
+            index.append(survivors)
+        if on_batch is not None:
+            on_batch(batch_id, n_in, n_kept)
+
+    return stream.writeStream.foreachBatch(_sink)
