@@ -1581,15 +1581,37 @@ def q_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-shaped perplexity quality signal: per-document NLL under
-    the corpus's own unigram LM, with fixed-point (milli-nat) integer
-    log-probs so distributed sums are exact and engine-reproducible.
-    Plan: two rollups (doc-term tf, vocabulary), a term-keyed join that
-    AQE broadcasts for small vocabularies, and a per-doc rollup."""
-    from topic_store_spark.operators.corpus import unigram_logprob
+    """Perplexity-quality composite, one tagged union: (a) per-document
+    NLL under the corpus's own UNIGRAM LM; (b) NLL under a BIGRAM LM
+    with stupid backoff trained on the curated slice (doc_id % 10 == 1)
+    and scoring the full corpus — the CCNet shape where unseen bigrams
+    genuinely back off (n_backoff counts them).  Both use fixed-point
+    milli-nat integer log-probs so distributed sums are exact and
+    engine-reproducible (operators/corpus.py unigram_logprob /
+    bigram_logprob)."""
+    from topic_store_spark.operators.corpus import bigram_logprob, unigram_logprob
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return unigram_logprob(docs)
+    uni = unigram_logprob(docs).select(
+        F.lit("unigram").alias("kind"),
+        "doc",
+        F.col("n_tokens").alias("n_events"),
+        F.lit(0).cast("long").alias("n_backoff"),
+        "nll_milli",
+        "mean_nll_milli",
+        "ppl_bucket",
+    )
+    lm = docs.filter(F.col("doc_id") % 10 == 1)
+    bi = bigram_logprob(docs, lm).select(
+        F.lit("bigram").alias("kind"),
+        "doc",
+        "n_events",
+        "n_backoff",
+        "nll_milli",
+        "mean_nll_milli",
+        "ppl_bucket",
+    )
+    return uni.unionByName(bi)
 
 
 def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3242,10 +3264,67 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  CAST(-sum(tf * lp_milli) AS BIGINT) AS nll_milli
           FROM tf JOIN lp USING (term) GROUP BY doc
         )
-        SELECT doc, n_tokens, nll_milli,
+        SELECT 'unigram' AS kind, doc, n_tokens AS n_events,
+               CAST(0 AS BIGINT) AS n_backoff, nll_milli,
                nll_milli // n_tokens AS mean_nll_milli,
                (nll_milli // n_tokens) // 500 AS ppl_bucket
         FROM agg
+        UNION ALL
+        SELECT 'bigram', doc, n_events, n_backoff, nll_milli,
+               nll_milli // n_events AS mean_nll_milli,
+               (nll_milli // n_events) // 500 AS ppl_bucket
+        FROM (
+          WITH tokd AS (
+            SELECT doc_id AS doc, {ws_tokens} AS tk FROM documents
+          ),
+          bg AS (
+            SELECT doc, unnest(CASE WHEN len(tk) >= 2
+                   THEN [array_to_string(tk[i:i+1], ' ')
+                         for i in range(1, len(tk))]
+                   ELSE [] END) AS bg
+            FROM tokd
+          ),
+          lm_bg AS (SELECT bg.bg FROM bg WHERE bg.doc % 10 = 1),
+          c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+                  FROM lm_bg GROUP BY 1),
+          c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                        CAST(count(*) AS BIGINT) AS c1
+                 FROM lm_bg GROUP BY 1),
+          uni AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS c2 FROM (
+              SELECT unnest(tk) AS term FROM tokd WHERE doc % 10 = 1
+            ) GROUP BY 1
+          ),
+          tot AS (SELECT CAST(sum(c2) AS BIGINT) AS n_total FROM uni),
+          dbg AS (
+            SELECT doc, bg, CAST(count(*) AS BIGINT) AS tf,
+                   string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2
+            FROM bg GROUP BY 1, 2
+          ),
+          ev AS (
+            SELECT d.doc, d.tf, c12.c12,
+                   CASE
+                     WHEN c12.c12 IS NOT NULL
+                       THEN CAST(round(ln(c12.c12 / c1.c1) * 1000) AS BIGINT)
+                     WHEN uni.c2 IS NOT NULL
+                       THEN CAST(round(ln(0.4 * uni.c2 / tot.n_total) * 1000)
+                                 AS BIGINT)
+                     ELSE CAST(round(ln(0.4 / tot.n_total) * 1000) AS BIGINT)
+                   END AS lp_milli
+            FROM dbg d
+            LEFT JOIN c12 ON c12.bg = d.bg
+            LEFT JOIN c1 ON c1.w1 = d.w1
+            LEFT JOIN uni ON uni.term = d.w2
+            CROSS JOIN tot
+          )
+          SELECT doc,
+                 CAST(sum(tf) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN c12 IS NULL THEN tf ELSE 0 END) AS BIGINT)
+                   AS n_backoff,
+                 CAST(-sum(tf * lp_milli) AS BIGINT) AS nll_milli
+          FROM ev GROUP BY 1
+        )
     """
 
     sql["importance_resample"] = rf"""

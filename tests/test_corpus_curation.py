@@ -347,3 +347,42 @@ def test_chunk_documents_layout_and_overlap(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk=16, overlap=16)
+
+
+def test_bigram_logprob_backoff_accounting(spark):
+    """LM on a reference slice, scored corpus: seen bigrams use
+    ln(c12/c1); unseen bigrams of seen words back off; unseen words hit
+    the floor.  Hand-checked milli-nat arithmetic."""
+    import math
+
+    from topic_store_spark.operators.corpus import bigram_logprob
+
+    lm = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b c"), (11, "b a"), (12, "z q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in bigram_logprob(score, lm).collect()}
+    # LM: bigrams [a b, b a, b c]; c12: ab=2, ba=1, bc=1; c1: a=2, b=2
+    # unigrams: a=2 b=2 c=1, total=5
+    m = lambda x: round(math.log(x) * 1000)
+    # doc 10 = [a b, b c]: ln(2/2) + ln(1/2); no backoff
+    assert out[10]["n_backoff"] == 0
+    assert out[10]["nll_milli"] == -(m(2 / 2) + m(1 / 2))
+    # doc 11 = [b a]: seen, ln(1/2)
+    assert out[11]["nll_milli"] == -m(1 / 2)
+    # doc 12 = [z q]: unseen bigram of unseen word -> floor ln(0.4/5)
+    assert out[12]["n_backoff"] == 1
+    assert out[12]["nll_milli"] == -m(0.4 / 5)
+    # backoff to a SEEN unigram: "c a" -> ln(0.4 * 2/5)
+    out2 = {
+        r["doc"]: r
+        for r in bigram_logprob(
+            spark.createDataFrame([(20, "c a")], "doc_id long, text string"),
+            lm,
+        ).collect()
+    }
+    assert out2[20]["n_backoff"] == 1
+    assert out2[20]["nll_milli"] == -m(0.4 * 2 / 5)

@@ -663,6 +663,128 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    precision: int = 1000,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    bucket_width_milli: int = 500,
+) -> DataFrame:
+    """Per-document NLL under a BIGRAM LM with stupid backoff (Brants et
+    al. 2007, "Large Language Models in Machine Translation") — the
+    next-order sibling of ``unigram_logprob`` and the closer analog of
+    CCNet's KenLM scoring: the LM trains on a REFERENCE slice (``lm_df``,
+    e.g. the curated/wiki-like subset) and scores the full corpus, so
+    unseen bigrams genuinely occur and back off as
+    ``alpha * P_unigram(w2)``; unseen unigrams hit the ``alpha / total``
+    floor.  (Scoring a corpus with an LM trained on ITSELF never backs
+    off — every observed n-gram has count >= 1 — which is why the
+    reference-slice asymmetry is the operative shape.)
+
+    Determinism contract of ``unigram_logprob``: each event's
+    log-probability is ONE ``ln`` on an identical double in any engine
+    — ``ln(c12/c1)``, ``ln(alpha*c2/total)`` or ``ln(alpha/total)`` —
+    rounded to a milli-nat BIGINT before the per-doc sum, so totals are
+    exact integer sums.
+
+    Plan at 100 TB: bigram/prefix/unigram count rollups over the (small)
+    LM slice; the scored side rolls up per-doc bigram tf once (one
+    shuffle over the token stream) and attaches counts via three keyed
+    left joins (AQE broadcasts small LMs); per-doc rollup.  No Python.
+
+    Returns ``(doc, n_events, n_backoff, nll_milli, mean_nll_milli,
+    ppl_bucket)``; documents with fewer than two tokens have no bigram
+    events and are absent.
+    """
+    if lm_df is None:
+        lm_df = df
+    alpha = alpha_num / alpha_den
+
+    def _bigrams(src: DataFrame, with_id: bool) -> DataFrame:
+        tk = ensure_parallelism(src).select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+        )
+        bg = tk.select(
+            "doc", shingles_from_tokens(F.col("_tk"), 2).alias("_bg")
+        )
+        out = explode_nonempty(bg, "_bg", "bg", "doc")
+        return out if with_id else out.select("bg")
+
+    lm_bg = _bigrams(lm_df, with_id=False)
+    c12 = lm_bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = (
+        lm_bg.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    lm_tk = ensure_parallelism(lm_df).select(
+        tokens(F.col(text_col)).alias("_tk")
+    )
+    uni = (
+        explode_nonempty(lm_tk, "_tk", "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    total = uni.select(F.sum("c2").cast("long").alias("n_total"))
+
+    d_bg = (
+        _bigrams(df, with_id=True)
+        .groupBy("doc", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
+    )
+    scored = (
+        d_bg.join(c12, "bg", "left")
+        .join(c1, "w1", "left")
+        .join(uni.withColumnRenamed("term", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = (
+        F.when(
+            F.col("c12").isNotNull(),
+            F.round(F.log(F.col("c12") / F.col("c1")) * precision),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.round(
+                F.log(F.lit(alpha) * F.col("c2") / F.col("n_total"))
+                * precision
+            ),
+        )
+        .otherwise(
+            F.round(F.log(F.lit(alpha) / F.col("n_total")) * precision)
+        )
+        .cast("long")
+    )
+    return (
+        scored.withColumn("lp_milli", lp)
+        .groupBy("doc")
+        .agg(
+            F.sum("tf").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("c12").isNull(), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_backoff"),
+            (-F.sum(F.col("tf") * F.col("lp_milli")))
+            .cast("long")
+            .alias("nll_milli"),
+        )
+        .select(
+            "doc",
+            "n_events",
+            "n_backoff",
+            "nll_milli",
+            F.expr("nll_milli div n_events").alias("mean_nll_milli"),
+            F.expr(f"(nll_milli div n_events) div {bucket_width_milli}").alias(
+                "ppl_bucket"
+            ),
+        )
+    )
+
+
 def importance_resample(
     df: DataFrame,
     target: DataFrame,
