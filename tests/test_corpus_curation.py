@@ -386,3 +386,33 @@ def test_bigram_logprob_backoff_accounting(spark):
     }
     assert out2[20]["n_backoff"] == 1
     assert out2[20]["nll_milli"] == -m(0.4 * 2 / 5)
+
+
+def test_compression_ratio_separates_tails(spark):
+    """Prose compresses moderately, repeated boilerplate compresses
+    extremely, random hex barely compresses; empty docs report 1000."""
+    import hashlib
+
+    from topic_store_spark.operators.corpus import compression_ratio
+
+    rand = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "slowly through the quiet forest looking for something new to "
+        "see while the evening light fades over the hills beyond "
+    ) * 5
+    boiler = "all rights reserved " * 100
+    df = spark.createDataFrame(
+        [(1, prose), (2, boiler), (3, rand), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in compression_ratio(df).collect()}
+    assert out[2]["ratio_milli"] < out[1]["ratio_milli"] < out[3]["ratio_milli"]
+    assert out[3]["ratio_milli"] > 500  # random hex: poor compression
+    assert out[2]["ratio_milli"] < 100  # boilerplate: extreme compression
+    assert out[4]["ratio_milli"] == 1000 and out[4]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["doc"]: r["ratio_milli"] for r in compression_ratio(df).collect()}
+    assert again == {d: r["ratio_milli"] for d, r in out.items()}

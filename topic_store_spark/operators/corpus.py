@@ -663,6 +663,61 @@ def unigram_logprob(
     )
 
 
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    gibberish/boilerplate detector (cited in the Gopher and RefinedWeb
+    curation discussions): natural prose compresses to ~0.3-0.5 of its
+    size, base64/random-token soup barely compresses (ratio near 1),
+    and template boilerplate compresses extremely (ratio near 0).
+    Filter both tails.
+
+    This is the package's one deliberate PYTHON-path text operator: no
+    SQL engine exposes a compressor, so it runs as Arrow-batched
+    ``mapInPandas`` (same plumbing contract as the multimodal decoders —
+    batch in, batch out, per-partition parallelism, never per-row
+    Python).  Cost is one pass over the text bytes; the deterministic
+    output (fixed zlib level) is reproducible across runs but has no
+    DuckDB twin — pytest carries the contract instead of an oracle.
+
+    Returns ``(doc, n_bytes, n_compressed, ratio_milli)`` with
+    ``ratio_milli = n_compressed * 1000 // n_bytes`` (exact integers;
+    empty documents report ratio_milli = 1000).
+    """
+    import pandas as pd
+
+    out_schema = "doc long, n_bytes long, n_compressed long, ratio_milli long"
+    src = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")
+    )
+
+    def compress(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf["_txt"].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len().astype("int64")
+            n_comp = raw.map(
+                lambda b: len(zlib.compress(b, level))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc": pdf["doc"],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio_milli": (
+                        n_comp * 1000 // n_bytes.where(n_bytes > 0, 1)
+                    ).where(n_bytes > 0, 1000),
+                }
+            )
+
+    return src.mapInPandas(compress, schema=out_schema)
+
+
 def bigram_logprob(
     df: DataFrame,
     lm_df: DataFrame | None = None,
