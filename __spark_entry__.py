@@ -1308,13 +1308,19 @@ _CHAR_SHINGLE_FREQ_CAP = 64
 def q_dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard pairs >= 0.8 (catches intra-word edits that
     word shingles miss), with the ``max_shingle_freq`` hot-key cap the
-    100x plan requires — see _CHAR_SHINGLE_FREQ_CAP."""
+    100x plan requires (_CHAR_SHINGLE_FREQ_CAP) AND the AllPairs/PPJoin
+    prefix-filtered candidate plan (operators/dedup.py
+    _prefix_filtered_pairs): only each doc's ~20% rarest shingles are
+    indexed, candidates fall to ~(1-t)^2 of the full self-join's, and
+    the exact verify keeps the output bit-identical — so the oracle
+    below is the plain full-join SQL."""
     from topic_store_spark.operators.dedup import char_jaccard_pairs
 
     corpus = _docs_with_near_dups(spark, sf_dir)
     return char_jaccard_pairs(
         corpus, n=5, threshold_num=8, threshold_den=10,
         max_shingle_freq=_CHAR_SHINGLE_FREQ_CAP,
+        prefix_filter=True,
     )
 
 

@@ -718,3 +718,63 @@ def test_minhash_universal_family_matches_duckdb(spark, docs):
             assert sig == duck_sigs[doc], doc
             checked += 1
     assert checked >= 30
+
+
+@pytest.mark.parametrize("tnum,tden", [(8, 10), (9, 10), (7, 10)])
+def test_prefix_filter_identical_to_full_join(spark, sf_dir, tnum, tden):
+    """PPJoin prefix filtering returns bit-identical pairs to the full
+    shingle self-join at several thresholds, capped and uncapped."""
+    from topic_store_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.limit(30).select(
+            (F.col("doc_id") + 70000).alias("doc_id"),
+            F.concat("text", F.lit(" qq ww")).alias("text"),
+        )
+    )
+    for cap in (None, 64):
+        full = ngram_jaccard_pairs(
+            corpus, threshold_num=tnum, threshold_den=tden,
+            max_shingle_freq=cap,
+        )
+        fast = ngram_jaccard_pairs(
+            corpus, threshold_num=tnum, threshold_den=tden,
+            max_shingle_freq=cap, prefix_filter=True,
+        )
+        f_rows = sorted(tuple(r) for r in full.collect())
+        p_rows = sorted(tuple(r) for r in fast.collect())
+        assert f_rows == p_rows
+        assert len(f_rows) > 0
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The prefix relation the candidates join on is a small fraction of
+    the full shingle relation (t=0.8 -> ~20% of each doc indexed)."""
+    from topic_store_spark.functions.hashing import shingle_key60
+    from topic_store_spark.operators.dedup import (
+        _prefix_filtered_pairs,
+        _shingle_arrays,
+    )
+    from topic_store_spark.operators.util import explode_nonempty
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = _shingle_arrays(docs, "text", "doc_id", 3)
+    n_full = explode_nonempty(sh, "shs", "shingle", "doc").count()
+    flat = explode_nonempty(sh, "shs", "shingle", "doc").select(
+        "doc", shingle_key60(F.col("shingle")).alias("shingle")
+    )
+    freq = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    surv = flat.join(freq, "shingle")
+    ordered = surv.groupBy("doc").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+        ).alias("_ord")
+    ).select("doc", F.size("_ord").alias("sz"), "_ord")
+    plen = F.col("sz") - F.expr("(sz * 8 + 9) div 10") + 1
+    n_prefix = ordered.select(
+        F.explode(
+            F.slice(F.transform("_ord", lambda x: x["shingle"]), 1, plen)
+        )
+    ).count()
+    assert n_prefix < 0.3 * n_full

@@ -210,6 +210,96 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     )
 
 
+def _prefix_filtered_pairs(
+    sh: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix filtering (Bayardo et al. 2007,
+    "Scaling Up All Pairs Similarity Search") for the exact-Jaccard
+    self-join: under one GLOBAL shingle order (document frequency
+    ascending, key ascending — rarest first), any pair with
+    ``J(A, B) >= t`` must share a shingle within each side's first
+    ``|X| - ceil(t * |X|) + 1`` ordered shingles, so only that PREFIX is
+    indexed and self-joined.  At t = 0.8 the prefix is ~20% of each doc
+    — candidate pairs fall to ~4% of the full shingle self-join's, and
+    the prefix skews toward RARE shingles (tiny buckets), so the win at
+    web scale is substantially larger than the ratio suggests.
+
+    Candidates are verified with the exact intersection of the FULL
+    (cap-filtered) shingle sets, so results are bit-identical to
+    ``_cooccurring_pairs`` + threshold: same ``(a_doc, b_doc, common,
+    a_sz, b_sz)`` relation restricted to pairs that can pass ``t``
+    (proven by equality tests at several thresholds).
+
+    ``max_shingle_freq`` composes exactly as in ``_cooccurring_pairs``:
+    stop-shingles leave the universe before sizes, ordering, prefixes
+    and verification.  Cost shape: the global df rollup (needed for the
+    cap anyway), ONE doc-keyed shuffle to assemble each doc's ordered
+    shingle array, the (small) prefix self-join, and per-candidate
+    array intersections.
+    """
+    from topic_store_spark.functions.hashing import shingle_key60
+
+    flat = explode_nonempty(sh, "shs", "shingle", "doc").select(
+        "doc", shingle_key60(F.col("shingle")).alias("shingle")
+    )
+    freq = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_freq is not None:
+        freq = freq.filter(F.col("df") <= max_shingle_freq)
+    surv = flat.join(freq, "shingle")
+
+    # one doc-keyed rollup: globally-ordered shingle array per doc
+    ordered = surv.groupBy("doc").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+        ).alias("_ord")
+    )
+    docs = ordered.select(
+        "doc",
+        F.transform(F.col("_ord"), lambda x: x["shingle"]).alias("ss"),
+        F.size("_ord").alias("sz"),
+    )
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    # prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)
+    plen = (
+        F.col("sz")
+        - F.expr(f"(sz * {threshold_num} + {threshold_den} - 1) div {threshold_den}")
+        + 1
+    )
+    prefix = docs.select(
+        "doc", F.explode(F.slice(F.col("ss"), 1, plen)).alias("shingle")
+    )
+    cands = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("a_doc"), F.col("y.doc").alias("b_doc")
+        )
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc").alias("a_doc"),
+        F.col("ss").alias("a_ss"),
+        F.col("sz").alias("a_sz"),
+    )
+    b = docs.select(
+        F.col("doc").alias("b_doc"),
+        F.col("ss").alias("b_ss"),
+        F.col("sz").alias("b_sz"),
+    )
+    return (
+        cands.join(a, "a_doc")
+        .join(b, "b_doc")
+        .withColumn("common", F.size(F.array_intersect("a_ss", "b_ss")))
+        .select("a_doc", "b_doc", "common", "a_sz", "b_sz")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -218,14 +308,23 @@ def ngram_jaccard_pairs(
     threshold_num: int = 8,
     threshold_den: int = 10,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs with exact n-gram Jaccard >= threshold_num/threshold_den.
 
     Brute-exact path: co-shingled pairs via shingle-key self-join (pairs
     that share no shingle can never pass a positive threshold, so keying
-    on shingle IS the pair pruning)."""
+    on shingle IS the pair pruning).  ``prefix_filter=True`` switches to
+    the AllPairs/PPJoin prefix-filtered plan — identical output, ~(1-t)^2
+    of the candidates (see ``_prefix_filtered_pairs``)."""
     sh = _shingle_arrays(df, text_col, id_col, n)
-    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumn(
+    if prefix_filter:
+        pairs = _prefix_filtered_pairs(
+            sh, threshold_num, threshold_den, max_shingle_freq
+        )
+    else:
+        pairs = _cooccurring_pairs(sh, max_shingle_freq)
+    pairs = pairs.withColumn(
         "union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common")
     )
     return _jaccard_out(pairs, threshold_num, threshold_den)
@@ -312,12 +411,17 @@ def char_jaccard_pairs(
     threshold_num: int = 8,
     threshold_den: int = 10,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs with exact character-n-gram Jaccard >= threshold —
     catches near-dups whitespace/word shingling misses (insertions inside
-    words, punctuation edits).  Same keyed self-join plan as
-    ``ngram_jaccard_pairs``; shingle alphabet is char n-grams of
-    whitespace-normalized lowercase text."""
+    words, punctuation edits).  Shingle alphabet is char n-grams of
+    whitespace-normalized lowercase text.
+
+    ``prefix_filter=True`` swaps the full shingle self-join for the
+    AllPairs/PPJoin prefix-filtered plan (``_prefix_filtered_pairs``) —
+    bit-identical output, candidate pairs cut to ~(1-t)^2 and skewed
+    toward rare shingles.  The scale path for high thresholds."""
     from topic_store_spark.functions.text import char_shingles_from_norm, normalize_text
 
     norm = ensure_parallelism(df).select(
@@ -326,7 +430,13 @@ def char_jaccard_pairs(
     sh = norm.select(
         "doc", F.array_distinct(char_shingles_from_norm(F.col("_nt"), n)).alias("shs")
     )
-    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumn(
+    if prefix_filter:
+        pairs = _prefix_filtered_pairs(
+            sh, threshold_num, threshold_den, max_shingle_freq
+        )
+    else:
+        pairs = _cooccurring_pairs(sh, max_shingle_freq)
+    pairs = pairs.withColumn(
         "union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common")
     )
     return _jaccard_out(pairs, threshold_num, threshold_den)
