@@ -42,10 +42,13 @@ ENCODINGS: dict[str, tuple[str, int]] = {
 
 #: pluggable compressed-format decoders: name -> bytes -> np.ndarray.
 #: png/wav/jpeg are REAL from-scratch codecs (multimodal/codecs.py,
-#: multimodal/jpeg.py — baseline DCT JPEG per ITU-T T.81, numpy only).
-#: Video remains the one stub — frame demuxing needs ffmpeg, absent from
-#: this container; register a callable in a real deployment and nothing
-#: else changes.
+#: multimodal/jpeg.py — baseline DCT JPEG per ITU-T T.81, numpy only),
+#: and MJPEG-in-AVI video is really demuxed + decoded in
+#: multimodal/avi.py (its Spark surface is the per-frame explode
+#: ``video_frame_table``, not this single-image registry).  Only
+#: inter-frame-coded containers (H.264 MP4 etc.) remain a stub — those
+#: genuinely need ffmpeg; register a callable in a real deployment and
+#: nothing else changes.
 from topic_store_spark.multimodal.codecs import decode_png, decode_wav
 from topic_store_spark.multimodal.jpeg import decode_jpeg
 
