@@ -91,3 +91,26 @@ def test_minhash_incremental_bloom_identical(spark, corpus_and_batch):
     bloom = minhash_lsh_pairs_incremental(batch, docs, bloom_prefilter=True)
     assert _rows(plain) == _rows(bloom)
     assert plain.count() > 0
+
+
+def test_no_false_negatives_property(spark):
+    """Hypothesis sweep: arbitrary unicode keys, tiny to generous filter
+    sizes — an inserted key NEVER tests negative."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        keys=st.lists(
+            st.text(min_size=0, max_size=24), min_size=1, max_size=50,
+            unique=True,
+        ),
+        bits_per_item=st.sampled_from([2, 10]),
+    )
+    def check(keys, bits_per_item):
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        bf = bloom_build(
+            df, "k", expected_items=len(keys), bits_per_item=bits_per_item
+        )
+        assert df.filter(bloom_contains(bf, F.col("k"))).count() == len(keys)
+
+    check()

@@ -90,3 +90,22 @@ def test_zorder_tightens_both_columns(spark, tmp_path):
     assert sum(zb) / len(zb) < 0.45 * full
     # and the data itself round-trips
     assert spark.read.parquet(z_path).count() == n
+
+
+def test_zvalue_roundtrip_property(spark):
+    """Morton interleave is a bijection: de-interleaving the z-value in
+    Python recovers every (x, y) pair exactly (whole 8-bit plane sampled
+    pseudo-randomly)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(512).select(
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+         .cast("long") % 256).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("q"), F.col("id").cast("string"))), 1, 4), 16, 10)
+         .cast("long") % 256).alias("y"),
+    )
+    rows = df.select("x", "y", zvalue(["x", "y"], bits=8).alias("z")).collect()
+    for r in rows:
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r["x"], r["y"])
