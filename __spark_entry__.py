@@ -638,11 +638,16 @@ def q_mongo_legacy_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-curation PII pass: emails/IPv4/phone-shaped runs masked +
-    per-class audit counts.  PII is injected deterministically from doc
-    fields so the oracle sees byte-identical input; patterns are
-    alternation-free so Java regex and RE2 agree (functions/text.py
-    PII_PATTERNS)."""
+    """Text-cleaning composite: (a) corpus-curation PII pass —
+    emails/IPv4/phone-shaped runs masked + per-class audit counts, PII
+    injected deterministically from doc fields so the oracle sees
+    byte-identical input, patterns alternation-free so Java regex and
+    RE2 agree (functions/text.py PII_PATTERNS); (b) HTML -> text
+    extraction (functions/html.py) — each doc wrapped in deterministic
+    markup (tags, script block, entities) and stripped back by the pure
+    codegen regexp_replace chain, RE2-safe so the oracle runs the
+    IDENTICAL patterns (html_to_text_sql)."""
+    from topic_store_spark.functions.html import html_to_text
     from topic_store_spark.functions.text import pii_counts, redact_pii
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
@@ -656,11 +661,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     counts = pii_counts(pii)
+    html = F.concat(
+        F.lit('<html><head><style>p{}</style><script>var x="<p>";</script>'
+              "</head><body><h1>Doc &amp; "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><ul><li>lang&nbsp;'),
+        F.col("lang"),
+        F.lit("</li></ul><!-- tail --></body></html>"),
+    )
     return docs.select(
         "doc_id",
         redact_pii(pii).alias("redacted"),
         counts["n_emails"].alias("n_emails"),
         counts["n_ips"].alias("n_ips"),
+        html_to_text(html).alias("extracted"),
     )
 
 
@@ -2147,9 +2163,17 @@ def oracle_sql() -> dict[str, str]:
         FROM g
     """
 
+    from topic_store_spark.functions.html import html_to_text_sql
+
+    _html_expr = (
+        "'<html><head><style>p{}</style><script>var x=\"<p>\";</script>"
+        "</head><body><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR)"
+        " || '</h1><p>' || text || '</p><ul><li>lang&nbsp;' || lang"
+        " || '</li></ul><!-- tail --></body></html>'"
+    )
     sql["pii_redact"] = r"""
         WITH src AS (
-          SELECT doc_id,
+          SELECT doc_id, text, lang,
                  text || ' contact user' || CAST(doc_id AS VARCHAR)
                       || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
                       || '.1 tel +1 (555) 010-'
@@ -2166,9 +2190,10 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(pii,
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
                len(regexp_extract_all(pii,
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+               EXTRACTED AS extracted
         FROM src
-    """
+    """.replace("EXTRACTED", html_to_text_sql(_html_expr))
 
     sql["id_set_ops"] = """
         SELECT 'except' AS part, user_id AS k,
