@@ -1519,13 +1519,35 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-3 salient terms (TF-IDF family, integer-exact
-    ranking: tf desc, df asc, term asc); TF/DF rollups with map-side
-    partials + a per-doc window top-k."""
-    from topic_store_spark.operators.corpus import salient_terms
+    """Lexical-relevance composite, one tagged union: (a) per-doc top-3
+    salient terms (TF-IDF family, integer-exact ranking: tf desc, df
+    asc, term asc), TF/DF rollups with map-side partials + a per-doc
+    window top-k; (b) Okapi BM25 scores for a fixed 3-term query
+    (operators/corpus.py bm25_scores) — query-term postings filtered
+    map-side before any shuffle, per-term contributions rounded to
+    milli-units so the per-doc total is an exact integer sum."""
+    from topic_store_spark.operators.corpus import bm25_scores, salient_terms
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return salient_terms(docs, k=3)
+    sal = salient_terms(docs, k=3).select(
+        F.lit("salient").alias("part"),
+        "doc",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_docs").cast("long").alias("df_docs"),
+        F.col("salience").cast("double").alias("v"),
+    )
+    bm = bm25_scores(docs, ["merge", "window", "shuffle"]).select(
+        F.lit("bm25").alias("part"),
+        "doc",
+        F.col("n_terms_matched").alias("rank"),
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df_docs"),
+        F.col("bm25_milli").cast("double").alias("v"),
+    )
+    return sal.unionByName(bm)
 
 
 def q_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3427,9 +3449,43 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  ) AS rank
           FROM tf JOIN dfreq USING (term)
         )
-        SELECT doc, rank, term, tf, df_docs,
-               tf * ((SELECT count(*) FROM documents) / df_docs) AS salience
+        SELECT 'salient' AS part, doc, rank, term, tf, df_docs,
+               tf * ((SELECT count(*) FROM documents) / df_docs) AS v
         FROM ranked WHERE rank <= 3
+        UNION ALL
+        SELECT 'bm25', doc, n_terms_matched AS rank,
+               CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS tf,
+               CAST(NULL AS BIGINT) AS df_docs,
+               CAST(bm25_milli AS DOUBLE) AS v
+        FROM (
+          WITH dl AS (SELECT doc, count(*) AS dl FROM terms GROUP BY 1),
+          stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS tok_total
+            FROM dl
+          ),
+          qtf AS (
+            SELECT doc, term, count(*) AS tf FROM terms
+            WHERE term IN ('merge', 'window', 'shuffle') GROUP BY 1, 2
+          ),
+          qdf AS (SELECT term, count(*) AS df_docs FROM qtf GROUP BY 1),
+          contrib AS (
+            SELECT q.doc,
+                   CAST(round(
+                     ln((s.n_docs - d.df_docs + 0.5) / (d.df_docs + 0.5) + 1.0)
+                     * ((q.tf * (1.2 + 1.0)) /
+                        (q.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * l.dl / (s.tok_total / s.n_docs))))
+                     * 1000) AS BIGINT) AS c
+            FROM qtf q
+            JOIN qdf d USING (term)
+            JOIN dl l USING (doc)
+            CROSS JOIN stats s
+          )
+          SELECT doc, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 CAST(sum(c) AS BIGINT) AS bm25_milli
+          FROM contrib GROUP BY 1
+        )
     """
 
     sql["merge_pairs"] = rf"""

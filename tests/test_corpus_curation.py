@@ -416,3 +416,34 @@ def test_compression_ratio_separates_tails(spark):
     # deterministic across runs
     again = {r["doc"]: r["ratio_milli"] for r in compression_ratio(df).collect()}
     assert again == {d: r["ratio_milli"] for d, r in out.items()}
+
+
+def test_bm25_known_answer(spark):
+    """Hand-computed Okapi BM25 (Lucene +1 idf) in milli-units."""
+    import math
+
+    from topic_store_spark.operators.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),          # dl 3
+            (2, "dog bird"),             # dl 2
+            (3, "fish fish fish fish"),  # dl 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in bm25_scores(docs, ["cat", "dog"]).collect()}
+    n, avgdl, k1, b = 3, 3.0, 1.2, 0.75
+
+    def contrib(tf, df, dl):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        tfp = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        return round(idf * tfp * 1000)
+
+    assert 3 not in out  # matches no query term
+    assert out[1]["n_terms_matched"] == 2
+    assert out[1]["bm25_milli"] == contrib(2, 1, 3) + contrib(1, 2, 3)
+    assert out[2]["n_terms_matched"] == 1
+    assert out[2]["bm25_milli"] == contrib(1, 2, 2)
+    # rarer term ("cat") outscores the common one at equal tf
+    assert contrib(1, 1, 3) > contrib(1, 2, 3)

@@ -471,6 +471,67 @@ def salient_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    precision: int = 1000,
+) -> DataFrame:
+    """Okapi BM25 document scores for one query — the retrieval ranking
+    a contamination check or eval-set retriever runs corpus-wide
+    (Lucene's +1 idf form: ``ln((N - df + 0.5)/(df + 0.5) + 1)``).
+
+    Determinism contract of ``unigram_logprob``: each matched term's
+    contribution ``idf * tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))`` is
+    one chain of IEEE ops on identical doubles in any engine, rounded
+    to a milli-unit BIGINT, and the per-doc total is an exact integer
+    sum — no float-summation-order wobble.
+
+    Plan: the (doc, term) tf rollup filters to the query's terms FIRST
+    (a broadcast literal ``isin`` — map-side, so only query-term
+    postings shuffle), df/doc-length/avgdl are tiny rollups, and the
+    final per-doc sum has map-side partials.  Returns ``(doc,
+    n_terms_matched, bm25_milli)`` for every doc matching >= 1 term.
+    """
+    tk = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    )
+    dl = tk.select("doc", F.size("_tk").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("tok_total"),
+    )
+    terms = explode_nonempty(tk, "_tk", "term", "doc").filter(
+        F.col("term").isin(list(query_terms))
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    avgdl = F.col("tok_total") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+        + 1.0
+    )
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+    )
+    contrib = F.round(idf * tf_part * precision).cast("long")
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib_milli", contrib)
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum("contrib_milli").cast("long").alias("bm25_milli"),
+        )
+    )
+
+
 def merge_pair_counts(
     df: DataFrame,
     text_col: str = "text",
