@@ -12,10 +12,20 @@ package re-expresses that surface Spark-first:
 - convert    -> distributed read->transform->write ETL    (reference convert.py)
 - scenario   -> Structured Streaming ingestion            (reference scenario.py/store.py/load_balancer.py)
 
-Beyond the reference surface it adds large-scale training-data pipeline
-operators: deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
-multimodal binary-column plumbing and text analysis.
+Beyond the reference surface it adds the large-scale training-data
+pipeline: deduplication (exact / n-gram Jaccard with PPJoin prefix
+filtering / containment / MinHash-LSH batch+incremental+persistent-index
++streaming / SimHash / embedding-cosine / SemDeDup / substring spans /
+paragraph / connected-components clustering / image pHash), similarity
+search (brute-force, hyperplane LSH, IVF, IVF-PQ, persistent indexes,
+distributed k-means), quality signals (heuristics, hashed-linear
+classifier, unigram+bigram LM perplexity, DSIR, compression ratio,
+repetition, contamination, BM25), sampling (mixture, temperature,
+stratified splits), layout (sequence packing, RAG chunking, Z-order,
+bucketing), scale infrastructure (Bloom prefilters, count-min-sketch
+heavy hitters, salting), web ingestion (WARC, HTML->text), multimodal
+codecs (PNG/WAV/JPEG/MJPEG-AVI from scratch; audio STFT+log-mel), and
+an end-to-end corpus build (operators/build.py).
 """
 
 from topic_store_spark.data import TopicStore
