@@ -77,3 +77,32 @@ def test_spark_extraction_over_wav_bytes(spark):
     )
     assert emb.schema["embedding"].dataType.simpleString() == "array<double>"
     assert emb.count() == 3
+
+
+def test_empty_clip_yields_zero_struct(spark):
+    """A valid zero-sample clip (empty payload, or a WAV with no
+    samples) must produce a zeroed feature struct, not crash the task."""
+    clips = [
+        (1, b"", SR),
+        (2, encode_wav(np.zeros((0, 1), dtype="float32"), SR), SR),
+        (3, encode_wav(_tone(300).reshape(-1, 1), SR), SR),
+    ]
+    df = spark.createDataFrame(
+        clips, "clip_id long, data binary, sample_rate int"
+    )
+    out = {
+        r["clip_id"]: r["audio_features"]
+        for r in extract_audio_features(
+            df.filter(F.col("clip_id") == 1), fmt="pcm_f32"
+        ).collect()
+    }
+    assert out[1]["n_frames"] == 0 and out[1]["rms"] == 0.0
+    assert list(out[1]["mel_mean"]) == [0.0] * 32
+    out = {
+        r["clip_id"]: r["audio_features"]
+        for r in extract_audio_features(
+            df.filter(F.col("clip_id") >= 2)
+        ).collect()
+    }
+    assert out[2]["duration_s"] == 0.0 and out[2]["zero_cross_rate"] == 0.0
+    assert out[3]["n_frames"] > 50

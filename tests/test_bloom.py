@@ -114,3 +114,25 @@ def test_no_false_negatives_property(spark):
         assert df.filter(bloom_contains(bf, F.col("k"))).count() == len(keys)
 
     check()
+
+
+def test_28bit_prefix_collision_is_not_forced_fp(spark):
+    """'k15231' and 'k25525' share md5 hex prefix 9b9c797 (a 28-bit key
+    collision).  With a single 28-bit key the second would be a
+    GUARANTEED false positive — the n/2^28 FP floor; the 56-bit split
+    key must distinguish them."""
+    import hashlib
+
+    a, b = "k15231", "k25525"
+    assert hashlib.md5(a.encode()).hexdigest()[:7] == \
+        hashlib.md5(b.encode()).hexdigest()[:7]
+    bf = bloom_build(
+        spark.createDataFrame([(a,)], "k string"), "k", expected_items=1
+    )
+    got = {
+        r["k"]: r["hit"]
+        for r in spark.createDataFrame([(a,), (b,)], "k string")
+        .select("k", bloom_contains(bf, F.col("k")).alias("hit"))
+        .collect()
+    }
+    assert got[a] is True and got[b] is False

@@ -53,10 +53,8 @@ def test_unigram_only_and_empty_doc(spark):
 
 def test_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([("a b c",), ("d e",)], "text string")
-    out = df.select(
-        hashed_linear_score(
-            F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
-        ).alias("s")
-    )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    tokens = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    for kw in ({}, {"num_buckets": 64, "weights": list(range(-32, 32))}):
+        out = df.select(hashed_linear_score(tokens, **kw).alias("s"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan

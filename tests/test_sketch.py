@@ -105,3 +105,17 @@ def test_sketch_actually_prunes(spark):
     )
     assert n_all > 5000
     assert n_cand < n_true + 0.02 * n_all  # tail survives only as a sliver
+
+
+def test_null_group_is_counted(spark):
+    """SQL GROUP BY keeps a NULL group; the sketch candidate predicate
+    must not three-value-logic NULL rows out of the result."""
+    df = spark.range(300).selectExpr(
+        "CASE WHEN id < 150 THEN NULL WHEN id < 280 THEN 'hot' "
+        "ELSE concat('t', id) END AS value"
+    )
+    got = {
+        (r["value"], r["n"])
+        for r in heavy_hitters(df, "value", min_count=100).collect()
+    }
+    assert got == {(None, 150), ("hot", 130)}

@@ -80,3 +80,20 @@ def test_distributed_read_and_extraction(spark, tmp_path):
     )
     got = {r["target_uri"]: r["text"] for r in pages.collect()}
     assert got == {"http://a.test/": "Hello & welcome to page one."}
+
+
+def test_escaped_markup_stays_escaped(spark):
+    """`&amp;` decodes LAST: `&amp;lt;b&amp;gt;` is the ESCAPED text
+    '&lt;b&gt;', not markup — decoding `&amp;` first would double-decode
+    it into '<b>'.  Spark and the DuckDB twin must agree."""
+    import duckdb
+
+    from topic_store_spark.functions.html import html_to_text, html_to_text_sql
+
+    doc = "<p>a &amp;lt;b&amp;gt; c &amp; d</p>"
+    want = "a &lt;b&gt; c & d"
+    df = spark.createDataFrame([(doc,)], "html string")
+    got = df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
+    assert got == want
+    sql = f"SELECT {html_to_text_sql('html')} AS t FROM (SELECT ? AS html)"
+    assert duckdb.sql(sql, params=[doc]).fetchone()[0] == want

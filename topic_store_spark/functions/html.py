@@ -37,13 +37,15 @@ HTML_STEPS: list[tuple[str, str]] = [
     (rf"(?i)</?(?:{_BLOCK})\b[^>]*>", "\n"),
     (r"<[^>]*>", " "),
     # the five XML entities + nbsp (RE2 has no computed replacements,
-    # so named entities are enumerated, not generic)
+    # so named entities are enumerated, not generic).  `&amp;` decodes
+    # LAST: decoding it first would turn `&amp;lt;` into `&lt;` and then
+    # into `<`, double-decoding escaped markup into real markup.
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     # whitespace: runs containing a newline collapse to one newline,
     # other runs to one space; trim
     (r"[ \t\r]+", " "),

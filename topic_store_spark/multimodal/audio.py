@@ -130,6 +130,20 @@ def extract_audio_features(
                     raise NotImplementedError(f"audio format {fmt!r}")
                 if x.ndim == 2:
                     x = x.mean(axis=1)
+                if x.size == 0:
+                    # a valid zero-sample clip (empty payload / WAV with
+                    # no samples) must not crash the whole task
+                    out.append(
+                        {
+                            "n_frames": 0,
+                            "duration_s": 0.0,
+                            "rms": 0.0,
+                            "zero_cross_rate": 0.0,
+                            "mel_mean": [0.0] * n_mels,
+                            "mel_std": [0.0] * n_mels,
+                        }
+                    )
+                    continue
                 if np.issubdtype(x.dtype, np.floating) and np.abs(x).max() > 1.5:
                     x = x / 32768.0  # int16-scaled payloads
                 lm = log_mel(x, int(sr), n_fft, hop, n_mels)

@@ -22,12 +22,14 @@ infrastructure in the spirit of Spark's own
 `InjectRuntimeFilter`/`BloomFilterAggregate`, re-built on public
 DataFrame primitives so the pipeline controls when it applies:
 
-- **key**: first 7 md5 hex digits as a 28-bit integer
-  (`hashing.shingle_keys` convention).  Collapsing keys to 28 bits adds
-  a vanishing false-positive term (distinct keys collide with
-  probability ~n²/2²⁹) and keeps every downstream multiply inside exact
-  signed-64 arithmetic — ANSI-mode safe, no overflow wrap to reason
-  about.
+- **key**: TWO independent 28-bit integers (md5 hex digits 1-7 and
+  8-14), each hashed with its own universal-hash constants and the
+  results combined mod 2^31-1 — a 56-bit effective key.  A single
+  28-bit key would put an n/2^28 floor under the false-positive rate
+  (~4% at 10M keys) regardless of filter size; splitting keeps every
+  multiply inside exact signed-64 arithmetic (28-bit key x 31-bit
+  constant < 2^59) while pushing the key-collision term to ~n/2^56 —
+  negligible at any batch size the filter itself can serve.
 - **probe positions**: the `hashing.mix_constants` universal-hash family
   `((a_i*x + b_i) mod (2^31-1)) mod m` — k independent positions from
   one md5.
@@ -65,20 +67,33 @@ class BloomFilter:
     blob: bytes
 
 
-def _key28(col: Column) -> Column:
-    """28-bit integer key (first 7 md5 hex digits) — shared convention
-    with `hashing.shingle_keys` so multiplies never overflow."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 7), 16, 10).cast(
-        "long"
+def _keys56(col: Column) -> tuple[Column, Column]:
+    """Two independent 28-bit integer keys (md5 hex digits 1-7 / 8-14)
+    from ONE md5 — a 56-bit effective key split so each half's
+    universal-hash multiply stays inside exact signed-64 arithmetic."""
+    h = F.md5(col.cast("string"))
+    return (
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long"),
+        F.conv(F.substring(h, 8, 7), 16, 10).cast("long"),
     )
 
 
 def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    key = _key28(col)
+    k1, k2 = _keys56(col)
     m = F.lit(num_bits)
+    consts = mix_constants(2 * num_hashes)
     return [
-        F.pmod((key * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31), m)
-        for a, b in mix_constants(num_hashes)
+        F.pmod(
+            (
+                (k1 * F.lit(a1) + F.lit(b1)) % F.lit(MERSENNE31)
+                + (k2 * F.lit(a2) + F.lit(b2)) % F.lit(MERSENNE31)
+            )
+            % F.lit(MERSENNE31),
+            m,
+        )
+        for (a1, b1), (a2, b2) in zip(
+            consts[:num_hashes], consts[num_hashes:]
+        )
     ]
 
 

@@ -72,10 +72,19 @@ def heavy_hitters(
 
     # stage the 28-bit key once per row; every position is then integer
     # mixing over the staged attribute (one md5/row/pass, not depth).
+    # NULL coalesces to a sentinel BEFORE hashing so the NULL group is
+    # counted like any other (SQL GROUP BY keeps a NULL group; an
+    # unguarded md5(NULL)=NULL would three-value-logic the candidate
+    # predicate to NULL and silently drop the group).  A real value
+    # colliding with the sentinel merely shares a counter — CMS only
+    # over-estimates, so the result stays exact.
     # ensure_parallelism: both passes are CPU-bound scans — a
     # single-file parquet input must not serialize them onto one core.
     keyed = ensure_parallelism(df).select(
-        F.col(col).alias("value"), _key28(F.col(col)).alias("_k")
+        F.col(col).alias("value"),
+        _key28(
+            F.coalesce(F.col(col).cast("string"), F.lit("\x00__cms_null__"))
+        ).alias("_k"),
     )
     pos = _positions_from_key(F.col("_k"), width, depth)
     counters_rows = (
