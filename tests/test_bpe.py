@@ -121,3 +121,32 @@ def test_train_and_apply_on_real_corpus(spark, sf_dir):
     assert bad == 0
     # at least some compression happened somewhere
     assert joined.filter(F.col("n_bpe") < F.col("n_chars")).count() > 0
+
+
+def test_local_and_distributed_identical(spark):
+    """The driver-local fast path must emit the IDENTICAL merge list to
+    the distributed fold on the same corpus (same argmax tie-breaks,
+    same greedy replacement, same min_freq stop)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    local = train_bpe(df, n_merges=12, min_freq=2)  # fast path (default)
+    dist = train_bpe(df, n_merges=12, min_freq=2, local_max_words=0)
+    want, _ = ref_train_bpe(CORPUS, n_merges=12, min_freq=2)
+    assert local == dist == want
+
+
+def test_local_fast_path_scales_to_production_merge_counts(spark, sf_dir):
+    """500 merges over the real documents table completes in seconds —
+    the r4 ceiling was one Spark job PER MERGE; the fast path runs the
+    whole loop on one collected Zipf-small word table."""
+    import time
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t0 = time.monotonic()
+    merges = train_bpe(docs, n_merges=500, min_freq=1)
+    elapsed = time.monotonic() - t0
+    # the sf0.001 vocabulary fully merges at ~105 ranks — the loop ran
+    # to exhaustion, not to a job-latency ceiling
+    assert len(merges) >= 100
+    assert elapsed < 120  # generous CI bound; ~seconds in practice

@@ -95,6 +95,66 @@ def _merge_fold(syms, a: str, b: str):
     )
 
 
+#: word-frequency tables at or under this row count train in-driver.
+#: Zipf's law keeps the DISTINCT-word table ~10^7 rows even at 100 TB of
+#: text, so in practice training virtually always takes the fast path;
+#: the distributed fold remains for adversarial vocabularies.
+LOCAL_TRAIN_MAX_WORDS = 1 << 20
+
+
+def _train_bpe_local(
+    rows: list[tuple[int, list[str]]], n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """In-driver merge loop over a collected (freq, syms) word table —
+    the fast path of `train_bpe`.  Emits the IDENTICAL merge list as the
+    distributed fold (same count-desc / pair-asc argmax, same greedy
+    left-to-right non-overlapping replacement, same ``min_freq`` stop;
+    proven by `tests/test_bpe.py::test_local_and_distributed_identical`)
+    while costing zero Spark jobs per merge — a 32k-merge production
+    vocabulary is 32k heap updates, not 32k sequential job launches."""
+    from collections import Counter, defaultdict
+
+    freqs = [int(f) for f, _ in rows]
+    words = [list(s) for _, s in rows]
+    pair_counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(words):
+        f = freqs[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            where[p].add(i)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < min_freq:
+            break
+        merges.append((a, b))
+        for i in list(where[(a, b)]):
+            syms, f = words[i], freqs[i]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                where[p].discard(i)
+            new, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    new.append(a + b)
+                    j += 2
+                else:
+                    new.append(syms[j])
+                    j += 1
+            words[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += f
+                where[p].add(i)
+    return merges
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -102,17 +162,30 @@ def train_bpe(
     min_freq: int = 2,
     end_of_word: str = END_OF_WORD,
     checkpoint_every: int = 8,
+    local_max_words: int = LOCAL_TRAIN_MAX_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus.  Returns the ordered
     merge list [(a, b), ...] (rank = list position).
 
-    Each iteration: weighted adjacent-pair counts over the word table
+    The corpus is read ONCE into the Zipf-small (word, freq) table; when
+    that table has at most ``local_max_words`` rows (virtually always —
+    see `LOCAL_TRAIN_MAX_WORDS`) the merge loop runs in-driver with a
+    pair-count index, the mirror of `dedup.connected_components`' bounded
+    union-find fast path.  Beyond the threshold, each distributed
+    iteration is: weighted adjacent-pair counts over the word table
     (map-side partials), a deterministic 1-row argmax (count desc, pair
     asc — ties never depend on partitioning), then a JVM fold applies
-    the merge to the symbol arrays.  Stops early when the best pair's
-    corpus frequency drops below ``min_freq``."""
+    the merge to the symbol arrays.  Both paths stop early when the best
+    pair's corpus frequency drops below ``min_freq`` and emit identical
+    merge lists."""
     wf = word_freq_table(df, text_col, end_of_word)
     wf = materialize_iter(wf)
+    if local_max_words and wf.count() <= local_max_words:
+        rows = [
+            (r["freq"], list(r["syms"]))
+            for r in wf.select("freq", "syms").collect()
+        ]
+        return _train_bpe_local(rows, n_merges, min_freq)
     merges: list[tuple[str, str]] = []
     for it in range(n_merges):
         staged = wf.select(
