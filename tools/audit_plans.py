@@ -61,7 +61,9 @@ FULL_SCAN_OK = {
     "mongo_projection_flatten", "store_scalars", "session_rollup_salted",
     "objectid_sessions", "snapshot_asof", "windowed_rates", "sessionize",
     "mongo_legacy_sessions",
-    "tpch_q1_pricing", "corpus_lengths", "mongo_window_fill",
+    # NOTE tpch_q1_pricing is deliberately NOT listed: its l_shipdate
+    # filter is pushable and the audit must guard that pushdown.
+    "corpus_lengths", "mongo_window_fill",
     "mongo_sample_reshape", "mongo_facet", "mongo_densify_histogram",
     # $unwind's only Filter is the Mongo null/empty-array drop on the
     # computed $split column — nothing pushable exists in the query.
