@@ -821,12 +821,46 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: one Z-ordered copy of the events table per (session, sf_dir) — the
+#: layout job a pipeline runs once and amortizes over every later
+#: multi-predicate scan (operators/zorder.py cost model).
+_ZORDER_EVENTS_MEMO: dict = {}
+
+
+def _zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events re-written Z-ORDERED on (user_id, value): bit-interleaved
+    quantile-bucketed Morton codes, range-partitioned into 16 files
+    (operators/zorder.py write_zordered).  Row content is identical to
+    the source table — only the LAYOUT changes — so any query over the
+    copy keeps its plain-`events` oracle, while two-predicate range
+    probes skip most files on min-max stats (measured footer evidence:
+    COVERAGE.md 'Z-order scan pruning')."""
+    key = (id(spark), sf_dir)
+    path = _ZORDER_EVENTS_MEMO.get(key)
+    if path is None:
+        import tempfile
+
+        from topic_store_spark.operators.zorder import write_zordered
+
+        path = tempfile.mkdtemp(prefix="tss_zorder_events_")
+        write_zordered(
+            _t(spark, sf_dir, "events"), path, ["user_id", "value"],
+            bits=8, num_files=16,
+        )
+        _ZORDER_EVENTS_MEMO[key] = path
+    return spark.read.parquet(path)
+
+
 def q_orders_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1/O3/A1 composite probe set, one tagged result: the top-100
-    orders by price (sort+limit => TakeOrderedAndProject, no full sort),
-    an exact count under a compiled find predicate, and a find_by_id
-    point lookup.  Each branch keeps its own scan with its own pushed
-    filter; the union is three tiny relations."""
+    """O1/O3/A1 composite probe set (+ Z-order layout proof), one tagged
+    result: the top-100 orders by price (sort+limit =>
+    TakeOrderedAndProject, no full sort), an exact count under a
+    compiled find predicate, a find_by_id point lookup, and a
+    TWO-PREDICATE range probe over the Z-ORDERED events copy
+    (`_zordered_events`) — the scan-pruning layout `write_zordered`
+    exists for, kept oracle-green because z-ordering changes layout,
+    never content.  Each branch keeps its own scan with its own pushed
+    filter; the union is four tiny relations."""
     from topic_store_spark.query.compiler import compile_query
 
     orders = _t(spark, sf_dir, "orders")
@@ -856,7 +890,23 @@ def q_orders_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("k"),
         F.col("value").cast("double").alias("v"),
     )
-    return topk.unionByName(cnt).unionByName(point)
+    zev = _zordered_events(spark, sf_dir)
+    zprobe = (
+        zev.filter(
+            F.col("user_id").between(40, 60)
+            & F.col("value").between(100.0, 200.0)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("value").alias("mx"),
+        )
+        .select(
+            F.lit("zorder").alias("probe"),
+            F.col("cnt").alias("k"),
+            F.col("mx").cast("double").alias("v"),
+        )
+    )
+    return topk.unionByName(cnt).unionByName(point).unionByName(zprobe)
 
 
 # ---------------------------------------------------------------------------
@@ -2540,6 +2590,12 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'point', event_id, CAST(value AS DOUBLE)
         FROM events WHERE event_id = 4242
+        UNION ALL
+        -- the Spark side probes the Z-ORDERED copy; layout never
+        -- changes content, so plain `events` is the oracle
+        SELECT 'zorder', count(*), CAST(max(value) AS DOUBLE)
+        FROM events
+        WHERE user_id BETWEEN 40 AND 60 AND value BETWEEN 100.0 AND 200.0
     """
 
     sql["sessionize"] = """
