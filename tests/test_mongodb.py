@@ -5,6 +5,8 @@ URI plumbing, and scenario dispatch — all Mongo-less, the same pattern as
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from topic_store_spark.mongodb import (
@@ -182,3 +184,37 @@ def test_mongo_point_ops_without_client_raise(spark):
     store = MongoStorage(spark, uri="mongodb://h:27017")
     with pytest.raises(NotImplementedError):
         store.insert_one({"n": 1})
+
+
+# ---------------------------------------------------------------------------
+# Live-server smoke profile (env-gated; reference parity:
+# tests/topic_store/test_database_storage.py:13-46 runs against the CI
+# mongo service in reference .github/workflows/CI.yml:16-24).  This
+# sandbox has no mongod and no pymongo wheel, so the marker skips
+# cleanly here; with `docker compose -f docker/docker-compose-mongo.yml
+# up -d` and MONGO_URI exported it exercises the real CRUD round-trip.
+# ---------------------------------------------------------------------------
+
+_MONGO_URI = os.environ.get("MONGO_URI")
+
+
+@pytest.mark.skipif(
+    not _MONGO_URI, reason="MONGO_URI not set (live-Mongo smoke profile)"
+)
+def test_live_mongo_crud_roundtrip(spark):
+    pytest.importorskip("pymongo")
+    store = MongoStorage(
+        spark, uri=_MONGO_URI, collection="topic_store_spark_smoke"
+    )
+    store.client_collection.delete_many({})
+    # insert -> find_by_id -> update -> count -> delete (the reference
+    # test's exact sequence, minus the ROS node bring-up)
+    doc_id = store.insert_one({"name": "test_name", "number": 1})
+    got = store.client_collection.find_one({"_id": doc_id})
+    assert got is not None
+    store.update_one_by_id(doc_id, name="updated", number=41)
+    got = store.client_collection.find_one({"_id": doc_id})
+    assert got["name"] == "updated" and got["number"] == 41
+    assert store.count({"number": {"$gte": 41}}) == 1
+    store.delete_by_id(doc_id)
+    assert store.count() == 0
