@@ -1454,8 +1454,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from topic_store_spark.operators.classify import hashed_linear_score
     from topic_store_spark.operators.corpus import repetition_stats
+    from topic_store_spark.operators.util import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # the expression pipeline is CPU-bound per-row work; a single-file
+    # corpus must not serialize ~10 md5s/token onto one core (measured
+    # 4.8s -> 1.4s at sf0.1; a no-op at real scale where splits dominate)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     tk = docs.select(
         "doc_id", "text", tokens(F.col("text")).alias("_tk")
