@@ -649,8 +649,14 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL patterns (html_to_text_sql)."""
     from topic_store_spark.functions.html import html_to_text
     from topic_store_spark.functions.text import pii_counts, redact_pii
+    from topic_store_spark.operators.util import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    # regex redaction + HTML stripping are CPU-bound per-row work; a
+    # single-file corpus must not run them on one core (plan-audit
+    # parallelism advisory)
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    )
     pii = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -806,8 +812,11 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     of text so the oracle can reproduce it; the same plumbing wraps
     image/audio bytes (multimodal/binary.py)."""
     from topic_store_spark.multimodal.binary import attach_binary_metadata
+    from topic_store_spark.operators.util import ensure_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # sha256 over every payload is CPU-bound Arrow work; spread a
+    # single-file corpus across cores (plan-audit parallelism advisory)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     payload = docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )

@@ -127,6 +127,24 @@ def audit_one(name: str, df) -> dict:
     read_schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
     widest = max((len(s.split(",")) for s in read_schemas), default=0)
 
+    # parallelism advisory: a shuffle-free expression pipeline inherits
+    # the scan's partitioning, so a single-file input serializes the
+    # whole query onto one core (the text_profile trap, caught r5 —
+    # 4.8s -> 1.4s after ensure_parallelism).  Advisory, not hard: tiny
+    # probe queries legitimately run in one task.
+    n_parts = None
+    if n_exchange == 0 and scans:
+        try:
+            n_parts = df.rdd.getNumPartitions()
+            par = df.sparkSession.sparkContext.defaultParallelism
+            if n_parts == 1 and par > 1:
+                findings.append(
+                    "shuffle-free plan at 1-partition scan parallelism "
+                    "(wrap the scan in ensure_parallelism if CPU-bound)"
+                )
+        except Exception:  # pragma: no cover - rdd conversion corners
+            pass
+
     return {
         "name": name,
         "plan": plan,
