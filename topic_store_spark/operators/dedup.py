@@ -183,12 +183,20 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
     joinable = shingles
     if max_shingle_freq is not None:
         freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        joinable = shingles.join(
-            freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
-            "shingle",
-        )
+        # drop-side ANTI-join, not keep-side inner join: the KEEP set is
+        # nearly the whole vocabulary (never broadcastable at scale, so
+        # an inner join would shuffle the corpus-sized flat relation by
+        # shingle — with exactly the hot keys the cap exists to tame);
+        # the DROP set is the handful of stop-shingles over the cap —
+        # tiny by definition, broadcast at any corpus size, zero corpus
+        # shuffle.  The flat relation itself is deliberately RECOMPUTED
+        # map-side per pass rather than cached: its lineage is a
+        # stateless scan+explode, and recomputing that beats writing+
+        # reading a corpus-sized cache (measured both ways at sf0.1).
+        hot = freq.filter(F.col("df") > max_shingle_freq).select("shingle")
+        joinable = shingles.join(F.broadcast(hot), "shingle", "left_anti")
         # three consumers (join left/right + sizes) would each re-derive
-        # the shingle scan AND the frequency join — materialize once
+        # the shingle scan AND the anti-join — materialize once
         from pyspark import StorageLevel
 
         joinable = joinable.persist(StorageLevel.MEMORY_AND_DISK)
