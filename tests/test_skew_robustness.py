@@ -127,3 +127,30 @@ def test_action_server_on_demand_capture(spark, tmp_path):
     assert runner.saved_count == 2
     docs = list(runner.storage)
     assert len(docs) == 2 and docs[0]["cam"] == "img"
+
+
+def test_overlap_cap_is_broadcast_anti_join(spark):
+    """The stop-shingle cap must never shuffle the corpus-sized flat
+    shingle relation by shingle: the plan drops hot shingles with a
+    BROADCAST anti-join against the (tiny) over-cap set, and results
+    are exact in the filtered universe."""
+    from topic_store_spark.operators.dedup import word_overlap_pairs
+
+    # every doc shares the same 3 boilerplate tokens (one hot shingle in
+    # all 40 docs), plus per-pair unique bodies for docs 2k/2k+1
+    rows = [
+        (i, "all rights reserved " + " ".join(f"w{i // 2}_{j}" for j in range(12)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = word_overlap_pairs(df, n=3, max_shingle_freq=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    got = {(r["a_doc"], r["b_doc"]) for r in out.collect()}
+    # each even/odd twin pair survives on its unique body; the hot
+    # boilerplate shingle ('all rights reserved', df=40 > cap) is gone
+    # from numerators AND denominators, so twins are exact dups in the
+    # filtered universe
+    assert got == {(2 * k, 2 * k + 1) for k in range(20)}
+    for r in word_overlap_pairs(df, n=3, max_shingle_freq=8).collect():
+        assert r["jaccard"] == 1.0
