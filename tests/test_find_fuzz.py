@@ -1,0 +1,203 @@
+"""Differential fuzzer for the find-dialect compiler: hundreds of
+randomly generated filters evaluated BOTH by ``compile_query`` on Spark
+and by an independent pure-Python evaluator implementing MongoDB's
+documented matching semantics (under this package's schema-on-read
+contract: a missing field reads as NULL, so missing ≡ null throughout —
+see query/compiler.py module doc).
+
+The fixed oracle queries exercise chosen corners; this sweeps the
+combinatorial space — especially three-valued-logic corners ($nor/$not
+over NULL-producing comparisons) where SQL engines silently diverge
+from Mongo's boolean matching.
+
+Generation is seeded-random (not hypothesis): the recursive filter
+space is easier to steer with a plain RNG, and failures print the exact
+filter dict for replay.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from topic_store_spark.query.compiler import compile_query
+
+# -- corpus -----------------------------------------------------------------
+
+FIELDS = {
+    "a": "int",     # small ints, sometimes null
+    "b": "float",   # floats, sometimes null
+    "c": "str",     # short strings, sometimes null
+    "d": "arr",     # int arrays, sometimes null
+}
+SCHEMA = "_id long, a long, b double, c string, d array<long>"
+
+
+def _docs(rng: random.Random, n: int = 80) -> list[dict]:
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "_id": i,
+                "a": rng.choice([None, *range(-3, 8)]),
+                "b": rng.choice([None, -1.5, 0.0, 0.5, 1.0, 2.5, 7.25]),
+                "c": rng.choice([None, "", "x", "xy", "abc", "zzz"]),
+                "d": rng.choice(
+                    [None, [], [1], [1, 2], [2, 2, 3], [0, 5, 9]]
+                ),
+            }
+        )
+    return out
+
+
+# -- filter generator -------------------------------------------------------
+
+def _leaf(rng: random.Random) -> dict:
+    f = rng.choice(list(FIELDS))
+    t = FIELDS[f]
+    if t == "arr":
+        return {f: {"$size": rng.randint(0, 3)}}
+    if t == "int":
+        lits = lambda: rng.randint(-4, 9)  # noqa: E731
+    elif t == "float":
+        lits = lambda: rng.choice([-1.5, 0.0, 0.5, 1.0, 2.5, 7.25, 9.0])  # noqa: E731
+    else:
+        lits = lambda: rng.choice(["", "x", "xy", "abc", "zzz", "nope"])  # noqa: E731
+    kind = rng.randrange(8)
+    if kind == 0:
+        return {f: rng.choice([None, lits()])}  # implicit equality
+    if kind == 1:
+        op = rng.choice(["$eq", "$ne"])
+        return {f: {op: rng.choice([None, lits()])}}
+    if kind == 2:
+        op = rng.choice(["$gt", "$gte", "$lt", "$lte"])
+        return {f: {op: lits()}}
+    if kind == 3:
+        vals = [rng.choice([None, lits()]) for _ in range(rng.randint(0, 3))]
+        return {f: {rng.choice(["$in", "$nin"]): vals}}
+    if kind == 4:
+        return {f: {"$exists": rng.random() < 0.5}}
+    if kind == 5 and t == "int":
+        return {f: {"$mod": [rng.randint(1, 4), rng.randint(0, 3)]}}
+    if kind == 6:
+        # range doc: {f: {$gte: x, $lt: y}} (implicit AND inside the doc)
+        return {f: {"$gte": lits(), "$lt": lits()}}
+    inner_op = rng.choice(["$eq", "$gt", "$lte", "$ne"])
+    return {f: {"$not": {inner_op: lits()}}}
+
+
+def _filter(rng: random.Random, depth: int = 0) -> dict:
+    if depth >= 2 or rng.random() < 0.45:
+        return _leaf(rng)
+    combo = rng.choice(["$and", "$or", "$nor", "multi"])
+    subs = [_filter(rng, depth + 1) for _ in range(rng.randint(1, 3))]
+    if combo == "multi":
+        merged: dict = {}
+        for s in subs:
+            merged.update(s)  # implicit top-level AND (last key wins)
+        return merged or _leaf(rng)
+    return {combo: subs}
+
+
+# -- reference evaluator (Mongo matching semantics, missing ≡ null) ---------
+
+def _m_op(v, op, arg) -> bool:
+    if op == "$eq":
+        return v is None if arg is None else (v is not None and v == arg)
+    if op == "$ne":
+        return not _m_op(v, "$eq", arg)
+    if op == "$gt":
+        return v is not None and v > arg
+    if op == "$gte":
+        return v is not None and v >= arg
+    if op == "$lt":
+        return v is not None and v < arg
+    if op == "$lte":
+        return v is not None and v <= arg
+    if op == "$in":
+        return any(_m_op(v, "$eq", a) for a in arg) if arg else False
+    if op == "$nin":
+        return not _m_op(v, "$in", arg)
+    if op == "$exists":
+        return (v is not None) == bool(arg)
+    if op == "$mod":
+        # Mongo $mod is TRUNCATED remainder (sign of the dividend, like
+        # C/Java and Spark's %), not Python's floored %
+        d, r = arg
+        return v is not None and abs(v) % abs(d) * (1 if v >= 0 else -1) == r
+    if op == "$size":
+        return v is not None and isinstance(v, list) and len(v) == arg
+    if op == "$not":
+        return not _m_field(v, arg)
+    raise ValueError(op)
+
+
+def _m_field(v, cond) -> bool:
+    if isinstance(cond, dict) and cond and all(
+        k.startswith("$") for k in cond
+    ):
+        return all(_m_op(v, op, arg) for op, arg in cond.items())
+    if cond is None:
+        return v is None
+    return v is not None and v == cond
+
+
+def _m_query(doc: dict, q: dict) -> bool:
+    for key, val in q.items():
+        if key == "$and":
+            if not all(_m_query(doc, s) for s in val):
+                return False
+        elif key == "$or":
+            if not any(_m_query(doc, s) for s in val):
+                return False
+        elif key == "$nor":
+            if any(_m_query(doc, s) for s in val):
+                return False
+        else:
+            if not _m_field(doc.get(key), val):
+                return False
+    return True
+
+
+# -- the differential sweep -------------------------------------------------
+
+N_FILTERS = 300
+BATCH = 50
+
+
+def test_find_dialect_matches_reference_evaluator(spark):
+    rng = random.Random(0xC0FFEE)
+    docs = _docs(rng)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["_id", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+    filters = [_filter(rng) for _ in range(N_FILTERS)]
+
+    failures = []
+    for base in range(0, len(filters), BATCH):
+        chunk = filters[base : base + BATCH]
+        cols = [F.col("_id")]
+        for j, q in enumerate(chunk):
+            cols.append(
+                F.coalesce(compile_query(q, df.schema), F.lit(False)).alias(
+                    f"p{j}"
+                )
+            )
+        rows = df.select(*cols).collect()
+        got = {
+            j: {r["_id"] for r in rows if r[f"p{j}"]}
+            for j in range(len(chunk))
+        }
+        for j, q in enumerate(chunk):
+            want = {d["_id"] for d in docs if _m_query(d, q)}
+            if got[j] != want:
+                failures.append(
+                    (q, sorted(got[j] ^ want))
+                )
+    assert not failures, (
+        f"{len(failures)}/{N_FILTERS} filters diverge from Mongo "
+        f"semantics; first: {failures[0]}"
+    )

@@ -251,9 +251,17 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
                 for s in subs[1:]:
                     cond = cond | s
                 if key == "$nor":
-                    cond = ~cond
+                    # Mongo matching is two-valued: a clause that
+                    # evaluates NULL (comparison over a missing field)
+                    # simply DOESN'T match, so its negation must match.
+                    # Without the coalesce, ~NULL = NULL and $nor would
+                    # drop exactly the missing-field docs Mongo keeps
+                    # (caught by tests/test_find_fuzz.py).
+                    cond = ~F.coalesce(cond, F.lit(False))
         elif key == "$not":
-            cond = ~compile_query(value, schema, resolver)
+            cond = ~F.coalesce(
+                compile_query(value, schema, resolver), F.lit(False)
+            )
         elif key == "$expr":
             # aggregation-expression predicate inside a find filter —
             # shares the pipeline's value-expression compiler
