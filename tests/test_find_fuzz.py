@@ -201,3 +201,144 @@ def test_find_dialect_matches_reference_evaluator(spark):
         f"{len(failures)}/{N_FILTERS} filters diverge from Mongo "
         f"semantics; first: {failures[0]}"
     )
+
+
+# -- second sweep: dotted paths into structs, $elemMatch, $all ---------------
+
+NESTED_SCHEMA = (
+    "_id long, s struct<x: long, y: string>, arr array<long>, "
+    "objs array<struct<v: long>>"
+)
+
+
+def _nested_docs(rng: random.Random, n: int = 60) -> list[dict]:
+    out = []
+    for i in range(n):
+        out.append(
+            {
+                "_id": i,
+                "s": rng.choice(
+                    [None]
+                    + [
+                        {"x": rng.choice([None, *range(0, 6)]),
+                         "y": rng.choice([None, "p", "q"])}
+                        for _ in range(3)
+                    ]
+                ),
+                "arr": rng.choice(
+                    [None, [], [1], [1, 2], [2, 3, 4], [0, 5]]
+                ),
+                "objs": rng.choice(
+                    [None, [], [{"v": 1}], [{"v": 2}, {"v": 5}],
+                     [{"v": 0}, {"v": 3}, {"v": 7}]]
+                ),
+            }
+        )
+    return out
+
+
+def _nested_filter(rng: random.Random) -> dict:
+    kind = rng.randrange(6)
+    if kind == 0:
+        op = rng.choice(["$eq", "$ne", "$gt", "$lte", "$exists"])
+        arg = rng.random() < 0.5 if op == "$exists" else rng.randint(-1, 6)
+        return {"s.x": {op: arg}}
+    if kind == 1:
+        return {"s.y": rng.choice([None, "p", "q", "zz"])}
+    if kind == 2:
+        vals = [rng.randint(0, 5) for _ in range(rng.randint(0, 3))]
+        return {"arr": {"$all": vals}}
+    if kind == 3:
+        return {"objs": {"$elemMatch": {"v": {rng.choice(["$gt", "$lte", "$eq"]): rng.randint(0, 7)}}}}
+    if kind == 4:
+        return {"arr": {"$elemMatch": {rng.choice(["$gte", "$lt"]): rng.randint(0, 5)}}}
+    return {
+        rng.choice(["$or", "$nor", "$and"]): [
+            _nested_filter(rng), _nested_filter(rng)
+        ]
+    }
+
+
+def _m_get(doc, path):
+    node = doc
+    for part in path.split("."):
+        if not isinstance(node, dict):
+            return None
+        node = node.get(part)
+    return node
+
+
+def _m_nested(doc: dict, q: dict) -> bool:
+    for key, val in q.items():
+        if key == "$and":
+            if not all(_m_nested(doc, s) for s in val):
+                return False
+        elif key == "$or":
+            if not any(_m_nested(doc, s) for s in val):
+                return False
+        elif key == "$nor":
+            if any(_m_nested(doc, s) for s in val):
+                return False
+        else:
+            v = _m_get(doc, key)
+            if isinstance(val, dict) and "$all" in val:
+                terms = val["$all"]
+                if not terms:
+                    return False  # Mongo: $all: [] matches nothing
+                if not (isinstance(v, list) and all(t in v for t in terms)):
+                    return False
+            elif isinstance(val, dict) and "$elemMatch" in val:
+                cond = val["$elemMatch"]
+                if not isinstance(v, list):
+                    return False
+                if all(k.startswith("$") for k in cond):
+                    if not any(_m_field(e, cond) for e in v):
+                        return False
+                else:
+                    ok = any(
+                        all(
+                            _m_field((e or {}).get(f), c)
+                            for f, c in cond.items()
+                        )
+                        for e in v
+                    )
+                    if not ok:
+                        return False
+            else:
+                if not _m_field(v, val):
+                    return False
+    return True
+
+
+def test_nested_dialect_matches_reference_evaluator(spark):
+    rng = random.Random(0xBEEF)
+    docs = _nested_docs(rng)
+    df = spark.createDataFrame(
+        [
+            (
+                d["_id"],
+                None if d["s"] is None else (d["s"]["x"], d["s"]["y"]),
+                d["arr"],
+                None if d["objs"] is None else [(o["v"],) for o in d["objs"]],
+            )
+            for d in docs
+        ],
+        NESTED_SCHEMA,
+    )
+    filters = [_nested_filter(rng) for _ in range(200)]
+    failures = []
+    for base in range(0, len(filters), BATCH):
+        chunk = filters[base : base + BATCH]
+        cols = [F.col("_id")] + [
+            F.coalesce(compile_query(q, df.schema), F.lit(False)).alias(f"p{j}")
+            for j, q in enumerate(chunk)
+        ]
+        rows = df.select(*cols).collect()
+        for j, q in enumerate(chunk):
+            got = {r["_id"] for r in rows if r[f"p{j}"]}
+            want = {d["_id"] for d in docs if _m_nested(d, q)}
+            if got != want:
+                failures.append((q, sorted(got ^ want)))
+    assert not failures, (
+        f"{len(failures)}/200 nested filters diverge; first: {failures[0]}"
+    )
