@@ -31,6 +31,15 @@ from topic_store_spark.objectid import generation_time
 from topic_store_spark.query.compiler import compile_query, path_col
 
 
+def _truthy(col: Column) -> Column:
+    """Mongo expression truthiness as a non-null boolean: null/missing,
+    false and 0 are falsy, everything else truthy.  The two-valued
+    boundary every `$cond`/`$and`/`$or`/`$not` input crosses — a bare
+    NULL literal condition must select the else-branch, not fail
+    analysis as a VOID CASE WHEN."""
+    return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
 def _as_timestamp(col: Column) -> Column:
     """Date-part helper: ObjectId strings resolve to their generation time,
     anything else casts to timestamp (reference database.py:250-256 applies
@@ -141,8 +150,12 @@ def _compile_value_op(
         return F.round(value, int(place))
     if op == "$arrayElemAt":
         array, idx = cv(arg[0]), int(arg[1])
-        # Mongo is 0-based (negative = from the end); element_at is 1-based
-        return F.element_at(array, idx + 1 if idx >= 0 else idx)
+        # Mongo is 0-based (negative = from the end); element_at is
+        # 1-based.  try_element_at, not element_at: an out-of-range
+        # index is MISSING (null) in Mongo, where ANSI element_at
+        # raises and kills the whole job (caught by
+        # tests/test_value_expr_fuzz.py).
+        return F.try_element_at(array, F.lit(idx + 1 if idx >= 0 else idx))
     if op == "$split":
         # Mongo $split is a literal-delimiter split; Spark's is regex
         if not (isinstance(arg[1], str) and not arg[1].startswith("$")):
@@ -164,24 +177,37 @@ def _compile_value_op(
         else:
             branches = arg
         return F.when(
-            cv(branches[0]), cv(branches[1])
+            _truthy(cv(branches[0])), cv(branches[1])
         ).otherwise(cv(branches[2]))
     if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+        # Mongo aggregation comparisons are TWO-VALUED over the BSON
+        # total order, never SQL three-valued: {$eq: [x, null]} is the
+        # null test (true/false), and null sorts BELOW every value, so
+        # {$gt: [5, null]} is TRUE and {$lt: [null, 5]} is TRUE.
+        # (Cross-TYPE ordering is out of the dialect's scope; within a
+        # type the order is the engine's.)  Differentially verified by
+        # tests/test_value_expr_fuzz.py.
         left, right = (cv(a) for a in arg)
-        import operator as _op
-
-        table = {
-            "$eq": _op.eq, "$ne": _op.ne, "$gt": _op.gt,
-            "$gte": _op.ge, "$lt": _op.lt, "$lte": _op.le,
-        }
-        return table[op](left, right)
+        eq = left.eqNullSafe(right)
+        gt = (left.isNotNull() & right.isNull()) | F.coalesce(
+            left > right, F.lit(False)
+        )
+        lt = (left.isNull() & right.isNotNull()) | F.coalesce(
+            left < right, F.lit(False)
+        )
+        return {
+            "$eq": eq, "$ne": ~eq, "$gt": gt, "$gte": gt | eq,
+            "$lt": lt, "$lte": lt | eq,
+        }[op]
     if op == "$and":
-        return _fold([cv(a) for a in arg], lambda a, b: a & b)
+        # Mongo $and/$or/$not evaluate TRUTHINESS (null/false/0 falsy)
+        # and always return true/false, never null
+        return _fold([_truthy(cv(a)) for a in arg], lambda a, b: a & b)
     if op == "$or":
-        return _fold([cv(a) for a in arg], lambda a, b: a | b)
+        return _fold([_truthy(cv(a)) for a in arg], lambda a, b: a | b)
     if op == "$not":
         inner = arg[0] if isinstance(arg, list) else arg
-        return ~cv(inner).cast("boolean")
+        return ~_truthy(cv(inner))
     if op == "$in":
         needle, haystack = cv(arg[0]), cv(arg[1])
         return F.array_contains(haystack, needle)
