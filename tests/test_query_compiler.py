@@ -898,3 +898,31 @@ def test_value_expression_hof_and_scalars(spark):
 
     with pytest.raises(ValueError, match="unbound"):
         apply_pipeline(df, [{"$project": {"bad": {"$add": ["$$nope", 1]}}}])
+
+
+def test_group_accumulator_null_semantics(spark):
+    """Mongo: $sum over a group with nothing numeric is 0 (never null);
+    $push/$addToSet KEEP null elements (SQL collect_list/set drop them)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 3), (2, None), (3, 5)], "g long, x long"
+    )
+    out = {
+        r["_id"]: r
+        for r in apply_pipeline(
+            df,
+            [
+                {"$group": {
+                    "_id": "$g",
+                    "s": {"$sum": "$x"},
+                    "p": {"$push": "$x"},
+                    "a": {"$addToSet": "$x"},
+                }},
+            ],
+        ).collect()
+    }
+    assert out[1]["s"] == 0 and out[1]["p"] == [None, None]
+    assert out[1]["a"] == [None]
+    assert out[2]["s"] == 3 and sorted(out[2]["p"], key=lambda v: (v is None, v)) == [3, None]
+    assert out[3]["s"] == 5 and out[3]["p"] == [5]

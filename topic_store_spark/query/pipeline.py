@@ -319,15 +319,50 @@ def _attach_computed(df: DataFrame, computed: dict[str, Any]) -> DataFrame:
     return df.select(*cols)
 
 
-_ACCUMULATORS = {
+#: Mongo accumulator semantics vs SQL aggregates, where they differ:
+#: - $sum skips non-numeric/missing and returns 0 (never null) when
+#:   nothing numeric was seen — SQL SUM would return NULL;
+#: - $push/$addToSet KEEP null elements — collect_list/collect_set drop
+#:   them, so elements ride inside a struct and unwrap after.
+#: $avg/$min/$max ignore nulls and null out on empty input in both
+#: worlds; $first/$last take the first/last document's value even when
+#: it is null (ignorenulls=False).
+#: raw aggregate per accumulator, split from its FINISHER so the window
+#: path can apply `.over(frame)` to the bare aggregate first (Spark
+#: rejects `coalesce(sum(c), 0).over(w)`); the groupBy path composes
+#: finish(raw(c)) directly.
+_ACC_RAW = {
     "$sum": lambda c: F.sum(c),
     "$avg": lambda c: F.avg(c),
     "$min": lambda c: F.min(c),
     "$max": lambda c: F.max(c),
     "$first": lambda c: F.first(c, ignorenulls=False),
     "$last": lambda c: F.last(c, ignorenulls=False),
-    "$push": lambda c: F.collect_list(c),
-    "$addToSet": lambda c: F.collect_set(c),
+    "$push": lambda c: F.collect_list(F.struct(c.alias("v"))),
+    "$addToSet": lambda c: F.collect_list(F.struct(c.alias("v"))),
+}
+
+#: Mongo accumulator semantics vs SQL aggregates, where they differ:
+#: - $sum skips non-numeric/missing and returns 0 (never null) when
+#:   nothing numeric was seen — SQL SUM would return NULL;
+#: - $push/$addToSet KEEP null elements — collect_list/collect_set drop
+#:   them, so elements ride inside a struct and unwrap in the finisher.
+#: $avg/$min/$max ignore nulls and null out on empty input in both
+#: worlds; $first/$last take the first/last document's value even when
+#: it is null (ignorenulls=False).
+_ACC_FINISH = {
+    "$sum": lambda c: F.coalesce(c, F.lit(0)),
+    "$push": lambda c: F.transform(c, lambda s: s["v"]),
+    "$addToSet": lambda c: F.array_distinct(
+        F.transform(c, lambda s: s["v"])
+    ),
+}
+
+_ACCUMULATORS = {
+    op: (lambda raw=raw, fin=_ACC_FINISH.get(op, lambda c: c): (
+        lambda c: fin(raw(c))
+    ))()
+    for op, raw in _ACC_RAW.items()
 }
 
 
@@ -446,9 +481,10 @@ def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             )
             continue
         if op == "$count":
-            agg = F.count(F.lit(1))
-        elif op in _ACCUMULATORS:
-            agg = _ACCUMULATORS[op](compile_value(arg))
+            agg, finish = F.count(F.lit(1)), (lambda c: c)
+        elif op in _ACC_RAW:
+            agg = _ACC_RAW[op](compile_value(arg))
+            finish = _ACC_FINISH.get(op, lambda c: c)
         else:
             raise ValueError(f"unsupported $setWindowFields operator: {op}")
         if window is not None:
@@ -461,7 +497,7 @@ def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             frame = sorted_base.rowsBetween(W.unboundedPreceding, W.currentRow)
         else:
             frame = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        computed[name] = agg.over(frame)
+        computed[name] = finish(agg.over(frame))
 
     cols = [
         computed[c].alias(c) if c in computed else F.col(f"`{c}`")
