@@ -91,12 +91,22 @@ def _bool_expr(rng: random.Random, depth: int = 0):
 
 
 def _arr_expr(rng: random.Random):
-    k = rng.randrange(3)
+    k = rng.randrange(6)
     if k == 0:
         return {"$size": {"$ifNull": ["$d", []]}}
     if k == 1:
         return {"$arrayElemAt": ["$d", rng.randint(0, 2)]}
-    return {"$arrayElemAt": ["$d", -1]}
+    if k == 2:
+        return {"$arrayElemAt": ["$d", -1]}
+    if k == 3:
+        op = rng.choice(["$gt", "$lte", "$eq"])
+        return {"$filter": {"input": "$d", "as": "e",
+                            "cond": {op: ["$$e", rng.randint(0, 5)]}}}
+    if k == 4:
+        return {"$map": {"input": "$d", "as": "e",
+                         "in": {"$add": ["$$e", rng.randint(-2, 3)]}}}
+    return {"$reduce": {"input": "$d", "initialValue": rng.randint(0, 2),
+                        "in": {"$add": ["$$value", "$$this"]}}}
 
 
 def _expr(rng: random.Random):
@@ -133,6 +143,8 @@ def _m_eval(doc: dict, e):
     if not isinstance(e, dict):
         return e
     (op, arg), = e.items()
+    if op == "$literal":
+        return arg
     if op == "$add":
         vals = [_m_eval(doc, a) for a in arg]
         return None if any(v is None for v in vals) else sum(vals)
@@ -178,7 +190,62 @@ def _m_eval(doc: dict, e):
         if -len(v) <= idx < len(v):
             return v[idx]
         return None  # out of range -> missing ≡ null
+    if op == "$filter":
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return None
+        name = arg.get("as", "this")
+        out = []
+        for e in v:
+            scoped = dict(doc)
+            scoped[f"__var_{name}"] = e
+            if _truthy(_m_eval_scoped(scoped, arg["cond"], {name: e})):
+                out.append(e)
+        return out
+    if op == "$map":
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return None
+        name = arg.get("as", "this")
+        return [_m_eval_scoped(doc, arg["in"], {name: e}) for e in v]
+    if op == "$reduce":
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return None
+        acc = arg["initialValue"]
+        for e in v:
+            acc = _m_eval_scoped(doc, arg["in"], {"value": acc, "this": e})
+        return acc
     raise ValueError(op)
+
+
+def _m_eval_scoped(doc: dict, e, bindings: dict):
+    """Evaluate with $$var bindings resolved by substitution."""
+    if isinstance(e, str) and e.startswith("$$"):
+        name = e[2:].split(".")[0]
+        if name in bindings:
+            return bindings[name]
+        raise ValueError(f"unbound {e}")
+    if isinstance(e, dict):
+        (op, arg), = e.items()
+        sub = lambda x: _m_subst(x, bindings)  # noqa: E731
+        return _m_eval(doc, {op: sub(arg)})
+    return _m_eval(doc, e)
+
+
+def _m_subst(x, bindings: dict):
+    """Substitute bound $$vars with $literal-style constants."""
+    if isinstance(x, str) and x.startswith("$$"):
+        name = x[2:].split(".")[0]
+        if name in bindings:
+            v = bindings[name]
+            return {"$literal": v} if not isinstance(v, dict) else v
+        return x
+    if isinstance(x, list):
+        return [_m_subst(i, bindings) for i in x]
+    if isinstance(x, dict):
+        return {k: _m_subst(v, bindings) for k, v in x.items()}
+    return x
 
 
 # -- the sweep --------------------------------------------------------------
