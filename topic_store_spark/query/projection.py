@@ -42,7 +42,11 @@ def _build_tree(paths: list[str]) -> _Tree:
 
 
 def _include_struct(col: Column, dtype: T.DataType, tree: _Tree) -> Column:
-    """Rebuild a struct containing only included children (recursively)."""
+    """Rebuild a struct containing only included children (recursively).
+    A NULL source struct stays NULL — Mongo never materializes an object
+    for a missing/null parent just because a nested path was included
+    (caught by tests/test_projection_fuzz.py, which hit struct{x: null}
+    where Mongo keeps s itself null)."""
     if not isinstance(dtype, T.StructType):
         raise ValueError("projection path descends into a non-struct field")
     by_name = {f.name: f for f in dtype.fields}
@@ -59,7 +63,34 @@ def _include_struct(col: Column, dtype: T.DataType, tree: _Tree) -> Column:
             parts.append(
                 _include_struct(child, by_name[name].dataType, sub).alias(name)
             )
-    return F.struct(*parts)
+    return F.when(col.isNotNull(), F.struct(*parts))
+
+
+#: sentinel: "this subtree is not excluded at all" (distinct from the
+#: tree's None marker, which means "whole subtree excluded")
+_KEEP = object()
+
+
+def _exclude_struct(col: Column, dtype: T.DataType, tree: _Tree) -> Column:
+    """Rebuild a struct WITHOUT the excluded children (recursively).
+    Paths descending into a non-struct are Mongo no-ops; a struct whose
+    every field is excluded becomes the empty struct (Mongo: ``{}``);
+    a NULL source struct stays NULL."""
+    if not isinstance(dtype, T.StructType):
+        return col  # cannot descend: exclusion is a no-op, keep as-is
+    parts = []
+    for f in dtype.fields:
+        sub = tree.get(f.name, _KEEP)
+        if sub is None:
+            continue
+        child = col.getField(f.name)
+        if sub is _KEEP:
+            parts.append(child.alias(f.name))
+        else:
+            parts.append(
+                _exclude_struct(child, f.dataType, sub).alias(f.name)
+            )
+    return F.when(col.isNotNull(), F.struct(*parts))
 
 
 def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFrame:
@@ -94,16 +125,27 @@ def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFr
                 )
         return df.select(*cols)
 
-    # exclusion projection: drop top-level columns, dropFields for nested
-    out = df
-    for path in excludes:
-        if "." not in path:
-            out = out.drop(path)
+    # exclusion projection: ONE prefix tree drives a recursive struct
+    # rebuild — sequential dropFields would fail on overlapping paths
+    # (excluding both "s.t" and "s.t.u" is legal-and-redundant in Mongo,
+    # but the second dropFields no longer finds "t"; caught by
+    # tests/test_projection_fuzz.py)
+    tree = _build_tree(excludes)
+    by_name = {f.name: f for f in df.schema.fields}
+    cols = []
+    for name in df.columns:
+        sub = tree.get(name, _KEEP)
+        if sub is None:
+            continue  # whole column excluded
+        if sub is _KEEP:
+            cols.append(F.col(f"`{name}`"))
         else:
-            root, rest = path.split(".", 1)
-            if root in out.columns:
-                out = out.withColumn(root, F.col(f"`{root}`").dropFields(rest))
-    return out
+            cols.append(
+                _exclude_struct(
+                    F.col(f"`{name}`"), by_name[name].dataType, sub
+                ).alias(name)
+            )
+    return df.select(*cols)
 
 
 def flatten_dotted(df: DataFrame, sep: str = ".") -> DataFrame:
