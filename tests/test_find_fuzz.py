@@ -342,3 +342,62 @@ def test_nested_dialect_matches_reference_evaluator(spark):
     assert not failures, (
         f"{len(failures)}/200 nested filters diverge; first: {failures[0]}"
     )
+
+
+# -- third sweep: the same filters through the RAGGED schema-on-read path ----
+
+def test_ragged_resolver_matches_reference_evaluator(spark, tmp_path):
+    """The ragged (JSON landing-zone) storage compiles the SAME find
+    dialect through a get_json_object + try_cast resolver; the fuzzer
+    re-runs the scalar-filter sweep against it.  The reference is the
+    same Mongo evaluator, restricted to scalar fields (array ops don't
+    apply to JSON-text extraction)."""
+    import topic_store_spark as ts
+
+    rng = random.Random(0x5EED)
+    docs = _docs(rng, n=50)
+    store = ts.load(str(tmp_path / "fuzz.ragged.parquet"), spark)
+    payload = []
+    for d in docs:
+        doc = {k: v for k, v in d.items() if k != "d" and k != "_id" and v is not None}
+        doc["n"] = d["_id"]  # row marker surviving the JSON round-trip
+        payload.append(doc)
+    store.insert_many(payload)
+
+    scalar_fields = {k: v for k, v in FIELDS.items() if v != "arr"}
+    checked = 0
+    failures = []
+    for _ in range(150):
+        q = _filter(rng)
+        # keep only filters touching scalar fields (no $size/array leaves)
+        def fields_of(node):
+            out = set()
+            for k, v in node.items():
+                if k in ("$and", "$or", "$nor"):
+                    for s in v:
+                        out |= fields_of(s)
+                else:
+                    out.add(k)
+            return out
+
+        if not fields_of(q) <= set(scalar_fields):
+            continue
+        checked += 1
+        import json as _json
+
+        got = {
+            int(_json.loads(r["doc"])["n"])
+            for r in store.find(q).collect()
+        }
+        want = {
+            d["_id"]
+            for d in docs
+            if _m_query({k: v for k, v in d.items() if k != "d"}, q)
+        }
+        if got != want:
+            failures.append((q, sorted(got ^ want)[:5]))
+    assert checked >= 40  # the generator produced enough scalar filters
+    assert not failures, (
+        f"{len(failures)}/{checked} ragged filters diverge; "
+        f"first: {failures[0]}"
+    )
