@@ -30,8 +30,11 @@ def test_false_positive_rate_bounded(spark, keys_df):
     ins, out = keys_df
     bf = bloom_build(ins, "k", expected_items=2000)
     fp = out.filter(bloom_contains(bf, F.col("k"))).count()
-    # 10 bits/key, k=7 -> ~1% theoretical; allow generous slack
-    assert fp / 20000 < 0.05
+    # 2000 keys round up to a 2^15-bit filter (~16 bits/key, k=7):
+    # theoretical ~0.2%, measured 0.08% with the 56-bit split key.  The
+    # 1% bound pins the key-width fix — a regression to a single 28-bit
+    # key would reintroduce an n/2^28 collision floor on top.
+    assert fp / 20000 < 0.01
 
 
 def test_filter_shape_and_sizing(spark, keys_df):
