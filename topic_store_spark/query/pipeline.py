@@ -18,6 +18,15 @@ Each stage maps to one declarative DataFrame op, so Catalyst still owns
 optimization: a ``$match`` early in the pipeline pushes into the scan,
 ``$group`` gets map-side partial aggregation, ``$sort``+``$limit``
 becomes TakeOrderedAndProject.
+
+Error/null semantics follow MongoDB, differentially fuzz-verified
+(tests/test_value_expr_fuzz.py): comparisons and boolean ops are
+TWO-VALUED (null-safe ``$eq``, null-lowest ordering, truthiness in
+``$cond``/``$and``/``$or``/``$not``); ``$arrayElemAt`` out of range is
+missing, never an error; ``$sum`` is 0 over nothing numeric and
+``$push``/``$addToSet`` keep null elements.  Where Mongo itself ERRORS
+(``$divide``/``$mod`` by zero, ``$toLong``/``$toInt`` of a malformed
+string), ANSI Spark erroring is parity, deliberately kept.
 """
 
 from __future__ import annotations
