@@ -1,0 +1,215 @@
+"""Differential fuzzer for aggregation STAGE COMPOSITION: random short
+pipelines ($match/$project/$unwind/$group/$sort+$limit/$count with
+randomized parameters) run both through ``apply_pipeline`` on Spark and
+through a pure-Python reference executing MongoDB's documented stage
+semantics over the same documents.
+
+The expression-level fuzzers (test_find_fuzz / test_value_expr_fuzz)
+pin the leaf languages; this one pins how stages compose: $project
+computing fields the next $match filters on, $unwind dropping
+null/missing/empty arrays, $group's null key and accumulator behavior
+over unwound rows, sort+limit determinism on a unique key.
+
+$push order caveat: Mongo $push preserves document order; Spark's
+collect_list order is partition-dependent, so pushed arrays are SORTED
+on both sides before comparison (the one documented relaxation)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.test_find_fuzz import _filter, _m_query
+from tests.test_value_expr_fuzz import _m_eval, _num_expr
+from topic_store_spark.query.pipeline import apply_pipeline
+
+SCHEMA = "n long, a long, b long, c string, d array<long>"
+
+
+def _docs(rng: random.Random, count: int = 40) -> list[dict]:
+    return [
+        {
+            "n": i,
+            "a": rng.choice([None, *range(-2, 5)]),
+            "b": rng.choice([None, 0, 1, 3, 7]),
+            "c": rng.choice([None, "x", "y", "z"]),
+            "d": rng.choice([None, [], [1], [2, 5], [0, 3, 6]]),
+        }
+        for i in range(count)
+    ]
+
+
+def _scalar_filter(rng: random.Random) -> dict:
+    while True:
+        q = _filter(rng)
+
+        def fields(node):
+            out = set()
+            for k, v in node.items():
+                if k in ("$and", "$or", "$nor"):
+                    for s in v:
+                        out |= fields(s)
+                else:
+                    out.add(k)
+            return out
+
+        if fields(q) <= {"a", "b", "c"}:
+            return q
+
+
+# -- reference stage executor ----------------------------------------------
+
+def _ref_match(docs, q):
+    return [d for d in docs if _m_query(d, q)]
+
+
+def _ref_project(docs, spec):
+    out = []
+    for d in docs:
+        nd = {"n": d["n"]}
+        for k, v in spec.items():
+            if v == 1:
+                nd[k] = d.get(k)
+            elif v not in (0, False):
+                nd[k] = _m_eval(d, v)
+        out.append(nd)
+    return out
+
+
+def _ref_unwind(docs, field):
+    out = []
+    for d in docs:
+        arr = d.get(field)
+        if not arr:
+            continue  # Mongo drops null/missing/empty by default
+        for e in arr:
+            nd = dict(d)
+            nd[field] = e
+            out.append(nd)
+    return out
+
+
+def _ref_group(docs, key_field, with_push):
+    groups: dict = {}
+    for d in docs:
+        k = d.get(key_field)
+        g = groups.setdefault(k, {"vals": [], "count": 0})
+        g["count"] += 1
+        g["vals"].append(d.get("b"))
+    out = []
+    for k, g in groups.items():
+        nums = [v for v in g["vals"] if v is not None]
+        row = {
+            "_id": k,
+            "s": sum(nums) if nums else 0,
+            "mn": min(nums) if nums else None,
+            "mx": max(nums) if nums else None,
+            "ct": g["count"],
+        }
+        if with_push:
+            row["p"] = g["vals"]  # nulls kept, order relaxed at compare
+        out.append(row)
+    return out
+
+
+_GROUP_SPEC = lambda key, with_push: {  # noqa: E731
+    "$group": {
+        "_id": f"${key}",
+        "s": {"$sum": "$b"},
+        "mn": {"$min": "$b"},
+        "mx": {"$max": "$b"},
+        "ct": {"$sum": 1},
+        **({"p": {"$push": "$b"}} if with_push else {}),
+    }
+}
+
+
+def _canon(rows):
+    """Multiset-comparable canonical form; pushed arrays sorted."""
+    out = []
+    for r in rows:
+        d = dict(r)
+        if "p" in d and d["p"] is not None:
+            d["p"] = sorted(
+                d["p"], key=lambda v: (v is None, v if v is not None else 0)
+            )
+        out.append(tuple(sorted(
+            (k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()
+        )))
+    return sorted(out, key=repr)
+
+
+def test_stage_compositions_match_reference(spark):
+    rng = random.Random(0x51A6E5)
+    docs = _docs(rng)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["n", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+
+    failures = []
+    for trial in range(60):
+        shape = rng.randrange(7)
+        if shape == 0:  # match only
+            q = _scalar_filter(rng)
+            pipe = [{"$match": q}]
+            want = _ref_match(docs, q)
+        elif shape == 1:  # match -> project (computed field)
+            q = _scalar_filter(rng)
+            expr = _num_expr(rng)
+            pipe = [{"$match": q}, {"$project": {"n": 1, "a": 1, "t": expr}}]
+            want = _ref_project(
+                _ref_match(docs, q), {"a": 1, "t": expr}
+            )
+        elif shape == 2:  # project computed -> match on it
+            expr = _num_expr(rng)
+            thr = rng.randint(-2, 5)
+            pipe = [
+                {"$project": {"n": 1, "t": expr}},
+                {"$match": {"t": {"$gte": thr}}},
+            ]
+            want = [
+                d for d in _ref_project(docs, {"t": expr})
+                if _m_query(d, {"t": {"$gte": thr}})
+            ]
+        elif shape == 3:  # unwind -> match
+            q = _scalar_filter(rng)
+            pipe = [{"$unwind": "$d"}, {"$match": q}]
+            want = _ref_match(_ref_unwind(docs, "d"), q)
+        elif shape == 4:  # match -> group
+            q = _scalar_filter(rng)
+            key = rng.choice(["a", "c"])
+            wp = rng.random() < 0.5
+            pipe = [{"$match": q}, _GROUP_SPEC(key, wp)]
+            want = _ref_group(_ref_match(docs, q), key, wp)
+        elif shape == 5:  # unwind -> group
+            key = rng.choice(["a", "c"])
+            wp = rng.random() < 0.5
+            pipe = [{"$unwind": "$d"}, _GROUP_SPEC(key, wp)]
+            want = _ref_group(_ref_unwind(docs, "d"), key, wp)
+        else:  # match -> sort -> limit (unique key => deterministic)
+            q = _scalar_filter(rng)
+            k = rng.randint(1, 10)
+            direction = rng.choice([1, -1])
+            pipe = [
+                {"$match": q},
+                {"$sort": {"n": direction}},
+                {"$limit": k},
+            ]
+            ordered = sorted(
+                _ref_match(docs, q),
+                key=lambda d: d["n"],
+                reverse=direction < 0,
+            )
+            want = ordered[:k]
+
+        got_rows = [
+            r.asDict(recursive=True)
+            for r in apply_pipeline(df, pipe).collect()
+        ]
+        if _canon(got_rows) != _canon(want):
+            failures.append((pipe, got_rows[:3], want[:3]))
+    assert not failures, (
+        f"{len(failures)}/60 pipelines diverge; first: {failures[0]}"
+    )
