@@ -926,3 +926,25 @@ def test_group_accumulator_null_semantics(spark):
     assert out[1]["a"] == [None]
     assert out[2]["s"] == 3 and sorted(out[2]["p"], key=lambda v: (v is None, v)) == [3, None]
     assert out[3]["s"] == 5 and out[3]["p"] == [5]
+
+
+def test_missing_field_refs_resolve_to_null(spark):
+    """Mongo: referencing a field absent from the stream yields missing
+    (null) — computed projections, group keys and $expr must not fail
+    analysis on unknown paths."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(1, 2), (2, None)], "n long, a long")
+    rows = apply_pipeline(
+        df,
+        [{"$project": {"n": 1, "t": {"$add": ["$nope", 1]}, "u": "$ghost.x"}}],
+    ).collect()
+    assert all(r["t"] is None and r["u"] is None for r in rows)
+    grouped = apply_pipeline(
+        df, [{"$group": {"_id": "$ghost", "s": {"$sum": "$a"}, "c": {"$sum": 1}}}]
+    ).collect()
+    assert len(grouped) == 1
+    assert grouped[0]["_id"] is None and grouped[0]["s"] == 2
+    assert apply_pipeline(
+        df, [{"$match": {"$expr": {"$eq": ["$ghost", None]}}}]
+    ).count() == 2

@@ -13,6 +13,7 @@ the hot path.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import re
 from typing import Any
 
@@ -42,6 +43,11 @@ def _path_in_schema(schema, path: str) -> bool:
 
     node = schema
     for part in path.split("."):
+        # Spark resolves a field access THROUGH arrays of structs
+        # (``arr.field`` extracts per element) — the check must follow
+        # the same rule or valid paths get nulled out
+        while isinstance(node, T.ArrayType):
+            node = node.elementType
         if not isinstance(node, T.StructType):
             return False
         match = next((f for f in node.fields if f.name == part), None)
@@ -264,10 +270,17 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
             )
         elif key == "$expr":
             # aggregation-expression predicate inside a find filter —
-            # shares the pipeline's value-expression compiler
-            from topic_store_spark.query.pipeline import compile_value
+            # shares the pipeline's value-expression compiler (and its
+            # missing-field-is-NULL resolution when a schema is known)
+            from topic_store_spark.query.pipeline import (
+                _schema_scope,
+                compile_value,
+            )
 
-            cond = F.coalesce(compile_value(value).cast("boolean"), F.lit(False))
+            with _schema_scope(schema) if schema is not None else _contextlib.nullcontext():
+                cond = F.coalesce(
+                    compile_value(value).cast("boolean"), F.lit(False)
+                )
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {key}")
         else:

@@ -31,6 +31,7 @@ string), ANSI Spark erroring is parity, deliberately kept.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -38,6 +39,24 @@ from pyspark.sql import functions as F
 
 from topic_store_spark.objectid import generation_time
 from topic_store_spark.query.compiler import compile_query, path_col
+
+
+#: schema of the document stream the CURRENT stage's value expressions
+#: run against (a stack — $facet/$lookup sub-pipelines nest).  Field
+#: refs to paths absent from the active schema resolve to NULL (Mongo:
+#: a missing field is simply missing), instead of failing analysis.
+#: Stages that compile against a DIFFERENT relation (the $lookup foreign
+#: side) push their own scope, so outer-schema checks never misfire.
+_ACTIVE_SCHEMA: list = []
+
+
+@_contextlib.contextmanager
+def _schema_scope(schema):
+    _ACTIVE_SCHEMA.append(schema)
+    try:
+        yield
+    finally:
+        _ACTIVE_SCHEMA.pop()
 
 
 def _truthy(col: Column) -> Column:
@@ -65,7 +84,11 @@ def compile_value(expr: Any, vars_: dict[str, Column] | None = None) -> Column:
     ``vars_`` carries ``$$variable`` bindings introduced by the array
     higher-order operators (``$filter``/``$map``/``$reduce``): ``"$$x"``
     resolves to the bound Column, ``"$$x.field"`` to a field access on
-    it."""
+    it.
+
+    Field refs resolve against the enclosing stage's ``_schema_scope``
+    when one is active: a path absent from the document stream is NULL
+    (Mongo: a missing field is missing), never an analysis error."""
     if isinstance(expr, str) and expr.startswith("$$"):
         name, _, rest = expr[2:].partition(".")
         if not vars_ or name not in vars_:
@@ -75,7 +98,8 @@ def compile_value(expr: Any, vars_: dict[str, Column] | None = None) -> Column:
             col = col[part]
         return col
     if isinstance(expr, str) and expr.startswith("$"):
-        return path_col(expr[1:])
+        schema = _ACTIVE_SCHEMA[-1] if _ACTIVE_SCHEMA else None
+        return path_col(expr[1:], schema)
     if isinstance(expr, (int, float, bool)) or expr is None:
         return F.lit(expr)
     if isinstance(expr, str):
@@ -319,7 +343,10 @@ def _attach_computed(df: DataFrame, computed: dict[str, Any]) -> DataFrame:
     overwrites it in place, but sibling expressions still read the input."""
     if not computed:
         return df
-    exprs = {name: compile_value(spec) for name, spec in computed.items()}
+    with _schema_scope(df.schema):
+        exprs = {
+            name: compile_value(spec) for name, spec in computed.items()
+        }
     cols = [
         exprs[c].alias(c) if c in exprs else F.col(f"`{c}`")
         for c in df.columns
@@ -376,6 +403,11 @@ _ACCUMULATORS = {
 
 
 def _compile_group(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    with _schema_scope(df.schema):
+        return _compile_group_scoped(df, spec)
+
+
+def _compile_group_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     key_expr = spec["_id"]
     if key_expr is None:
         grouped = df.groupBy()
@@ -439,6 +471,11 @@ def _frame_bound(spec: Any, side: int) -> int:
 
 
 def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    with _schema_scope(df.schema):
+        return _compile_window_fields_scoped(df, spec)
+
+
+def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$setWindowFields``: Mongo 5 window functions -> Spark window
     expressions.  Every output field is computed against the stage's
     input in one ``select`` (same input-document rule as ``$project``).
@@ -517,6 +554,11 @@ def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 
 def _compile_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
+    with _schema_scope(df.schema):
+        return _compile_fill_scoped(df, spec)
+
+
+def _compile_fill_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$fill``: null repair over a sorted partition — ``locf`` (last
     observation carried forward), ``linear`` interpolation against the
     (numeric) sortBy key, or a constant ``value``.  The telemetry
