@@ -778,3 +778,56 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         )
     ).count()
     assert n_prefix < 0.3 * n_full
+
+
+@pytest.mark.parametrize("jn,jd,cn,cd", [(8, 10, 9, 10), (7, 10, 8, 10)])
+def test_word_overlap_prefix_filter_identical(spark, sf_dir, jn, jd, cn, cd):
+    """The OR-of-thresholds prefix plan (Jaccard prefix x prefix UNION
+    containment smaller-prefix x full) is bit-identical to the plain
+    capped self-join — including near-SUBSET pairs that only the
+    containment branch can find."""
+    from topic_store_spark.operators.dedup import word_overlap_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_tk"))
+    clones = docs.limit(25).select(
+        (F.col("doc_id") + 70000).alias("doc_id"),
+        F.concat("text", F.lit(" qq ww")).alias("text"),
+    )
+    # containment-only pairs: heavy-suffix extensions keep containment
+    # ~1.0 while diluting Jaccard below its threshold
+    subsets = tk.limit(25).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(
+            F.array_join("_tk", " "),
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk")),
+                    lambda i: F.concat(F.lit("pad"), i.cast("string")),
+                ),
+                " ",
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(clones).unionByName(subsets)
+    for cap in (None, 64):
+        kw = dict(
+            n=3, jaccard_num=jn, jaccard_den=jd,
+            containment_num=cn, containment_den=cd, max_shingle_freq=cap,
+        )
+        plain = sorted(
+            tuple(r) for r in word_overlap_pairs(corpus, **kw).collect()
+        )
+        fast = sorted(
+            tuple(r)
+            for r in word_overlap_pairs(
+                corpus, prefix_filter=True, **kw
+            ).collect()
+        )
+        assert plain == fast and len(plain) > 0
+        # the construction really exercises the containment-only branch
+        c_only = [
+            r for r in plain if r[8] and not r[7]  # containment_hit, not jaccard_hit
+        ]
+        assert c_only

@@ -248,6 +248,17 @@ def _prefix_filtered_pairs(
     shingle array, the (small) prefix self-join, and per-candidate
     array intersections.
     """
+    docs = _ordered_docs(sh, max_shingle_freq)
+    cands = _jaccard_prefix_cands(docs, threshold_num, threshold_den)
+    return _verify_candidates(docs, cands)
+
+
+def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
+    """Persisted (doc, ss, sz): each doc's cap-filtered shingle keys as
+    ONE array under the global (df asc, key asc) order — the relation
+    every prefix scheme slices and every verification intersects."""
+    from pyspark import StorageLevel
+
     from topic_store_spark.functions.hashing import shingle_key60
 
     flat = explode_nonempty(sh, "shs", "shingle", "doc").select(
@@ -269,19 +280,29 @@ def _prefix_filtered_pairs(
         F.transform(F.col("_ord"), lambda x: x["shingle"]).alias("ss"),
         F.size("_ord").alias("sz"),
     )
-    from pyspark import StorageLevel
+    return docs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    # prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)
-    plen = (
+
+def _prefix_len(threshold_num: int, threshold_den: int):
+    """Prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)."""
+    return (
         F.col("sz")
         - F.expr(f"(sz * {threshold_num} + {threshold_den} - 1) div {threshold_den}")
         + 1
     )
+
+
+def _jaccard_prefix_cands(
+    docs: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """Candidate (a_doc, b_doc) pairs that can pass the Jaccard
+    threshold: prefix x prefix self-join (both sides' bounds are valid
+    because J >= t lower-bounds the overlap by t*|X| for EACH side)."""
+    plen = _prefix_len(threshold_num, threshold_den)
     prefix = docs.select(
         "doc", F.explode(F.slice(F.col("ss"), 1, plen)).alias("shingle")
     )
-    cands = (
+    return (
         prefix.alias("x")
         .join(prefix.alias("y"), "shingle")
         .filter(F.col("x.doc") < F.col("y.doc"))
@@ -290,6 +311,45 @@ def _prefix_filtered_pairs(
         )
         .distinct()
     )
+
+
+def _containment_prefix_cands(
+    docs: DataFrame, threshold_num: int, threshold_den: int
+) -> DataFrame:
+    """Candidate pairs that can pass the containment threshold
+    ``common >= t * min(|A|, |B|)``.  The overlap bound is relative to
+    the SMALLER side only, so the prefix principle holds only for it:
+    index the smaller doc's prefix against the larger doc's FULL list
+    (prefix x prefix would be unsound — the larger side's own-size
+    prefix can legally miss the intersection).  Asymmetric-join cost:
+    sum over shingles of prefix_df * df, still far below the full
+    self-join's df^2 and skewed toward rare shingles."""
+    plen = _prefix_len(threshold_num, threshold_den)
+    prefix = docs.select(
+        "doc", "sz",
+        F.explode(F.slice(F.col("ss"), 1, plen)).alias("shingle"),
+    )
+    full = docs.select(
+        "doc", "sz", F.explode(F.col("ss")).alias("shingle")
+    )
+    return (
+        prefix.alias("x")
+        .join(full.alias("y"), "shingle")
+        .filter(
+            (F.col("x.sz") < F.col("y.sz"))
+            | ((F.col("x.sz") == F.col("y.sz")) & (F.col("x.doc") != F.col("y.doc")))
+        )
+        .select(
+            F.least("x.doc", "y.doc").alias("a_doc"),
+            F.greatest("x.doc", "y.doc").alias("b_doc"),
+        )
+        .distinct()
+    )
+
+
+def _verify_candidates(docs: DataFrame, cands: DataFrame) -> DataFrame:
+    """Exact (common, a_sz, b_sz) for candidate pairs via full-array
+    intersection — the shared verification step of every prefix plan."""
     a = docs.select(
         F.col("doc").alias("a_doc"),
         F.col("ss").alias("a_ss"),
@@ -380,6 +440,7 @@ def word_overlap_pairs(
     containment_num: int = 9,
     containment_den: int = 10,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Jaccard AND containment in ONE shingle self-join: pairs passing
     either threshold, with both metrics and per-metric hit flags.
@@ -388,9 +449,33 @@ def word_overlap_pairs(
     scans + shuffles the shingle relation twice for the same candidate
     set; this computes both screens from one per-pair (common, |A|, |B|)
     triple — the production shape when a curation pipeline applies
-    multiple overlap rules."""
+    multiple overlap rules.
+
+    ``prefix_filter=True`` replaces the full shingle self-join with the
+    UNION of two prefix-filtered candidate sets — the Jaccard
+    prefix x prefix join plus the containment smaller-prefix x full
+    join (see `_containment_prefix_cands` for why containment needs the
+    asymmetric form) — then verifies both metrics exactly on the full
+    cap-filtered sets.  A pair passing the Jaccard threshold is found
+    by the first branch, one passing containment by the second, so the
+    OR-of-thresholds output is bit-identical to the plain plan
+    (equality-tested across thresholds in test_dedup_similarity)."""
     sh = _shingle_arrays(df, text_col, id_col, n)
-    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumns(
+    if prefix_filter:
+        docs = _ordered_docs(sh, max_shingle_freq)
+        cands = (
+            _jaccard_prefix_cands(docs, jaccard_num, jaccard_den)
+            .unionByName(
+                _containment_prefix_cands(
+                    docs, containment_num, containment_den
+                )
+            )
+            .distinct()
+        )
+        pairs = _verify_candidates(docs, cands)
+    else:
+        pairs = _cooccurring_pairs(sh, max_shingle_freq)
+    pairs = pairs.withColumns(
         {
             "union_sz": F.col("a_sz") + F.col("b_sz") - F.col("common"),
             "min_sz": F.least("a_sz", "b_sz"),
