@@ -831,3 +831,29 @@ def test_word_overlap_prefix_filter_identical(spark, sf_dir, jn, jd, cn, cd):
             r for r in plain if r[8] and not r[7]  # containment_hit, not jaccard_hit
         ]
         assert c_only
+
+
+def test_containment_prefix_filter_identical(spark, sf_dir):
+    from topic_store_spark.operators.dedup import containment_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    tk = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_tk"))
+    subsets = tk.limit(20).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(
+            F.array_join("_tk", " "), F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tk")),
+                    lambda i: F.concat(F.lit("pad"), i.cast("string")),
+                ), " ",
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(subsets)
+    for cap in (None, 64):
+        plain = sorted(tuple(r) for r in containment_pairs(
+            corpus, max_shingle_freq=cap).collect())
+        fast = sorted(tuple(r) for r in containment_pairs(
+            corpus, max_shingle_freq=cap, prefix_filter=True).collect())
+        assert plain == fast and len(plain) >= 20

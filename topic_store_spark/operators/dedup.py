@@ -406,6 +406,7 @@ def containment_pairs(
     threshold_num: int = 9,
     threshold_den: int = 10,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All pairs where the SMALLER document's n-gram set is >= threshold
     contained in the union — containment = common / min(|A|, |B|).
@@ -414,9 +415,20 @@ def containment_pairs(
     much longer page scores low Jaccard but containment ~1); this is the
     standard asymmetric complement.  Identical keyed self-join plan to
     ``ngram_jaccard_pairs`` — only the final threshold differs, and it
-    stays an exact cross-multiplied integer test."""
+    stays an exact cross-multiplied integer test.
+
+    ``prefix_filter=True`` uses the containment-sound asymmetric prefix
+    plan — the smaller doc's prefix indexed against full lists
+    (`_containment_prefix_cands`); bit-identical output."""
     sh = _shingle_arrays(df, text_col, id_col, n)
-    pairs = _cooccurring_pairs(sh, max_shingle_freq).withColumn(
+    if prefix_filter:
+        docs = _ordered_docs(sh, max_shingle_freq)
+        pairs = _verify_candidates(
+            docs, _containment_prefix_cands(docs, threshold_num, threshold_den)
+        )
+    else:
+        pairs = _cooccurring_pairs(sh, max_shingle_freq)
+    pairs = pairs.withColumn(
         "min_sz", F.least("a_sz", "b_sz")
     )
     return pairs.filter(
