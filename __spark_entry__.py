@@ -328,8 +328,13 @@ def q_mongo_window_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 composite: deterministic $sample (md5-of-_id order — compiles
     to TakeOrderedAndProject, reproducible across engines) feeding the
-    document-reshaping stages ($unset -> $addFields(nested doc) ->
-    $replaceRoot) and a closing $group rollup."""
+    document-reshaping stages ($unset -> $addFields -> $replaceRoot) and
+    a closing $group rollup.  The $addFields stage carries the r6
+    value-expression long tail through the oracle: $switch,
+    $trim/$concat/$replaceAll, $regexMatch, $dateTrunc/$dateDiff/$toDate,
+    and $mergeObjects building the $replaceRoot document (every operator
+    the reference's pass-through aggregate() would hand to a real server,
+    query/pipeline.py compile_value)."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     orders = _t(spark, sf_dir, "orders")
@@ -339,21 +344,78 @@ def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_id": "$o_orderkey",
                 "total": "$o_totalprice",
                 "status": "$o_orderstatus",
+                "odate": "$o_orderdate",
+                "priority": "$o_orderpriority",
             }
         },
         {"$sample": {"size": 200}},
         {"$unset": ["_id"]},
-        {"$addFields": {"doc": {"st": "$status", "tot": "$total"}}},
+        {
+            "$addFields": {
+                "band": {
+                    "$switch": {
+                        "branches": [
+                            {"case": {"$lt": ["$total", 100000]}, "then": "low"},
+                            {"case": {"$lt": ["$total", 250000]}, "then": "mid"},
+                        ],
+                        "default": "high",
+                    }
+                },
+                "tag": {
+                    "$replaceAll": {
+                        "input": {
+                            "$trim": {
+                                "input": {
+                                    "$concat": ["  ", "$status", "-", "$priority", " "]
+                                }
+                            }
+                        },
+                        "find": "-",
+                        "replacement": "_",
+                    }
+                },
+                "urgent": {"$regexMatch": {"input": "$priority", "regex": "^[12]"}},
+                "qtr": {"$dateTrunc": {"date": "$odate", "unit": "quarter"}},
+                "age_days": {
+                    "$dateDiff": {
+                        "startDate": "$odate",
+                        "endDate": {"$toDate": "2026-01-01T00:00:00"},
+                        "unit": "day",
+                    }
+                },
+            }
+        },
+        {
+            "$addFields": {
+                "doc": {
+                    "$mergeObjects": [
+                        {"st": "$band", "tot": "$total"},
+                        {
+                            "tag": "$tag",
+                            "urgent": "$urgent",
+                            "qtr": "$qtr",
+                            "age_days": "$age_days",
+                        },
+                    ]
+                }
+            }
+        },
         {"$replaceRoot": {"newRoot": "$doc"}},
         {
             "$group": {
                 "_id": "$st",
                 "n": {"$sum": 1},
                 "max_tot": {"$max": "$tot"},
+                "n_urgent": {"$sum": {"$cond": ["$urgent", 1, 0]}},
+                "max_tag": {"$max": "$tag"},
+                "min_age": {"$min": "$age_days"},
+                "min_qtr": {"$min": "$qtr"},
             }
         },
     ]
-    return apply_pipeline(orders, pipeline).select("_id", "n", "max_tot")
+    return apply_pipeline(orders, pipeline).select(
+        "_id", "n", "max_tot", "n_urgent", "max_tag", "min_age", "min_qtr"
+    )
 
 
 def q_mongo_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +897,27 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: multi-predicate scan (operators/zorder.py cost model).
 _ZORDER_EVENTS_MEMO: dict = {}
 
+_SESSION_TMPDIRS: list = []
+
+
+def _session_tmpdir(prefix: str) -> str:
+    """mkdtemp registered for atexit removal — memoized parquet
+    artifacts (z-order copy, minhash pair index) must not accumulate one
+    copy per process lifetime on shared hosts."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _SESSION_TMPDIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _SESSION_TMPDIRS
+            ]
+        )
+    _SESSION_TMPDIRS.append(path)
+    return path
+
 
 def _zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events re-written Z-ORDERED on (user_id, value): bit-interleaved
@@ -844,14 +927,12 @@ def _zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy keeps its plain-`events` oracle, while two-predicate range
     probes skip most files on min-max stats (measured footer evidence:
     COVERAGE.md 'Z-order scan pruning')."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     path = _ZORDER_EVENTS_MEMO.get(key)
     if path is None:
-        import tempfile
-
         from topic_store_spark.operators.zorder import write_zordered
 
-        path = tempfile.mkdtemp(prefix="tss_zorder_events_")
+        path = _session_tmpdir("tss_zorder_events_")
         write_zordered(
             _t(spark, sf_dir, "events"), path, ["user_id", "value"],
             bits=8, num_files=16,
@@ -1207,11 +1288,9 @@ def _shared_minhash_pairs(
     built.  Parquet, not a Spark cache: `bench.py` clears the cache
     between queries, and a real pipeline persists its index to storage,
     not executor memory."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     path = _MINHASH_PAIRS_MEMO.get(key)
     if path is None or rebuild:
-        import tempfile
-
         from topic_store_spark.operators.dedup import minhash_lsh_pairs
 
         corpus = _docs_with_near_dups(spark, sf_dir)
@@ -1220,7 +1299,7 @@ def _shared_minhash_pairs(
             threshold_num=8, threshold_den=10,
         )
         if path is None:
-            path = tempfile.mkdtemp(prefix="tss_minhash_pairs_")
+            path = _session_tmpdir("tss_minhash_pairs_")
         pairs.write.mode("overwrite").parquet(path)
         _MINHASH_PAIRS_MEMO[key] = path
     return spark.read.parquet(path)
@@ -2115,13 +2194,31 @@ def oracle_sql() -> dict[str, str]:
         WITH sampled AS (
           SELECT o_orderkey AS _id,
                  o_totalprice AS total,
-                 o_orderstatus AS status
+                 o_orderstatus AS status,
+                 o_orderdate AS odate,
+                 o_orderpriority AS priority
           FROM orders
           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
           LIMIT 200
+        ),
+        shaped AS (
+          SELECT CASE WHEN total < 100000 THEN 'low'
+                      WHEN total < 250000 THEN 'mid'
+                      ELSE 'high' END AS st,
+                 total AS tot,
+                 replace(trim('  ' || status || '-' || priority || ' '),
+                         '-', '_') AS tag,
+                 regexp_matches(priority, '^[12]') AS urgent,
+                 CAST(date_trunc('quarter', odate) AS TIMESTAMP) AS qtr,
+                 date_diff('day', odate, TIMESTAMP '2026-01-01') AS age_days
+          FROM sampled
         )
-        SELECT status AS _id, count(*) AS n, max(total) AS max_tot
-        FROM sampled GROUP BY 1
+        SELECT st AS _id, count(*) AS n, max(tot) AS max_tot,
+               CAST(sum(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_urgent,
+               max(tag) AS max_tag, min(age_days) AS min_age,
+               min(qtr) AS min_qtr
+        FROM shaped GROUP BY 1
     """
 
     sql["mongo_facet"] = """

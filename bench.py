@@ -64,15 +64,18 @@ def main() -> None:
 
     queries = entry_mod.queries()
     headline = HEADLINE if HEADLINE is not None else list(queries)
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    # Two interleaved rounds (AABB -> ABAB): a query's two samples land
-    # minutes apart, so a transient host-load burst can spoil at most one
-    # of them.  Per-query result is the min.  Every query is isolated in
-    # try/except so one failure can never zero the whole bench (the r2
-    # lesson): failures are recorded per-query and the JSON line is always
-    # emitted.
-    for round_idx in range(2):
+    # THREE interleaved rounds (ABC ABC ABC, not AAA BBB CCC): a query's
+    # samples land minutes apart, so a transient host-load burst can spoil
+    # at most one of them.  Per-query result is the min; the emitted
+    # median/spread give each cross-round comparison its own error bar —
+    # r5's +11.6% "drift" on untouched queries was unattributable with
+    # min-of-2 alone.  Every query is isolated in try/except so one
+    # failure can never zero the whole bench (the r2 lesson): failures are
+    # recorded per-query and the JSON line is always emitted.
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    for round_idx in range(n_rounds):
         for name in headline:
             if name in errors:
                 continue
@@ -88,20 +91,32 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 - record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                timings.pop(name, None)
+                samples.pop(name, None)
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
-            el = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
-            if round_idx:
-                print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+            samples.setdefault(name, []).append(round(time.time() - t0, 3))
+            if round_idx == n_rounds - 1:
+                print(
+                    f"# {name}: {min(samples[name]):.2f}s "
+                    f"(spread {max(samples[name]) - min(samples[name]):.2f}s)",
+                    file=sys.stderr,
+                )
 
+    timings = {n: min(s) for n, s in samples.items()}
+    medians = {n: sorted(s)[len(s) // 2] for n, s in samples.items()}
+    spreads = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "medians": medians,
+        "spreads": spreads,
+        # one scalar the next round's comparison can cite: the summed
+        # per-query spread — total drift below this is noise, not signal
+        "noise_band_sec": round(sum(spreads.values()), 3),
+        "rounds": n_rounds,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

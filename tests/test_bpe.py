@@ -136,6 +136,62 @@ def test_local_and_distributed_identical(spark):
     assert local == dist == want
 
 
+def test_batched_distributed_identical_under_conflicts(spark):
+    """The batch-k distributed fallback must emit the IDENTICAL merge
+    list to the sequential reference on corpora engineered to CONFLICT
+    (tiny alphabet -> consecutive top pairs share symbols, created pairs
+    outrank later candidates), while actually batching >1 merge per
+    iteration somewhere — i.e. the speedup is real, not vacuous."""
+    import random
+
+    import topic_store_spark.operators.bpe as bpe_mod
+
+    rng = random.Random(0xBA7C4)
+    alphabets = ["ab", "abc", "abcd", "abcdefgh"]
+    batch_sizes: list[int] = []
+    real_select = bpe_mod._select_merge_batch
+
+    def spy(pairs, batch_k, min_freq):
+        out = real_select(pairs, batch_k, min_freq)
+        batch_sizes.append(len(out))
+        return out
+
+    bpe_mod._select_merge_batch = spy
+    try:
+        for trial in range(6):
+            alpha = alphabets[trial % len(alphabets)]
+            texts = [
+                " ".join(
+                    "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(3, 12))
+                )
+                for _ in range(20)
+            ]
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+            )
+            n_merges = 10
+            got = train_bpe(
+                df, n_merges=n_merges, min_freq=2, local_max_words=0, batch_k=8
+            )
+            want, _ = ref_train_bpe(texts, n_merges=n_merges, min_freq=2)
+            assert got == want, f"trial {trial} (alphabet {alpha!r})"
+    finally:
+        bpe_mod._select_merge_batch = real_select
+    # job-count evidence: a multi-merge iteration costs 2 jobs
+    # (candidates + bounds), a single-merge one costs 1 (the bounds job
+    # is skipped when the disjoint prefix is a single candidate) vs 1
+    # job PER merge sequentially — so iterations < merges is the win
+    total_merges = sum(batch_sizes)
+    n_iters = len([b for b in batch_sizes if b > 0])
+    assert max(batch_sizes) > 1, batch_sizes
+    assert n_iters < total_merges, batch_sizes  # strictly fewer iterations
+    print(
+        f"batch sizes: {batch_sizes} -> {n_iters} iterations for "
+        f"{total_merges} merges (sequential: {total_merges} iterations)"
+    )
+
+
 def test_local_fast_path_scales_to_production_merge_counts(spark, sf_dir):
     """500 merges over the real documents table completes in seconds —
     the r4 ceiling was one Spark job PER MERGE; the fast path runs the

@@ -137,11 +137,28 @@ def _m_cmp(a, b) -> int:
     return (a > b) - (a < b)
 
 
+#: static field layout of struct columns in the long-tail doc shape —
+#: the engine's $mergeObjects is static-schema (a struct ref contributes
+#: ALL its schema fields, null-valued ones included), so the reference
+#: evaluator must know the layout too
+_STRUCT_FIELDS = {"st": ["u", "w"], "st2": ["w", "z"]}
+
+_TRIM_DEFAULT = " \t\n\r\x00\x0b\x0c"
+
+
 def _m_eval(doc: dict, e):
     if isinstance(e, str) and e.startswith("$"):
-        return doc.get(e[1:])
+        node = doc
+        for part in e[1:].split("."):
+            if not isinstance(node, dict):
+                return None
+            node = node.get(part)
+        return node
     if not isinstance(e, dict):
         return e
+    if not (len(e) == 1 and next(iter(e)).startswith("$")):
+        # plain document literal
+        return {k: _m_eval(doc, v) for k, v in e.items()}
     (op, arg), = e.items()
     if op == "$literal":
         return arg
@@ -216,6 +233,132 @@ def _m_eval(doc: dict, e):
         for e in v:
             acc = _m_eval_scoped(doc, arg["in"], {"value": acc, "this": e})
         return acc
+    # ---- long-tail surface (round 6) ------------------------------------
+    if op == "$switch":
+        for b in arg["branches"]:
+            if _truthy(_m_eval(doc, b["case"])):
+                return _m_eval(doc, b["then"])
+        return _m_eval(doc, arg["default"]) if "default" in arg else None
+    if op == "$mergeObjects":
+        operands = []
+        for o in arg if isinstance(arg, list) else [arg]:
+            if o is None:
+                continue
+            fields = (
+                _STRUCT_FIELDS[o[1:]]
+                if isinstance(o, str) and o.startswith("$")
+                else list(o)
+            )
+            operands.append((_m_eval(doc, o), fields))
+        order: list[str] = []
+        for _, fs in operands:
+            order.extend(f for f in fs if f not in order)
+        out = {}
+        for f in order:
+            out[f] = None
+            for val, fs in reversed(operands):
+                if f in fs and val is not None:
+                    out[f] = val.get(f)
+                    break
+        return out
+    if op == "$objectToArray":
+        v = _m_eval(doc, arg)
+        if v is None:
+            return None
+        fields = (
+            _STRUCT_FIELDS[arg[1:]]
+            if isinstance(arg, str) and arg.startswith("$")
+            else list(arg)
+        )
+        # documented dialect divergence: a struct with heterogeneous
+        # field TYPES stringifies v (both fixture structs mix long+string)
+        def _v(x):
+            return None if x is None else str(x)
+
+        return [{"k": f, "v": _v(v.get(f))} for f in fields]
+    if op == "$getField":
+        field = arg if isinstance(arg, str) else arg["field"]
+        src = doc if isinstance(arg, str) else _m_eval(doc, arg["input"])
+        return src.get(field) if isinstance(src, dict) else None
+    if op == "$concatArrays":
+        vals = [_m_eval(doc, a) for a in arg]
+        if any(v is None for v in vals):
+            return None
+        return [x for v in vals for x in v]
+    if op == "$slice":
+        a = _m_eval(doc, arg[0])
+        if a is None:
+            return None
+        if len(arg) == 2:
+            n = _m_eval(doc, arg[1])
+            return a[:n] if n >= 0 else a[n:]
+        pos, n = (_m_eval(doc, x) for x in arg[1:])
+        start = pos if pos >= 0 else max(len(a) + pos, 0)
+        return a[start : start + n]
+    if op == "$indexOfArray":
+        a = _m_eval(doc, arg[0])
+        if a is None:
+            return None
+        needle = _m_eval(doc, arg[1])
+        start = _m_eval(doc, arg[2]) if len(arg) > 2 else 0
+        end = _m_eval(doc, arg[3]) if len(arg) > 3 else len(a)
+        for i in range(start, min(end, len(a))):
+            if a[i] == needle:
+                return i
+        return -1
+    if op == "$range":
+        vals = [_m_eval(doc, a) for a in arg]
+        return list(range(*vals))
+    if op == "$zip":
+        inputs = [_m_eval(doc, i) for i in arg["inputs"]]
+        if any(v is None for v in inputs):
+            return None
+        if arg.get("useLongestLength"):
+            n = max(len(v) for v in inputs)
+            defaults = arg.get("defaults") or [None] * len(inputs)
+            return [
+                [v[i] if i < len(v) else _m_eval(doc, d)
+                 for v, d in zip(inputs, defaults)]
+                for i in range(n)
+            ]
+        n = min(len(v) for v in inputs)
+        return [[v[i] for v in inputs] for i in range(n)]
+    if op in ("$trim", "$ltrim", "$rtrim"):
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return None
+        chars = arg.get("chars", _TRIM_DEFAULT)
+        return {"$trim": v.strip, "$ltrim": v.lstrip, "$rtrim": v.rstrip}[op](chars)
+    if op == "$replaceOne":
+        v = _m_eval(doc, arg["input"])
+        return None if v is None else v.replace(arg["find"], arg["replacement"], 1)
+    if op == "$replaceAll":
+        v = _m_eval(doc, arg["input"])
+        return None if v is None else v.replace(arg["find"], arg["replacement"])
+    if op == "$regexMatch":
+        import re as _re
+
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return False
+        flags = 0
+        for ch, f in (("i", _re.I), ("m", _re.M), ("s", _re.S), ("x", _re.X)):
+            if ch in (arg.get("options") or ""):
+                flags |= f
+        return _re.search(arg["regex"], v, flags) is not None
+    if op == "$strLenCP":
+        v = _m_eval(doc, arg)
+        return None if v is None else len(v)
+    if op == "$concat":
+        vals = [_m_eval(doc, a) for a in arg]
+        if any(v is None for v in vals):
+            return None
+        return "".join(vals)
+    if op in ("$toLower", "$toUpper"):
+        v = _m_eval(doc, arg)
+        if v is None:
+            return None
+        return v.lower() if op == "$toLower" else v.upper()
     raise ValueError(op)
 
 
@@ -286,4 +429,217 @@ def test_value_expressions_match_reference_evaluator(spark):
     assert not failures, (
         f"{len(failures)}/{N_EXPRS} expressions diverge from Mongo "
         f"aggregation semantics; first: {failures[0]}"
+    )
+
+
+# -- long-tail sweep (round 6): $switch/$mergeObjects/$objectToArray/
+#    $getField/$concatArrays/$slice/$indexOfArray/$range/$zip/$trim/
+#    $replaceOne/$replaceAll/$regexMatch + string truthiness ------------------
+
+LT_SCHEMA = (
+    "_id long, s string, s2 string, d array<long>, e array<long>, "
+    "sa array<string>, st struct<u: long, w: string>, "
+    "st2 struct<w: string, z: long>"
+)
+
+_STR_POOL = ["", "false", "true", "Hello World", "xxabcxx", "a,b,a,b", " pad ", "0"]
+
+
+def _lt_docs(rng: random.Random, n: int = 50) -> list[dict]:
+    docs = []
+    for i in range(n):
+        st = rng.choice(
+            [None, {"u": rng.choice([None, 1, 5]), "w": rng.choice([None, "p", "q"])}]
+        )
+        st2 = rng.choice(
+            [None, {"w": rng.choice([None, "r"]), "z": rng.choice([None, 0, 9])}]
+        )
+        docs.append(
+            {
+                "_id": i,
+                "s": rng.choice([None, *_STR_POOL]),
+                "s2": rng.choice([None, *_STR_POOL]),
+                "d": rng.choice([None, [], [1], [2, 4], [0, 3, 6, 3]]),
+                "e": rng.choice([None, [], [3], [5, 0, 3]]),
+                "sa": rng.choice([None, [], ["a"], ["b", "a"], ["x", "y", "z"]]),
+                "st": st,
+                "st2": st2,
+            }
+        )
+    return docs
+
+
+def _lt_str_expr(rng: random.Random, depth: int = 0):
+    """String-valued expression tree."""
+    if depth >= 2 or rng.random() < 0.4:
+        return rng.choice(["$s", "$s2", *_STR_POOL])
+    k = rng.randrange(7)
+    if k == 0:
+        which = rng.choice(["$trim", "$ltrim", "$rtrim"])
+        spec = {"input": _lt_str_expr(rng, depth + 1)}
+        if rng.random() < 0.5:
+            spec["chars"] = rng.choice(["x", " x", "ab", " "])
+        return {which: spec}
+    if k == 1:
+        return {"$replaceOne": {"input": _lt_str_expr(rng, depth + 1),
+                                "find": rng.choice(["a", "x", "l", "Z"]),
+                                "replacement": rng.choice(["", "_", "YY"])}}
+    if k == 2:
+        return {"$replaceAll": {"input": _lt_str_expr(rng, depth + 1),
+                                "find": rng.choice(["a", "x", "l", "Z"]),
+                                "replacement": rng.choice(["", "_", "YY"])}}
+    if k == 3:
+        return {"$toUpper": _lt_str_expr(rng, depth + 1)}
+    if k == 4:
+        return {"$concat": [_lt_str_expr(rng, depth + 1),
+                            _lt_str_expr(rng, depth + 1)]}
+    if k == 5:
+        return {"$switch": {
+            "branches": [
+                {"case": _lt_bool_expr(rng, depth + 1),
+                 "then": _lt_str_expr(rng, depth + 1)},
+                {"case": _lt_bool_expr(rng, depth + 1),
+                 "then": _lt_str_expr(rng, depth + 1)},
+            ],
+            **({"default": _lt_str_expr(rng, depth + 1)}
+               if rng.random() < 0.7 else {}),
+        }}
+    return {"$getField": {"field": rng.choice(["w", "u", "nope"]),
+                          "input": rng.choice(["$st", "$st2"])}}
+
+
+def _lt_bool_expr(rng: random.Random, depth: int = 0):
+    """Boolean tree whose leaves exercise STRING truthiness (the ANSI
+    trap: any string — even "false" or "" — is truthy in Mongo) and
+    $regexMatch."""
+    if depth >= 2 or rng.random() < 0.4:
+        r = rng.random()
+        if r < 0.4:
+            # bare string in boolean position — the r6 _truthy_expr fix
+            return rng.choice(["$s", "$s2", "", "false", "0"])
+        if r < 0.7:
+            return {"$regexMatch": {
+                "input": rng.choice(["$s", "$s2"]),
+                "regex": rng.choice(["false", "Hello", "ab", "a.c", "^x", "o"]),
+                **({"options": "i"} if rng.random() < 0.4 else {}),
+            }}
+        return {"$eq": [_lt_num_expr(rng, depth + 1), _lt_num_expr(rng, depth + 1)]}
+    k = rng.randrange(3)
+    if k == 0:
+        return {"$and": [_lt_bool_expr(rng, depth + 1),
+                         _lt_bool_expr(rng, depth + 1)]}
+    if k == 1:
+        return {"$or": [_lt_bool_expr(rng, depth + 1),
+                        _lt_bool_expr(rng, depth + 1)]}
+    return {"$not": _lt_bool_expr(rng, depth + 1)}
+
+
+def _lt_num_expr(rng: random.Random, depth: int = 0):
+    if depth >= 2 or rng.random() < 0.5:
+        return rng.choice(["$st.u", "$st2.z", rng.randint(-2, 6), None])
+    k = rng.randrange(4)
+    if k == 0:
+        return {"$indexOfArray": ["$d", rng.randint(0, 6)]
+                + ([rng.randint(0, 2)] if rng.random() < 0.4 else [])}
+    if k == 1:
+        return {"$strLenCP": {"$ifNull": [_lt_str_expr(rng, depth + 1), ""]}}
+    if k == 2:
+        return {"$add": [_lt_num_expr(rng, depth + 1), _lt_num_expr(rng, depth + 1)]}
+    return {"$size": {"$ifNull": ["$d", []]}}
+
+
+def _lt_arr_expr(rng: random.Random):
+    k = rng.randrange(6)
+    if k == 0:
+        return {"$concatArrays": [rng.choice(["$d", "$e"]),
+                                  rng.choice(["$d", "$e", [7, 8]])]}
+    if k == 1:
+        arr = rng.choice(["$d", "$e"])
+        if rng.random() < 0.5:
+            return {"$slice": [arr, rng.randint(-4, 4)]}
+        return {"$slice": [arr, rng.randint(-4, 3), rng.randint(1, 3)]}
+    if k == 2:
+        args = [rng.randint(-2, 2), rng.randint(-3, 8)]
+        if rng.random() < 0.5:
+            args.append(rng.choice([-2, -1, 1, 2, 3]))
+        return {"$range": args}
+    if k == 3:
+        return {"$zip": {"inputs": ["$d", "$e"],
+                         **({"useLongestLength": True,
+                             "defaults": [rng.randint(-1, 1), rng.randint(-1, 1)]}
+                            if rng.random() < 0.5 else {})}}
+    if k == 4:
+        return {"$objectToArray": rng.choice(["$st", "$st2"])}
+    return {"$slice": [{"$concatArrays": ["$d", "$e"]}, rng.randint(0, 5)]}
+
+
+def _lt_doc_expr(rng: random.Random):
+    inline = {"u": rng.randint(0, 9), "q": rng.randint(0, 9)}
+    operands = rng.sample(["$st", "$st2", inline, None], rng.randint(2, 3))
+    merged = {"$mergeObjects": operands}
+    if rng.random() < 0.4:
+        return {"$getField": {"field": rng.choice(["u", "w", "z", "q"]),
+                              "input": merged}}
+    return merged
+
+
+def _lt_expr(rng: random.Random):
+    r = rng.random()
+    if r < 0.3:
+        return _lt_bool_expr(rng)
+    if r < 0.55:
+        return _lt_str_expr(rng)
+    if r < 0.8:
+        return _lt_arr_expr(rng)
+    return _lt_doc_expr(rng)
+
+
+def _norm(v):
+    """Spark Row/array-of-Row results -> plain python for comparison."""
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: _norm(x) for k, x in v.asDict().items()}
+    if isinstance(v, list):
+        return [_norm(x) for x in v]
+    return v
+
+
+def test_longtail_expressions_match_reference_evaluator(spark):
+    from topic_store_spark.query.pipeline import _schema_scope
+
+    rng = random.Random(0xB16_7A11)
+    docs = _lt_docs(rng)
+
+    def _tup(d, key, fields):
+        v = d[key]
+        return None if v is None else tuple(v[f] for f in fields)
+
+    rows = [
+        (
+            d["_id"], d["s"], d["s2"], d["d"], d["e"], d["sa"],
+            _tup(d, "st", ["u", "w"]), _tup(d, "st2", ["w", "z"]),
+        )
+        for d in docs
+    ]
+    df = spark.createDataFrame(rows, LT_SCHEMA)
+    exprs = [_lt_expr(rng) for _ in range(N_EXPRS)]
+    failures = []
+    for base in range(0, len(exprs), BATCH):
+        chunk = exprs[base : base + BATCH]
+        with _schema_scope(df.schema):
+            cols = [F.col("_id")] + [
+                compile_value(e).alias(f"v{j}") for j, e in enumerate(chunk)
+            ]
+        got_rows = {r["_id"]: r for r in df.select(*cols).collect()}
+        for j, e in enumerate(chunk):
+            for d in docs:
+                got = _norm(got_rows[d["_id"]][f"v{j}"])
+                want = _m_eval(d, e)
+                if got != want:
+                    failures.append((e, d["_id"], got, want))
+                    break
+    assert not failures, (
+        f"{len(failures)}/{N_EXPRS} long-tail expressions diverge from "
+        f"Mongo aggregation semantics; first: {failures[0]}"
     )

@@ -101,6 +101,13 @@ def _merge_fold(syms, a: str, b: str):
 #: the distributed fold remains for adversarial vocabularies.
 LOCAL_TRAIN_MAX_WORDS = 1 << 20
 
+#: ... and the collected payload is bounded too: a table just under the
+#: row cap whose words are pathologically long could otherwise drive
+#: driver memory to GBs.  2^26 total symbols is ~0.5-1 GiB of driver
+#: heap (pointer-dominated; single-char strings are interned) — beyond
+#: it the distributed fold takes over regardless of row count.
+LOCAL_TRAIN_MAX_SYMS = 1 << 26
+
 
 def _train_bpe_local(
     rows: list[tuple[int, list[str]]], n_merges: int, min_freq: int
@@ -163,6 +170,7 @@ def train_bpe(
     end_of_word: str = END_OF_WORD,
     checkpoint_every: int = 8,
     local_max_words: int = LOCAL_TRAIN_MAX_WORDS,
+    batch_k: int = 16,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus.  Returns the ordered
     merge list [(a, b), ...] (rank = list position).
@@ -173,21 +181,37 @@ def train_bpe(
     pair-count index, the mirror of `dedup.connected_components`' bounded
     union-find fast path.  Beyond the threshold, each distributed
     iteration is: weighted adjacent-pair counts over the word table
-    (map-side partials), a deterministic 1-row argmax (count desc, pair
-    asc — ties never depend on partitioning), then a JVM fold applies
-    the merge to the symbol arrays.  Both paths stop early when the best
-    pair's corpus frequency drops below ``min_freq`` and emit identical
-    merge lists."""
+    (map-side partials), a deterministic argmax (count desc, pair asc —
+    ties never depend on partitioning), then a JVM fold applies the
+    merges to the symbol arrays.  The fallback batches up to ``batch_k``
+    PROVABLY-SEQUENTIAL merges per iteration (`_select_merge_batch`'s
+    disjointness + created-pair bound), cutting the job count for a 32k
+    vocabulary from 32k sequential jobs toward 32k/E[batch]x2.  Both
+    paths stop early when the best pair's corpus frequency drops below
+    ``min_freq`` and emit identical merge lists."""
     wf = word_freq_table(df, text_col, end_of_word)
     wf = materialize_iter(wf)
-    if local_max_words and wf.count() <= local_max_words:
+    # one agg sizes BOTH gates for the in-driver path: row count and the
+    # total collected symbol payload (a near-cap table of pathologically
+    # long words must not blow the driver heap — ADVICE r5)
+    stats = wf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("syms"),
+    ).collect()[0]
+    if (
+        local_max_words
+        and stats["n"] <= local_max_words
+        and stats["syms"] <= LOCAL_TRAIN_MAX_SYMS
+    ):
         rows = [
             (r["freq"], list(r["syms"]))
             for r in wf.select("freq", "syms").collect()
         ]
         return _train_bpe_local(rows, n_merges, min_freq)
     merges: list[tuple[str, str]] = []
-    for it in range(n_merges):
+    iters = 0
+    while len(merges) < n_merges:
+        iters += 1
         staged = wf.select(
             "freq",
             F.zip_with(
@@ -196,22 +220,136 @@ def train_bpe(
                 lambda x, y: F.struct(x.alias("a"), y.alias("b")),
             ).alias("_ps"),
         )
-        pairs = (
-            explode_nonempty(staged, "_ps", "p", "freq")
-            .groupBy("p")
-            .agg(F.sum("freq").alias("n"))
+        pairs = explode_nonempty(staged, "_ps", "p", "freq").groupBy("p").agg(
+            F.sum("freq").alias("n")
         )
+        batch = _select_merge_batch(
+            pairs, min(batch_k, n_merges - len(merges)), min_freq
+        )
+        if not batch:
+            break
+        merges.extend(batch)
+        syms = F.col("syms")
+        for a, b in batch:  # symbol-disjoint: one fold pass applies all
+            syms = _merge_fold(syms, a, b)
+        wf = wf.select("word", "freq", syms.alias("syms"))
+        if iters % checkpoint_every == 0:
+            wf = materialize_iter(wf)
+    return merges
+
+
+def _select_merge_batch(
+    pairs: DataFrame, batch_k: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """The largest CONTIGUOUS prefix of the (count desc, pair asc)-sorted
+    candidate list provably equal to running that many sequential merges
+    — the distributed fallback's batching step (one candidate job + one
+    bound job instead of one job PER merge).
+
+    Soundness of accepting candidate ``k_i`` after ``k_1..k_{i-1}``:
+
+    - its own count is invariant (candidates are mutually symbol-disjoint
+      — a merge only changes counts of pairs touching its symbols);
+    - every pair ranked ABOVE it is an earlier candidate (contiguity),
+      already merged to count 0;
+    - pairs ranked BELOW it can only have lost count (they'd lose the
+      argmax anyway; ties break (count desc, pair asc) — the sort order);
+    - pairs CREATED by merge j are bounded by pre-batch counts: each
+      occurrence of ``(x, a_j b_j)`` maps injectively to a pre-batch
+      ``(·, a_j)`` adjacency and ``(a_j b_j, y)`` to a ``(b_j, ·)`` one,
+      so ``c_j = max count over pairs ending in a_j or starting with
+      b_j`` bounds every created pair; require ``n_i > max_{j<i} c_j``
+      (strict — a tie could lose to a created pair's name).
+
+    Stops at the first rejection (keeping contiguity), at a self-pair
+    ``(a, a)`` (its created pairs are bounded only by itself), at any
+    candidate whose symbols collide with an earlier candidate's symbols
+    OR merged string (merging (a,b) can RAISE counts of pre-existing
+    pairs touching the token string "ab"), and below ``min_freq``.
+    Identical-output property vs the sequential loop is pinned by
+    tests/test_bpe.py."""
+    from pyspark import StorageLevel
+
+    if batch_k <= 1:
         top = pairs.orderBy(
             F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc()
         ).limit(1).collect()
         if not top or top[0]["n"] < min_freq:
-            break
-        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
-        merges.append((a, b))
-        wf = wf.select("word", "freq", _merge_fold(F.col("syms"), a, b).alias("syms"))
-        if (it + 1) % checkpoint_every == 0:
-            wf = materialize_iter(wf)
-    return merges
+            return []
+        return [(top[0]["p"]["a"], top[0]["p"]["b"])]
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        top = pairs.orderBy(
+            F.col("n").desc(), F.col("p.a").asc(), F.col("p.b").asc()
+        ).limit(batch_k).collect()
+        if not top or top[0]["n"] < min_freq:
+            return []
+        cand = [(r["p"]["a"], r["p"]["b"], int(r["n"])) for r in top]
+        # symbol-disjointness alone is decidable driver-side — when the
+        # contiguous disjoint prefix is a single candidate (the common
+        # case on conflict-heavy vocabularies), skip the bounds job: the
+        # iteration then costs exactly the sequential path's one job
+        pre: list[tuple[str, str]] = []
+        pre_used: set[str] = set()
+        for a, b, n in cand:
+            if n < min_freq or (
+                pre and (a in pre_used or b in pre_used or a == b)
+            ):
+                break
+            pre.append((a, b))
+            pre_used.update((a, b, a + b))
+            if a == b:
+                break
+        if len(pre) <= 1:
+            return pre
+        # one small job computes every bound at once (namespaced tags):
+        #   A:<s> — max count of pairs ENDING in s (bounds created
+        #           left-neighbor pairs of a merge whose a == s)
+        #   B:<s> — max count of pairs STARTING with s (right-neighbor)
+        #   C:<s> — the merged token STRING s pre-exists in some pair
+        #           (pairs touching it can GAIN count — unbounded here)
+        a_syms = list({a for a, _, _ in cand})
+        b_syms = list({b for _, b, _ in cand})
+        concats = list({a + b for a, b, _ in cand})
+        tags = F.array_compact(
+            F.array(
+                F.when(F.col("p.b").isin(a_syms), F.concat(F.lit("A:"), F.col("p.b"))),
+                F.when(F.col("p.a").isin(b_syms), F.concat(F.lit("B:"), F.col("p.a"))),
+                F.when(F.col("p.a").isin(concats), F.concat(F.lit("C:"), F.col("p.a"))),
+                F.when(F.col("p.b").isin(concats), F.concat(F.lit("C:"), F.col("p.b"))),
+            )
+        )
+        bound_rows = (
+            pairs.select(F.explode(tags).alias("t"), "n")
+            .groupBy("t")
+            .agg(F.max("n").alias("m"))
+            .collect()
+        )
+        bound = {r["t"]: int(r["m"]) for r in bound_rows}
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        created_bound = -1
+        for a, b, n in cand:
+            if n < min_freq:
+                break
+            if batch and (
+                a in used or b in used or n <= created_bound or a == b
+            ):
+                break
+            batch.append((a, b))
+            used.update((a, b, a + b))
+            if a == b or ("C:" + a + b) in bound:
+                # created pairs bounded only by n itself (self-pair), or
+                # the merged string pre-exists as a symbol — no later
+                # candidate can be validated against this merge
+                break
+            created_bound = max(
+                created_bound, bound.get("A:" + a, 0), bound.get("B:" + b, 0)
+            )
+        return batch
+    finally:
+        pairs.unpersist()
 
 
 def segment_word(word: str, ranks: dict[tuple[str, str], int], end_of_word: str) -> list[str]:

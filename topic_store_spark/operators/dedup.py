@@ -150,6 +150,32 @@ def _jaccard_out(pairs: DataFrame, threshold_num: int, threshold_den: int) -> Da
     )
 
 
+#: intermediate relations persisted by the overlap-pair plans below.
+#: Spark gives no hook to unpersist "after the downstream action" from
+#: inside a lazy plan, so long-lived sessions must manage these: call
+#: :func:`release_pair_caches` once the verified pairs are materialized
+#: (one-shot jobs and bench runs are covered by session exit /
+#: ``spark.catalog.clearCache()``).
+_PAIR_CACHES: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PAIR_CACHES.append(out)
+    return out
+
+
+def release_pair_caches() -> None:
+    """Unpersist every intermediate relation the overlap/prefix pair
+    plans persisted (``_cooccurring_pairs``' cap-filtered shingles,
+    ``_ordered_docs``' ordered arrays).  Call after the pair output is
+    materialized; idempotent."""
+    while _PAIR_CACHES:
+        _PAIR_CACHES.pop().unpersist()
+
+
 def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     """Shared skeleton of the exact overlap family: shingle-keyed
     self-join -> per-pair common count + both set sizes.
@@ -196,10 +222,9 @@ def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame
         hot = freq.filter(F.col("df") > max_shingle_freq).select("shingle")
         joinable = shingles.join(F.broadcast(hot), "shingle", "left_anti")
         # three consumers (join left/right + sizes) would each re-derive
-        # the shingle scan AND the anti-join — materialize once
-        from pyspark import StorageLevel
-
-        joinable = joinable.persist(StorageLevel.MEMORY_AND_DISK)
+        # the shingle scan AND the anti-join — materialize once (tracked;
+        # see release_pair_caches)
+        joinable = _persist_tracked(joinable)
         sizes = joinable.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = sh.select("doc", F.size("shs").alias("sz"))
@@ -256,9 +281,8 @@ def _prefix_filtered_pairs(
 def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     """Persisted (doc, ss, sz): each doc's cap-filtered shingle keys as
     ONE array under the global (df asc, key asc) order — the relation
-    every prefix scheme slices and every verification intersects."""
-    from pyspark import StorageLevel
-
+    every prefix scheme slices and every verification intersects.
+    Tracked for :func:`release_pair_caches`."""
     from topic_store_spark.functions.hashing import shingle_key60
 
     flat = explode_nonempty(sh, "shs", "shingle", "doc").select(
@@ -280,7 +304,7 @@ def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
         F.transform(F.col("_ord"), lambda x: x["shingle"]).alias("ss"),
         F.size("_ord").alias("sz"),
     )
-    return docs.persist(StorageLevel.MEMORY_AND_DISK)
+    return _persist_tracked(docs)
 
 
 def _prefix_len(threshold_num: int, threshold_den: int):

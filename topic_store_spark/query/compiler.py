@@ -274,13 +274,11 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
             # missing-field-is-NULL resolution when a schema is known)
             from topic_store_spark.query.pipeline import (
                 _schema_scope,
-                compile_value,
+                _truthy_expr,
             )
 
             with _schema_scope(schema) if schema is not None else _contextlib.nullcontext():
-                cond = F.coalesce(
-                    compile_value(value).cast("boolean"), F.lit(False)
-                )
+                cond = _truthy_expr(value)
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {key}")
         else:

@@ -9,10 +9,24 @@ $last $push $addToSet`` and a value-expression language covering field
 refs (``"$a.b"``), literals, arithmetic/boolean/comparison/math ops,
 string and cast ops, set ops (``$setUnion/$setIntersection/
 $setDifference``), array higher-order ops (``$filter/$map/$reduce`` with
-``$$variable`` bindings -> Spark higher-order functions) and the
+``$$variable`` bindings -> Spark higher-order functions), branch/doc ops
+(``$switch $mergeObjects $objectToArray $arrayToObject $getField``),
+array ops (``$concatArrays $slice $indexOfArray $range $zip``), string
+ops (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
+$regexFind``), date arithmetic (``$dateAdd $dateSubtract $dateDiff
+$dateTrunc`` — boundary-crossing $dateDiff, UTC only) and the
 date-part operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
 ``$second`` applied to ObjectId creation time).
+
+Static-schema dialect decisions (documented divergences): ``$switch``
+with no default and no matching branch yields null (Mongo errors);
+``$arrayToObject`` returns a MAP (dynamic keys can't be a static
+struct); ``$mergeObjects`` treats a null struct FIELD as
+present-with-null; ``$regexFind`` non-participating captures are ``""``
+not null; ``$indexOfArray`` can't search FOR null; truthiness of
+statically UNclassifiable expressions falls back to a boolean cast
+(see ``_truthy_expr``).
 
 Each stage maps to one declarative DataFrame op, so Catalyst still owns
 optimization: a ``$match`` early in the pipeline pushes into the scan,
@@ -64,8 +78,164 @@ def _truthy(col: Column) -> Column:
     false and 0 are falsy, everything else truthy.  The two-valued
     boundary every `$cond`/`$and`/`$or`/`$not` input crosses — a bare
     NULL literal condition must select the else-branch, not fail
-    analysis as a VOID CASE WHEN."""
+    analysis as a VOID CASE WHEN.
+
+    This is the UNTYPED fallback (boolean cast).  Prefer
+    :func:`_truthy_expr`, which statically classifies the expression and
+    gets string/array/document truthiness right (Mongo: ANY string is
+    truthy, including ``""`` and ``"false"`` — a boolean cast would
+    throw under ANSI or parse ``"false"`` to falsy)."""
     return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
+#: operator -> static result KIND for truthiness classification.
+#: "always": truthy iff non-null (strings, arrays, documents, dates,
+#: binary — every BSON value except booleans and numbers is truthy when
+#: present); "bool"/"number": value-dependent; "null": constant falsy.
+_STRING_OPS = {
+    "$concat", "$toLower", "$toUpper", "$toString", "$substrCP",
+    "$dateToString", "$trim", "$ltrim", "$rtrim", "$replaceOne",
+    "$replaceAll",
+}
+_ARRAY_OPS = {
+    "$filter", "$map", "$setUnion", "$setIntersection", "$setDifference",
+    "$concatArrays", "$slice", "$range", "$zip", "$objectToArray",
+    "$split",
+}
+_NUMBER_OPS = {
+    "$add", "$subtract", "$multiply", "$divide", "$mod", "$abs", "$ceil",
+    "$floor", "$round", "$trunc", "$sqrt", "$exp", "$ln", "$pow", "$size",
+    "$strLenCP", "$indexOfArray", "$toInt", "$toLong", "$toDouble",
+    "$toDecimal", "$millisecond", "$dateDiff", "$year", "$month",
+    "$dayOfMonth", "$hour", "$minute", "$second",
+}
+_BOOL_OPS = {
+    "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
+    "$in", "$toBool", "$regexMatch",
+}
+_ALWAYS_OPS = (
+    _STRING_OPS
+    | _ARRAY_OPS
+    | {"$mergeObjects", "$regexFind", "$arrayToObject", "$toDate",
+       "$dateFromParts", "$dateAdd", "$dateSubtract", "$dateTrunc"}
+)
+
+
+def _truthy_kind(expr: Any, vars_: dict[str, Column] | None = None) -> str | None:
+    """Statically classify an expression for truthiness: "always"
+    (truthy iff non-null), "bool", "number", "null", or None (unknown,
+    falls back to the boolean-cast path)."""
+    if expr is None:
+        return "null"
+    if isinstance(expr, bool):
+        return "bool"
+    if isinstance(expr, (int, float)):
+        return "number"
+    if isinstance(expr, list):
+        return "always"
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return None
+        if expr.startswith("$"):
+            return _kind_of_type(_resolve_path_type(expr[1:]))
+        return "always"  # string literal — Mongo: all strings truthy
+    if not isinstance(expr, dict):
+        return None
+    if len(expr) == 1:
+        op, arg = next(iter(expr.items()))
+        if op.startswith("$"):
+            if op == "$literal":
+                return _truthy_kind(arg if not isinstance(arg, (dict, list)) else [])
+            if op in _ALWAYS_OPS:
+                return "always"
+            if op in _NUMBER_OPS:
+                return "number"
+            if op in _BOOL_OPS:
+                return "bool"
+            if op == "$cond":
+                branches = (
+                    [arg.get("then"), arg.get("else")]
+                    if isinstance(arg, dict)
+                    else arg[1:]
+                )
+                return _same_kind(branches, vars_)
+            if op == "$ifNull":
+                return _same_kind(arg, vars_)
+            if op == "$switch":
+                branches = [b.get("then") for b in arg.get("branches", [])]
+                if "default" in arg:
+                    branches.append(arg["default"])
+                return _same_kind(branches, vars_)
+            return None
+    return "always"  # plain document -> struct(), never null
+
+
+def _same_kind(exprs: list, vars_) -> str | None:
+    kinds = {_truthy_kind(e, vars_) for e in exprs}
+    kinds.discard("null")  # a null branch is falsy under every kind
+    return kinds.pop() if len(kinds) == 1 and None not in kinds else None
+
+
+def _kind_of_type(t) -> str | None:
+    from pyspark.sql import types as T
+
+    if t is None:
+        return None
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.NullType):
+        return "null"
+    if isinstance(t, (T.StringType, T.ArrayType, T.StructType, T.MapType,
+                      T.TimestampType, T.TimestampNTZType, T.DateType,
+                      T.BinaryType)):
+        return "always"
+    if isinstance(t, T.NumericType):
+        return "number"
+    return None
+
+
+def _resolve_path_type(path: str):
+    """Resolved Spark type of a dotted path against the active stage
+    schema, or None when no schema is active / the path is absent.
+    (A path that traverses an array reports the ELEMENT-level type; for
+    truthiness both map to "always", so the distinction is moot here.)"""
+    if not _ACTIVE_SCHEMA or _ACTIVE_SCHEMA[-1] is None:
+        return None
+    from pyspark.sql import types as T
+
+    node = _ACTIVE_SCHEMA[-1]
+    for part in path.split("."):
+        while isinstance(node, T.ArrayType):
+            node = node.elementType
+        if not isinstance(node, T.StructType):
+            return None
+        match = next((f for f in node.fields if f.name == part), None)
+        if match is None:
+            return T.NullType()
+        node = match.dataType
+    return node
+
+
+def _truthy_expr(expr: Any, vars_: dict[str, Column] | None = None) -> Column:
+    """Compile ``expr`` and apply Mongo truthiness using its STATIC kind:
+    strings/arrays/documents/dates are truthy whenever present (no
+    boolean cast — ANSI would throw on ``"abc"`` and silently parse
+    ``"false"``), numbers test ``!= 0``, booleans pass through.  Only
+    statically UNclassifiable expressions ($$var refs, $arrayElemAt /
+    $reduce / $getField results, mixed-kind $cond branches) fall back to
+    the boolean cast, where a boolean-parseable string operand would
+    still diverge — the one documented truthiness gap."""
+    kind = _truthy_kind(expr, vars_)
+    col = compile_value(expr, vars_)
+    if kind == "null":
+        return F.lit(False)
+    if kind == "always":
+        return col.isNotNull()
+    if kind == "bool":
+        return F.coalesce(col, F.lit(False))
+    if kind == "number":
+        return F.coalesce(col != F.lit(0), F.lit(False))
+    return _truthy(col)
 
 
 def _as_timestamp(col: Column) -> Column:
@@ -210,7 +380,7 @@ def _compile_value_op(
         else:
             branches = arg
         return F.when(
-            _truthy(cv(branches[0])), cv(branches[1])
+            _truthy_expr(branches[0], vars_), cv(branches[1])
         ).otherwise(cv(branches[2]))
     if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
         # Mongo aggregation comparisons are TWO-VALUED over the BSON
@@ -235,12 +405,12 @@ def _compile_value_op(
     if op == "$and":
         # Mongo $and/$or/$not evaluate TRUTHINESS (null/false/0 falsy)
         # and always return true/false, never null
-        return _fold([_truthy(cv(a)) for a in arg], lambda a, b: a & b)
+        return _fold([_truthy_expr(a, vars_) for a in arg], lambda a, b: a & b)
     if op == "$or":
-        return _fold([_truthy(cv(a)) for a in arg], lambda a, b: a | b)
+        return _fold([_truthy_expr(a, vars_) for a in arg], lambda a, b: a | b)
     if op == "$not":
         inner = arg[0] if isinstance(arg, list) else arg
-        return ~_truthy(cv(inner))
+        return ~_truthy_expr(inner, vars_)
     if op == "$in":
         needle, haystack = cv(arg[0]), cv(arg[1])
         return F.array_contains(haystack, needle)
@@ -301,9 +471,8 @@ def _compile_value_op(
         name = arg.get("as", "this")
 
         def _fpred(x: Column) -> Column:
-            return compile_value(arg["cond"], {**(vars_ or {}), name: x}).cast(
-                "boolean"
-            )
+            # Mongo $filter cond uses expression truthiness too
+            return _truthy_expr(arg["cond"], {**(vars_ or {}), name: x})
 
         return F.filter(inp, _fpred)
     if op == "$map":
@@ -333,7 +502,394 @@ def _compile_value_op(
             )
 
         return F.aggregate(inp, init, _fred)
+    if op == "$switch":
+        branches = arg["branches"]
+        if not branches:
+            raise ValueError("$switch requires at least one branch")
+        built: Column | None = None
+        for b in branches:
+            cond, then = _truthy_expr(b["case"], vars_), cv(b["then"])
+            built = F.when(cond, then) if built is None else built.when(cond, then)
+        if "default" in arg:
+            built = built.otherwise(cv(arg["default"]))
+        # no default + no matching branch: Mongo raises at runtime; a
+        # Column cannot raise per-row, so the document gets NULL
+        # (documented divergence, fuzzer-excluded)
+        return built
+    if op == "$mergeObjects":
+        return _merge_objects(arg if isinstance(arg, list) else [arg], vars_)
+    if op == "$objectToArray":
+        return _object_to_array(arg, vars_)
+    if op == "$arrayToObject":
+        # Mongo returns a document; documents with data-dependent keys
+        # cannot be a static Spark struct, so the engine's honest
+        # representation is a MAP (supported input: the {k, v} struct
+        # form; the [k, v] pair form needs heterogeneous arrays).
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        entries = cv(inner)
+        return F.map_from_entries(
+            F.transform(entries, lambda x: F.struct(x["k"], x["v"]))
+        )
+    if op == "$getField":
+        return _get_field(arg, vars_)
+    if op == "$concatArrays":
+        # Mongo: null if ANY operand is null — matches Spark concat
+        return F.concat(*[cv(a) for a in arg])
+    if op == "$slice":
+        arr = cv(arg[0])
+        if len(arg) == 2:
+            n = cv(arg[1]).cast("int")
+            start = F.when(n >= 0, F.lit(1)).otherwise(
+                F.greatest(F.size(arr) + n + 1, F.lit(1))
+            )
+            return F.slice(arr, start, F.abs(n))
+        pos, n = cv(arg[1]).cast("int"), cv(arg[2]).cast("int")
+        # pos >= 0 skips pos elements; pos < 0 counts from the end,
+        # clamped to the start (Mongo).  slice() past the end is empty.
+        start = F.when(pos >= 0, pos + 1).otherwise(
+            F.greatest(F.size(arr) + pos + 1, F.lit(1))
+        )
+        return F.slice(arr, start, n)
+    if op == "$indexOfArray":
+        arr, needle = cv(arg[0]), cv(arg[1])
+        start = cv(arg[2]).cast("int") if len(arg) > 2 else F.lit(0)
+        end = cv(arg[3]).cast("int") if len(arg) > 3 else F.size(arr)
+        window = F.slice(arr, start + 1, F.greatest(end - start, F.lit(0)))
+        pos = F.array_position(window, needle)
+        # array_position cannot locate NULL elements (returns null) —
+        # Mongo can; searching FOR null is the one unsupported corner
+        return (
+            F.when(arr.isNull(), F.lit(None).cast("long"))
+            .when(pos > 0, pos - 1 + start)
+            .otherwise(F.lit(-1))
+        )
+    if op == "$range":
+        start, end = cv(arg[0]).cast("int"), cv(arg[1]).cast("int")
+        step = cv(arg[2]).cast("int") if len(arg) > 2 else F.lit(1)
+        # Mongo's end is EXCLUSIVE, sequence()'s stop is inclusive; and
+        # sequence errors when the step sign disagrees with the
+        # direction, where Mongo yields [] — guard both
+        ascending = (step > 0) & (start < end)
+        descending = (step < 0) & (start > end)
+        return (
+            F.when(
+                ascending, F.sequence(start, end - 1, step)
+            )
+            .when(descending, F.sequence(start, end + 1, step))
+            .otherwise(F.array().cast("array<int>"))
+        )
+    if op == "$zip":
+        return _zip_arrays(arg, vars_)
+    if op in ("$trim", "$ltrim", "$rtrim"):
+        inp = cv(arg["input"])
+        # Mongo's default trim set: null, tab, LF, VT, FF, CR, space
+        chars = (
+            cv(arg["chars"]) if "chars" in arg
+            else F.lit(" \t\n\r\x00\x0b\x0c")
+        )
+        fn = {"$trim": F.btrim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}[op]
+        return fn(inp, chars)
+    if op == "$replaceAll":
+        # literal (non-regex) replacement, like Mongo
+        return F.replace(cv(arg["input"]), cv(arg["find"]), cv(arg["replacement"]))
+    if op == "$replaceOne":
+        inp, find, repl = cv(arg["input"]), cv(arg["find"]), cv(arg["replacement"])
+        pos = F.position(find, inp)
+        return F.when(pos == 0, inp).otherwise(
+            F.concat(
+                F.substring(inp, F.lit(1), pos - 1),
+                repl,
+                F.substring(inp, pos + F.length(find), F.length(inp)),
+            )
+        )
+    if op == "$regexMatch":
+        # null/missing input doesn't match (false, not null), per Mongo
+        return F.coalesce(
+            cv(arg["input"]).rlike(_regex_pattern(arg)), F.lit(False)
+        )
+    if op == "$regexFind":
+        return _regex_find(arg, vars_)
+    if op in ("$dateAdd", "$dateSubtract"):
+        unit = _date_unit(arg["unit"])
+        _check_tz(op, arg)
+        amount = cv(arg["amount"]).cast("int")
+        if op == "$dateSubtract":
+            amount = -amount
+        return F.timestamp_add(unit, amount, _as_timestamp(cv(arg["startDate"])))
+    if op == "$dateDiff":
+        # Mongo counts unit-BOUNDARY crossings, not elapsed whole units
+        # (23:00 -> 01:00 next day is 1 "day"): truncate both ends to
+        # the unit boundary, then diff — aligned starts make
+        # timestamp_diff exact
+        unit = _date_unit(arg["unit"])
+        _check_tz(op, arg)
+        trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
+        s = trunc(_as_timestamp(cv(arg["startDate"])))
+        e = trunc(_as_timestamp(cv(arg["endDate"])))
+        return F.timestamp_diff(unit, s, e)
+    if op == "$dateTrunc":
+        _check_tz(op, arg)
+        if int(arg.get("binSize", 1)) != 1:
+            raise ValueError("$dateTrunc: only binSize=1 is supported")
+        trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
+        return trunc(_as_timestamp(cv(arg["date"])))
     raise ValueError(f"unsupported value operator: {op}")
+
+
+_DATE_UNITS = {
+    "year": "YEAR", "quarter": "QUARTER", "month": "MONTH", "week": "WEEK",
+    "day": "DAY", "hour": "HOUR", "minute": "MINUTE", "second": "SECOND",
+    "millisecond": "MILLISECOND",
+}
+
+
+def _date_unit(unit: Any) -> str:
+    if not isinstance(unit, str) or unit not in _DATE_UNITS:
+        raise ValueError(f"unsupported date unit: {unit!r}")
+    return _DATE_UNITS[unit]
+
+
+def _check_tz(op: str, arg: dict) -> None:
+    tz = arg.get("timezone")
+    if tz not in (None, "UTC", "+00", "+0000", "+00:00"):
+        raise NotImplementedError(f"{op}: only UTC timezones are supported")
+
+
+def _unit_trunc(unit: str, start_of_week: Any):
+    """Truncate-to-unit-boundary callable; weeks honor ``startOfWeek``
+    (Mongo default Sunday; Spark date_trunc weeks start Monday, so the
+    Sunday form shifts +1 day, truncates, shifts back)."""
+    _date_unit(unit)  # validate
+    if unit != "week":
+        return lambda c: F.date_trunc(unit, c)
+    sow = (start_of_week or "sunday").lower()[:3]
+    if sow in ("mon",):
+        return lambda c: F.date_trunc("week", c)
+    if sow in ("sun",):
+        return lambda c: F.timestamp_add(
+            "DAY", F.lit(-1),
+            F.date_trunc("week", F.timestamp_add("DAY", F.lit(1), c)),
+        )
+    raise NotImplementedError(
+        f"startOfWeek {start_of_week!r}: only sunday/monday are supported"
+    )
+
+
+def _regex_pattern(arg: dict) -> str:
+    pat, opts = arg["regex"], arg.get("options") or ""
+    if not isinstance(pat, str):
+        raise ValueError("$regexMatch/$regexFind: regex must be a string literal")
+    flags = "".join(sorted(set("imsx") & set(opts)))
+    return f"(?{flags}){pat}" if flags else pat
+
+
+def _regex_find(arg: dict, vars_) -> Column:
+    """``$regexFind`` -> ``{match, idx, captures}`` struct or null.
+    Capture groups ride regexp_extract (group count read off the literal
+    pattern); a non-participating group yields ``""`` where Mongo has
+    null — the one documented divergence."""
+    import re as _re
+
+    pat = _regex_pattern(arg)
+    ngroups = _re.compile(arg["regex"]).groups
+    inp = compile_value(arg["input"], vars_)
+    match = F.regexp_substr(inp, F.lit(pat))
+    idx = (F.regexp_instr(inp, F.lit(pat)) - 1).cast("int")
+    captures = F.array(
+        *[F.regexp_extract(inp, pat, g + 1) for g in range(ngroups)]
+    )
+    return F.when(
+        match.isNotNull(),
+        F.struct(
+            match.alias("match"), idx.alias("idx"), captures.alias("captures")
+        ),
+    )
+
+
+def _static_fields(expr: Any, vars_) -> list[str] | None:
+    """Field NAMES of a document-valued expression, when statically
+    knowable: an inline document literal, a ``$path`` ref resolving to a
+    struct in the active stage schema, or a ``$mergeObjects`` of such."""
+    from pyspark.sql import types as T
+
+    if isinstance(expr, dict) and not (
+        len(expr) == 1 and next(iter(expr)).startswith("$")
+    ):
+        return [str(k) for k in expr]
+    if isinstance(expr, dict) and len(expr) == 1:
+        op, arg = next(iter(expr.items()))
+        if op == "$mergeObjects":
+            out: list[str] = []
+            for o in arg if isinstance(arg, list) else [arg]:
+                if o is None:
+                    continue
+                sub = _static_fields(o, vars_)
+                if sub is None:
+                    return None
+                out.extend(f for f in sub if f not in out)
+            return out
+    if isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$"):
+        t = _resolve_path_type(expr[1:])
+        if isinstance(t, T.StructType):
+            return [f.name for f in t.fields]
+    return None
+
+
+def _merge_objects(operands: list, vars_) -> Column:
+    """``$mergeObjects``: later documents' fields overwrite earlier ones;
+    null OPERANDS are ignored (Mongo).  Static-schema dialect: a struct
+    field holding null counts as present-with-null (Spark cannot
+    distinguish a null field from a missing one inside a non-null
+    struct), and all-null operands yield an all-null-fields struct where
+    Mongo has ``{}``."""
+    entries: list[tuple[Column, list[str]]] = []
+    for o in operands:
+        if o is None:
+            continue
+        fields = _static_fields(o, vars_)
+        if fields is None:
+            raise ValueError(
+                "$mergeObjects operands must be inline documents or "
+                "struct-typed field refs resolvable from the stage schema"
+            )
+        entries.append((compile_value(o, vars_), fields))
+    order: list[str] = []
+    for _, fs in entries:
+        order.extend(f for f in fs if f not in order)
+    out_fields = []
+    for f in order:
+        built: Column | None = None
+        for col, fs in reversed(entries):  # last operand wins
+            if f in fs:
+                cond, val = col.isNotNull(), col[f]
+                built = (
+                    F.when(cond, val) if built is None else built.when(cond, val)
+                )
+        out_fields.append((built if built is not None else F.lit(None)).alias(f))
+    return F.struct(*out_fields)
+
+
+def _object_to_array(arg: Any, vars_) -> Column:
+    """``$objectToArray`` -> ``array<struct<k, v>>``.  Map-typed inputs
+    use map_entries; struct inputs need statically-knowable field names.
+    A struct whose field TYPES differ cannot be a single-typed ``v``
+    column, so heterogeneous structs stringify ``v`` (dialect decision —
+    otherwise Spark's implicit array coercion ANSI-throws casting e.g. a
+    string field to the numeric majority type)."""
+    from pyspark.sql import types as T
+
+    col = compile_value(arg, vars_)
+    hetero = False
+    if isinstance(arg, str) and arg.startswith("$") and not arg.startswith("$$"):
+        t = _resolve_path_type(arg[1:])
+        if isinstance(t, T.MapType):
+            return F.when(
+                col.isNotNull(),
+                F.transform(
+                    F.map_entries(col),
+                    lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+                ),
+            )
+        if isinstance(t, T.StructType):
+            hetero = len({f.dataType.simpleString() for f in t.fields}) > 1
+    elif isinstance(arg, dict) and not (
+        len(arg) == 1 and next(iter(arg)).startswith("$")
+    ):
+        kinds = {_truthy_kind(v, vars_) for v in arg.values()}
+        hetero = len(kinds) > 1
+    fields = _static_fields(arg, vars_)
+    if fields is None:
+        raise ValueError(
+            "$objectToArray input must be a map, an inline document, or a "
+            "struct-typed field ref resolvable from the stage schema"
+        )
+    vals = [col[f].cast("string") if hetero else col[f] for f in fields]
+    arr = F.array(
+        *[
+            F.struct(F.lit(f).alias("k"), v.alias("v"))
+            for f, v in zip(fields, vals)
+        ]
+    )
+    return F.when(col.isNotNull(), arr)
+
+
+def _get_field(arg: Any, vars_) -> Column:
+    """``$getField``: field access WITHOUT dot-path traversal (its whole
+    point — the field name may itself contain dots)."""
+    from pyspark.sql import types as T
+
+    if isinstance(arg, str):
+        field, input_expr = arg, None
+    else:
+        field, input_expr = arg["field"], arg.get("input")
+    if not isinstance(field, str):
+        raise ValueError("$getField: field must be a string literal")
+    if input_expr is None:  # field of the current document
+        schema = _ACTIVE_SCHEMA[-1] if _ACTIVE_SCHEMA else None
+        if schema is not None and not any(f.name == field for f in schema.fields):
+            return F.lit(None)
+        return F.col(f"`{field}`")
+    col = compile_value(input_expr, vars_)
+    if (
+        isinstance(input_expr, str)
+        and input_expr.startswith("$")
+        and not input_expr.startswith("$$")
+    ):
+        t = _resolve_path_type(input_expr[1:])
+        if isinstance(t, T.MapType):
+            return F.try_element_at(col, F.lit(field))
+        if isinstance(t, T.StructType):
+            if not any(f.name == field for f in t.fields):
+                return F.lit(None)
+            return col[field]
+    fields = _static_fields(input_expr, vars_)
+    if fields is not None and field not in fields:
+        return F.lit(None)
+    return col[field]
+
+
+def _zip_arrays(arg: dict, vars_) -> Column:
+    """``$zip``: transpose N arrays into an array of N-element rows
+    (element types must share a common Spark type).  Default truncates
+    to the shortest input; ``useLongestLength`` pads with ``defaults``
+    (or nulls) — only positions BEYOND an input's end take the default,
+    per Mongo."""
+    inputs = [compile_value(i, vars_) for i in arg["inputs"]]
+    longest = bool(arg.get("useLongestLength", False))
+    defaults = arg.get("defaults")
+    if defaults is not None and not longest:
+        raise ValueError("$zip: defaults requires useLongestLength")
+    if defaults is not None and len(defaults) != len(inputs):
+        raise ValueError("$zip: defaults must match inputs length")
+    sizes = [F.size(c) for c in inputs]
+    if len(inputs) == 1:
+        n = sizes[0]
+    else:
+        n = F.greatest(*sizes) if longest else F.least(*sizes)
+    any_null = _fold([c.isNull() for c in inputs], lambda a, b: a | b)
+
+    def _row(i: Column) -> Column:
+        elems = []
+        for k, c in enumerate(inputs):
+            e = F.try_element_at(c, (i + 1).cast("int"))
+            if defaults is not None:
+                e = F.when(i < F.size(c), e).otherwise(
+                    compile_value(defaults[k], vars_)
+                )
+            elems.append(e)
+        return F.array(*elems)
+
+    # sequence needs start<=stop with an explicit +1 step; build one row
+    # minimum, then slice to the true length so n==0 yields [] with the
+    # right type
+    body = F.slice(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(1)), _row
+        ),
+        1,
+        F.greatest(n, F.lit(0)),
+    )
+    return F.when(any_null, F.lit(None)).otherwise(body)
 
 
 def _attach_computed(df: DataFrame, computed: dict[str, Any]) -> DataFrame:
