@@ -1243,14 +1243,20 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram overlap screens in ONE shingle self-join: exact
-    Jaccard (>= 0.8) and near-subset containment (>= 0.9) computed from
-    the same per-pair (common, |A|, |B|) triple, with per-metric hit
-    flags — two curation rules for the price of one shuffle
-    (operators/dedup.py word_overlap_pairs).  Runs with the same
-    ``max_shingle_freq`` hot-key cap as the char-gram carrier: boilerplate
-    word-3-grams ("all rights reserved") carry quadratic pair fan-out at
-    web scale, so the capped plan is the one you'd actually run."""
+    """Word-3-gram overlap screens — exact Jaccard (>= 0.8) and
+    near-subset containment (>= 0.9) with per-metric hit flags — run
+    through the PREFIX-FILTERED AllPairs/PPJoin plan
+    (``prefix_filter=True``: the Jaccard prefix x prefix join unioned
+    with the containment-sound smaller-prefix x full join, verified on
+    full cap-filtered sets).  This is the plan you'd ship at 100 TB —
+    candidates fall to ~(1-t)^2 of the full shingle self-join's and skew
+    toward rare shingles — and since r6 it's the one that earns the
+    driver CORRECTNESS row; output is bit-identical to the plain capped
+    self-join (equality-tested across thresholds), which stays benched
+    via the char-gram carrier (`q_dedup_char_jaccard`) so both plan
+    families stay visible per round.  Same ``max_shingle_freq``
+    stop-shingle cap: boilerplate word-3-grams ("all rights reserved")
+    carry quadratic pair fan-out at web scale."""
     from topic_store_spark.operators.dedup import word_overlap_pairs
 
     corpus = _docs_with_near_dups(spark, sf_dir)
@@ -1258,6 +1264,7 @@ def q_dedup_word_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, n=3, jaccard_num=8, jaccard_den=10,
         containment_num=9, containment_den=10,
         max_shingle_freq=_CHAR_SHINGLE_FREQ_CAP,
+        prefix_filter=True,
     )
 
 
@@ -1448,28 +1455,35 @@ def q_ann_topk_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (FAISS IVFPQ shape): coarse inverted lists (8
-    centroids, nprobe=2) + asymmetric-distance scoring over 8x16
-    product-quantization codes — the searched representation is 8 small
-    codes per vector, not the 64-cell vector (the 100 TB memory story).
-    Codebooks derive deterministically from the first 16 vectors
-    (operators/similarity.py pq_codebooks; the k-means trainer is the
-    pytest-covered production path), so the integer argmin encoding and
-    integer ADC sums reproduce exactly in the DuckDB oracle."""
+    """IVF-PQ ANN in the RESIDUAL (IVF-ADC, Jégou et al. 2011) form:
+    coarse inverted lists (8 centroids, nprobe=2), each vector
+    PQ-encoded as its residual to its assigned centroid, queries scored
+    through a per-(query, probed-list) LUT built from the query's
+    residual — 8x16 codes instead of the 64-cell vector (the 100 TB
+    memory story).  Codebooks derive deterministically from the first 16
+    vectors' RESIDUALS (operators/similarity.py ivf_residual_vectors +
+    pq_codebooks; the k-means trainer is the pytest-covered production
+    path), and residual subtraction happens on the integer grid, so the
+    argmin encoding and integer ADC sums reproduce exactly in the DuckDB
+    oracle."""
     from topic_store_spark.operators.similarity import (
         ivf_pq_ann_neighbors,
+        ivf_residual_vectors,
         pq_codebooks,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=8)
+    cen = emb.filter(F.col("vec_id") < 8)
+    src = ivf_residual_vectors(emb.filter(F.col("vec_id") < 16), cen)
+    books = pq_codebooks(src, m=8)
     return ivf_pq_ann_neighbors(
         emb,
         queries=emb.filter(F.col("vec_id") < 10),
-        centroids=emb.filter(F.col("vec_id") < 8),
+        centroids=cen,
         codebooks=books,
         k=5,
         nprobe=2,
+        residual=True,
     )
 
 
@@ -2097,6 +2111,12 @@ _INT_L2 = (
     " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
 )
 
+# element-wise integer difference of two equal-length quantized vectors
+# (the IVF-PQ residual, computed on the shared integer grid)
+_INT_SUB = (
+    "list_transform(range(1, len({a}) + 1), i -> {a}[i] - {b}[i])"
+)
+
 _LANG_PATTERNS = {
     "en": r"\b(the|and|of|to|in|is|you|that|it|for|on|with|as|are)\b",
     "es": r"\b(el|la|de|que|y|los|del|las|un|por|con|una|es|para)\b",
@@ -2596,8 +2616,8 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
-    _csub = "c_qv[cb.s*8+1 : cb.s*8+8]"
-    _qsub = "q_qv[cb.s*8+1 : cb.s*8+8]"
+    _crsub = "c_rv[cb.s*8+1 : cb.s*8+8]"
+    _qrsub = "q_rv[cb.s*8+1 : cb.s*8+8]"
     sql["ann_pq"] = (
         """
         WITH q0 AS (
@@ -2612,18 +2632,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         cen AS (SELECT vec_id AS cen_id, qv AS cen_qv, nrm AS cen_n
                 FROM n0 WHERE vec_id < 8),
-        src AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS sqv
-          FROM q0 WHERE vec_id < 16
-        ),
-        cb AS (
-          SELECT ss.s, src.j, src.sqv[ss.s*8+1 : ss.s*8+8] AS sv
-          FROM src CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
-        ),
+        -- every vector's best coarse list AND its integer-grid RESIDUAL
+        -- to that centroid (the residual-IVFPQ encoding input)
         assigned AS (
-          SELECT vec_id AS c_id, qv AS c_qv, cen_id AS list_id
+          SELECT vec_id AS c_id, cen_id AS list_id, """
+        + _INT_SUB.format(a="qv", b="cen_qv")
+        + """ AS c_rv
           FROM (
-            SELECT c.vec_id, c.qv, cen.cen_id,
+            SELECT c.vec_id, c.qv, cen.cen_id, cen.cen_qv,
                    row_number() OVER (
                      PARTITION BY c.vec_id
                      ORDER BY """
@@ -2632,6 +2648,15 @@ def oracle_sql() -> dict[str, str]:
             FROM n0 c CROSS JOIN cen
           ) WHERE rn = 1
         ),
+        -- codebook sources: the first 16 vectors' residuals, id-ordered
+        src AS (
+          SELECT row_number() OVER (ORDER BY c_id) - 1 AS j, c_rv AS sqv
+          FROM assigned WHERE c_id < 16
+        ),
+        cb AS (
+          SELECT ss.s, src.j, src.sqv[ss.s*8+1 : ss.s*8+8] AS sv
+          FROM src CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+        ),
         codes AS (
           SELECT c_id, list_id, s, j AS code
           FROM (
@@ -2639,15 +2664,18 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                      PARTITION BY a.c_id, cb.s
                      ORDER BY """
-        + _INT_L2.format(a=f"a.{_csub}", b="cb.sv")
+        + _INT_L2.format(a=f"a.{_crsub}", b="cb.sv")
         + """ ASC, cb.j ASC) AS rn
             FROM assigned a CROSS JOIN cb
           ) WHERE rn = 1
         ),
+        -- per-(query, probed list) residual — the LUT key is the pair
         probes AS (
-          SELECT vec_id AS q_id, qv AS q_qv, cen_id AS list_id
+          SELECT vec_id AS q_id, cen_id AS list_id, """
+        + _INT_SUB.format(a="qv", b="cen_qv")
+        + """ AS q_rv
           FROM (
-            SELECT qs.vec_id, qs.qv, cen.cen_id,
+            SELECT qs.vec_id, qs.qv, cen.cen_id, cen.cen_qv,
                    row_number() OVER (
                      PARTITION BY qs.vec_id
                      ORDER BY """
@@ -2658,16 +2686,17 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rn <= 2
         ),
         lut AS (
-          SELECT p.q_id, cb.s, cb.j, """
-        + _INT_L2.format(a=f"p.{_qsub}", b="cb.sv")
+          SELECT p.q_id, p.list_id, cb.s, cb.j, """
+        + _INT_L2.format(a=f"p.{_qrsub}", b="cb.sv")
         + """ AS d2
-          FROM (SELECT DISTINCT q_id, q_qv FROM probes) p CROSS JOIN cb
+          FROM probes p CROSS JOIN cb
         ),
         scored AS (
           SELECT p.q_id, c.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
           FROM probes p
           JOIN codes c ON c.list_id = p.list_id AND c.c_id <> p.q_id
-          JOIN lut l ON l.q_id = p.q_id AND l.s = c.s AND l.j = c.code
+          JOIN lut l ON l.q_id = p.q_id AND l.list_id = p.list_id
+                    AND l.s = c.s AND l.j = c.code
           GROUP BY 1, 2
         )
         SELECT q_id AS query_id, c_id AS neighbor_id,

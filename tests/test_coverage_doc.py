@@ -18,3 +18,25 @@ def test_every_cited_carrier_query_is_registered():
     assert cited, "COVERAGE.md cites no carrier queries — parse broke?"
     stale = sorted(cited - live)
     assert not stale, f"COVERAGE.md cites retired queries: {stale}"
+
+
+def test_measurement_docs_pin_their_regeneration_tools():
+    """RECALL.md / SCALING.md / STREAMBENCH.md are regenerable
+    artifacts: each must name its generator, and that tool must exist —
+    a renamed or deleted tool would silently orphan the doc (r5 ADVICE:
+    same exists-check COVERAGE carrier names got)."""
+    docs = {
+        "RECALL.md": "tools/recall_sweep.py",
+        "SCALING.md": "tools/scaling_report.py",
+        "STREAMBENCH.md": "tools/stream_bench.py",
+    }
+    for doc, tool in docs.items():
+        doc_path = os.path.join(REPO, doc)
+        assert os.path.exists(doc_path), f"{doc} missing"
+        assert os.path.exists(os.path.join(REPO, tool)), (
+            f"{tool} (generator of {doc}) missing"
+        )
+        text = open(doc_path).read()
+        assert os.path.basename(tool) in text, (
+            f"{doc} does not name its regeneration tool {tool}"
+        )

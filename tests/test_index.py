@@ -43,6 +43,30 @@ def test_bloom_pruning_identical(spark, corpus, batch, tmp_path):
     )
 
 
+def test_partitioned_layout_identical_and_release(spark, corpus, batch, tmp_path):
+    """The hash-partitioned layout (bands by band hash, shingles by doc
+    hash — directory pruning for micro-batch queries) must return the
+    IDENTICAL pair set as the flat layout, through append too; release()
+    drops every batch-side cache the query pinned."""
+    flat = MinHashIndex.build(corpus, str(tmp_path / "idx_f"))
+    part = MinHashIndex.build(corpus, str(tmp_path / "idx_p"), partitions=8)
+    assert _rows(part.query(batch)) == _rows(flat.query(batch))
+    extra = corpus.limit(5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    flat.append(extra)
+    part.append(extra)
+    probe = extra.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" yy")).alias("text"),
+    )
+    assert _rows(part.query(probe)) == _rows(flat.query(probe))
+    assert len(part._query_caches) > 0
+    part.release()
+    flat.release()
+    assert part._query_caches == [] and flat._query_caches == []
+
+
 def test_append_then_query_sees_appended_docs(spark, corpus, tmp_path):
     idx = MinHashIndex.build(corpus, str(tmp_path / "idx3"))
     first_batch = corpus.limit(10).select(

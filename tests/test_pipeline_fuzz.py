@@ -140,6 +140,242 @@ def _canon(rows):
     return sorted(out, key=repr)
 
 
+# -- window / fill / densify family (r6) ------------------------------------
+
+def _ref_window_unique(docs, by, default, frame):
+    """$setWindowFields over sortBy {n:1} (unique): documentNumber,
+    $shift (default only OUTSIDE the partition), windowed $sum."""
+    parts: dict = {}
+    for d in docs:
+        parts.setdefault(d.get("c"), []).append(d)
+    out = []
+    for rows in parts.values():
+        rows = sorted(rows, key=lambda d: d["n"])
+        n = len(rows)
+        for i, d in enumerate(rows):
+            nd = dict(d)
+            nd["dn"] = i + 1
+            j = i + by
+            nd["sh"] = rows[j]["b"] if 0 <= j < n else default
+            if frame is None:
+                lo, hi = 0, i
+            else:
+                lo = 0 if frame[0] == "unbounded" else (
+                    i if frame[0] == "current" else max(0, i + frame[0])
+                )
+                hi = n - 1 if frame[1] == "unbounded" else (
+                    i if frame[1] == "current" else min(n - 1, i + frame[1])
+                )
+            vals = [
+                r["b"] for r in rows[lo : hi + 1] if r["b"] is not None
+            ] if lo <= hi else []
+            nd["ws"] = sum(vals) if vals else 0
+            out.append(nd)
+    return out
+
+
+def _ref_window_ranks(docs, direction):
+    """$rank/$denseRank over sortBy {b: direction} with ties and nulls
+    (null sorts lowest, so first asc / last desc — Spark's defaults)."""
+    parts: dict = {}
+    for d in docs:
+        parts.setdefault(d.get("c"), []).append(d)
+    out = []
+    for rows in parts.values():
+        def key(d):
+            return (d["b"] is not None, d["b"] if d["b"] is not None else 0)
+
+        rows = sorted(rows, key=key, reverse=direction < 0)
+        rank = {}
+        dense = {}
+        for i, d in enumerate(rows):
+            k = key(d)
+            rank.setdefault(k, i + 1)
+            dense.setdefault(k, len(dense) + 1)
+        for d in rows:
+            nd = dict(d)
+            nd["rk"] = rank[key(d)]
+            nd["dr"] = dense[key(d)]
+            out.append(nd)
+    return out
+
+
+def _ref_fill(docs, spec):
+    parts: dict = {}
+    for d in docs:
+        parts.setdefault(d.get("c"), []).append(d)
+    out = []
+    for rows in parts.values():
+        rows = sorted(rows, key=lambda d: d["n"])
+        filled = []
+        if "value" in spec:
+            filled = [
+                d["b"] if d["b"] is not None else spec["value"] for d in rows
+            ]
+        elif spec["method"] == "locf":
+            last = None
+            for d in rows:
+                if d["b"] is not None:
+                    last = d["b"]
+                filled.append(last)
+        else:  # linear against n; never extrapolates; column goes double
+            known = [(i, d["n"], d["b"]) for i, d in enumerate(rows)
+                     if d["b"] is not None]
+            for i, d in enumerate(rows):
+                if d["b"] is not None:
+                    filled.append(float(d["b"]))
+                    continue
+                prev = max((k for k in known if k[0] < i), default=None)
+                nxt = min((k for k in known if k[0] > i), default=None)
+                if prev is None or nxt is None:
+                    filled.append(None)
+                else:
+                    _, pk, pv = prev
+                    _, nk, nv = nxt
+                    filled.append(pv + (nv - pv) * ((d["n"] - pk) / (nk - pk)))
+        for d, v in zip(rows, filled):
+            nd = dict(d)
+            nd["b"] = v
+            out.append(nd)
+    return out
+
+
+def _ref_densify(docs, part_fields, bounds, step):
+    """Engine-documented $densify semantics: grid = sequence(lo, hi,
+    step) inclusive (full/partition bounds); appended docs carry only
+    the partition fields + field, everything else null."""
+    def vals(rows):
+        return [d["b"] for d in rows if d["b"] is not None]
+
+    out = [dict(d) for d in docs]
+    if part_fields:
+        parts: dict = {}
+        for d in docs:
+            parts.setdefault(d.get("c"), []).append(d)
+        glob = vals(docs)
+        for pv, rows in parts.items():
+            if bounds == "partition":
+                pv_vals = vals(rows)
+                if not pv_vals:
+                    continue
+                lo, hi = min(pv_vals), max(pv_vals)
+            else:
+                if not glob:
+                    continue
+                lo, hi = min(glob), max(glob)
+            have = {d["b"] for d in rows}
+            for v in range(lo, hi + 1, step):
+                if v not in have:
+                    out.append(
+                        {"n": None, "a": None, "b": v, "c": pv, "d": None}
+                    )
+    else:
+        glob = vals(docs)
+        if glob:
+            lo, hi = min(glob), max(glob)
+            have = {d["b"] for d in docs}
+            for v in range(lo, hi + 1, step):
+                if v not in have:
+                    out.append(
+                        {"n": None, "a": None, "b": v, "c": None, "d": None}
+                    )
+    return out
+
+
+def test_window_fill_densify_match_reference(spark):
+    rng = random.Random(0xD3_5EED)
+    docs = _docs(rng)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["n", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+
+    failures = []
+    for trial in range(40):
+        shape = rng.randrange(4)
+        if shape == 0:  # setWindowFields over a unique sort
+            by = rng.choice([1, 2, -1])
+            default = rng.choice([None, -99])
+            frame = rng.choice(
+                [None, ["unbounded", "current"], [-1, 1], [-2, 0],
+                 ["current", "unbounded"]]
+            )
+            shift = {"output": "$b", "by": by}
+            if default is not None:
+                shift["default"] = default
+            ws: dict = {"$sum": "$b"}
+            if frame is not None:
+                ws["window"] = {"documents": frame}
+            pipe = [{
+                "$setWindowFields": {
+                    "partitionBy": "$c",
+                    "sortBy": {"n": 1},
+                    "output": {
+                        "dn": {"$documentNumber": {}},
+                        "sh": {"$shift": shift},
+                        "ws": ws,
+                    },
+                }
+            }]
+            want = _ref_window_unique(docs, by, default, frame)
+        elif shape == 1:  # rank family over a tied sort
+            direction = rng.choice([1, -1])
+            pipe = [{
+                "$setWindowFields": {
+                    "partitionBy": "$c",
+                    "sortBy": {"b": direction},
+                    "output": {
+                        "rk": {"$rank": {}},
+                        "dr": {"$denseRank": {}},
+                    },
+                }
+            }]
+            want = _ref_window_ranks(docs, direction)
+        elif shape == 2:  # fill (value / locf / linear)
+            spec = rng.choice(
+                [{"value": rng.randint(-5, 5)}, {"method": "locf"},
+                 {"method": "linear"}]
+            )
+            pipe = [{
+                "$fill": {
+                    "partitionBy": "$c",
+                    "sortBy": {"n": 1},
+                    "output": {"b": dict(spec)},
+                }
+            }]
+            want = _ref_fill(docs, spec)
+        else:  # densify
+            part_fields = rng.choice([[], ["c"]])
+            bounds = rng.choice(
+                ["full"] if not part_fields else ["full", "partition"]
+            )
+            step = rng.choice([1, 2])
+            pipe = [{
+                "$densify": {
+                    "field": "b",
+                    **({"partitionByFields": part_fields}
+                       if part_fields else {}),
+                    "range": {"step": step, "bounds": bounds},
+                }
+            }]
+            want = _ref_densify(docs, part_fields, bounds, step)
+
+        got_rows = [
+            r.asDict(recursive=True)
+            for r in apply_pipeline(df, pipe).collect()
+        ]
+        if _canon(got_rows) != _canon(want):
+            bad = [
+                (g, w) for g, w in zip(_canon(got_rows), _canon(want))
+                if g != w
+            ]
+            failures.append((pipe, bad[:2]))
+    assert not failures, (
+        f"{len(failures)}/40 window/fill/densify pipelines diverge; "
+        f"first: {failures[0]}"
+    )
+
+
 def test_stage_compositions_match_reference(spark):
     rng = random.Random(0x51A6E5)
     docs = _docs(rng)

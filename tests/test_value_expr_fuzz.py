@@ -359,6 +359,40 @@ def _m_eval(doc: dict, e):
         if v is None:
             return None
         return v.lower() if op == "$toLower" else v.upper()
+    if op == "$reverseArray":
+        v = _m_eval(doc, arg)
+        return None if v is None else list(reversed(v))
+    if op == "$sortArray":
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return None
+        asc = arg.get("sortBy", 1) == 1
+        # null-lowest in both directions (asc: nulls first; desc: last)
+        return sorted(
+            v,
+            key=lambda x: (x is not None, x if x is not None else 0),
+            reverse=not asc,
+        )
+    if op == "$setEquals":
+        sets = [_m_eval(doc, a) for a in arg]
+        if any(s is None for s in sets):
+            return None
+        return all(set(s) == set(sets[0]) for s in sets[1:])
+    if op == "$setIsSubset":
+        a, b = (_m_eval(doc, x) for x in arg)
+        if a is None or b is None:
+            return None
+        return set(a) <= set(b)
+    if op in ("$anyElementTrue", "$allElementsTrue"):
+        inner = arg[0] if isinstance(arg, list) else arg
+        v = _m_eval(doc, inner)
+        if v is None:
+            return op == "$allElementsTrue"
+        truths = [_truthy(e) for e in v]
+        return any(truths) if op == "$anyElementTrue" else all(truths)
+    if op == "$isNumber":
+        v = _m_eval(doc, arg)
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
     raise ValueError(op)
 
 
@@ -517,12 +551,24 @@ def _lt_bool_expr(rng: random.Random, depth: int = 0):
         if r < 0.4:
             # bare string in boolean position — the r6 _truthy_expr fix
             return rng.choice(["$s", "$s2", "", "false", "0"])
-        if r < 0.7:
+        if r < 0.6:
             return {"$regexMatch": {
                 "input": rng.choice(["$s", "$s2"]),
                 "regex": rng.choice(["false", "Hello", "ab", "a.c", "^x", "o"]),
                 **({"options": "i"} if rng.random() < 0.4 else {}),
             }}
+        if r < 0.7:
+            k2 = rng.randrange(4)
+            if k2 == 0:
+                return {"$setEquals": [rng.choice(["$d", "$e"]),
+                                       rng.choice(["$d", "$e", [3], [0, 3, 6]])]}
+            if k2 == 1:
+                return {"$setIsSubset": [rng.choice(["$d", "$e", [3]]),
+                                         rng.choice(["$d", "$e"])]}
+            if k2 == 2:
+                return {rng.choice(["$anyElementTrue", "$allElementsTrue"]):
+                        [rng.choice(["$d", "$e"])]}
+            return {"$isNumber": rng.choice(["$st.u", "$st2.z", "$s", 3, None])}
         return {"$eq": [_lt_num_expr(rng, depth + 1), _lt_num_expr(rng, depth + 1)]}
     k = rng.randrange(3)
     if k == 0:
@@ -549,7 +595,12 @@ def _lt_num_expr(rng: random.Random, depth: int = 0):
 
 
 def _lt_arr_expr(rng: random.Random):
-    k = rng.randrange(6)
+    k = rng.randrange(8)
+    if k == 6:
+        return {"$reverseArray": rng.choice(["$d", "$e", "$sa"])}
+    if k == 7:
+        return {"$sortArray": {"input": rng.choice(["$d", "$e", "$sa"]),
+                               "sortBy": rng.choice([1, -1])}}
     if k == 0:
         return {"$concatArrays": [rng.choice(["$d", "$e"]),
                                   rng.choice(["$d", "$e", [7, 8]])]}

@@ -106,6 +106,13 @@ def bench_near_dedup_ingest(spark, sf_dir: str) -> dict:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     work = tempfile.mkdtemp(prefix="tss_ingest_")
+    # default r6 config: 60-bit keyed shingles (3x smaller index IO) +
+    # append_cached (survivors reuse the query's signatures, no
+    # re-signing).  The hash-partitioned layout (partitions=16) is the
+    # at-scale option — measured here it LOSES (~280 vs ~600 rows/s)
+    # because this bench's batch is corpus-sized so pruning skips
+    # nothing and the partitioned read/write overhead is pure cost; it
+    # wins when batch << corpus (the production ratio).
     idx = MinHashIndex.build(docs, os.path.join(work, "idx"))
     store = ts.load(os.path.join(work, "store.parquet"), spark)
 
@@ -129,12 +136,14 @@ def bench_near_dedup_ingest(spark, sf_dir: str) -> dict:
     batch.coalesce(4).write.mode("overwrite").json(src)
 
     counts: list[tuple[int, int]] = []
+    timings: list[dict] = []
     stream = spark.readStream.schema("doc_id long, text string").json(src)
     t0 = time.monotonic()
     q = (
         near_dedup_ingest_stream(
             stream, store, idx,
             on_batch=lambda b, i, k: counts.append((i, k)),
+            on_timing=lambda b, t: timings.append(t),
         )
         .option("checkpointLocation", os.path.join(work, "ck"))
         .trigger(availableNow=True)
@@ -143,9 +152,13 @@ def bench_near_dedup_ingest(spark, sf_dir: str) -> dict:
     q.awaitTermination(600)
     el = time.monotonic() - t0
     n_kept = sum(k for _, k in counts)
+    split = {
+        "sign_query_sec": round(sum(t["query"] for t in timings), 2),
+        "append_sec": round(sum(t["append"] for t in timings), 2),
+    }
     return {"stage": "near_dedup_ingest_stream", "rows": n_in,
             "kept": n_kept, "sec": round(el, 2),
-            "rows_per_sec": round(n_in / el)}
+            "rows_per_sec": round(n_in / el), **split}
 
 
 def main() -> None:
@@ -194,14 +207,28 @@ def main() -> None:
             f"| {r['stage']} | {src_names[r['stage']]} | {r['rows']}{extra} "
             f"| {r['sec']} | {r['rows_per_sec']} |"
         )
+    ingest = results[-1]
     lines += [
         "",
         "near-dup ingest is the expensive stage by design: each batch "
         "is MinHash-signed, LSH-queried against the standing parquet "
         "index, anti-joined, and appended to both store and index.  "
         "Its cost scales with BATCH size (the index side is read, "
-        "Bloom-prunable, never recomputed), which is the property that "
-        "matters at a 100 TB standing corpus.",
+        "Bloom-row-filtered, never recomputed), which is the property "
+        "that matters at a 100 TB standing corpus.  r6 changes: the "
+        "index stores 60-bit shingle KEYS (3x smaller verify-side IO; "
+        "append measured ~1.7s faster per batch), survivors append via "
+        "`append_cached` (reusing the query's cached signatures instead "
+        "of re-signing), and the sink releases every per-batch cache "
+        "(the r5 version leaked one cached batch per micro-batch).  "
+        "`MinHashIndex(partitions=N)` adds a hash-partitioned layout "
+        "whose directory pruning wins when batch << corpus; at this "
+        "bench's corpus-sized batch it prunes nothing and measured "
+        "SLOWER (~280 vs ~600 rows/s same-session), so the bench runs "
+        "the flat layout.  Per-batch stage split: "
+        f"sign+query+anti-join {ingest['sign_query_sec']}s, "
+        f"store/index append {ingest['append_sec']}s, remainder is "
+        "micro-batch planning/source listing.",
         "",
     ]
     with open(os.path.join(_REPO, "STREAMBENCH.md"), "w") as f:

@@ -10,9 +10,11 @@ relations that work actually needs as parquet (the "index"):
 - ``bands/``    — ``(doc, band)``: the LSH bucket relation the candidate
   join keys on;
 - ``shingles/`` — ``(doc, shs)``: each doc's distinct shingle array,
-  the exact-Jaccard verification side (stored as the grams themselves
-  for bit-parity with the in-line operator; a space-tuned deployment
-  would store 60-bit keys — `hashing.shingle_key60` — at ~3x less IO).
+  the exact-Jaccard verification side.  By default stored as 60-bit
+  integer KEYS (`hashing.shingle_key60`, ~3x less IO and integer
+  intersections; identical pair output absent negligible md5-prefix
+  collisions); ``key_shingles=False`` stores the gram strings for
+  strict bit-parity with the in-line operator.
 
 Lifecycle: ``MinHashIndex.build(df, path)`` writes both from a corpus
 scan; ``.append(new_df)`` computes signatures for the BATCH ONLY and
@@ -135,6 +137,8 @@ class MinHashIndex:
         n: int = 3,
         num_perm: int = 12,
         bands: int = 4,
+        partitions: int = 0,
+        key_shingles: bool = True,
     ) -> None:
         self.path = path
         self.text_col = text_col
@@ -142,6 +146,27 @@ class MinHashIndex:
         self.n = n
         self.num_perm = num_perm
         self.bands = bands
+        #: >0 enables HASH-PARTITIONED layout: bands/ partitioned by
+        #: ``_bp = xxhash64(band) mod partitions`` and shingles/ by
+        #: ``_dp = xxhash64(doc) mod partitions``, so a query scans only
+        #: the directories the batch's band set / candidate doc set
+        #: touches (parquet partition pruning — the directory-level
+        #: sibling of the Bloom row filter).  0 keeps the flat layout.
+        #: The win is proportional to corpus/batch size ratio: a batch
+        #: whose band set hashes into few of the partitions skips the
+        #: rest entirely; corpus-sized batches touch everything and pay
+        #: only layout overhead.
+        self.partitions = partitions
+        #: store shingles as 60-bit integer KEYS (hashing.shingle_key60)
+        #: instead of gram strings: ~3x less verify-side IO and integer
+        #: array intersections instead of string ones.  Results are
+        #: identical absent 60-bit collisions (~3e-4 expected at 1e9
+        #: distinct shingles), and the key is a pure md5 derivation any
+        #: engine reproduces.  Set False for gram-string storage.
+        self.key_shingles = key_shingles
+        self._query_caches: list[DataFrame] = []
+        self._last_keyed: DataFrame | None = None
+        self._last_banded: DataFrame | None = None
 
     # -- internals ---------------------------------------------------------
     def _bands_path(self) -> str:
@@ -152,7 +177,11 @@ class MinHashIndex:
 
     def _derive(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(shingles, bands) relations for ``df`` — the same pipeline
-        `dedup.minhash_lsh_pairs` runs in-line."""
+        `dedup.minhash_lsh_pairs` runs in-line.  ``key_shingles``
+        replaces the verification-side gram strings with their 60-bit
+        keys (array stays distinct: the key is injective modulo
+        negligible md5-prefix collisions)."""
+        from topic_store_spark.functions.hashing import shingle_key60
         from topic_store_spark.operators.dedup import (
             _minhash_banded,
             _shingle_arrays,
@@ -160,22 +189,62 @@ class MinHashIndex:
 
         sh = _shingle_arrays(df, self.text_col, self.id_col, self.n)
         banded = _minhash_banded(sh, self.num_perm, self.bands)
+        if self.key_shingles:
+            sh = sh.select(
+                "doc",
+                F.transform(F.col("shs"), lambda s: shingle_key60(s)).alias(
+                    "shs"
+                ),
+            )
         return sh, banded
+
+    def _bp(self, col) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.partitions))
+
+    def _write(
+        self, df: DataFrame, path: str, part_col: str, key, mode: str
+    ) -> None:
+        if self.partitions:
+            df.withColumn(part_col, self._bp(key)).write.mode(
+                mode
+            ).partitionBy(part_col).parquet(path)
+        else:
+            df.write.mode(mode).parquet(path)
 
     # -- lifecycle ---------------------------------------------------------
     @classmethod
     def build(cls, df: DataFrame, path: str, **kw) -> "MinHashIndex":
         idx = cls(path, **kw)
         keyed, banded = idx._derive(df)
-        keyed.write.mode("overwrite").parquet(idx._shingles_path())
-        banded.write.mode("overwrite").parquet(idx._bands_path())
+        idx._write(keyed, idx._shingles_path(), "_dp", F.col("doc"), "overwrite")
+        idx._write(banded, idx._bands_path(), "_bp", F.col("band"), "overwrite")
         return idx
 
     def append(self, new_df: DataFrame) -> None:
         """Index the BATCH only and append — never touches corpus rows."""
         keyed, banded = self._derive(new_df)
-        keyed.write.mode("append").parquet(self._shingles_path())
-        banded.write.mode("append").parquet(self._bands_path())
+        self._write(keyed, self._shingles_path(), "_dp", F.col("doc"), "append")
+        self._write(banded, self._bands_path(), "_bp", F.col("band"), "append")
+
+    def append_cached(self, ids: DataFrame) -> None:
+        """Append the subset of the LAST ``query``'s batch whose doc id
+        is in ``ids`` (single column), REUSING the cached signatures that
+        query derived — the ingest sink's shape, where survivors are a
+        subset of the just-queried batch and re-signing them would double
+        the per-batch CPU.  Requires a prior ``query`` in this session
+        whose caches have not been ``release``d."""
+        if self._last_keyed is None:
+            raise ValueError("append_cached: no cached query() signatures")
+        keyed, banded = self._last_keyed, self._last_banded
+        sel = ids.select(F.col(ids.columns[0]).alias("doc"))
+        self._write(
+            keyed.join(sel, "doc", "left_semi"),
+            self._shingles_path(), "_dp", F.col("doc"), "append",
+        )
+        self._write(
+            banded.join(sel, "doc", "left_semi"),
+            self._bands_path(), "_bp", F.col("band"), "append",
+        )
 
     # -- query -------------------------------------------------------------
     def query(
@@ -196,8 +265,21 @@ class MinHashIndex:
         keyed_new, banded_new = self._derive(batch_df)
         keyed_new = keyed_new.persist(StorageLevel.MEMORY_AND_DISK)
         banded_new = banded_new.persist(StorageLevel.MEMORY_AND_DISK)
+        self._query_caches += [keyed_new, banded_new]
+        self._last_keyed, self._last_banded = keyed_new, banded_new
 
         banded_idx = spark.read.parquet(self._bands_path())
+        if self.partitions:
+            # directory-level pruning: the index scan lists only the
+            # partitions the BATCH's band set hashes into (one tiny
+            # driver job over the cached batch bands)
+            parts = [
+                r["_bp"]
+                for r in banded_new.select(
+                    self._bp(F.col("band")).alias("_bp")
+                ).distinct().collect()
+            ]
+            banded_idx = banded_idx.filter(F.col("_bp").isin(parts)).drop("_bp")
         if bloom_prefilter:
             from topic_store_spark.operators.bloom import (
                 bloom_build,
@@ -220,9 +302,32 @@ class MinHashIndex:
         )
         from topic_store_spark.operators.dedup import _jaccard_out, _pair_jaccard
 
-        sh_all = (
-            spark.read.parquet(self._shingles_path()).unionByName(keyed_new)
-        )
+        sh_idx = spark.read.parquet(self._shingles_path())
+        if self.partitions:
+            # the verification side prunes the same way: only the
+            # directories holding a CANDIDATE doc's shingles are read
+            cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+            self._query_caches.append(cands)
+            dparts = {
+                r["_dp"]
+                for side in ("a_doc", "b_doc")
+                for r in cands.select(
+                    self._bp(F.col(side)).alias("_dp")
+                ).distinct().collect()
+            }
+            sh_idx = sh_idx.filter(
+                F.col("_dp").isin(sorted(dparts))
+            ).drop("_dp")
+        sh_all = sh_idx.unionByName(keyed_new)
         return _jaccard_out(
             _pair_jaccard(sh_all, cands), threshold_num, threshold_den
         )
+
+    def release(self) -> None:
+        """Unpersist the batch-side relations ``query`` cached.  Call
+        once the query's consumers are materialized (the streaming
+        ingest sink does, per batch) — without it a standing pipeline
+        accumulates one cached batch per micro-batch."""
+        self._last_keyed = self._last_banded = None
+        while self._query_caches:
+            self._query_caches.pop().unpersist()

@@ -11,10 +11,12 @@ string and cast ops, set ops (``$setUnion/$setIntersection/
 $setDifference``), array higher-order ops (``$filter/$map/$reduce`` with
 ``$$variable`` bindings -> Spark higher-order functions), branch/doc ops
 (``$switch $mergeObjects $objectToArray $arrayToObject $getField``),
-array ops (``$concatArrays $slice $indexOfArray $range $zip``), string
-ops (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
+array ops (``$concatArrays $slice $indexOfArray $range $zip
+$reverseArray $sortArray``), set predicates (``$setEquals $setIsSubset
+$anyElementTrue $allElementsTrue``), ``$isNumber``, string ops
+(``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
 $regexFind``), date arithmetic (``$dateAdd $dateSubtract $dateDiff
-$dateTrunc`` — boundary-crossing $dateDiff, UTC only) and the
+$dateTrunc $dateFromString`` — boundary-crossing $dateDiff, UTC only) and the
 date-part operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
 ``$second`` applied to ObjectId creation time).
@@ -100,7 +102,7 @@ _STRING_OPS = {
 _ARRAY_OPS = {
     "$filter", "$map", "$setUnion", "$setIntersection", "$setDifference",
     "$concatArrays", "$slice", "$range", "$zip", "$objectToArray",
-    "$split",
+    "$split", "$reverseArray", "$sortArray",
 }
 _NUMBER_OPS = {
     "$add", "$subtract", "$multiply", "$divide", "$mod", "$abs", "$ceil",
@@ -111,13 +113,15 @@ _NUMBER_OPS = {
 }
 _BOOL_OPS = {
     "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
-    "$in", "$toBool", "$regexMatch",
+    "$in", "$toBool", "$regexMatch", "$setEquals", "$setIsSubset",
+    "$anyElementTrue", "$allElementsTrue", "$isNumber",
 }
 _ALWAYS_OPS = (
     _STRING_OPS
     | _ARRAY_OPS
     | {"$mergeObjects", "$regexFind", "$arrayToObject", "$toDate",
-       "$dateFromParts", "$dateAdd", "$dateSubtract", "$dateTrunc"}
+       "$dateFromParts", "$dateAdd", "$dateSubtract", "$dateTrunc",
+       "$dateFromString"}
 )
 
 
@@ -460,12 +464,7 @@ def _compile_value_op(
         return F.array_except(left, right)
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
-        java_fmt = (
-            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-            .replace("%L", "SSS")
-        )
-        return F.date_format(_as_timestamp(cv(arg["date"])), java_fmt)
+        return F.date_format(_as_timestamp(cv(arg["date"])), _java_date_fmt(fmt))
     if op == "$filter":
         inp = cv(arg["input"])
         name = arg.get("as", "this")
@@ -580,6 +579,47 @@ def _compile_value_op(
         )
     if op == "$zip":
         return _zip_arrays(arg, vars_)
+    if op == "$reverseArray":
+        return F.reverse(cv(arg))
+    if op == "$sortArray":
+        by = arg.get("sortBy", 1)
+        if by not in (1, -1):
+            raise ValueError("$sortArray: only scalar sortBy 1/-1 is supported")
+        # Spark sort_array: asc nulls first, desc nulls last — exactly
+        # Mongo's null-lowest order in both directions
+        return F.sort_array(cv(arg["input"]), asc=by == 1)
+    if op == "$setEquals":
+        raw = [cv(a) for a in arg]
+        sets = [F.sort_array(F.array_distinct(r)) for r in raw]
+        eq = _fold(
+            [s.eqNullSafe(sets[0]) for s in sets[1:]], lambda a, b: a & b
+        )
+        # dialect: a null operand nulls the result (Mongo errors)
+        any_null = _fold([r.isNull() for r in raw], lambda a, b: a | b)
+        return F.when(~any_null, eq)
+    if op == "$setIsSubset":
+        left, right = (cv(a) for a in arg)
+        return F.size(F.array_except(left, right)) == 0
+    if op in ("$anyElementTrue", "$allElementsTrue"):
+        inner = arg[0] if isinstance(arg, list) else arg
+        quantifier = F.exists if op == "$anyElementTrue" else F.forall
+        return F.coalesce(
+            quantifier(cv(inner), _truthy), F.lit(op == "$allElementsTrue")
+        )
+    if op == "$isNumber":
+        kind = _truthy_kind(arg, vars_)
+        if kind == "number":
+            return cv(arg).isNotNull()
+        if kind in ("always", "bool", "null"):
+            return F.lit(False)
+        raise ValueError("$isNumber: cannot statically type the operand")
+    if op == "$dateFromString":
+        _check_tz(op, arg)
+        fmt = arg.get("format")
+        ds = cv(arg["dateString"])
+        if fmt is None:
+            return F.to_timestamp(ds)
+        return F.to_timestamp(ds, _java_date_fmt(fmt))
     if op in ("$trim", "$ltrim", "$rtrim"):
         inp = cv(arg["input"])
         # Mongo's default trim set: null, tab, LF, VT, FF, CR, space
@@ -634,6 +674,16 @@ def _compile_value_op(
         trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
         return trunc(_as_timestamp(cv(arg["date"])))
     raise ValueError(f"unsupported value operator: {op}")
+
+
+def _java_date_fmt(fmt: str) -> str:
+    """Mongo ``%``-style date format -> Java SimpleDateFormat pattern
+    (the subset both ``$dateToString`` and ``$dateFromString`` share)."""
+    return (
+        fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+        .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+        .replace("%L", "SSS")
+    )
 
 
 _DATE_UNITS = {
@@ -1076,11 +1126,21 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             default = arg.get("default")
             value = compile_value(arg["output"])
             fn = F.lead(value, by) if by >= 0 else F.lag(value, -by)
-            computed[name] = (
-                F.coalesce(fn.over(sorted_base), F.lit(default))
-                if default is not None
-                else fn.over(sorted_base)
-            )
+            if default is None:
+                computed[name] = fn.over(sorted_base)
+            else:
+                # Mongo applies `default` ONLY outside the partition —
+                # an in-range null VALUE stays null, so a plain coalesce
+                # is wrong (r6 fuzzer find).  lead/lag of a TRUE literal
+                # with default False is the in-range indicator.
+                probe = (
+                    F.lead(F.lit(True), by, False)
+                    if by >= 0
+                    else F.lag(F.lit(True), -by, False)
+                )
+                computed[name] = F.when(
+                    probe.over(sorted_base), fn.over(sorted_base)
+                ).otherwise(F.lit(default))
             continue
         if op == "$count":
             agg, finish = F.count(F.lit(1)), (lambda c: c)

@@ -66,6 +66,7 @@ def near_dedup_ingest_stream(
     index,
     id_col: str = "doc_id",
     on_batch: Callable[[int, int, int], None] | None = None,
+    on_timing: Callable[[int, dict], None] | None = None,
 ):
     """Streaming NEAR-duplicate ingest against a standing MinHash-LSH
     index (`operators/index.MinHashIndex`) — the third dedup level on
@@ -76,48 +77,80 @@ def near_dedup_ingest_stream(
     the next batch dedups against them too.
 
     Per-batch cost is the incremental-ingest shape end-to-end: the index
-    side is READ (parquet bands, Bloom-pruned by the batch's band set),
-    never recomputed; only the batch is signed.  ``on_batch(batch_id,
-    n_in, n_kept)`` is the observability hook.
+    side is READ (parquet bands — partition-pruned to the batch's band
+    directories when the index is hash-partitioned, Bloom-row-filtered
+    either way), never recomputed; only the batch is signed, and the
+    batch/survivor relations are cached for their multiple consumers
+    then released (``index.release()``) before the sink returns.
+    ``on_batch(batch_id, n_in, n_kept)`` is the observability hook;
+    ``on_timing(batch_id, {"query": s, "append": s})`` records the
+    per-batch stage split (tools/stream_bench.py writes it to
+    STREAMBENCH.md).
     """
+    import time
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        n_in = batch.count()
-        if n_in == 0:
-            if on_batch is not None:
-                on_batch(batch_id, 0, 0)
-            return
-        pairs = index.query(batch)
-        ids = batch.select(F.col(id_col))
-        # membership tags: a batch doc loses to any index doc it pairs
-        # with, and to any smaller-id batch doc
-        tagged = pairs.join(
-            ids.select(F.col(id_col).alias("a_doc")).withColumn(
-                "_a_in", F.lit(True)
-            ),
-            "a_doc",
-            "left",
-        ).join(
-            ids.select(F.col(id_col).alias("b_doc")).withColumn(
-                "_b_in", F.lit(True)
-            ),
-            "b_doc",
-            "left",
-        )
-        drops = tagged.select(
-            F.when(
-                F.col("_a_in").isNotNull() & F.col("_b_in").isNull(),
-                F.col("a_doc"),
+        from pyspark import StorageLevel
+
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_in = batch.count()
+            if n_in == 0:
+                if on_batch is not None:
+                    on_batch(batch_id, 0, 0)
+                return
+            t0 = time.monotonic()
+            pairs = index.query(batch)
+            ids = batch.select(F.col(id_col))
+            # membership tags: a batch doc loses to any index doc it
+            # pairs with, and to any smaller-id batch doc
+            tagged = pairs.join(
+                ids.select(F.col(id_col).alias("a_doc")).withColumn(
+                    "_a_in", F.lit(True)
+                ),
+                "a_doc",
+                "left",
+            ).join(
+                ids.select(F.col(id_col).alias("b_doc")).withColumn(
+                    "_b_in", F.lit(True)
+                ),
+                "b_doc",
+                "left",
             )
-            .otherwise(F.col("b_doc"))
-            .alias(id_col)
-        ).distinct()
-        survivors = batch.join(drops, id_col, "left_anti")
-        n_kept = survivors.count()
-        if n_kept:
-            store.write_df(survivors)
-            index.append(survivors)
-        if on_batch is not None:
-            on_batch(batch_id, n_in, n_kept)
+            drops = tagged.select(
+                F.when(
+                    F.col("_a_in").isNotNull() & F.col("_b_in").isNull(),
+                    F.col("a_doc"),
+                )
+                .otherwise(F.col("b_doc"))
+                .alias(id_col)
+            ).distinct()
+            survivors = batch.join(drops, id_col, "left_anti").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            n_kept = survivors.count()
+            t_query = time.monotonic() - t0
+            t0 = time.monotonic()
+            if n_kept:
+                store.write_df(survivors)
+                if hasattr(index, "append_cached"):
+                    # survivors are a subset of the just-queried batch —
+                    # reuse its cached signatures, don't re-sign
+                    index.append_cached(survivors.select(F.col(id_col)))
+                else:
+                    index.append(survivors)
+            t_append = time.monotonic() - t0
+            survivors.unpersist()
+            if hasattr(index, "release"):
+                index.release()
+            if on_timing is not None:
+                on_timing(
+                    batch_id,
+                    {"query": round(t_query, 3), "append": round(t_append, 3)},
+                )
+            if on_batch is not None:
+                on_batch(batch_id, n_in, n_kept)
+        finally:
+            batch.unpersist()
 
     return stream.writeStream.foreachBatch(_sink)
