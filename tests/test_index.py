@@ -126,6 +126,52 @@ def test_ivf_index_append_visible(spark, vectors, tmp_path):
     assert any(n >= 900000 for n in top)
 
 
+def test_ivfpq_index_query_matches_inline(spark, vectors, tmp_path):
+    """The persistent residual IVF-PQ index must return the IDENTICAL
+    ADC result as the in-line operator fed the same centroids and the
+    index's own stored codebooks — persisted codes, not a new plan."""
+    import json
+
+    from topic_store_spark.operators.index import IVFPQIndex
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        kmeans_centroids,
+    )
+
+    small = vectors.filter(F.col("vec_id") < 80)
+    cen = kmeans_centroids(small, 4, max_iter=3).select(
+        F.col("cen_id").alias("vec_id"), F.col("embedding")
+    )
+    queries = small.limit(6)
+    idx = IVFPQIndex.build(
+        small, str(tmp_path / "ivfpq"), centroids=cen, m=4, codes=8
+    )
+    got = idx.query(queries, k=3, nprobe=2)
+    books = json.load(open(str(tmp_path / "ivfpq" / "books.json")))
+    want = ivf_pq_ann_neighbors(
+        small, queries, cen, books, k=3, nprobe=2, residual=True
+    )
+    assert _rows(got) == _rows(want)
+    assert got.count() == 18
+
+
+def test_ivfpq_index_append_visible(spark, vectors, tmp_path):
+    from topic_store_spark.operators.index import IVFPQIndex
+
+    small = vectors.filter(F.col("vec_id") < 80)
+    idx = IVFPQIndex.build(small, str(tmp_path / "ivfpq2"), k=4, m=4, codes=8)
+    batch = small.limit(5).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    idx.append(batch)
+    # an appended exact clone encodes to the identical codes as its
+    # source, so it must surface as the rank-1 (adc_dist-tied, id
+    # tie-broken) or near-top neighbor of the original vector
+    out = idx.query(small.limit(5), k=2, nprobe=4)
+    top = {r["neighbor_id"] for r in out.collect()}
+    assert any(n >= 900000 for n in top)
+
+
 def test_near_dedup_ingest_stream(spark, corpus, tmp_path):
     """Streaming near-dup ingest end-to-end: batch 1 seeds novel docs,
     batch 2 replays near-dup clones of batch 1 plus one novel doc —

@@ -174,6 +174,49 @@ def _ref_window_unique(docs, by, default, frame):
     return out
 
 
+def _ref_calculus(docs, frame):
+    """$derivative/$integral over sortBy {n: 1} (numeric, no unit):
+    derivative = (y_last - y_first)/(t_last - t_first) over the frame,
+    null on zero span or null edge values; integral = trapezoidal sum
+    of per-edge increments strictly inside the frame, 0 when empty."""
+    parts: dict = {}
+    for d in docs:
+        parts.setdefault(d.get("c"), []).append(d)
+    out = []
+    for rows in parts.values():
+        rows = sorted(rows, key=lambda d: d["n"])
+        n = len(rows)
+        incs = [None]
+        for i in range(1, n):
+            a, b = rows[i - 1]["b"], rows[i]["b"]
+            incs.append(
+                None if a is None or b is None
+                else (a + b) / 2 * (rows[i]["n"] - rows[i - 1]["n"])
+            )
+        for i, d in enumerate(rows):
+            lo = 0 if frame[0] == "unbounded" else (
+                i if frame[0] == "current" else max(0, i + frame[0])
+            )
+            hi = n - 1 if frame[1] == "unbounded" else (
+                i if frame[1] == "current" else min(n - 1, i + frame[1])
+            )
+            nd = dict(d)
+            if lo > hi:
+                nd["dv"], nd["ig"] = None, 0.0
+            else:
+                y0, y1 = rows[lo]["b"], rows[hi]["b"]
+                t0, t1 = rows[lo]["n"], rows[hi]["n"]
+                nd["dv"] = (
+                    None if y0 is None or y1 is None or t0 == t1
+                    else (y1 - y0) / (t1 - t0)
+                )
+                nd["ig"] = float(sum(
+                    v for v in incs[lo + 1 : hi + 1] if v is not None
+                ))
+            out.append(nd)
+    return out
+
+
 def _ref_window_ranks(docs, direction):
     """$rank/$denseRank over sortBy {b: direction} with ties and nulls
     (null sorts lowest, so first asc / last desc — Spark's defaults)."""
@@ -291,9 +334,27 @@ def test_window_fill_densify_match_reference(spark):
     )
 
     failures = []
-    for trial in range(40):
-        shape = rng.randrange(4)
-        if shape == 0:  # setWindowFields over a unique sort
+    for trial in range(50):
+        shape = rng.randrange(5)
+        if shape == 4:  # derivative/integral over a numeric sort
+            frame = rng.choice(
+                [["unbounded", "current"], ["unbounded", "unbounded"],
+                 [-2, 0], [-1, 1], ["current", "unbounded"]]
+            )
+            pipe = [{
+                "$setWindowFields": {
+                    "partitionBy": "$c",
+                    "sortBy": {"n": 1},
+                    "output": {
+                        "dv": {"$derivative": {"input": "$b"},
+                               "window": {"documents": list(frame)}},
+                        "ig": {"$integral": {"input": "$b"},
+                               "window": {"documents": list(frame)}},
+                    },
+                }
+            }]
+            want = _ref_calculus(docs, frame)
+        elif shape == 0:  # setWindowFields over a unique sort
             by = rng.choice([1, 2, -1])
             default = rng.choice([None, -99])
             frame = rng.choice(

@@ -550,6 +550,103 @@ def test_pipeline_set_window_fields(spark):
     assert rows[("u2", 1)]["part_total"] == 7.0
 
 
+def test_pipeline_window_statistics_and_ema(spark):
+    """$stdDevPop/$stdDevSamp (group + window), $covariancePop/Samp
+    (window) and $expMovingAvg (recursive fold over the running frame)
+    against hand-computed values."""
+    import math
+
+    import pytest as pt
+
+    df = spark.createDataFrame(
+        [("u1", 1, 2.0), ("u1", 2, 4.0), ("u1", 3, 6.0), ("u1", 4, 16.0),
+         ("u2", 1, 5.0)],
+        "uid string, seq int, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$uid",
+                    "sortBy": {"seq": 1},
+                    "output": {
+                        "sd": {"$stdDevPop": "$v",
+                               "window": {"documents": ["unbounded", "unbounded"]}},
+                        "cv": {"$covariancePop": ["$seq", "$v"],
+                               "window": {"documents": ["unbounded", "current"]}},
+                        "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+                    },
+                }
+            }
+        ],
+    )
+    rows = {(r["uid"], r["seq"]): r for r in out.collect()}
+    vals = [2.0, 4.0, 6.0, 16.0]
+    mean = sum(vals) / 4
+    assert rows[("u1", 1)]["sd"] == pt.approx(
+        math.sqrt(sum((x - mean) ** 2 for x in vals) / 4)
+    )
+    assert rows[("u2", 1)]["sd"] == 0.0  # population stddev of one value
+    # covariance over the first two rows of u1: E[xy]-E[x]E[y]
+    assert rows[("u1", 2)]["cv"] == pt.approx(
+        ((1 * 2.0 + 2 * 4.0) / 2) - (1.5 * 3.0)
+    )
+    # EMA with N=3 -> alpha=0.5: 2, 3, 4.5, 10.25
+    assert rows[("u1", 3)]["ema"] == pt.approx(4.5)
+    assert rows[("u1", 4)]["ema"] == pt.approx(10.25)
+
+    # group-side stdDev accumulators
+    g = apply_pipeline(
+        df,
+        [{"$group": {"_id": "$uid", "sd": {"$stdDevSamp": "$v"}}}],
+    )
+    got = {r["_id"]: r["sd"] for r in g.collect()}
+    assert got["u1"] == pt.approx(
+        math.sqrt(sum((x - mean) ** 2 for x in vals) / 3)
+    )
+    assert got["u2"] is None  # sample stddev of one value
+
+
+def test_pipeline_window_derivative_integral(spark):
+    """Hand-computed $derivative/$integral corners: unit scaling over a
+    timestamp sortBy, and the trapezoid edge exclusion at frame starts."""
+    import datetime as dt
+
+    import pytest as pt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", base, 0.0), ("a", base + dt.timedelta(hours=1), 10.0),
+         ("a", base + dt.timedelta(hours=3), 30.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$k",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "dv": {"$derivative": {"input": "$v", "unit": "hour"},
+                               "window": {"documents": ["unbounded", "current"]}},
+                        "ig": {"$integral": {"input": "$v", "unit": "hour"},
+                               "window": {"documents": ["unbounded", "current"]}},
+                    },
+                }
+            }
+        ],
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert rows[0]["dv"] is None  # zero span
+    assert rows[1]["dv"] == pt.approx(10.0)  # 10 units per hour
+    assert rows[2]["dv"] == pt.approx(10.0)  # (30-0)/3h
+    assert rows[0]["ig"] == 0.0
+    assert rows[1]["ig"] == pt.approx(5.0)   # trapezoid (0+10)/2 * 1h
+    assert rows[2]["ig"] == pt.approx(45.0)  # + (10+30)/2 * 2h
+
+
 def test_pipeline_facet(events):
     out = apply_pipeline(
         events,

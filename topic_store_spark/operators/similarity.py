@@ -417,6 +417,98 @@ def train_pq_codebooks(
     return books
 
 
+class PQCoder:
+    """Shared product-quantization expression builder: encodes vectors
+    to per-subspace argmin codes and builds per-query ADC lookup tables
+    against a fixed codebook set.  Used by both the in-line
+    :func:`ivf_pq_ann_neighbors` and the persistent
+    `operators.index.IVFPQIndex`.
+
+    The per-subspace expressions are built as SQL STRINGS (one F.expr
+    per subspace), not as Column trees: the Column form costs thousands
+    of py4j round-trips for the m*k codebook literals and their
+    zip_with/aggregate lambdas — ~2s of pure driver time per invocation
+    at m=8, k=16, versus one JVM-side parse of a ~2 KB string here.
+    Sub-vector slices are STAGED as plain attributes before the
+    per-code lambdas reference them (HOFs are interpreted with no
+    subexpression elimination, so an inline slice() would re-slice once
+    per code — measured ~2x on the whole query at sf0.1)."""
+
+    def __init__(self, codebooks: list[list[list[int]]]) -> None:
+        if not codebooks:
+            raise ValueError("PQCoder: empty codebooks")
+        self.codebooks = codebooks
+        self.m = len(codebooks)
+        self.sub = len(codebooks[0][0])
+
+    @staticmethod
+    def _book_sql(book: list[list[int]]) -> str:
+        return (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{int(v)}L" for v in code) + ")"
+                for code in book
+            )
+            + ")"
+        )
+
+    def _stage_subs(self, df: DataFrame, vec_name: str, keep: list[str]) -> DataFrame:
+        return df.select(
+            *keep,
+            *[
+                F.slice(F.col(vec_name), s * self.sub + 1, self.sub).alias(
+                    f"_sub{s}"
+                )
+                for s in range(self.m)
+            ],
+        )
+
+    def _stage_dists(self, df: DataFrame, keep: list[str]) -> DataFrame:
+        """Stage the per-subspace distance arrays (_d0.._dm-1): exact
+        integer L2^2 from the staged sub-slice to every code.  Staging
+        means the downstream argmin (codes) reads a materialized array
+        instead of re-evaluating the 16-way distance transform twice."""
+        return df.select(
+            *keep,
+            *[
+                F.expr(
+                    f"transform({self._book_sql(self.codebooks[s])}, cb -> "
+                    f"aggregate(zip_with(_sub{s}, cb, "
+                    "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+                ).alias(f"_d{s}")
+                for s in range(self.m)
+            ],
+        )
+
+    @property
+    def codes_sql(self) -> str:
+        return (
+            "array("
+            + ",".join(
+                f"cast(array_position(_d{s}, array_min(_d{s})) - 1 as int)"
+                for s in range(self.m)
+            )
+            + ")"
+        )
+
+    def encode(self, df: DataFrame, vec_name: str, keep: list[str]) -> DataFrame:
+        """``keep + (codes array<int>)``: per-subspace integer argmin
+        (ties to the lower code id — array_position's first minimum)."""
+        return self._stage_dists(
+            self._stage_subs(df, vec_name, keep), keep
+        ).select(*keep, F.expr(self.codes_sql).alias("codes"))
+
+    def luts(self, df: DataFrame, vec_name: str, keep: list[str]) -> DataFrame:
+        """``keep + (lut array<array<bigint>>)``: the ADC lookup table —
+        exact integer L2^2 from the vector's sub-slices to every code."""
+        return self._stage_dists(
+            self._stage_subs(df, vec_name, keep), keep
+        ).select(
+            *keep,
+            F.array(*[F.col(f"_d{s}") for s in range(self.m)]).alias("lut"),
+        )
+
+
 def ivf_residual_vectors(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -502,80 +594,24 @@ def ivf_pq_ann_neighbors(
     Returns ``(query_id, neighbor_id, rank, adc_dist)`` — rank 1 is the
     SMALLEST approximate distance, tie-broken on neighbor id.
     """
-    m = len(codebooks)
-    if m == 0:
-        raise ValueError("ivf_pq_ann_neighbors: empty codebooks")
-    sub = len(codebooks[0][0])
-
-    # The per-subspace expressions are built as SQL STRINGS (one F.expr
-    # per subspace), not as Column trees: the Column form costs thousands
-    # of py4j round-trips for the m*k codebook literals and their
-    # zip_with/aggregate lambdas — ~2s of pure driver time per invocation
-    # at m=8, k=16, versus one JVM-side parse of a ~2 KB string here.
-    def _book_sql(book: list[list[int]]) -> str:
-        return (
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{int(v)}L" for v in code) + ")"
-                for code in book
-            )
-            + ")"
-        )
-
-    # Sub-vector slices must be STAGED as plain attributes before the
-    # per-code lambdas reference them (perf contract of
-    # shingles_from_tokens: HOFs are interpreted with no subexpression
-    # elimination, so an inline slice() would re-slice once per code —
-    # measured ~2x on the whole query at sf0.1).
-    def _stage_subs(df: DataFrame, qv_name: str, keep: list[str]) -> DataFrame:
-        return df.select(
-            *keep,
-            *[
-                F.slice(F.col(qv_name), s * sub + 1, sub).alias(f"_sub{s}")
-                for s in range(m)
-            ],
-        )
-
-    def _stage_dists(df: DataFrame, keep: list[str]) -> DataFrame:
-        """Stage the per-subspace distance arrays (_d0.._dm-1): exact
-        integer L2^2 from the staged sub-slice to every code.  Staging
-        means the downstream argmin (codes) reads a materialized array
-        instead of re-evaluating the 16-way distance transform twice."""
-        return df.select(
-            *keep,
-            *[
-                F.expr(
-                    f"transform({_book_sql(codebooks[s])}, cb -> "
-                    f"aggregate(zip_with(_sub{s}, cb, "
-                    "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
-                ).alias(f"_d{s}")
-                for s in range(m)
-            ],
-        )
-
-    codes_sql = (
-        "array("
-        + ",".join(
-            f"cast(array_position(_d{s}, array_min(_d{s})) - 1 as int)"
-            for s in range(m)
-        )
-        + ")"
-    )
-
+    coder = PQCoder(codebooks)
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(corpus, id_col, vec_col, "c")
     q = _quantized(queries, id_col, vec_col, "q")
+    encoded = _pq_encode_corpus(c, cen, coder, residual)
+    luts = _pq_query_luts(q, cen, coder, nprobe, residual)
+    return _pq_adc_rank(encoded, luts, k)
 
-    def _dot(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
 
-    # coarse quantizer: same broadcast-assign shape as ivf_ann_neighbors —
-    # argmax via max(struct) partial aggregate (n-row shuffle, no sort)
-    aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+def _pq_encode_corpus(
+    c: DataFrame, cen: DataFrame, coder: PQCoder, residual: bool
+) -> DataFrame:
+    """``(c_id, list_id, codes)``: coarse-assign every corpus vector
+    (broadcast-assign, argmax via max(struct) partial aggregate — n-row
+    shuffle, no sort) and PQ-encode it (residual or raw) in staged
+    projections.  The full vector is DROPPED here — downstream carries
+    ``m`` codes/row."""
+    aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
         F.struct(
             F.col("aff"),
@@ -601,15 +637,17 @@ def ivf_pq_ann_neighbors(
             F.col("best.cen_id").alias("list_id"),
         )
     )
-    # PQ-encode in staged projections (slices once, dists once, argmin
-    # over the staged arrays); the full vector is DROPPED here —
-    # downstream carries 8 codes/row
-    encoded = _stage_dists(
-        _stage_subs(assigned, "c_ev", ["c_id", "list_id"]),
-        ["c_id", "list_id"],
-    ).select("c_id", "list_id", F.expr(codes_sql).alias("codes"))
+    return coder.encode(assigned, "c_ev", ["c_id", "list_id"])
 
-    q_aff = _dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+
+def _pq_query_luts(
+    q: DataFrame, cen: DataFrame, coder: PQCoder, nprobe: int, residual: bool
+) -> DataFrame:
+    """``(q_id, list_id, lut)``: the nprobe nearest lists per query with
+    the ADC lookup table for each probe.  No-residual LUTs depend on the
+    query alone; residual LUTs on the (query, probed list) pair — either
+    way this side is probe-sized."""
+    q_aff = _int_dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.col("aff").desc(), F.col("cen_id").asc()
     )
@@ -625,17 +663,12 @@ def ivf_pq_ann_neighbors(
         .filter(F.col("rn") <= nprobe)
         .select("q_id", q_enc.alias("q_ev"), F.col("cen_id").alias("list_id"))
     )
-    # no-residual LUTs depend on the query alone; residual LUTs on the
-    # (query, probed list) pair — either way this side is probe-sized
-    luts = _stage_dists(
-        _stage_subs(probes, "q_ev", ["q_id", "list_id"]),
-        ["q_id", "list_id"],
-    ).select(
-        "q_id",
-        "list_id",
-        F.array(*[F.col(f"_d{s}") for s in range(m)]).alias("lut"),
-    )
+    return coder.luts(probes, "q_ev", ["q_id", "list_id"])
 
+
+def _pq_adc_rank(encoded: DataFrame, luts: DataFrame, k: int) -> DataFrame:
+    """Score every (probe, same-list code row) pair by integer ADC and
+    keep each query's top-k (smallest distance, ties to lower id)."""
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"), F.col("lut"), lambda cd, l: F.element_at(l, cd + 1)

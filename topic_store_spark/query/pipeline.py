@@ -13,7 +13,9 @@ $setDifference``), array higher-order ops (``$filter/$map/$reduce`` with
 (``$switch $mergeObjects $objectToArray $arrayToObject $getField``),
 array ops (``$concatArrays $slice $indexOfArray $range $zip
 $reverseArray $sortArray``), set predicates (``$setEquals $setIsSubset
-$anyElementTrue $allElementsTrue``), ``$isNumber``, string ops
+$anyElementTrue $allElementsTrue``), ``$isNumber``, the time-series
+window ops (``$derivative $integral`` — trapezoidal, documents frames,
+single-WindowExec), string ops
 (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
 $regexFind``), date arithmetic (``$dateAdd $dateSubtract $dateDiff
 $dateTrunc $dateFromString`` — boundary-crossing $dateDiff, UTC only) and the
@@ -982,6 +984,8 @@ _ACC_RAW = {
     "$last": lambda c: F.last(c, ignorenulls=False),
     "$push": lambda c: F.collect_list(F.struct(c.alias("v"))),
     "$addToSet": lambda c: F.collect_list(F.struct(c.alias("v"))),
+    "$stdDevPop": lambda c: F.stddev_pop(c),
+    "$stdDevSamp": lambda c: F.stddev_samp(c),
 }
 
 #: Mongo accumulator semantics vs SQL aggregates, where they differ:
@@ -1142,13 +1146,6 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                     probe.over(sorted_base), fn.over(sorted_base)
                 ).otherwise(F.lit(default))
             continue
-        if op == "$count":
-            agg, finish = F.count(F.lit(1)), (lambda c: c)
-        elif op in _ACC_RAW:
-            agg = _ACC_RAW[op](compile_value(arg))
-            finish = _ACC_FINISH.get(op, lambda c: c)
-        else:
-            raise ValueError(f"unsupported $setWindowFields operator: {op}")
         if window is not None:
             lo, hi = window["documents"]
             frame = sorted_base.rowsBetween(
@@ -1159,6 +1156,49 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             frame = sorted_base.rowsBetween(W.unboundedPreceding, W.currentRow)
         else:
             frame = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        if op in ("$derivative", "$integral"):
+            computed[name] = _calculus_window(
+                op, arg, sort_by, sorted_base, frame
+            )
+            continue
+        if op in ("$covariancePop", "$covarianceSamp"):
+            x, y = (compile_value(a) for a in arg)
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            computed[name] = fn(x.cast("double"), y.cast("double")).over(frame)
+            continue
+        if op == "$expMovingAvg":
+            # no window param in Mongo: always the running frame.  Exact
+            # recursive fold over the running collect_list — EMA_0 = y_0,
+            # EMA_i = alpha*y_i + (1-alpha)*EMA_{i-1}; nulls are skipped
+            # (collect_list drops them).  O(p^2) transient per partition
+            # — fine for bounded telemetry partitions, the op's habitat.
+            if not order:
+                raise ValueError("$expMovingAvg requires sortBy")
+            alpha = (
+                float(arg["alpha"]) if "alpha" in arg
+                else 2.0 / (int(arg["N"]) + 1)
+            )
+            y = compile_value(arg["input"]).cast("double")
+            running = sorted_base.rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+            arr = F.collect_list(y).over(running)
+            computed[name] = F.when(
+                F.size(arr) > 0,
+                F.aggregate(
+                    F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                    F.element_at(arr, 1),
+                    lambda acc, x: x * F.lit(alpha) + acc * F.lit(1.0 - alpha),
+                ),
+            )
+            continue
+        if op == "$count":
+            agg, finish = F.count(F.lit(1)), (lambda c: c)
+        elif op in _ACC_RAW:
+            agg = _ACC_RAW[op](compile_value(arg))
+            finish = _ACC_FINISH.get(op, lambda c: c)
+        else:
+            raise ValueError(f"unsupported $setWindowFields operator: {op}")
         computed[name] = finish(agg.over(frame))
 
     cols = [
@@ -1167,6 +1207,49 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
     ]
     cols += [e.alias(n) for n, e in computed.items() if n not in df.columns]
     return df.select(*cols)
+
+
+#: seconds per $derivative/$integral unit (timestamp sortBy only)
+_CALC_UNIT_SECONDS = {
+    "week": 604800.0, "day": 86400.0, "hour": 3600.0, "minute": 60.0,
+    "second": 1.0, "millisecond": 0.001,
+}
+
+
+def _calculus_window(
+    op: str, arg: dict, sort_by: dict, sorted_base, frame
+) -> Column:
+    """``$derivative`` / ``$integral`` (Mongo 5 time-series window ops)
+    over DOCUMENTS frames.
+
+    derivative = (last(y) - first(y)) / (last(t) - first(t)), t scaled
+    to ``unit`` for timestamp sortBy; null when the frame has one row
+    (zero time span).  integral is the trapezoidal rule: the per-row
+    increment ``(y_{i-1}+y_i)/2 * (t_i - t_{i-1})`` (a lag over the sort
+    order) summed over the frame MINUS the frame's first increment —
+    the increment attributed to the edge before the frame's first row
+    must not count.  Both stay single-WindowExec expressions: no self
+    join, no Python."""
+    if len(sort_by) != 1:
+        raise ValueError(f"{op} requires exactly one sortBy field")
+    t_field = next(iter(sort_by))
+    t = path_col(t_field)
+    t = t.cast("double") if arg.get("unit") is None else (
+        t.cast("timestamp").cast("double")
+        / F.lit(_CALC_UNIT_SECONDS[arg["unit"]])
+    )
+    y = compile_value(arg["input"]).cast("double")
+    if op == "$derivative":
+        dy = F.last(y, ignorenulls=False).over(frame) - F.first(y).over(frame)
+        dt = F.last(t, ignorenulls=False).over(frame) - F.first(t).over(frame)
+        return dy / F.nullif(dt, F.lit(0.0))
+    inc = (y + F.lag(y).over(sorted_base)) / 2 * (
+        t - F.lag(t).over(sorted_base)
+    )
+    return F.coalesce(
+        F.sum(inc).over(frame) - F.coalesce(F.first(inc).over(frame), F.lit(0.0)),
+        F.lit(0.0),
+    )
 
 
 def _compile_fill(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
