@@ -1489,15 +1489,27 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (the 100 TB
-    plan: bucket-key equi-join instead of a cross join).  Oracle-checked:
-    the md5-derived hyperplane weights and the left-fold projection sum
-    are reproduced exactly in DuckDB (identical operand order => identical
-    IEEE doubles => identical sign bits)."""
+    plan: bucket-key equi-join instead of a cross join), TWO tagged
+    variants: the plain own-bucket probe and the r6 quality-aware
+    MULTI-PROBE (probes=4: also join the three buckets reached by
+    flipping the query's smallest-margin sign bits — Lu et al. 2007,
+    ~3-5x measured recall at the same planes, RECALL.md).  Oracle-checked
+    end to end: the md5-derived hyperplane weights, the left-fold
+    projection sums, AND the margin ordering + bit-flip probe-key
+    derivation are reproduced exactly in DuckDB (identical operand order
+    => identical IEEE doubles => identical signs, margins, and probe
+    sets)."""
     from topic_store_spark.operators.similarity import lsh_ann_neighbors
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_ann_neighbors(emb, queries, k=5, planes=8)
+    single = lsh_ann_neighbors(emb, queries, k=5, planes=8).withColumn(
+        "variant", F.lit("single")
+    )
+    multi = lsh_ann_neighbors(
+        emb, queries, k=5, planes=8, probes=4
+    ).withColumn("variant", F.lit("multiprobe"))
+    return single.unionByName(multi)
 
 
 # ---------------------------------------------------------------------------
@@ -2085,21 +2097,26 @@ sig AS (
 )"""
 
 
-def _hyperplane_sign_sql(p: int) -> str:
-    """Hyperplane sign bit for plane ``p`` over ``embedding`` — weight_i =
-    hexint(md5('p:i')[0:4])/65536 - 0.5, projection folds left over index
-    order (same operand order as Spark's F.aggregate => identical IEEE
-    doubles => identical sign)."""
+def _hyperplane_proj_sql(p: int) -> str:
+    """Hyperplane projection for plane ``p`` over ``embedding`` —
+    weight_i = hexint(md5('p:i')[0:4])/65536 - 0.5, folding left over
+    index order (same operand order as Spark's F.aggregate => identical
+    IEEE doubles)."""
     w = (
         f"(CAST(('0x' || substr(md5({p} || ':' || i), 1, 4)) AS BIGINT)"
         " / 65536.0 - 0.5)"
     )
-    proj = (
+    return (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform(range(0, 64), i -> CAST(embedding[i + 1] AS DOUBLE) * {w})), "
         "(a, b) -> a + b)"
     )
-    return f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END"
+
+
+def _hyperplane_sign_sql(p: int) -> str:
+    """Sign bit of the plane-``p`` projection (identical doubles =>
+    identical sign bits cross-engine)."""
+    return f"CASE WHEN {_hyperplane_proj_sql(p)} >= 0 THEN '1' ELSE '0' END"
 
 _INT_DOT = (
     "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
@@ -3157,20 +3174,46 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         "UNION ALL SELECT *, 'partial' AS variant FROM base"
     )
 
-    bucket_expr = " || ".join(_hyperplane_sign_sql(p) for p in range(8))
+    proj_cols = ",\n                 ".join(
+        f"{_hyperplane_proj_sql(p)} AS pr{p}" for p in range(8)
+    )
+    bucket_from_prs = " || ".join(
+        f"(CASE WHEN pr{p} >= 0 THEN '1' ELSE '0' END)" for p in range(8)
+    )
+    margins = (
+        "["
+        + ", ".join(f"{{'m': abs(pr{p}), 'p': {p}}}" for p in range(8))
+        + "]"
+    )
     sql["ann_lsh"] = (
         f"""
         WITH b AS (
-          SELECT vec_id, {bucket_expr} AS bucket, """
+          SELECT vec_id, {proj_cols}, """
         + _QUANT_EMB
-        + """ AS qv FROM embeddings
+        + f""" AS qv FROM embeddings
         ),
         n AS (
-          SELECT vec_id, bucket, qv, """
+          SELECT vec_id, {bucket_from_prs} AS bucket, qv, """
         + _INT_DOT.format(a="qv", b="qv")
-        + """ AS nrm FROM b
+        + f""" AS nrm,
+                 list_sort({margins}) AS ord
+          FROM b
         ),
-        scored AS (
+        -- multi-probe keys: own bucket + flips of the 3 smallest-margin
+        -- sign bits (margin order ties break on plane id, same as the
+        -- Spark array_sort of (abs(proj), plane) structs)
+        probes AS (
+          SELECT vec_id, qv, nrm,
+                 CASE WHEN gs.i = 0 THEN bucket
+                      ELSE substr(bucket, 1, ord[gs.i].p)
+                           || (CASE WHEN substr(bucket, ord[gs.i].p + 1, 1) = '1'
+                                    THEN '0' ELSE '1' END)
+                           || substr(bucket, ord[gs.i].p + 2)
+                 END AS bucket
+          FROM n CROSS JOIN (SELECT unnest(range(0, 4)) AS i) gs
+          WHERE vec_id < 10
+        ),
+        scored_s AS (
           SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
                  """
         + _INT_DOT.format(a="qs.qv", b="c.qv")
@@ -3178,14 +3221,32 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  qs.nrm AS q_n, c.nrm AS c_n
           FROM n qs JOIN n c ON qs.bucket = c.bucket AND qs.vec_id <> c.vec_id
           WHERE qs.vec_id < 10
+        ),
+        scored_m AS (
+          SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 """
+        + _INT_DOT.format(a="p.qv", b="c.qv")
+        + """ AS dot,
+                 p.nrm AS q_n, c.nrm AS c_n
+          FROM probes p JOIN n c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        ),
+        ranked_s AS (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank,
+                 dot / sqrt(CAST(q_n * c_n AS DOUBLE)) AS cosine_q
+          FROM scored_s QUALIFY rank <= 5
+        ),
+        ranked_m AS (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank,
+                 dot / sqrt(CAST(q_n * c_n AS DOUBLE)) AS cosine_q
+          FROM scored_m QUALIFY rank <= 5
         )
-        SELECT query_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY query_id
-                                       ORDER BY dot DESC, neighbor_id ASC) AS INT)
-                 AS rank,
-               dot / sqrt(CAST(q_n * c_n AS DOUBLE)) AS cosine_q
-        FROM scored
-        QUALIFY rank <= 5
+        SELECT *, 'single' AS variant FROM ranked_s
+        UNION ALL
+        SELECT *, 'multiprobe' AS variant FROM ranked_m
     """
     )
 

@@ -446,9 +446,42 @@ def test_stage_compositions_match_reference(spark):
     )
 
     failures = []
-    for trial in range(60):
-        shape = rng.randrange(7)
-        if shape == 0:  # match only
+    for trial in range(80):
+        shape = rng.randrange(9)
+        if shape == 7:  # bucket over a numeric field
+            bounds = sorted(rng.sample(range(-2, 6), rng.randint(2, 4)))
+            pipe = [{
+                "$bucket": {
+                    "groupBy": "$a",
+                    "boundaries": bounds,
+                    "default": "other",
+                    "output": {"ct": {"$sum": 1}, "mx": {"$max": "$b"}},
+                }
+            }]
+            groups: dict = {}
+            for d in docs:
+                a = d["a"]
+                key = "other"
+                if a is not None and bounds[0] <= a < bounds[-1]:
+                    key = max(b for b in bounds[:-1] if b <= a)
+                g = groups.setdefault(key, {"ct": 0, "vals": []})
+                g["ct"] += 1
+                if d["b"] is not None:
+                    g["vals"].append(d["b"])
+            # string default forces the engine's single-typed _id column
+            # to string — mirror (int boundary id -> its decimal string)
+            want = [
+                {"_id": str(k), "ct": g["ct"],
+                 "mx": max(g["vals"]) if g["vals"] else None}
+                for k, g in groups.items()
+            ]
+        elif shape == 8:  # unwind -> sortByCount
+            pipe = [{"$unwind": "$d"}, {"$sortByCount": "$d"}]
+            counts: dict = {}
+            for d in _ref_unwind(docs, "d"):
+                counts[d["d"]] = counts.get(d["d"], 0) + 1
+            want = [{"_id": k, "count": v} for k, v in counts.items()]
+        elif shape == 0:  # match only
             q = _scalar_filter(rng)
             pipe = [{"$match": q}]
             want = _ref_match(docs, q)

@@ -116,3 +116,22 @@ def test_lsh_recall_floor(ann_setup):
     # well above the ~0.06 a random same-size candidate set would give.
     r = recall_at_k(lsh_ann_neighbors(emb, queries, k=10, planes=4), truth)
     assert r >= 0.08
+
+
+def test_lsh_multiprobe_recall_monotone(ann_setup):
+    """Multi-probe candidates are a SUPERSET of single-probe's (the own
+    bucket is always probe 1), so recall must be non-decreasing in
+    probes — and strictly better by a real margin at probes=8 on this
+    corpus (measured ~4x at planes=6)."""
+    from topic_store_spark.operators.similarity import lsh_ann_neighbors
+
+    emb, queries, truth, _ = ann_setup
+    r = {
+        probes: recall_at_k(
+            lsh_ann_neighbors(emb, queries, k=10, planes=6, probes=probes),
+            truth,
+        )
+        for probes in (1, 4, 8)
+    }
+    assert r[1] <= r[4] + 1e-9 <= r[8] + 2e-9
+    assert r[8] >= r[1] + 0.05, r

@@ -87,6 +87,18 @@ def run_sweep(spark, sf_dir: str) -> list[dict]:
             {"family": "lsh", "config": f"planes={planes}",
              "candidates": f"~n/2^{planes}", "recall": r}
         )
+    # quality-aware multi-probe: flip the smallest-margin sign bits —
+    # recovers most of the recall each added plane halves, at ~probes x
+    # the (still tiny) per-bucket candidate cost
+    for planes, probes in ((6, 4), (6, 8), (8, 8)):
+        r = recall_at_k(
+            lsh_ann_neighbors(emb, queries, k=K, planes=planes, probes=probes),
+            truth,
+        )
+        rows.append(
+            {"family": "lsh_mp", "config": f"planes={planes} probes={probes}",
+             "candidates": f"~n*{probes}/2^{planes}", "recall": r}
+        )
 
     for nprobe in (1, 2, 4, 8, IVF_LISTS):
         r = recall_at_k(
@@ -189,7 +201,12 @@ def write_md(rows: list[dict], sf_dir: str) -> None:
         "proves is the structure a user tunes against: IVF recall is "
         "monotone in nprobe and reaches exactly 1.0 at nprobe=lists "
         "(probing everything IS the exact search); LSH recall decays "
-        "~2x per added plane as buckets halve; IVF-PQ sits below plain "
+        "~2x per added plane as buckets halve, and `lsh_mp` "
+        "(quality-aware multi-probe: flip the smallest-margin sign "
+        "bits, Lu et al. 2007) buys most of it back at ~probes x the "
+        "per-bucket candidate cost — recall is provably non-decreasing "
+        "in probes (candidate superset, asserted in tests); IVF-PQ "
+        "sits below plain "
         "IVF at the same nprobe by its quantization loss, shrinking as "
         "m grows.  `ivf_pq_res` is the RESIDUAL (IVF-ADC) variant — "
         "codes quantize (vector - assigned centroid); on this uniform "

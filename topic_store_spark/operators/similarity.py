@@ -264,9 +264,9 @@ def ivf_ann_neighbors(
     )
 
 
-def _hyperplane_sign(vec_col, plane: int, dim: int):
-    """Sign of <v, h_plane> where h_plane[i] is a deterministic
-    pseudo-random in [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5.
+def _hyperplane_proj(vec_col, plane: int, dim: int):
+    """<v, h_plane> where h_plane[i] is a deterministic pseudo-random in
+    [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5.
 
     The weights are pure constants, but Catalyst does not constant-fold
     higher-order functions — an in-plan ``transform(sequence(...), md5)``
@@ -283,11 +283,16 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
         for i in range(dim)
     ]
     weights = F.array(*[F.lit(w) for w in ws])
-    proj = F.aggregate(
+    return F.aggregate(
         F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """'1'/'0' sign bit of the plane projection (see _hyperplane_proj)."""
+    proj = _hyperplane_proj(vec_col, plane, dim)
     return F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -304,34 +309,97 @@ def lsh_ann_neighbors(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket.
 
     At scale: corpus bucketing is a one-pass map; the join is
     bucket-key-equi (shuffle on bucket, or broadcast of bucketed queries),
-    pair fan-out ~ n/2^planes per query instead of n."""
+    pair fan-out ~ n/2^planes per query instead of n.
+
+    ``probes > 1`` enables QUALITY-AWARE MULTI-PROBE (Lu et al. 2007,
+    "Multi-Probe LSH"): beyond its own bucket, each query also probes the
+    ``probes - 1`` buckets reached by flipping its SMALLEST-MARGIN sign
+    bits (a vector near hyperplane p likely has true neighbors on p's
+    other side).  Candidates grow ~linearly in ``probes`` while recall
+    recovers most of what each added plane halves — the standard way to
+    keep buckets small (cheap joins) without the recall cliff.  Only the
+    probe-side fan-out changes; the corpus is still bucketed once."""
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         quantize_vector(F.col(vec_col)).alias("c_qv"),
         int_self_dot(quantize_vector(F.col(vec_col))).alias("c_n"),
         lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        quantize_vector(F.col(vec_col)).alias("q_qv"),
-        int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
-        lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
-    )
+    if probes <= 1:
+        q_bucketed = queries.select(
+            F.col(id_col).alias("q_id"),
+            quantize_vector(F.col(vec_col)).alias("q_qv"),
+            int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
+            lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
+        )
+    else:
+        # stage the per-plane projections ONCE (HOF folds get no CSE),
+        # then derive signs, the margin order, and every probe key from
+        # the staged columns
+        staged = queries.select(
+            F.col(id_col).alias("q_id"),
+            quantize_vector(F.col(vec_col)).alias("q_qv"),
+            int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
+            *[
+                _hyperplane_proj(F.col(vec_col), p, dim).alias(f"_pr{p}")
+                for p in range(planes)
+            ],
+        )
+        signs = F.array(
+            *[
+                F.when(F.col(f"_pr{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(planes)
+            ]
+        )
+        margin_order = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(F.col(f"_pr{p}")).alias("m"),
+                        F.lit(p).alias("p"),
+                    )
+                    for p in range(planes)
+                ]
+            )
+        )
+        staged = staged.select(
+            "q_id", "q_qv", "q_n",
+            signs.alias("_signs"), margin_order.alias("_order"),
+        )
+        keys = [F.array_join(F.col("_signs"), "")]
+        for i in range(min(probes - 1, planes)):
+            fp = F.element_at(F.col("_order"), i + 1)["p"]
+            flipped = F.zip_with(
+                F.col("_signs"),
+                F.sequence(F.lit(0), F.lit(planes - 1)),
+                lambda b, idx: F.when(
+                    idx == fp,
+                    F.when(b == "1", F.lit("0")).otherwise(F.lit("1")),
+                ).otherwise(b),
+            )
+            keys.append(F.array_join(flipped, ""))
+        q_bucketed = staged.select(
+            "q_id", "q_qv", "q_n",
+            F.explode(F.array(*keys)).alias("bucket"),
+        )
     dot = F.aggregate(
         F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("dot", dot)
+    scored = c.join(F.broadcast(q_bucketed), "bucket").filter(
+        F.col("q_id") != F.col("c_id")
     )
+    if probes > 1:
+        # a (query, candidate) pair can arrive via several probe buckets
+        scored = scored.dropDuplicates(["q_id", "c_id"])
+    scored = scored.withColumn("dot", dot)
     w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
