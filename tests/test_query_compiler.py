@@ -608,6 +608,41 @@ def test_pipeline_window_statistics_and_ema(spark):
     assert got["u2"] is None  # sample stddev of one value
 
 
+def test_pipeline_median_percentile(spark):
+    """$median/$percentile (group + window): the dialect computes EXACT
+    continuous percentiles (Mongo's 'approximate' method is accepted and
+    ignored — exactness is never less accurate)."""
+    import pytest as pt
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in (1, 2, 3, 4, 10)], "k string, v double"
+    )
+    g = apply_pipeline(
+        df,
+        [{"$group": {
+            "_id": "$k",
+            "med": {"$median": {"input": "$v", "method": "approximate"}},
+            "pct": {"$percentile": {"input": "$v", "p": [0.5, 1.0],
+                                    "method": "approximate"}},
+        }}],
+    )
+    row = g.first()
+    assert row["med"] == pt.approx(3.0)
+    assert row["pct"][0] == pt.approx(3.0) and row["pct"][1] == pt.approx(10.0)
+    w = apply_pipeline(
+        df,
+        [{"$setWindowFields": {
+            "sortBy": {"v": 1},
+            "output": {"runmed": {
+                "$median": {"input": "$v", "method": "approximate"},
+                "window": {"documents": ["unbounded", "current"]},
+            }},
+        }}],
+    )
+    meds = [r["runmed"] for r in w.orderBy("v").collect()]
+    assert meds == pt.approx([1.0, 1.5, 2.0, 2.5, 3.0])
+
+
 def test_pipeline_window_derivative_integral(spark):
     """Hand-computed $derivative/$integral corners: unit scaling over a
     timestamp sortBy, and the trapezoid edge exclusion at frame starts."""

@@ -393,6 +393,33 @@ def _m_eval(doc: dict, e):
     if op == "$isNumber":
         v = _m_eval(doc, arg)
         return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if op == "$regexFindAll":
+        import re as _re
+
+        v = _m_eval(doc, arg["input"])
+        if v is None:
+            return []
+        out = []
+        for m in _re.finditer(arg["regex"], v):
+            out.append({
+                "match": m.group(0),
+                "idx": m.start(),
+                "captures": [g if g is not None else "" for g in m.groups()],
+            })
+        return out
+    if op in ("$bitAnd", "$bitOr", "$bitXor"):
+        vals = [_m_eval(doc, a) for a in arg]
+        if any(v is None for v in vals):
+            return None
+        import functools
+        import operator as _op
+
+        fn = {"$bitAnd": _op.and_, "$bitOr": _op.or_, "$bitXor": _op.xor}[op]
+        return functools.reduce(fn, vals)
+    if op == "$bitNot":
+        inner = arg[0] if isinstance(arg, list) else arg
+        v = _m_eval(doc, inner)
+        return None if v is None else ~v
     raise ValueError(op)
 
 
@@ -583,7 +610,13 @@ def _lt_bool_expr(rng: random.Random, depth: int = 0):
 def _lt_num_expr(rng: random.Random, depth: int = 0):
     if depth >= 2 or rng.random() < 0.5:
         return rng.choice(["$st.u", "$st2.z", rng.randint(-2, 6), None])
-    k = rng.randrange(4)
+    k = rng.randrange(5)
+    if k == 4:
+        which = rng.choice(["$bitAnd", "$bitOr", "$bitXor"])
+        if rng.random() < 0.25:
+            return {"$bitNot": _lt_num_expr(rng, depth + 1)}
+        return {which: [_lt_num_expr(rng, depth + 1),
+                        _lt_num_expr(rng, depth + 1)]}
     if k == 0:
         return {"$indexOfArray": ["$d", rng.randint(0, 6)]
                 + ([rng.randint(0, 2)] if rng.random() < 0.4 else [])}
@@ -621,6 +654,11 @@ def _lt_arr_expr(rng: random.Random):
                             if rng.random() < 0.5 else {})}}
     if k == 4:
         return {"$objectToArray": rng.choice(["$st", "$st2"])}
+    if k == 5 and rng.random() < 0.6:
+        return {"$regexFindAll": {
+            "input": rng.choice(["$s", "$s2"]),
+            "regex": rng.choice(["a", "l+", "(a)(,?)", "x(x)", "o.?"]),
+        }}
     return {"$slice": [{"$concatArrays": ["$d", "$e"]}, rng.randint(0, 5)]}
 
 

@@ -17,7 +17,8 @@ $anyElementTrue $allElementsTrue``), ``$isNumber``, the time-series
 window ops (``$derivative $integral`` — trapezoidal, documents frames,
 single-WindowExec), string ops
 (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
-$regexFind``), date arithmetic (``$dateAdd $dateSubtract $dateDiff
+$regexFind $regexFindAll``), bit ops (``$bitAnd $bitOr $bitXor $bitNot``),
+accumulators ``$median $percentile`` (exact continuous percentiles), date arithmetic (``$dateAdd $dateSubtract $dateDiff
 $dateTrunc $dateFromString`` — boundary-crossing $dateDiff, UTC only) and the
 date-part operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
@@ -104,7 +105,7 @@ _STRING_OPS = {
 _ARRAY_OPS = {
     "$filter", "$map", "$setUnion", "$setIntersection", "$setDifference",
     "$concatArrays", "$slice", "$range", "$zip", "$objectToArray",
-    "$split", "$reverseArray", "$sortArray",
+    "$split", "$reverseArray", "$sortArray", "$regexFindAll",
 }
 _NUMBER_OPS = {
     "$add", "$subtract", "$multiply", "$divide", "$mod", "$abs", "$ceil",
@@ -112,6 +113,7 @@ _NUMBER_OPS = {
     "$strLenCP", "$indexOfArray", "$toInt", "$toLong", "$toDouble",
     "$toDecimal", "$millisecond", "$dateDiff", "$year", "$month",
     "$dayOfMonth", "$hour", "$minute", "$second",
+    "$bitAnd", "$bitOr", "$bitXor", "$bitNot",
 }
 _BOOL_OPS = {
     "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
@@ -651,6 +653,19 @@ def _compile_value_op(
         )
     if op == "$regexFind":
         return _regex_find(arg, vars_)
+    if op == "$regexFindAll":
+        return _regex_find_all(arg, vars_)
+    if op in ("$bitAnd", "$bitOr", "$bitXor"):
+        vals = [cv(a).cast("long") for a in arg]
+        fns = {
+            "$bitAnd": lambda a, b: a.bitwiseAND(b),
+            "$bitOr": lambda a, b: a.bitwiseOR(b),
+            "$bitXor": lambda a, b: a.bitwiseXOR(b),
+        }
+        return _fold(vals, fns[op])
+    if op == "$bitNot":
+        inner = arg[0] if isinstance(arg, list) else arg
+        return F.bitwise_not(cv(inner).cast("long"))
     if op in ("$dateAdd", "$dateSubtract"):
         unit = _date_unit(arg["unit"])
         _check_tz(op, arg)
@@ -756,6 +771,54 @@ def _regex_find(arg: dict, vars_) -> Column:
             match.alias("match"), idx.alias("idx"), captures.alias("captures")
         ),
     )
+
+
+def _regex_find_all(arg: dict, vars_) -> Column:
+    """``$regexFindAll`` -> array of ``{match, idx, captures}``.
+
+    Matches come from JVM ``regexp_extract_all``; per-match ``idx`` is
+    recovered by a single left fold over the match list with a cursor
+    (locate each match at or after the previous end — exact for the
+    non-overlapping, in-order matches regexp_extract_all returns).
+    Dialect notes (documented divergences): captures are re-extracted
+    from the MATCHED TEXT, so context-dependent patterns (lookarounds,
+    anchors mid-pattern) may differ; non-participating captures are
+    ``""`` not null (same as ``$regexFind``); null input yields ``[]``,
+    like Mongo."""
+    import re as _re
+
+    pat = _regex_pattern(arg)
+    ngroups = _re.compile(arg["regex"]).groups
+    inp = compile_value(arg["input"], vars_)
+    matches = F.regexp_extract_all(inp, F.lit(pat), F.lit(0))
+    row_t = (
+        "struct<match: string, idx: int, captures: array<string>>"
+    )
+
+    def _step(acc: Column, m: Column) -> Column:
+        idx = F.position(m, inp, acc["cur"].cast("int")) - 1
+        captures = F.array(
+            *[F.regexp_extract(m, pat, g + 1) for g in range(ngroups)]
+        )
+        row = F.struct(
+            m.alias("match"), idx.cast("int").alias("idx"),
+            captures.alias("captures"),
+        )
+        return F.struct(
+            F.array_append(acc["out"], row).alias("out"),
+            (idx + F.length(m) + 1).alias("cur"),
+        )
+
+    folded = F.aggregate(
+        matches,
+        F.struct(
+            F.array().cast(f"array<{row_t}>").alias("out"),
+            F.lit(1).cast("int").alias("cur"),
+        ),
+        _step,
+        lambda acc: acc["out"],
+    )
+    return F.coalesce(folded, F.array().cast(f"array<{row_t}>"))
 
 
 def _static_fields(expr: Any, vars_) -> list[str] | None:
@@ -1047,6 +1110,8 @@ def _compile_group_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         op, arg = next(iter(acc.items()))
         if op == "$count" or (op == "$sum" and arg == 1):
             aggs.append(F.count(F.lit(1)).alias(name))
+        elif op in ("$median", "$percentile"):
+            aggs.append(_percentile_agg(op, arg).alias(name))
         elif op in _ACCUMULATORS:
             aggs.append(_ACCUMULATORS[op](compile_value(arg)).alias(name))
         else:
@@ -1057,6 +1122,24 @@ def _compile_group_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     elif key_cols:
         out = out.withColumnsRenamed({f"_gk_{k}": k for k in key_cols})
     return out
+
+
+def _percentile_agg(op: str, arg: Any) -> Column:
+    """``$median`` / ``$percentile`` (Mongo 7 accumulators).  Mongo's
+    'approximate' method is t-digest; the dialect computes the EXACT
+    continuous percentile instead (Spark ``percentile`` — deterministic,
+    SQL-oracle-able, and never less accurate than what it replaces), so
+    ``method`` is accepted and ignored.  ``$percentile`` with ``p`` of
+    several probabilities yields the array, like Mongo."""
+    if not isinstance(arg, dict) or "input" not in arg:
+        raise ValueError(f"{op} requires {{input: ...}}")
+    col = compile_value(arg["input"]).cast("double")
+    if op == "$median":
+        return F.percentile(col, F.lit(0.5))
+    ps = arg["p"]
+    if not isinstance(ps, list) or not ps:
+        raise ValueError("$percentile requires a non-empty p array")
+    return F.array(*[F.percentile(col, F.lit(float(p))) for p in ps])
 
 
 _RANK_OPS = {
@@ -1165,6 +1248,9 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             x, y = (compile_value(a) for a in arg)
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
             computed[name] = fn(x.cast("double"), y.cast("double")).over(frame)
+            continue
+        if op in ("$median", "$percentile"):
+            computed[name] = _percentile_agg(op, arg).over(frame)
             continue
         if op == "$expMovingAvg":
             # no window param in Mongo: always the running frame.  Exact
