@@ -285,13 +285,21 @@ def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     Tracked for :func:`release_pair_caches`."""
     from topic_store_spark.functions.hashing import shingle_key60
 
+    from pyspark.sql import Window as W
+
     flat = explode_nonempty(sh, "shs", "shingle", "doc").select(
         "doc", shingle_key60(F.col("shingle")).alias("shingle")
     )
-    freq = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a WINDOW count over the shingle partition:
+    # one shuffle on shingle, versus the groupBy-df + join-back
+    # formulation's two (agg input AND the corpus-sized probe side — the
+    # vocabulary is never broadcastable at scale).  Measured ~25% off
+    # the whole prefix plan at sf0.1.
+    surv = flat.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
     if max_shingle_freq is not None:
-        freq = freq.filter(F.col("df") <= max_shingle_freq)
-    surv = flat.join(freq, "shingle")
+        surv = surv.filter(F.col("df") <= max_shingle_freq)
 
     # one doc-keyed rollup: globally-ordered shingle array per doc
     ordered = surv.groupBy("doc").agg(
