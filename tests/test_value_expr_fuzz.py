@@ -420,6 +420,28 @@ def _m_eval(doc: dict, e):
         inner = arg[0] if isinstance(arg, list) else arg
         v = _m_eval(doc, inner)
         return None if v is None else ~v
+    if op == "$let":
+        bound: dict = {}
+        for vname, vexpr in arg["vars"].items():
+            bound[vname] = _m_eval_scoped(doc, vexpr, dict(bound))
+        return _m_eval_scoped(doc, arg["in"], bound)
+    if op == "$strcasecmp":
+        a, b = (_m_eval(doc, x) for x in arg)
+        a = (a or "").lower() if a is not None else None
+        b = (b or "").lower() if b is not None else None
+        if a is None or b is None:
+            # engine: lower(null) null -> comparisons null-false -> 0
+            return 0
+        return (a > b) - (a < b)
+    if op == "$indexOfCP":
+        s = _m_eval(doc, arg[0])
+        if s is None:
+            return None
+        sub = _m_eval(doc, arg[1])
+        start = _m_eval(doc, arg[2]) if len(arg) > 2 else 0
+        end = _m_eval(doc, arg[3]) if len(arg) > 3 else len(s)
+        pos = s.find(sub, start)
+        return pos if 0 <= pos < end and pos >= start else -1
     raise ValueError(op)
 
 
@@ -565,6 +587,15 @@ def _lt_str_expr(rng: random.Random, depth: int = 0):
             **({"default": _lt_str_expr(rng, depth + 1)}
                if rng.random() < 0.7 else {}),
         }}
+    if k == 6 and rng.random() < 0.5:
+        return {"$let": {
+            "vars": {"v1": _lt_str_expr(rng, depth + 1)},
+            "in": rng.choice([
+                "$$v1",
+                {"$concat": [{"$ifNull": ["$$v1", "?"]}, "_t"]},
+                {"$toUpper": "$$v1"},
+            ]),
+        }}
     return {"$getField": {"field": rng.choice(["w", "u", "nope"]),
                           "input": rng.choice(["$st", "$st2"])}}
 
@@ -610,13 +641,23 @@ def _lt_bool_expr(rng: random.Random, depth: int = 0):
 def _lt_num_expr(rng: random.Random, depth: int = 0):
     if depth >= 2 or rng.random() < 0.5:
         return rng.choice(["$st.u", "$st2.z", rng.randint(-2, 6), None])
-    k = rng.randrange(5)
+    k = rng.randrange(6)
     if k == 4:
         which = rng.choice(["$bitAnd", "$bitOr", "$bitXor"])
         if rng.random() < 0.25:
             return {"$bitNot": _lt_num_expr(rng, depth + 1)}
         return {which: [_lt_num_expr(rng, depth + 1),
                         _lt_num_expr(rng, depth + 1)]}
+    if k == 5:
+        if rng.random() < 0.5:
+            return {"$strcasecmp": [rng.choice(["$s", "$s2", "HELLO world"]),
+                                    rng.choice(["$s", "$s2", "false"])]}
+        args = [rng.choice(["$s", "$s2"]), rng.choice(["a", "l", "o", "Z"])]
+        if rng.random() < 0.5:
+            args.append(rng.randint(0, 4))
+            if rng.random() < 0.5:
+                args.append(rng.randint(1, 8))
+        return {"$indexOfCP": args}
     if k == 0:
         return {"$indexOfArray": ["$d", rng.randint(0, 6)]
                 + ([rng.randint(0, 2)] if rng.random() < 0.4 else [])}

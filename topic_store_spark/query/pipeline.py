@@ -17,7 +17,8 @@ $anyElementTrue $allElementsTrue``), ``$isNumber``, the time-series
 window ops (``$derivative $integral`` — trapezoidal, documents frames,
 single-WindowExec), string ops
 (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
-$regexFind $regexFindAll``), bit ops (``$bitAnd $bitOr $bitXor $bitNot``),
+$regexFind $regexFindAll``), bit ops (``$bitAnd $bitOr $bitXor $bitNot``), ``$let`` variable
+binding, ``$strcasecmp $indexOfCP``,
 accumulators ``$median $percentile`` (exact continuous percentiles), date arithmetic (``$dateAdd $dateSubtract $dateDiff
 $dateTrunc $dateFromString`` — boundary-crossing $dateDiff, UTC only) and the
 date-part operators the reference's legacy session pipeline uses
@@ -113,7 +114,7 @@ _NUMBER_OPS = {
     "$strLenCP", "$indexOfArray", "$toInt", "$toLong", "$toDouble",
     "$toDecimal", "$millisecond", "$dateDiff", "$year", "$month",
     "$dayOfMonth", "$hour", "$minute", "$second",
-    "$bitAnd", "$bitOr", "$bitXor", "$bitNot",
+    "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
 }
 _BOOL_OPS = {
     "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
@@ -174,6 +175,8 @@ def _truthy_kind(expr: Any, vars_: dict[str, Column] | None = None) -> str | Non
                 if "default" in arg:
                     branches.append(arg["default"])
                 return _same_kind(branches, vars_)
+            if op == "$let":
+                return _truthy_kind(arg.get("in"), vars_)
             return None
     return "always"  # plain document -> struct(), never null
 
@@ -583,6 +586,29 @@ def _compile_value_op(
         )
     if op == "$zip":
         return _zip_arrays(arg, vars_)
+    if op == "$let":
+        # bind each var Column (expressions, not materializations — the
+        # substitution is free), then compile `in` under the extended
+        # scope; vars may reference earlier vars in the same spec (Mongo)
+        scope = dict(vars_ or {})
+        for vname, vexpr in arg["vars"].items():
+            scope[vname] = compile_value(vexpr, scope)
+        return compile_value(arg["in"], scope)
+    if op == "$strcasecmp":
+        a, b = (F.lower(cv(x)) for x in arg)
+        return (
+            F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+        )
+    if op == "$indexOfCP":
+        s, sub = cv(arg[0]), cv(arg[1])
+        start = cv(arg[2]).cast("int") if len(arg) > 2 else F.lit(0)
+        end = cv(arg[3]).cast("int") if len(arg) > 3 else F.length(s)
+        pos = F.position(sub, s, start + 1) - 1
+        return (
+            F.when(s.isNull(), F.lit(None).cast("int"))
+            .when((pos >= start) & (pos < end), pos.cast("int"))
+            .otherwise(F.lit(-1))
+        )
     if op == "$reverseArray":
         return F.reverse(cv(arg))
     if op == "$sortArray":
