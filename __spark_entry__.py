@@ -138,10 +138,11 @@ def q_mongo_projection_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 composite, one tagged union over the same orders scan: the
-    $match -> $group subset (compound _id, $sum/$max/$min accumulators)
-    and the $bucket histogram (explicit boundaries + default overflow
-    bucket).  Two pipeline invocations, each a single partial-aggregated
-    shuffle."""
+    $match -> $group subset (compound _id, $sum/$max/$min/$median
+    accumulators — $median is the r6 exact continuous percentile, DuckDB
+    twin quantile_cont) and the $bucket histogram (explicit boundaries +
+    default overflow bucket).  Two pipeline invocations, each a single
+    partial-aggregated shuffle."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     orders = _t(spark, sf_dir, "orders")
@@ -155,6 +156,8 @@ def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n": {"$sum": 1},
                     "max_price": {"$max": "$o_totalprice"},
                     "min_price": {"$min": "$o_totalprice"},
+                    "med_price": {"$median": {"input": "$o_totalprice",
+                                              "method": "approximate"}},
                 }
             },
         ],
@@ -165,6 +168,7 @@ def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "max_price",
         "min_price",
+        "med_price",
     )
     bucketed = apply_pipeline(
         orders,
@@ -188,6 +192,7 @@ def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "max_price",
         F.lit(None).cast("double").alias("min_price"),
+        F.lit(None).cast("double").alias("med_price"),
     )
     return grouped.unionByName(bucketed)
 
@@ -410,11 +415,18 @@ def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_tag": {"$max": "$tag"},
                 "min_age": {"$min": "$age_days"},
                 "min_qtr": {"$min": "$qtr"},
+                # r6: $let-bound $indexOfCP through the oracle (position
+                # of the first underscore replaceAll just wrote)
+                "max_us": {"$max": {"$let": {
+                    "vars": {"t": "$tag"},
+                    "in": {"$indexOfCP": ["$$t", "_"]},
+                }}},
             }
         },
     ]
     return apply_pipeline(orders, pipeline).select(
-        "_id", "n", "max_tot", "n_urgent", "max_tag", "min_age", "min_qtr"
+        "_id", "n", "max_tot", "n_urgent", "max_tag", "min_age", "min_qtr",
+        "max_us",
     )
 
 
@@ -2190,7 +2202,8 @@ def oracle_sql() -> dict[str, str]:
                o_orderpriority AS g1, o_orderstatus AS g2,
                count(*) AS n,
                max(o_totalprice) AS max_price,
-               min(o_totalprice) AS min_price
+               min(o_totalprice) AS min_price,
+               quantile_cont(o_totalprice, 0.5) AS med_price
         FROM orders
         WHERE o_orderstatus IN ('F', 'O')
         GROUP BY 2, 3
@@ -2205,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(NULL AS VARCHAR),
                count(*),
                max(o_totalprice),
+               CAST(NULL AS DOUBLE),
                CAST(NULL AS DOUBLE)
         FROM orders GROUP BY 2
     """
@@ -2254,7 +2268,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_urgent,
                max(tag) AS max_tag, min(age_days) AS min_age,
-               min(qtr) AS min_qtr
+               min(qtr) AS min_qtr,
+               CAST(max(strpos(tag, '_') - 1) AS INT) AS max_us
         FROM shaped GROUP BY 1
     """
 
