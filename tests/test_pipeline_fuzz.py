@@ -437,6 +437,108 @@ def test_window_fill_densify_match_reference(spark):
     )
 
 
+# -- $lookup family (r6): equality form and correlated let+pipeline ---------
+
+FOREIGN_SCHEMA = "fid long, fa long, fv long"
+
+
+def _foreign_docs(rng: random.Random, n: int = 25) -> list[dict]:
+    return [
+        {
+            "fid": i,
+            "fa": rng.choice([None, *range(-2, 5)]),
+            "fv": rng.choice([None, 0, 2, 5, 9]),
+        }
+        for i in range(n)
+    ]
+
+
+def _ref_lookup_eq(docs, fdocs, local, foreign):
+    """Equality $lookup: matched foreign docs in a stable order (the
+    engine sorts the collected array; comparison canon also sorts, so
+    only SET equality is pinned).  Mongo: null local matches null
+    foreign (both 'missing-as-null' here — the engine's documented
+    schema-on-read equivalence)."""
+    out = []
+    for d in docs:
+        lv = d.get(local)
+        matched = [f for f in fdocs if f.get(foreign) == lv]
+        nd = dict(d)
+        nd["m"] = matched
+        out.append(nd)
+    return out
+
+
+def _canon_lookup(rows, arr_field="m"):
+    out = []
+    for r in rows:
+        d = dict(r)
+        arr = d.pop(arr_field)
+        arr_canon = tuple(sorted(
+            tuple(sorted((k, v) for k, v in e.items())) for e in (arr or [])
+        ))
+        d[arr_field] = arr_canon
+        out.append(tuple(sorted(
+            (k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()
+        )))
+    return sorted(out, key=repr)
+
+
+def test_lookup_compositions_match_reference(spark):
+    rng = random.Random(0x100C_AB)
+    docs = _docs(rng, 30)
+    fdocs = _foreign_docs(rng)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["n", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+    fdf = spark.createDataFrame(
+        [tuple(f[k] for k in ["fid", "fa", "fv"]) for f in fdocs],
+        FOREIGN_SCHEMA,
+    )
+    failures = []
+    for trial in range(12):
+        if trial % 2 == 0:  # plain equality form
+            pipe = [{"$lookup": {"from": "t2", "localField": "a",
+                                 "foreignField": "fa", "as": "m"}}]
+            want = _ref_lookup_eq(docs, fdocs, "a", "fa")
+        else:  # correlated let+pipeline form: match + threshold filter
+            thr = rng.randint(0, 6)
+            pipe = [{"$lookup": {
+                "from": "t2",
+                "let": {"la": "$a"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$and": [
+                        {"$eq": ["$fa", "$$la"]},
+                        {"$gte": ["$fv", thr]},
+                    ]}}},
+                ],
+                "as": "m",
+            }}]
+            want = [
+                {**d, "m": [
+                    f for f in fdocs
+                    if f.get("fa") == d.get("a")
+                    and f.get("fv") is not None and f["fv"] >= thr
+                ]}
+                for d in docs
+            ]
+        got = [
+            r.asDict(recursive=True)
+            for r in apply_pipeline(df, pipe, tables={"t2": fdf}).collect()
+        ]
+        if _canon_lookup(got) != _canon_lookup(want):
+            bad = [
+                (g, w)
+                for g, w in zip(_canon_lookup(got), _canon_lookup(want))
+                if g != w
+            ]
+            failures.append((pipe, bad[:2]))
+    assert not failures, (
+        f"{len(failures)}/12 $lookup pipelines diverge; first: {failures[0]}"
+    )
+
+
 def test_stage_compositions_match_reference(spark):
     rng = random.Random(0x51A6E5)
     docs = _docs(rng)

@@ -2039,14 +2039,18 @@ def apply_pipeline(
             # Mongo $lookup: array of matching foreign docs per row (empty
             # array when none).  Pre-aggregate the foreign side per key —
             # only the (dimension-sized) foreign table shuffles; local rows
-            # stay intact through a left join, duplicates preserved.
+            # stay intact through a left join, duplicates preserved.  The
+            # join is NULL-SAFE equality: Mongo matches a null/missing
+            # localField to foreign docs whose foreignField is
+            # null/missing (a plain equi-join silently drops those rows —
+            # r6 $lookup fuzzer find); <=> remains a hash-joinable key.
             fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in foreign.columns])
             fagg = foreign.groupBy(F.col(f"`{remote}`").alias("_lk_key")).agg(
                 F.array_sort(F.collect_list(fstruct)).alias(as_name)
             )
             arr_type = fagg.schema[as_name].dataType.simpleString()
             out = (
-                out.join(fagg, path_col(local) == F.col("_lk_key"), "left")
+                out.join(fagg, path_col(local).eqNullSafe(F.col("_lk_key")), "left")
                 .drop("_lk_key")
                 .withColumn(
                     as_name,
