@@ -1080,3 +1080,59 @@ def test_missing_field_refs_resolve_to_null(spark):
     assert apply_pipeline(
         df, [{"$match": {"$expr": {"$eq": ["$ghost", None]}}}]
     ).count() == 2
+
+
+def test_java_group_count_java_only_syntax():
+    """Group counting must follow java.util.regex, not Python re: Java
+    possessive quantifiers would raise re.error at compile time, and
+    Java named groups (?<name>...) ARE capturing while lookbehinds are
+    not (r6 advisor find)."""
+    from topic_store_spark.query.pipeline import _java_group_count
+
+    assert _java_group_count("a*+(b)") == 1       # possessive: re.error in Python
+    assert _java_group_count("(?<name>x)(y)") == 2  # Java named group captures
+    assert _java_group_count("(?<=x)(y)") == 1    # lookbehind does not
+    assert _java_group_count("(?<!x)(y)") == 1
+    assert _java_group_count(r"\Q(\E(a)") == 1    # quoted ( is literal
+    assert _java_group_count(r"\((a)[(](b)") == 2  # escaped / in-class (
+    assert _java_group_count("(?:a)(b(c))") == 2
+
+
+def test_regex_find_possessive_quantifier(spark):
+    """A Java-only pattern must compile and run (Python re rejects it)."""
+    df = spark.createDataFrame([("aab",)], "s string")
+    row = apply_pipeline(
+        df,
+        [{"$project": {"m": {"$regexFind": {"input": "$s", "regex": "a*+(b)"}}}}],
+    ).collect()[0]
+    assert row["m"]["match"] == "aab" and row["m"]["captures"] == ["b"]
+
+
+def test_object_to_array_mixed_string_array_doc(spark):
+    """Inline doc mixing string and array field types takes the
+    documented stringify fallback instead of failing analysis
+    (r6 advisor find: _truthy_kind lumped both into 'always')."""
+    df = spark.createDataFrame([(1,)], "n long")
+    row = apply_pipeline(
+        df,
+        [{"$project": {"kv": {"$objectToArray": {"a": "x", "b": [1, 2]}}}}],
+    ).collect()[0]
+    assert [e["k"] for e in row["kv"]] == ["a", "b"]
+    assert row["kv"][0]["v"] == "x"  # stringified, analysis survives
+
+
+def test_strcasecmp_null_and_index_of_cp_range(spark):
+    """Mongo: strcasecmp coerces null to "" (so null vs 'x' is -1);
+    $indexOfCP requires the match FULLY inside [start, end)."""
+    df = spark.createDataFrame([(None, "x")], "a string, b string")
+    row = apply_pipeline(
+        df,
+        [{"$project": {
+            "c1": {"$strcasecmp": ["$a", "$b"]},
+            "c2": {"$strcasecmp": ["$b", "$a"]},
+            "i1": {"$indexOfCP": ["abcde", "cd", 0, 4]},
+            "i2": {"$indexOfCP": ["abcde", "cd", 0, 3]},
+        }}],
+    ).collect()[0]
+    assert row["c1"] == -1 and row["c2"] == 1
+    assert row["i1"] == 2 and row["i2"] == -1

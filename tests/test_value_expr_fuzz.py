@@ -426,12 +426,8 @@ def _m_eval(doc: dict, e):
             bound[vname] = _m_eval_scoped(doc, vexpr, dict(bound))
         return _m_eval_scoped(doc, arg["in"], bound)
     if op == "$strcasecmp":
-        a, b = (_m_eval(doc, x) for x in arg)
-        a = (a or "").lower() if a is not None else None
-        b = (b or "").lower() if b is not None else None
-        if a is None or b is None:
-            # engine: lower(null) null -> comparisons null-false -> 0
-            return 0
+        # Mongo coerces null/missing to "" (the $toLower family)
+        a, b = ((_m_eval(doc, x) or "").lower() for x in arg)
         return (a > b) - (a < b)
     if op == "$indexOfCP":
         s = _m_eval(doc, arg[0])
@@ -440,8 +436,10 @@ def _m_eval(doc: dict, e):
         sub = _m_eval(doc, arg[1])
         start = _m_eval(doc, arg[2]) if len(arg) > 2 else 0
         end = _m_eval(doc, arg[3]) if len(arg) > 3 else len(s)
+        # Mongo searches within the [start, end) substring: the match
+        # must lie FULLY inside the range
         pos = s.find(sub, start)
-        return pos if 0 <= pos < end and pos >= start else -1
+        return pos if pos >= start >= 0 and pos + len(sub) <= end else -1
     raise ValueError(op)
 
 

@@ -595,7 +595,10 @@ def _compile_value_op(
             scope[vname] = compile_value(vexpr, scope)
         return compile_value(arg["in"], scope)
     if op == "$strcasecmp":
-        a, b = (F.lower(cv(x)) for x in arg)
+        # Mongo coerces null/missing to "" ($toLower-family semantics):
+        # strcasecmp(null, "x") is -1, not 0 (r6 advisor find — the
+        # previous otherwise-0 fallback swallowed null operands)
+        a, b = (F.coalesce(F.lower(cv(x)), F.lit("")) for x in arg)
         return (
             F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
         )
@@ -604,9 +607,12 @@ def _compile_value_op(
         start = cv(arg[2]).cast("int") if len(arg) > 2 else F.lit(0)
         end = cv(arg[3]).cast("int") if len(arg) > 3 else F.length(s)
         pos = F.position(sub, s, start + 1) - 1
+        # Mongo searches the [start, end) SUBSTRING: the match must lie
+        # fully inside the range, so a match that starts before `end` but
+        # extends past it is -1 (r6 advisor find — was `pos < end`)
         return (
             F.when(s.isNull(), F.lit(None).cast("int"))
-            .when((pos >= start) & (pos < end), pos.cast("int"))
+            .when((pos >= start) & (pos + F.length(sub) <= end), pos.cast("int"))
             .otherwise(F.lit(-1))
         )
     if op == "$reverseArray":
@@ -776,15 +782,51 @@ def _regex_pattern(arg: dict) -> str:
     return f"(?{flags}){pat}" if flags else pat
 
 
+def _java_group_count(pat: str) -> int:
+    """Count CAPTURING groups the way ``java.util.regex.Pattern`` does.
+    Execution runs Java regex, so Python ``re`` must not be the
+    authority (r6 advisor find): it rejects Java-only syntax (possessive
+    quantifiers ``a*+``) at compile time and counts ``(?P<name>)`` where
+    Java spells it ``(?<name>)``.  A linear scan is exact for counting:
+    ``(`` opens a capturing group unless escaped, inside ``[...]`` or
+    ``\\Q...\\E``, or followed by ``?`` — except Java's named group
+    ``(?<name>`` (where the char after ``<`` is not the lookbehind
+    ``=``/``!``)."""
+    n = i = 0
+    in_class = False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            if i + 1 < len(pat) and pat[i + 1] == "Q":
+                q = pat.find("\\E", i + 2)
+                i = len(pat) if q < 0 else q + 2
+            else:
+                i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            if i + 1 >= len(pat) or pat[i + 1] != "?":
+                n += 1
+            elif (
+                i + 3 < len(pat)
+                and pat[i + 2] == "<"
+                and pat[i + 3] not in "=!"
+            ):
+                n += 1  # Java named capturing group (?<name>...)
+        i += 1
+    return n
+
+
 def _regex_find(arg: dict, vars_) -> Column:
     """``$regexFind`` -> ``{match, idx, captures}`` struct or null.
     Capture groups ride regexp_extract (group count read off the literal
     pattern); a non-participating group yields ``""`` where Mongo has
     null — the one documented divergence."""
-    import re as _re
-
     pat = _regex_pattern(arg)
-    ngroups = _re.compile(arg["regex"]).groups
+    ngroups = _java_group_count(arg["regex"])
     inp = compile_value(arg["input"], vars_)
     match = F.regexp_substr(inp, F.lit(pat))
     idx = (F.regexp_instr(inp, F.lit(pat)) - 1).cast("int")
@@ -811,10 +853,8 @@ def _regex_find_all(arg: dict, vars_) -> Column:
     anchors mid-pattern) may differ; non-participating captures are
     ``""`` not null (same as ``$regexFind``); null input yields ``[]``,
     like Mongo."""
-    import re as _re
-
     pat = _regex_pattern(arg)
-    ngroups = _re.compile(arg["regex"]).groups
+    ngroups = _java_group_count(arg["regex"])
     inp = compile_value(arg["input"], vars_)
     matches = F.regexp_extract_all(inp, F.lit(pat), F.lit(0))
     row_t = (
@@ -910,6 +950,68 @@ def _merge_objects(operands: list, vars_) -> Column:
     return F.struct(*out_fields)
 
 
+def _static_value_type(expr: Any, vars_) -> str | None:
+    """Finer-than-truthiness static TYPE of a value expression
+    ("string"/"array"/"struct"/"number"/"bool"/"null", None = unknown),
+    for deciding whether an inline document's field types are
+    heterogeneous.  ``_truthy_kind`` is the wrong tool there: it lumps
+    strings, arrays and structs into one "always" kind, so
+    ``{a: 'x', b: [1]}`` looked homogeneous and ``F.array`` of the
+    incompatible values failed analysis instead of taking the documented
+    stringify fallback (r6 advisor find)."""
+    from pyspark.sql import types as T
+
+    def _of_type(t) -> str | None:
+        if t is None:
+            return None
+        if isinstance(t, T.StringType):
+            return "string"
+        if isinstance(t, T.ArrayType):
+            return "array"
+        if isinstance(t, (T.StructType, T.MapType)):
+            return "struct"
+        if isinstance(t, T.BooleanType):
+            return "bool"
+        if isinstance(t, T.NullType):
+            return "null"
+        if isinstance(t, T.NumericType):
+            return "number"
+        return None
+
+    if expr is None:
+        return "null"
+    if isinstance(expr, bool):
+        return "bool"
+    if isinstance(expr, (int, float)):
+        return "number"
+    if isinstance(expr, list):
+        return "array"
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return None
+        if expr.startswith("$"):
+            return _of_type(_resolve_path_type(expr[1:]))
+        return "string"
+    if isinstance(expr, dict):
+        if len(expr) == 1 and next(iter(expr)).startswith("$"):
+            op, inner = next(iter(expr.items()))
+            if op == "$literal":
+                return _static_value_type(
+                    inner if not isinstance(inner, dict) else {}, vars_
+                )
+            if op in _STRING_OPS:
+                return "string"
+            if op in _ARRAY_OPS:
+                return "array"
+            if op in _NUMBER_OPS:
+                return "number"
+            if op in _BOOL_OPS:
+                return "bool"
+            return None
+        return "struct"
+    return None
+
+
 def _object_to_array(arg: Any, vars_) -> Column:
     """``$objectToArray`` -> ``array<struct<k, v>>``.  Map-typed inputs
     use map_entries; struct inputs need statically-knowable field names.
@@ -936,8 +1038,11 @@ def _object_to_array(arg: Any, vars_) -> Column:
     elif isinstance(arg, dict) and not (
         len(arg) == 1 and next(iter(arg)).startswith("$")
     ):
-        kinds = {_truthy_kind(v, vars_) for v in arg.values()}
-        hetero = len(kinds) > 1
+        kinds = {_static_value_type(v, vars_) for v in arg.values()}
+        kinds.discard("null")  # a null field coerces under any type
+        # unknown (None) types are conservatively heterogeneous: the
+        # documented stringify fallback beats an analysis-time crash
+        hetero = len(kinds) > 1 or None in kinds
     fields = _static_fields(arg, vars_)
     if fields is None:
         raise ValueError(
