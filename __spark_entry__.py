@@ -140,9 +140,12 @@ def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 composite, one tagged union over the same orders scan: the
     $match -> $group subset (compound _id, $sum/$max/$min/$median
     accumulators — $median is the r6 exact continuous percentile, DuckDB
-    twin quantile_cont) and the $bucket histogram (explicit boundaries +
-    default overflow bucket).  Two pipeline invocations, each a single
-    partial-aggregated shuffle."""
+    twin quantile_cont), the $bucket histogram (explicit boundaries +
+    default overflow bucket), and (r7) the n-ary accumulator + cast
+    families — $topN (sort-aware collect/sort/slice, one aggregate per
+    group, DuckDB twin ordered list(...)[1:n]) plus $convert-with-onError
+    / $toLong / $substrBytes inside the accumulator arguments.  Three
+    pipeline invocations, each a single partial-aggregated shuffle."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     orders = _t(spark, sf_dir, "orders")
@@ -169,6 +172,9 @@ def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         "min_price",
         "med_price",
+        F.lit(None).cast("string").alias("top_keys"),
+        F.lit(None).cast("long").alias("prio_num"),
+        F.lit(None).cast("long").alias("max_odate_ms"),
     )
     bucketed = apply_pipeline(
         orders,
@@ -193,8 +199,52 @@ def q_mongo_group_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_price",
         F.lit(None).cast("double").alias("min_price"),
         F.lit(None).cast("double").alias("med_price"),
+        F.lit(None).cast("string").alias("top_keys"),
+        F.lit(None).cast("long").alias("prio_num"),
+        F.lit(None).cast("long").alias("max_odate_ms"),
     )
-    return grouped.unionByName(bucketed)
+    topn = apply_pipeline(
+        orders,
+        [
+            {
+                "$group": {
+                    "_id": {"priority": "$o_orderpriority"},
+                    "n": {"$sum": 1},
+                    "top3": {
+                        "$topN": {
+                            "n": 3,
+                            "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+                            "output": "$o_orderkey",
+                        }
+                    },
+                    "prio_num": {
+                        "$max": {
+                            "$convert": {
+                                "input": {
+                                    "$substrBytes": ["$o_orderpriority", 0, 1]
+                                },
+                                "to": "long",
+                                "onError": -1,
+                            }
+                        }
+                    },
+                    "max_odate_ms": {"$max": {"$toLong": "$o_orderdate"}},
+                }
+            },
+        ],
+    ).select(
+        F.lit("topn").alias("part"),
+        F.col("priority").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        "n",
+        F.lit(None).cast("double").alias("max_price"),
+        F.lit(None).cast("double").alias("min_price"),
+        F.lit(None).cast("double").alias("med_price"),
+        F.concat_ws(",", F.col("top3").cast("array<string>")).alias("top_keys"),
+        "prio_num",
+        "max_odate_ms",
+    )
+    return grouped.unionByName(bucketed).unionByName(topn)
 
 
 def q_mongo_pipeline_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,7 +2253,10 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                max(o_totalprice) AS max_price,
                min(o_totalprice) AS min_price,
-               quantile_cont(o_totalprice, 0.5) AS med_price
+               quantile_cont(o_totalprice, 0.5) AS med_price,
+               CAST(NULL AS VARCHAR) AS top_keys,
+               CAST(NULL AS BIGINT) AS prio_num,
+               CAST(NULL AS BIGINT) AS max_odate_ms
         FROM orders
         WHERE o_orderstatus IN ('F', 'O')
         GROUP BY 2, 3
@@ -2219,7 +2272,24 @@ def oracle_sql() -> dict[str, str]:
                count(*),
                max(o_totalprice),
                CAST(NULL AS DOUBLE),
-               CAST(NULL AS DOUBLE)
+               CAST(NULL AS DOUBLE),
+               CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'topn',
+               o_orderpriority,
+               CAST(NULL AS VARCHAR),
+               count(*),
+               CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               array_to_string(
+                 (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey ASC))[1:3],
+                 ','),
+               max(coalesce(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT), -1)),
+               max(CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT))
         FROM orders GROUP BY 2
     """
 

@@ -645,3 +645,202 @@ def test_stage_compositions_match_reference(spark):
     assert not failures, (
         f"{len(failures)}/60 pipelines diverge; first: {failures[0]}"
     )
+
+
+# -- n-ary accumulators + $convert family (r7) ------------------------------
+
+from functools import cmp_to_key
+
+from tests.test_value_expr_fuzz import _m_cmp
+
+
+def _nary_sort_key(order):
+    """cmp_to_key over (sortkey_tuple, output) pairs: per-key direction,
+    null-lowest (BSON order), same as the engine's _struct_comparator."""
+
+    def cmp(a, b):
+        for i, (_, direction) in enumerate(order):
+            c = _m_cmp(a[0][i], b[0][i])
+            if c:
+                return c if direction >= 0 else -c
+        return 0
+
+    return cmp_to_key(cmp)
+
+
+def _ref_nary(docs, op, arg):
+    """Reference n-ary accumulator over one doc group; `docs` order IS
+    document order (the $firstN/$lastN axis)."""
+    if op in ("$top", "$topN", "$bottom", "$bottomN"):
+        order = list(arg["sortBy"].items())
+        pairs = [
+            (
+                tuple(_m_eval(d, f"${k}") for k, _ in order),
+                _m_eval(d, arg["output"]),
+            )
+            for d in docs
+        ]
+        pairs.sort(key=_nary_sort_key(order))
+        n = arg.get("n", 1)
+        sel = pairs[:n] if op in ("$top", "$topN") else pairs[-n:]
+        vals = [p[1] for p in sel]
+        return vals[0] if op in ("$top", "$bottom") else vals
+    n = arg["n"]
+    vals = [_m_eval(d, arg["input"]) for d in docs]
+    if op in ("$maxN", "$minN"):
+        nn = sorted(
+            (v for v in vals if v is not None), reverse=op == "$maxN"
+        )
+        return nn[:n]
+    return vals[:n] if op == "$firstN" else vals[-n:]
+
+
+def _ref_convert(doc, spec):
+    """Reference $convert with onError/onNull (targets the fuzzer uses:
+    int/long/double/string/bool; replacements are generated already in
+    the target type, mirroring the engine's cast-to-target rule)."""
+    import math
+
+    v = _m_eval(doc, spec["input"])
+    if v is None:
+        return spec.get("onNull")
+    to = spec["to"]
+    try:
+        if to == "bool":
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, (int, float)):
+                return v != 0
+            return True  # any string/array/doc is truthy
+        if to in ("int", "long"):
+            if isinstance(v, float):
+                return math.trunc(v)
+            return int(v)  # str: integer strings only -> ValueError else
+        if to == "double":
+            return float(v)
+        if to == "string":
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+    except (ValueError, TypeError, OverflowError):
+        return spec.get("onError")
+    raise AssertionError(to)
+
+
+def test_nary_accumulators_and_convert_match_reference(spark):
+    rng = random.Random(0x7A7_0B07)
+    docs = _docs(rng, 50)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["n", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+
+    failures = []
+    for trial in range(60):
+        shape = rng.randrange(3)
+        if shape == 0:
+            # $group with a sort-aware / value n-ary accumulator; sortBy
+            # ends in the unique n for determinism
+            key = rng.choice(["a", "c"])
+            op = rng.choice(
+                ["$top", "$bottom", "$topN", "$bottomN", "$maxN", "$minN"]
+            )
+            if op in ("$top", "$bottom"):
+                arg = {
+                    "sortBy": {rng.choice(["b", "a"]): rng.choice([1, -1]),
+                               "n": 1},
+                    "output": rng.choice(["$n", "$b", {"$add": ["$n", 10]}]),
+                }
+            elif op in ("$topN", "$bottomN"):
+                arg = {
+                    "n": rng.randint(1, 4),
+                    "sortBy": {rng.choice(["b", "a"]): rng.choice([1, -1]),
+                               "n": 1},
+                    "output": rng.choice(["$n", "$b"]),
+                }
+            else:
+                arg = {"input": rng.choice(["$b", "$n"]),
+                       "n": rng.randint(1, 4)}
+            pipe = [{"$group": {"_id": f"${key}", "v": {op: arg}}}]
+            groups: dict = {}
+            for d in docs:
+                groups.setdefault(d.get(key), []).append(d)
+            want = [
+                {"_id": k, "v": _ref_nary(g, op, arg)}
+                for k, g in groups.items()
+            ]
+        elif shape == 1:
+            # $setWindowFields: n-ary ops over documents frames; frame
+            # rows arrive in sortBy order so even $firstN/$lastN are
+            # deterministic here
+            op = rng.choice(
+                ["$topN", "$bottom", "$maxN", "$minN", "$firstN", "$lastN"]
+            )
+            if op in ("$topN", "$bottom"):
+                arg = {
+                    "sortBy": {"b": rng.choice([1, -1]), "n": 1},
+                    "output": rng.choice(["$n", "$b"]),
+                    **({"n": rng.randint(1, 3)} if op == "$topN" else {}),
+                }
+            else:
+                arg = {"input": rng.choice(["$b", "$n"]),
+                       "n": rng.randint(1, 3)}
+            frame = rng.choice([
+                ["unbounded", "current"], ["unbounded", "unbounded"],
+                [-2, "current"], [-1, 1],
+            ])
+            pipe = [{"$setWindowFields": {
+                "partitionBy": "$c", "sortBy": {"n": 1},
+                "output": {"v": {op: arg, "window": {"documents": frame}}},
+            }}]
+            parts: dict = {}
+            for d in docs:
+                parts.setdefault(d.get("c"), []).append(d)
+            want = []
+            for rows in parts.values():
+                rows = sorted(rows, key=lambda d: d["n"])
+                last = len(rows) - 1
+                for i, d in enumerate(rows):
+                    lo = 0 if frame[0] == "unbounded" else (
+                        i if frame[0] == "current" else max(0, i + frame[0])
+                    )
+                    hi = last if frame[1] == "unbounded" else (
+                        i if frame[1] == "current" else min(last, i + frame[1])
+                    )
+                    nd = dict(d)
+                    sub = rows[lo:hi + 1] if lo <= hi else []
+                    if sub:
+                        nd["v"] = _ref_nary(sub, op, arg)
+                    else:
+                        nd["v"] = None if op == "$bottom" else []
+                    want.append(nd)
+        else:
+            # $project with $convert / $toX shorthands
+            to = rng.choice(["int", "long", "double", "string", "bool"])
+            inp = rng.choice(["$a", "$b", "$c", {"$toString": "$a"}])
+            repl = {
+                "int": -99, "long": -99, "double": -99.5,
+                "string": "ERR", "bool": False,
+            }[to]
+            spec = {"input": inp, "to": to, "onError": repl}
+            if rng.random() < 0.6:
+                spec["onNull"] = repl
+            pipe = [{"$project": {"n": 1, "v": {"$convert": spec}}}]
+            want = [
+                {"n": d["n"], "v": _ref_convert(d, spec)} for d in docs
+            ]
+
+        got_rows = [
+            r.asDict(recursive=True)
+            for r in apply_pipeline(df, pipe).collect()
+        ]
+        if _canon(got_rows) != _canon(want):
+            bad = [
+                (g, w) for g, w in zip(_canon(got_rows), _canon(want))
+                if g != w
+            ]
+            failures.append((pipe, bad[:2]))
+    assert not failures, (
+        f"{len(failures)}/60 n-ary/convert pipelines diverge; "
+        f"first: {failures[0]}"
+    )

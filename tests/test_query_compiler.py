@@ -1136,3 +1136,49 @@ def test_strcasecmp_null_and_index_of_cp_range(spark):
     ).collect()[0]
     assert row["c1"] == -1 and row["c2"] == 1
     assert row["i1"] == 2 and row["i2"] == -1
+
+
+def test_group_firstn_lastn_and_convert_edges(spark):
+    """$firstN/$lastN keep null elements in document order (single
+    partition + presorted input makes it deterministic); $toObjectId
+    yields null on invalid input; $convert casts onError/onNull
+    replacements to the target type."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "b"), (1, 30, "c"), (1, 40, "d")],
+        "g long, x long, s string",
+    ).coalesce(1).sortWithinPartitions("s")
+    row = apply_pipeline(
+        df,
+        [{"$group": {
+            "_id": "$g",
+            "f2": {"$firstN": {"input": "$x", "n": 2}},
+            "l2": {"$lastN": {"input": "$x", "n": 2}},
+        }}],
+    ).collect()[0]
+    assert row["f2"] == [10, None] and row["l2"] == [30, 40]
+
+    row = apply_pipeline(
+        spark.createDataFrame([("zz", "5f5a0e3e1c9d44000012345b")], "bad string, good string"),
+        [{"$project": {
+            "o1": {"$toObjectId": "$bad"},
+            "o2": {"$toObjectId": "$good"},
+            "c1": {"$convert": {"input": "$bad", "to": "long",
+                                "onError": -1, "onNull": -2}},
+        }}],
+    ).collect()[0]
+    assert row["o1"] is None and row["o2"] == "5f5a0e3e1c9d44000012345b"
+    assert row["c1"] == -1
+
+
+def test_match_sample_rate(orders):
+    """$sampleRate keeps ~p of the docs (statistical bounds only —
+    nondeterministic by design); 0 and 1 are exact."""
+    total = orders.count()
+    assert apply_pipeline(orders, [{"$match": {"$sampleRate": 0.0}}]).count() == 0
+    assert apply_pipeline(orders, [{"$match": {"$sampleRate": 1.0}}]).count() == total
+    got = apply_pipeline(orders, [{"$match": {"$sampleRate": 0.5}}]).count()
+    assert 0.3 * total < got < 0.7 * total
+    with pytest.raises(ValueError):
+        apply_pipeline(orders, [{"$match": {"$sampleRate": 1.5}}])

@@ -425,6 +425,13 @@ def _m_eval(doc: dict, e):
         for vname, vexpr in arg["vars"].items():
             bound[vname] = _m_eval_scoped(doc, vexpr, dict(bound))
         return _m_eval_scoped(doc, arg["in"], bound)
+    if op == "$toString":
+        v = _m_eval(doc, arg)
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
     if op == "$strcasecmp":
         # Mongo coerces null/missing to "" (the $toLower family)
         a, b = ((_m_eval(doc, x) or "").lower() for x in arg)

@@ -279,6 +279,15 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
 
             with _schema_scope(schema) if schema is not None else _contextlib.nullcontext():
                 cond = _truthy_expr(value)
+        elif key == "$sampleRate":
+            # {"$match": {"$sampleRate": p}} — keep each doc with
+            # probability p (Mongo 4.4.2).  Nondeterministic per run,
+            # like Mongo; for a REPRODUCIBLE sample use the engine's
+            # $sample stage (hash-ordered) instead.
+            p = float(value)
+            if not 0.0 <= p <= 1.0:
+                raise ValueError("$sampleRate must be in [0, 1]")
+            cond = F.rand() < F.lit(p)
         elif key.startswith("$"):
             raise ValueError(f"unsupported top-level operator: {key}")
         else:

@@ -19,7 +19,13 @@ single-WindowExec), string ops
 (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
 $regexFind $regexFindAll``), bit ops (``$bitAnd $bitOr $bitXor $bitNot``), ``$let`` variable
 binding, ``$strcasecmp $indexOfCP``,
-accumulators ``$median $percentile`` (exact continuous percentiles), date arithmetic (``$dateAdd $dateSubtract $dateDiff
+accumulators ``$median $percentile`` (exact continuous percentiles) and
+the n-ary family ``$top $bottom $topN $bottomN $firstN $lastN $maxN
+$minN`` (in ``$group``, ``$setWindowFields``, ``$bucket`` and
+``$bucketAuto`` — one collect per group, sorted/sliced JVM-side), the
+``$convert``/``$toX`` cast family with ``onError``/``onNull`` (incl.
+``$toObjectId``), ``$rand``, ``$substrBytes``/``$substr``/
+``$strLenBytes``, date arithmetic (``$dateAdd $dateSubtract $dateDiff
 $dateTrunc $dateFromString`` — boundary-crossing $dateDiff, UTC only) and the
 date-part operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
@@ -101,7 +107,7 @@ def _truthy(col: Column) -> Column:
 _STRING_OPS = {
     "$concat", "$toLower", "$toUpper", "$toString", "$substrCP",
     "$dateToString", "$trim", "$ltrim", "$rtrim", "$replaceOne",
-    "$replaceAll",
+    "$replaceAll", "$toObjectId", "$substrBytes",
 }
 _ARRAY_OPS = {
     "$filter", "$map", "$setUnion", "$setIntersection", "$setDifference",
@@ -115,6 +121,7 @@ _NUMBER_OPS = {
     "$toDecimal", "$millisecond", "$dateDiff", "$year", "$month",
     "$dayOfMonth", "$hour", "$minute", "$second",
     "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
+    "$rand",
 }
 _BOOL_OPS = {
     "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
@@ -339,8 +346,6 @@ def _compile_value_op(
     if op == "$millisecond":
         ts = _as_timestamp(cv(arg))
         return (ts.cast("double") * 1000 % 1000).cast("int")
-    if op == "$toDate":
-        return _as_timestamp(cv(arg))
     if op == "$dateFromParts":
         get = lambda k, d: cv(arg[k]) if k in arg else F.lit(d)  # noqa: E731
         return F.make_timestamp(
@@ -451,17 +456,31 @@ def _compile_value_op(
         return F.greatest(*[cv(a) for a in arg])
     if op == "$strLenCP":
         return F.length(cv(arg))
+    if op == "$strLenBytes":
+        return F.octet_length(cv(arg))
     if op == "$substrCP":
         value, start, count = cv(arg[0]), cv(arg[1]), cv(arg[2])
         return F.substring(value, start + F.lit(1), count)  # Mongo is 0-based
-    if op == "$toString":
-        return cv(arg).cast("string")
-    if op in ("$toInt", "$toLong"):
-        return cv(arg).cast("long" if op == "$toLong" else "int")
-    if op in ("$toDouble", "$toDecimal"):
-        return cv(arg).cast("double")
-    if op == "$toBool":
-        return cv(arg).cast("boolean")
+    if op in ("$substrBytes", "$substr"):
+        # BYTE-indexed substring ($substr is its legacy alias): slice the
+        # UTF-8 encoding, then decode.  Mongo ERRORS when the range
+        # splits a multi-byte char; the dialect yields replacement chars
+        # instead (can't raise per-row) — exact for ASCII, documented.
+        value, start, count = cv(arg[0]), cv(arg[1]), cv(arg[2])
+        return F.decode(
+            F.substring(F.encode(value, "UTF-8"), start + F.lit(1), count),
+            "UTF-8",
+        )
+    if op == "$rand":
+        # uniform [0, 1) per document; nondeterministic, like Mongo
+        return F.rand()
+    if op in _CONVERT_ALIASES:
+        return _convert_value(arg, _CONVERT_ALIASES[op], None, None, vars_)
+    if op == "$convert":
+        return _convert_value(
+            arg["input"], arg["to"], arg.get("onError"), arg.get("onNull"),
+            vars_,
+        )
     if op == "$setUnion":
         return _fold([cv(a) for a in arg], F.array_union)
     if op == "$setIntersection":
@@ -723,6 +742,127 @@ def _compile_value_op(
         trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
         return trunc(_as_timestamp(cv(arg["date"])))
     raise ValueError(f"unsupported value operator: {op}")
+
+
+#: $toX shorthand -> $convert target name
+_CONVERT_ALIASES = {
+    "$toBool": "bool", "$toInt": "int", "$toLong": "long",
+    "$toDouble": "double", "$toDecimal": "decimal",
+    "$toString": "string", "$toDate": "date", "$toObjectId": "objectId",
+}
+
+#: BSON numeric type ids accepted by $convert's `to`
+_CONVERT_IDS = {
+    1: "double", 2: "string", 7: "objectId", 8: "bool",
+    9: "date", 16: "int", 18: "long", 19: "decimal",
+}
+
+#: conversion target -> Spark result type (decimal maps to double —
+#: the engine's numeric tower, documented divergence from decimal128)
+_CONVERT_SPARK_T = {
+    "int": "int", "long": "long", "double": "double", "decimal": "double",
+    "string": "string", "bool": "boolean", "date": "timestamp",
+    "objectId": "string",
+}
+
+_OBJECTID_RE = "^[0-9a-fA-F]{24}$"
+
+
+def _convert_value(
+    input_expr: Any, to: Any, on_error: Any, on_null: Any, vars_
+) -> Column:
+    """``$convert`` and the ``$toX`` shorthands, with Mongo
+    ``onError``/``onNull`` semantics.
+
+    - ``onNull`` replaces a null/missing INPUT; ``onError`` replaces a
+      failed conversion.  With ``onError`` present the conversion runs
+      lenient (``try_cast`` -> null -> onError); without it, ANSI cast
+      erroring IS Mongo parity ($convert without onError errors too).
+    - Mongo rules per target: any string/date/array/document is truthy
+      for ``bool``; date -> numeric is epoch MILLIS; numeric -> date
+      reads epoch millis; string -> int/long accepts integer strings
+      only; ``objectId`` accepts 24-hex strings (lowercased).
+    - Dialect decisions (documented): ``decimal`` maps to double;
+      ``onError``/``onNull`` values must cast to the TARGET type (Spark
+      columns are single-typed — Mongo would let them be any type);
+      an invalid objectId with no onError yields null (can't raise
+      per-row from a vectorized plan); statically-untypeable inputs
+      (``$$var`` refs) use a numeric-first fallback for ``bool``.
+    """
+    from pyspark.sql import types as T
+
+    to_name = _CONVERT_IDS.get(to, to)
+    if to_name not in _CONVERT_SPARK_T:
+        raise ValueError(f"$convert: unsupported target type {to!r}")
+    col = compile_value(input_expr, vars_)
+    kind = _static_value_type(input_expr, vars_)
+    is_date_in = False
+    if (
+        isinstance(input_expr, str)
+        and input_expr.startswith("$")
+        and not input_expr.startswith("$$")
+    ):
+        is_date_in = isinstance(
+            _resolve_path_type(input_expr[1:]),
+            (T.TimestampType, T.TimestampNTZType, T.DateType),
+        )
+    elif isinstance(input_expr, dict) and len(input_expr) == 1:
+        is_date_in = next(iter(input_expr)) in {
+            "$toDate", "$dateFromParts", "$dateAdd", "$dateSubtract",
+            "$dateTrunc", "$dateFromString",
+        }
+    lenient = on_error is not None
+
+    def cast(c: Column, t: str) -> Column:
+        return c.try_cast(t) if lenient else c.cast(t)
+
+    if to_name == "bool":
+        if kind == "bool":
+            conv = col
+        elif kind == "number" and not is_date_in:
+            conv = col != F.lit(0)
+        elif kind in ("string", "array", "struct") or is_date_in:
+            conv = F.lit(True)  # present non-numeric values are truthy
+        else:
+            d = col.try_cast("double")
+            conv = F.when(d.isNotNull(), d != F.lit(0)).otherwise(F.lit(True))
+    elif to_name == "string":
+        conv = col.cast("string")
+    elif to_name in ("int", "long", "double", "decimal"):
+        t = _CONVERT_SPARK_T[to_name]
+        if is_date_in:
+            # Mongo: date -> numeric is epoch milliseconds
+            conv = cast(col.cast("timestamp").cast("double") * 1000, t)
+        else:
+            conv = cast(col, t)
+    elif to_name == "date":
+        if kind == "number" and not is_date_in:
+            # Mongo: numeric input is epoch milliseconds
+            conv = F.timestamp_millis(cast(col, "long"))
+        elif is_date_in:
+            conv = col.cast("timestamp")
+        elif lenient:
+            s = col.cast("string")
+            conv = F.when(
+                s.rlike(_OBJECTID_RE), generation_time(s)
+            ).otherwise(F.try_to_timestamp(s))
+        else:
+            conv = _as_timestamp(col)  # ObjectId-aware; ANSI error parity
+    else:  # objectId
+        s = col.cast("string")
+        conv = F.when(s.rlike(_OBJECTID_RE), F.lower(s))
+
+    target_t = _CONVERT_SPARK_T[to_name]
+    null_repl = (
+        compile_value(on_null, vars_).cast(target_t)
+        if on_null is not None
+        else F.lit(None).cast(target_t)
+    )
+    result = F.when(col.isNull(), null_repl)
+    if on_error is not None:
+        err_repl = compile_value(on_error, vars_).cast(target_t)
+        return result.otherwise(F.coalesce(conv, err_repl))
+    return result.otherwise(conv)
 
 
 def _java_date_fmt(fmt: str) -> str:
@@ -1243,6 +1383,9 @@ def _compile_group_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
             aggs.append(F.count(F.lit(1)).alias(name))
         elif op in ("$median", "$percentile"):
             aggs.append(_percentile_agg(op, arg).alias(name))
+        elif op in _NARY_ACCS:
+            raw, fin = _nary_acc(op, arg)
+            aggs.append(fin(raw).alias(name))
         elif op in _ACCUMULATORS:
             aggs.append(_ACCUMULATORS[op](compile_value(arg)).alias(name))
         else:
@@ -1271,6 +1414,91 @@ def _percentile_agg(op: str, arg: Any) -> Column:
     if not isinstance(ps, list) or not ps:
         raise ValueError("$percentile requires a non-empty p array")
     return F.array(*[F.percentile(col, F.lit(float(p))) for p in ps])
+
+
+_NARY_ACCS = {
+    "$top", "$bottom", "$topN", "$bottomN",
+    "$firstN", "$lastN", "$maxN", "$minN",
+}
+
+
+def _nary_acc(op: str, arg: Any) -> tuple[Column, Any]:
+    """N-ary accumulator family (Mongo 5.2+): the bare collect_list
+    aggregate plus its finisher, split like _ACC_RAW/_ACC_FINISH so the
+    window path can ``.over(frame)`` the aggregate before finishing.
+
+    - ``$top/$topN/$bottom/$bottomN`` are sort-aware: collect
+      ``struct(sortBy keys..., output)``, array_sort with the
+      (key, direction) comparator, slice from the head ($top*) or tail
+      ($bottom* — Mongo keeps SORT order and takes the last n), project
+      the output.  ONE aggregate per group — no shuffle beyond the
+      groupBy/window itself, no per-group top-k join.
+    - ``$maxN/$minN``: the n largest/smallest values (desc/asc), nulls
+      and missing ignored (collect_list drops them — Mongo parity).
+    - ``$firstN/$lastN``: first/last n values in document order, null
+      elements KEPT (the $push struct-wrap trick); inherits $first's
+      document-order caveat — deterministic only after a preceding
+      $sort, same as Mongo.
+    """
+    if op in ("$top", "$topN", "$bottom", "$bottomN"):
+        sort_by = arg["sortBy"]
+        if op in ("$top", "$bottom"):
+            if "n" in arg:
+                raise ValueError(f"{op} does not accept n (use {op}N)")
+            n = 1
+        else:
+            n = int(arg["n"])
+            if n < 1:
+                raise ValueError(f"{op}: n must be a positive integer")
+        keys = list(sort_by.items())
+        fields = [path_col(k).alias(f"s{i}") for i, (k, _) in enumerate(keys)]
+        raw = F.collect_list(
+            F.struct(*fields, compile_value(arg["output"]).alias("o"))
+        )
+        order = [(f"s{i}", d) for i, (_, d) in enumerate(keys)]
+
+        def fin(c: Column) -> Column:
+            s = F.array_sort(c, _struct_comparator(order))
+            if op in ("$bottom", "$bottomN"):
+                sliced = F.slice(
+                    s, F.greatest(F.size(s) - F.lit(n) + 1, F.lit(1)), n
+                )
+            else:
+                sliced = F.slice(s, 1, n)
+            vals = F.transform(sliced, lambda e: e["o"])
+            if op in ("$top", "$bottom"):
+                # empty window frame -> null, never an ANSI error
+                return F.try_element_at(vals, F.lit(1))
+            return vals
+
+        return raw, fin
+    n = int(arg["n"])
+    if n < 1:
+        raise ValueError(f"{op}: n must be a positive integer")
+    val = compile_value(arg["input"])
+    if op in ("$maxN", "$minN"):
+        raw = F.collect_list(val)
+
+        def fin(c: Column) -> Column:
+            s = F.array_sort(c)
+            if op == "$maxN":
+                s = F.reverse(s)
+            return F.slice(s, 1, n)
+
+        return raw, fin
+    # $firstN / $lastN
+    raw = F.collect_list(F.struct(val.alias("v")))
+
+    def fin(c: Column) -> Column:
+        if op == "$firstN":
+            sliced = F.slice(c, 1, n)
+        else:
+            sliced = F.slice(
+                c, F.greatest(F.size(c) - F.lit(n) + 1, F.lit(1)), n
+            )
+        return F.transform(sliced, lambda e: e["v"])
+
+    return raw, fin
 
 
 _RANK_OPS = {
@@ -1411,6 +1639,11 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             continue
         if op == "$count":
             agg, finish = F.count(F.lit(1)), (lambda c: c)
+        elif op in _NARY_ACCS:
+            # sort-aware inside the accumulator itself ($top*'s own
+            # sortBy), independent of the stage sortBy; still one
+            # WindowExec — collect over the frame, sort/slice per row
+            agg, finish = _nary_acc(op, arg)
         elif op in _ACC_RAW:
             agg = _ACC_RAW[op](compile_value(arg))
             finish = _ACC_FINISH.get(op, lambda c: c)
@@ -1831,6 +2064,9 @@ def _bucket_auto(out: DataFrame, spec: dict[str, Any]) -> DataFrame:
         acc_op, arg = next(iter(acc.items()))
         if acc_op == "$count" or (acc_op == "$sum" and arg == 1):
             aggs.append(F.count(F.lit(1)).alias(name))
+        elif acc_op in _NARY_ACCS:
+            raw, fin = _nary_acc(acc_op, arg)
+            aggs.append(fin(raw).alias(name))
         elif acc_op in _ACCUMULATORS:
             aggs.append(_ACCUMULATORS[acc_op](compile_value(arg)).alias(name))
         else:
@@ -1890,11 +2126,17 @@ def _struct_comparator(order: list[tuple[str, int]]):
         for key, direction in reversed(order):
             lt = F.lit(-1 if direction >= 0 else 1)
             gt = F.lit(1 if direction >= 0 else -1)
-            expr = (
-                F.when(a[key] < b[key], lt)
-                .when(a[key] > b[key], gt)
-                .otherwise(expr)
+            # null sorts LOWEST (Mongo; also Spark's asc_nulls_first /
+            # desc_nulls_last) — a bare </> comparison is null against a
+            # null key, which would fall through to "equal" and scramble
+            # the order whenever sort keys are null
+            a_lt = (a[key].isNull() & b[key].isNotNull()) | F.coalesce(
+                a[key] < b[key], F.lit(False)
             )
+            a_gt = (a[key].isNotNull() & b[key].isNull()) | F.coalesce(
+                a[key] > b[key], F.lit(False)
+            )
+            expr = F.when(a_lt, lt).when(a_gt, gt).otherwise(expr)
         return expr
 
     return cmp
@@ -2312,6 +2554,9 @@ def apply_pipeline(
                 acc_op, arg = next(iter(acc.items()))
                 if acc_op == "$count" or (acc_op == "$sum" and arg == 1):
                     aggs.append(F.count(F.lit(1)).alias(name))
+                elif acc_op in _NARY_ACCS:
+                    raw, fin = _nary_acc(acc_op, arg)
+                    aggs.append(fin(raw).alias(name))
                 elif acc_op in _ACCUMULATORS:
                     aggs.append(_ACCUMULATORS[acc_op](compile_value(arg)).alias(name))
                 else:
