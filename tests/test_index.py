@@ -86,6 +86,45 @@ def test_append_then_query_sees_appended_docs(spark, corpus, tmp_path):
     assert out.count() >= 10
 
 
+def test_meta_json_guards_format_mismatch(spark, corpus, batch, tmp_path):
+    """build() persists the format-determining parameters; reopening
+    with mismatched key_shingles/partitions/signature params fails
+    LOUDLY instead of silently dropping every pair (the unionByName
+    bigint->string coercion hazard); MinHashIndex.load() reopens with
+    the built format; a pre-meta directory still opens as-constructed;
+    rebuild at the same path replaces the format."""
+    import json
+    import os
+
+    path = str(tmp_path / "idx_m")
+    idx = MinHashIndex.build(corpus, path, partitions=4)
+    meta = json.load(open(os.path.join(path, "meta.json")))
+    assert meta["partitions"] == 4 and meta["key_shingles"] is True
+
+    for bad in (
+        dict(key_shingles=False),   # shingles/ column type mismatch
+        dict(partitions=0),         # directory layout mismatch
+        dict(num_perm=16),          # signature arithmetic mismatch
+    ):
+        with pytest.raises(ValueError, match="different.*format"):
+            MinHashIndex(path, **bad)
+
+    reopened = MinHashIndex.load(path)
+    assert reopened.partitions == 4 and reopened.key_shingles is True
+    assert _rows(reopened.query(batch)) == _rows(idx.query(batch))
+    reopened.release(), idx.release()
+
+    # legacy directory (no meta.json): trusted as-constructed
+    os.remove(os.path.join(path, "meta.json"))
+    MinHashIndex(path, key_shingles=False)
+
+    # rebuild with a new format replaces the persisted one
+    MinHashIndex.build(corpus.limit(20), path, key_shingles=False)
+    assert json.load(open(os.path.join(path, "meta.json")))[
+        "key_shingles"
+    ] is False
+
+
 @pytest.fixture(scope="module")
 def vectors(spark, sf_dir):
     from tests.conftest import table

@@ -37,6 +37,7 @@ implementation, verified by the same oracle family.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -312,8 +313,58 @@ class MinHashIndex:
         self._query_caches: list[DataFrame] = []
         self._last_keyed: DataFrame | None = None
         self._last_banded: DataFrame | None = None
+        self._check_meta()
 
     # -- internals ---------------------------------------------------------
+    #: format-determining parameters persisted in meta.json.  n/num_perm/
+    #: bands fix the signature arithmetic, key_shingles fixes the
+    #: shingles/ column TYPE (bigint keys vs gram strings — mixing them
+    #: makes unionByName coerce to string and every batch-vs-corpus
+    #: intersection silently empty), partitions fixes the directory
+    #: layout (mixing flat and partitioned rows breaks pruning).
+    _META_FIELDS = ("n", "num_perm", "bands", "partitions", "key_shingles")
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def _write_meta(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(self._meta_path(), "w") as fh:
+            json.dump(
+                {
+                    "format": "minhash-lsh-index/1",
+                    **{f: getattr(self, f) for f in self._META_FIELDS},
+                },
+                fh,
+            )
+
+    def _check_meta(self) -> None:
+        """Fail LOUDLY when this handle's parameters disagree with the
+        on-disk index format — otherwise a key_shingles or partitions
+        mismatch doesn't error, it silently drops every near-dup pair
+        (r6 advice).  An index directory without meta.json (pre-meta
+        build, or a remote path the driver can't stat) is trusted
+        as-constructed, same as before."""
+        p = self._meta_path()
+        try:
+            if not os.path.exists(p):
+                return
+            with open(p) as fh:
+                meta = json.load(fh)
+        except OSError:
+            return
+        bad = {
+            f: {"index": meta.get(f), "requested": getattr(self, f)}
+            for f in self._META_FIELDS
+            if f in meta and meta[f] != getattr(self, f)
+        }
+        if bad:
+            raise ValueError(
+                f"MinHashIndex at {self.path!r} was built with a different "
+                f"format: {bad}; open it with MinHashIndex.load(path) or "
+                "matching parameters, or rebuild"
+            )
+
     def _bands_path(self) -> str:
         return os.path.join(self.path, "bands")
 
@@ -359,11 +410,26 @@ class MinHashIndex:
     # -- lifecycle ---------------------------------------------------------
     @classmethod
     def build(cls, df: DataFrame, path: str, **kw) -> "MinHashIndex":
+        meta_p = os.path.join(path, "meta.json")
+        if os.path.exists(meta_p):
+            os.remove(meta_p)  # overwrite build: the OLD format is moot
         idx = cls(path, **kw)
         keyed, banded = idx._derive(df)
         idx._write(keyed, idx._shingles_path(), "_dp", F.col("doc"), "overwrite")
         idx._write(banded, idx._bands_path(), "_bp", F.col("band"), "overwrite")
+        idx._write_meta()
         return idx
+
+    @classmethod
+    def load(
+        cls, path: str, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "MinHashIndex":
+        """Open an existing index with the format parameters it was
+        BUILT with (read from meta.json) — the mistake-proof opener."""
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        kw = {f: meta[f] for f in cls._META_FIELDS if f in meta}
+        return cls(path, text_col=text_col, id_col=id_col, **kw)
 
     def append(self, new_df: DataFrame) -> None:
         """Index the BATCH only and append — never touches corpus rows."""
