@@ -496,14 +496,31 @@ def test_lookup_compositions_match_reference(spark):
         [tuple(f[k] for k in ["fid", "fa", "fv"]) for f in fdocs],
         FOREIGN_SCHEMA,
     )
+    def _sort_limit(matched, order, k):
+        """Mongo per-outer sort (BSON compare via _m_cmp, null lowest;
+        negated for desc) + limit."""
+        def cmp(x, y):
+            for key, direction in order:
+                c = _m_cmp(x.get(key), y.get(key))
+                if c:
+                    return c if direction >= 0 else -c
+            return 0
+
+        return sorted(matched, key=cmp_to_key(cmp))[:k]
+
     failures = []
-    for trial in range(12):
-        if trial % 2 == 0:  # plain equality form
+    for trial in range(25):
+        shape = trial % 5
+        thr = rng.randint(0, 6)
+        k = rng.randint(1, 3)
+        direction = rng.choice([1, -1])
+        # fid is a unique tiebreak so the LIMIT-k SET is deterministic
+        order = [("fv", direction), ("fid", 1)]
+        if shape == 0:  # plain equality form
             pipe = [{"$lookup": {"from": "t2", "localField": "a",
                                  "foreignField": "fa", "as": "m"}}]
             want = _ref_lookup_eq(docs, fdocs, "a", "fa")
-        else:  # correlated let+pipeline form: match + threshold filter
-            thr = rng.randint(0, 6)
+        elif shape == 1:  # correlated let+pipeline: match + threshold
             pipe = [{"$lookup": {
                 "from": "t2",
                 "let": {"la": "$a"},
@@ -523,6 +540,76 @@ def test_lookup_compositions_match_reference(spark):
                 ]}
                 for d in docs
             ]
+        elif shape == 2:
+            # mixed form (r7): localField equality + pipeline.  Even
+            # trials: var-free prefix filter only (equality inserted
+            # after it — fast path); odd: plus a correlated residual
+            # (equality $and-merged into it — general path)
+            sub = [{"$match": {"fv": {"$gte": thr}}}]
+            residual = trial % 2 == 1
+            if residual:
+                sub.append(
+                    {"$match": {"$expr": {"$lt": ["$fid", "$$ln"]}}}
+                )
+            pipe = [{"$lookup": {
+                "from": "t2", "localField": "a", "foreignField": "fa",
+                **({"let": {"ln": "$n"}} if residual else {}),
+                "pipeline": sub, "as": "m",
+            }}]
+            want = [
+                {**d, "m": [
+                    f for f in fdocs
+                    if f.get("fv") is not None and f["fv"] >= thr
+                    and f.get("fa") == d.get("a")
+                    and (not residual or f["fid"] < d["n"])
+                ]}
+                for d in docs
+            ]
+        elif shape == 3:
+            # single-$eq + $sort + $limit: the key-grouped fast path's
+            # per-key window cutoff, incl. NULL outer keys (null-safe
+            # group join — $expr $eq(null,null) is true)
+            pipe = [{"$lookup": {
+                "from": "t2",
+                "let": {"la": "$a"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$fa", "$$la"]}}},
+                    {"$sort": dict(order)},
+                    {"$limit": k},
+                ],
+                "as": "m",
+            }}]
+            want = [
+                {**d, "m": _sort_limit(
+                    [f for f in fdocs if f.get("fa") == d.get("a")],
+                    order, k,
+                )}
+                for d in docs
+            ]
+        else:
+            # residual correlation + $sort + $limit (r7): the general
+            # row-id path's post-collect slice
+            pipe = [{"$lookup": {
+                "from": "t2",
+                "let": {"la": "$a", "ln": "$n"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$and": [
+                        {"$eq": ["$fa", "$$la"]},
+                        {"$lt": ["$fid", "$$ln"]},
+                    ]}}},
+                    {"$sort": dict(order)},
+                    {"$limit": k},
+                ],
+                "as": "m",
+            }}]
+            want = [
+                {**d, "m": _sort_limit(
+                    [f for f in fdocs
+                     if f.get("fa") == d.get("a") and f["fid"] < d["n"]],
+                    order, k,
+                )}
+                for d in docs
+            ]
         got = [
             r.asDict(recursive=True)
             for r in apply_pipeline(df, pipe, tables={"t2": fdf}).collect()
@@ -535,7 +622,7 @@ def test_lookup_compositions_match_reference(spark):
             ]
             failures.append((pipe, bad[:2]))
     assert not failures, (
-        f"{len(failures)}/12 $lookup pipelines diverge; first: {failures[0]}"
+        f"{len(failures)}/25 $lookup pipelines diverge; first: {failures[0]}"
     )
 
 

@@ -324,8 +324,11 @@ def test_pipeline_lookup_uncorrelated_and_errors(spark):
     for r in out.collect():
         assert [x["rid"] for x in r["all_ref"]] == [3, 7]  # shared, sorted
 
-    with pytest.raises(NotImplementedError, match="limit"):
-        apply_pipeline(
+    # residual correlation + $sort + $limit (r7): the general row-id
+    # path slices the sorted per-row array after the collect
+    rows = {
+        r["k"]: [x["rid"] for x in r["a"]]
+        for r in apply_pipeline(
             left,
             [{"$lookup": {"from": "ref", "let": {"kk": "$k"},
                           "pipeline": [
@@ -335,6 +338,8 @@ def test_pipeline_lookup_uncorrelated_and_errors(spark):
                           ], "as": "a"}}],
             tables={"ref": ref},
         ).collect()
+    }
+    assert rows == {1: [3], 2: [3]}
 
 
 def test_pipeline_sort_by_count(spark):
@@ -1182,3 +1187,63 @@ def test_match_sample_rate(orders):
     assert 0.3 * total < got < 0.7 * total
     with pytest.raises(ValueError):
         apply_pipeline(orders, [{"$match": {"$sampleRate": 1.5}}])
+
+
+def test_date_ops_fixed_offset_timezone(spark):
+    """Fixed ±HH:MM offsets in $dateTrunc/$dateAdd/$dateDiff/
+    $dateToString/$dateFromString: boundaries live in the offset-local
+    time (shift, operate, shift back — exact, fixed offsets have no
+    DST); UTC behavior is unchanged; Olson names stay a loud
+    NotImplementedError.  2021-03-31T20:00Z is 2021-04-01T01:30 at
+    +05:30 — a different day, month and (local) date_trunc result."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("2021-03-31T20:00:00", "2021-03-31T17:00:00")], "e string, s string"
+    )
+    base = [{"$addFields": {
+        "e": {"$dateFromString": {"dateString": "$e"}},
+        "s": {"$dateFromString": {"dateString": "$s"}},
+    }}]
+    row = apply_pipeline(
+        df,
+        base + [{"$project": {
+            "t_utc": {"$dateTrunc": {"date": "$e", "unit": "day"}},
+            "t_ist": {"$dateTrunc": {"date": "$e", "unit": "day",
+                                     "timezone": "+05:30"}},
+            "d_utc": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+                                    "unit": "day"}},
+            "d_ist": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+                                    "unit": "day", "timezone": "+05:30"}},
+            "a_ist": {"$dateAdd": {"startDate": "$e", "unit": "month",
+                                   "amount": 1, "timezone": "+05:30"}},
+            "s_ist": {"$dateToString": {"date": "$e",
+                                        "format": "%Y-%m-%d %H:%M",
+                                        "timezone": "+05:30"}},
+            "s_pst": {"$dateToString": {"date": "$e",
+                                        "format": "%Y-%m-%d %H:%M",
+                                        "timezone": "-08:00"}},
+            "f_ist": {"$dateFromString": {
+                "dateString": "2021-04-01T01:30:00", "timezone": "+0530"}},
+        }}],
+    ).collect()[0]
+    from datetime import datetime
+
+    assert row["t_utc"] == datetime(2021, 3, 31)
+    # local midnight 2021-04-01T00:00+05:30 == 2021-03-31T18:30Z
+    assert row["t_ist"] == datetime(2021, 3, 31, 18, 30)
+    # 17:00Z and 20:00Z are the same UTC day but straddle local midnight
+    assert row["d_utc"] == 0 and row["d_ist"] == 1
+    # local 2021-04-01T01:30 + 1 month = 2021-05-01T01:30+05:30 = 04-30T20:00Z
+    assert row["a_ist"] == datetime(2021, 4, 30, 20, 0)
+    assert row["s_ist"] == "2021-04-01 01:30"
+    assert row["s_pst"] == "2021-03-31 12:00"
+    assert row["f_ist"] == datetime(2021, 3, 31, 20, 0)
+
+    with pytest.raises(NotImplementedError, match="fixed"):
+        apply_pipeline(
+            df,
+            base + [{"$project": {"x": {"$dateTrunc": {
+                "date": "$e", "unit": "day",
+                "timezone": "America/New_York"}}}}],
+        )

@@ -1,0 +1,125 @@
+"""Measure the distributed BPE fallback's E[batch] on real corpus text.
+
+The r6 batching work (`operators/bpe.py _select_merge_batch`) proves
+each batch is equivalent to that many sequential merges, and the
+property tests pin iterations < merges — but not HOW LARGE batches get
+on a real word distribution, which decides whether a 32k-merge vocab
+costs ~32k jobs or ~4k.  This tool forces the distributed path
+(`local_max_words=0`) over the sf documents table, trains a >=1k-merge
+vocabulary, and records:
+
+- iterations and total merges -> E[batch] = merges/iterations;
+- bounds_jobs (iterations that paid the second, bound-computing job —
+  iterations whose disjoint prefix was 1 skip it);
+- jobs-per-merge vs the sequential baseline's 1.0 (candidate jobs +
+  bounds jobs, the two per-iteration Spark actions);
+- the batch-size histogram (where conflicts actually bite).
+
+It also verifies the batched merge list is IDENTICAL to batch_k=1 over
+the first `check_merges` merges (the property the tests pin at small
+scale, re-checked here at measurement scale).
+
+Writes BPEBENCH.md and prints one JSON line.
+
+Usage: python tools/bpe_bench.py [sf_dir] [n_merges]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from collections import Counter
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    check_merges = int(os.environ.get("SPARK_GRAFT_BPE_CHECK", "64"))
+
+    from topic_store_spark.operators.bpe import train_bpe
+    from topic_store_spark.session import get_spark
+    from topic_store_spark.tables import load_table
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    stats: dict = {}
+    t0 = time.monotonic()
+    merges = train_bpe(
+        docs, n_merges=n_merges, min_freq=2, local_max_words=0,
+        batch_k=16, stats=stats,
+    )
+    el = time.monotonic() - t0
+
+    iters = stats["iterations"]
+    jobs = iters + stats["bounds_jobs"]  # candidate job + optional bound job
+    e_batch = len(merges) / iters if iters else 0.0
+    hist = Counter(stats["batch_sizes"])
+
+    # identical-output check vs the sequential path at measurement scale
+    seq = train_bpe(
+        docs, n_merges=check_merges, min_freq=2, local_max_words=0,
+        batch_k=1,
+    )
+    identical = seq == merges[:check_merges]
+
+    out = {
+        "metric": "bpe_distributed_batching",
+        "sf": sf_dir,
+        "merges": len(merges),
+        "iterations": iters,
+        "bounds_jobs": stats["bounds_jobs"],
+        "jobs": jobs,
+        "e_batch": round(e_batch, 2),
+        "jobs_per_merge": round(jobs / max(len(merges), 1), 3),
+        "sec": round(el, 1),
+        "batch_size_hist": dict(sorted(hist.items())),
+        "seq_prefix_identical": identical,
+        "check_merges": check_merges,
+    }
+    print(json.dumps(out))
+
+    lines = [
+        "# Distributed BPE fallback: measured batching",
+        "",
+        f"`python tools/bpe_bench.py {sf_dir} {n_merges}` — the"
+        " distributed merge loop forced (`local_max_words=0`) over the"
+        f" sf documents table, batch_k=16, min_freq=2.",
+        "",
+        f"- merges learned: **{len(merges)}** in **{iters}**"
+        " iterations -> E[batch] ="
+        f" **{e_batch:.2f}** merges/iteration",
+        f"- Spark jobs: {iters} candidate top-k jobs +"
+        f" {stats['bounds_jobs']} bound jobs = **{jobs}** total,"
+        f" i.e. **{jobs / max(len(merges), 1):.3f} jobs/merge** vs the"
+        " sequential loop's 1.0 (plus the shared fold/checkpoint"
+        " lineage both paths pay)",
+        f"- batch-size histogram: {dict(sorted(hist.items()))}",
+        f"- merge-list parity: first {check_merges} merges"
+        f" {'IDENTICAL' if identical else 'DIVERGED'} vs batch_k=1"
+        " (the sequential reference) at this scale",
+        f"- wall-clock: {el:.1f}s",
+        "",
+        "Reading: every iteration whose disjoint contiguous prefix is 1"
+        " costs exactly the sequential path's one job (the bound job is"
+        " skipped), so jobs/merge <= 1 always; the win equals the mass"
+        " in the >=2 histogram buckets.  Conflicts concentrate where"
+        " BPE's top pairs share hot symbols — early char-level rounds"
+        " — and relax as tokens grow.",
+        "",
+    ]
+    with open(os.path.join(_REPO, "BPEBENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BPEBENCH.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,6 +161,158 @@ def bench_near_dedup_ingest(spark, sf_dir: str) -> dict:
             "rows_per_sec": round(n_in / el), **split}
 
 
+def _standing_corpus(spark, sf_dir: str, replicas: int):
+    """A >=100k-doc standing corpus derived from the sf documents table:
+    ``replicas`` copies with every WORD suffixed by the replica id, so
+    replicas are shingle-disjoint (word-n-gram shingles — a replica is
+    NOT a near-dup of its source, the corpus has no cross-replica
+    pairs).  doc_id = source + rid*100000."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rids = spark.range(replicas).select(F.col("id").cast("int").alias("rid"))
+    return (
+        docs.crossJoin(F.broadcast(rids))
+        .select(
+            (F.col("doc_id") + F.col("rid") * 100000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(
+                        w, F.lit("~"), F.col("rid").cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(32)
+    )
+
+
+def _batch_files(
+    rows, work: str, batches: int, batch_docs: int, run: int
+) -> str:
+    """Write ``batches`` one-file JSON micro-batches: half near-dup
+    clones of standing-corpus rows (must be dropped), half novel docs
+    (must survive).  Driver-side — the whole batch stream is
+    batches*batch_docs rows (small by design: this bench measures the
+    batch<<corpus regime).  ``run`` tags the novel docs so repeat runs
+    against the SAME index (which absorbed the previous run's
+    survivors) stay half-novel."""
+    half = batch_docs // 2
+    src = os.path.join(work, f"src_r{run}")
+    os.makedirs(src)
+    for b in range(batches):
+        with open(os.path.join(src, f"batch{b:04d}.json"), "w") as fh:
+            for i, r in enumerate(rows[b * half:(b + 1) * half]):
+                serial = run * 10_000_000 + b * batch_docs + i
+                clone = {"doc_id": 50_000_000 + serial,
+                         "text": r["text"] + " qq ww"}
+                novel = {
+                    "doc_id": 70_000_000 + serial,
+                    "text": " ".join(
+                        f"{w}.r{run}n{b}" for w in r["text"].split(" ")
+                    ),
+                }
+                fh.write(json.dumps(clone) + "\n" + json.dumps(novel) + "\n")
+    return src
+
+
+def bench_small_batch_regime(
+    spark, sf_dir: str, replicas: int, batches: int, batch_docs: int,
+    partitions: int, runs: int = 2,
+) -> list[dict]:
+    """The production shape of incremental ingest: a SMALL micro-batch
+    against a LARGE standing index (r6's bench ran corpus-sized batches,
+    where directory pruning can't win by construction).  Builds BOTH
+    layouts once (flat and partitions=N), then interleaves stream runs
+    flat/part/flat/part in one session so host drift cancels out of the
+    comparison.  Run k>0 replays against the index as run k-1 left it
+    (survivors appended) with freshly-tagged novel docs — every run's
+    expected keep rate stays 50%."""
+    import topic_store_spark as ts
+
+    from topic_store_spark.operators.index import MinHashIndex
+    from topic_store_spark.streaming.ingest import near_dedup_ingest_stream
+
+    corpus = _standing_corpus(spark, sf_dir, replicas).persist()
+    n_corpus = corpus.count()
+    half = batch_docs // 2
+    rows = corpus.limit(batches * half).collect()
+
+    layouts = []
+    for p in (0, partitions):
+        work = tempfile.mkdtemp(prefix=f"tss_smallb_p{p}_")
+        t0 = time.monotonic()
+        idx = MinHashIndex.build(
+            corpus, os.path.join(work, "idx"), partitions=p
+        )
+        layouts.append({
+            "label": f"partitions={p}" if p else "flat",
+            "idx": idx, "work": work,
+            "build_sec": round(time.monotonic() - t0, 2),
+        })
+    corpus.unpersist()
+
+    results = []
+    for run in range(runs):
+        for lay in layouts:
+            idx = lay["idx"]
+            store = ts.load(
+                os.path.join(lay["work"], f"store_r{run}.parquet"), spark
+            )
+            src = _batch_files(rows, lay["work"], batches, batch_docs, run)
+            counts: list[tuple[int, int]] = []
+            timings: list[dict] = []
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+            )
+            prune_before = len(idx.prune_log)
+            t0 = time.monotonic()
+            q = (
+                near_dedup_ingest_stream(
+                    stream, store, idx,
+                    on_batch=lambda b, i, k: counts.append((i, k)),
+                    on_timing=lambda b, t: timings.append(t),
+                )
+                .option(
+                    "checkpointLocation",
+                    os.path.join(lay["work"], f"ck_r{run}"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1800)
+            el = time.monotonic() - t0
+            n_in = sum(i for i, _ in counts)
+            out = {
+                "stage": "near_dedup_ingest_small_batches",
+                "layout": lay["label"], "run": run,
+                "corpus_docs": n_corpus, "batches": len(counts),
+                "batch_docs": batch_docs, "rows": n_in,
+                "kept": sum(k for _, k in counts),
+                "sec": round(el, 2),
+                "rows_per_sec": round(n_in / el, 1),
+                "build_sec": lay["build_sec"],
+                "sign_query_sec": round(
+                    sum(t["query"] for t in timings), 2),
+                "append_sec": round(
+                    sum(t["append"] for t in timings), 2),
+            }
+            log = idx.prune_log[prune_before:]
+            if log:
+                out["band_parts_touched_avg"] = round(
+                    sum(p["band_parts"] for p in log) / len(log), 1)
+                out["shingle_parts_touched_avg"] = round(
+                    sum(p["shingle_parts"] for p in log) / len(log), 1)
+            results.append(out)
+    return results
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -170,13 +322,23 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     src, n = _events_source_dir(spark, sf_dir)
+    env = os.environ.get
+    replicas = int(env("SPARK_GRAFT_SB_REPLICAS", "64"))
+    batches = int(env("SPARK_GRAFT_SB_BATCHES", "32"))
+    batch_docs = int(env("SPARK_GRAFT_SB_BATCH_DOCS", "64"))
+    partitions = int(env("SPARK_GRAFT_SB_PARTITIONS", "512"))
     results = [
         bench_rate_monitor(spark, src, n),
         bench_fps_counter(spark, src, n),
         bench_near_dedup_ingest(spark, sf_dir),
+        # the batch<<corpus regime: flat vs partitioned, stream runs
+        # interleaved A/B/A/B so host drift cancels
+        *bench_small_batch_regime(
+            spark, sf_dir, replicas, batches, batch_docs, partitions),
     ]
     for r in results:
-        print(f"# {r['stage']}: {r['rows']} rows in {r['sec']}s "
+        print(f"# {r['stage']}{' ' + r.get('layout', '') if 'layout' in r else ''}:"
+              f" {r['rows']} rows in {r['sec']}s "
               f"-> {r['rows_per_sec']} rows/s", file=sys.stderr)
     print(json.dumps({"metric": "streaming_rows_per_sec", "sf": sf_dir,
                       "stages": results}))
@@ -201,13 +363,15 @@ def main() -> None:
         "fps_counter_stream": "events",
         "near_dedup_ingest_stream": "documents x1 (50% near-dup clones, 50% novel)",
     }
-    for r in results:
+    classic = [r for r in results if r["stage"] in src_names]
+    small = [r for r in results if r["stage"] == "near_dedup_ingest_small_batches"]
+    for r in classic:
         extra = f" (kept {r['kept']})" if "kept" in r else ""
         lines.append(
             f"| {r['stage']} | {src_names[r['stage']]} | {r['rows']}{extra} "
             f"| {r['sec']} | {r['rows_per_sec']} |"
         )
-    ingest = results[-1]
+    ingest = classic[-1]
     lines += [
         "",
         "near-dup ingest is the expensive stage by design: each batch "
@@ -231,6 +395,45 @@ def main() -> None:
         "micro-batch planning/source listing.",
         "",
     ]
+    if small:
+        c = small[0]
+        lines += [
+            "## Small-batch regime (batch << corpus — the 100 TB shape)",
+            "",
+            f"Standing index of {c['corpus_docs']} docs "
+            f"({replicas} word-suffixed replicas of the sf documents "
+            "table, shingle-disjoint so replication adds no cross-"
+            f"replica near-dups); {c['batches']} micro-batches of "
+            f"{c['batch_docs']} docs each (maxFilesPerTrigger=1; half "
+            "near-dup clones of corpus rows, half novel), flat vs "
+            "hash-partitioned layout, interleaved A/B/A/B in one "
+            "session so host drift cancels.  'parts touched' is the "
+            "per-batch average count of index directories the query "
+            "actually listed (bands pruned by the batch's band-hash "
+            "set, shingles by the candidate doc-hash set).",
+            "",
+            "| layout | run | rows | kept | sec | rows/s | sign+query s | "
+            "append s | band parts | shingle parts | build s |",
+            "|---|---|---|---|---|---|---|---|---|---|---|",
+        ]
+        for r in small:
+            bp = r.get("band_parts_touched_avg", "-")
+            sp = r.get("shingle_parts_touched_avg", "-")
+            lines.append(
+                f"| {r['layout']} | {r['run']} | {r['rows']} | {r['kept']} "
+                f"| {r['sec']} | {r['rows_per_sec']} | {r['sign_query_sec']} "
+                f"| {r['append_sec']} | {bp} | {sp} | {r['build_sec']} |"
+            )
+        flats = [r["rows_per_sec"] for r in small if r["layout"] == "flat"]
+        parts_rs = [r["rows_per_sec"] for r in small if r["layout"] != "flat"]
+        if flats and parts_rs:
+            ratio = (sum(parts_rs) / len(parts_rs)) / (sum(flats) / len(flats))
+            lines.append("")
+            lines.append(
+                f"partitioned/flat rows/s ratio (mean of interleaved "
+                f"runs): **{ratio:.2f}x**."
+            )
+        lines.append("")
     with open(os.path.join(_REPO, "STREAMBENCH.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote STREAMBENCH.md", file=sys.stderr)

@@ -171,6 +171,7 @@ def train_bpe(
     checkpoint_every: int = 8,
     local_max_words: int = LOCAL_TRAIN_MAX_WORDS,
     batch_k: int = 16,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus.  Returns the ordered
     merge list [(a, b), ...] (rank = list position).
@@ -188,7 +189,13 @@ def train_bpe(
     disjointness + created-pair bound), cutting the job count for a 32k
     vocabulary from 32k sequential jobs toward 32k/E[batch]x2.  Both
     paths stop early when the best pair's corpus frequency drops below
-    ``min_freq`` and emit identical merge lists."""
+    ``min_freq`` and emit identical merge lists.
+
+    ``stats``, when given, is filled in place with the distributed
+    path's measured shape: ``iterations``, ``batch_sizes`` (one entry
+    per iteration), and ``bounds_jobs`` (iterations whose contiguous
+    disjoint prefix exceeded 1, i.e. paid the second job) — the
+    E[batch] evidence ``tools/bpe_bench.py`` records."""
     wf = word_freq_table(df, text_col, end_of_word)
     wf = materialize_iter(wf)
     # one agg sizes BOTH gates for the in-driver path: row count and the
@@ -209,6 +216,8 @@ def train_bpe(
         ]
         return _train_bpe_local(rows, n_merges, min_freq)
     merges: list[tuple[str, str]] = []
+    if stats is not None:
+        stats.update({"iterations": 0, "batch_sizes": [], "bounds_jobs": 0})
     iters = 0
     while len(merges) < n_merges:
         iters += 1
@@ -224,10 +233,14 @@ def train_bpe(
             F.sum("freq").alias("n")
         )
         batch = _select_merge_batch(
-            pairs, min(batch_k, n_merges - len(merges)), min_freq
+            pairs, min(batch_k, n_merges - len(merges)), min_freq,
+            stats=stats,
         )
         if not batch:
             break
+        if stats is not None:
+            stats["iterations"] = iters
+            stats["batch_sizes"].append(len(batch))
         merges.extend(batch)
         syms = F.col("syms")
         for a, b in batch:  # symbol-disjoint: one fold pass applies all
@@ -239,7 +252,8 @@ def train_bpe(
 
 
 def _select_merge_batch(
-    pairs: DataFrame, batch_k: int, min_freq: int
+    pairs: DataFrame, batch_k: int, min_freq: int,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """The largest CONTIGUOUS prefix of the (count desc, pair asc)-sorted
     candidate list provably equal to running that many sequential merges
@@ -303,6 +317,8 @@ def _select_merge_batch(
                 break
         if len(pre) <= 1:
             return pre
+        if stats is not None:
+            stats["bounds_jobs"] += 1
         # one small job computes every bound at once (namespaced tags):
         #   A:<s> — max count of pairs ENDING in s (bounds created
         #           left-neighbor pairs of a merge whose a == s)

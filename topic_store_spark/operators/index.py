@@ -313,6 +313,11 @@ class MinHashIndex:
         self._query_caches: list[DataFrame] = []
         self._last_keyed: DataFrame | None = None
         self._last_banded: DataFrame | None = None
+        #: one entry per query() when partitions>0: how many of the
+        #: layout's directories the batch actually touched (the pruning
+        #: evidence tools/stream_bench.py records) — bounded, one small
+        #: dict per query.
+        self.prune_log: list[dict] = []
         self._check_meta()
 
     # -- internals ---------------------------------------------------------
@@ -401,9 +406,16 @@ class MinHashIndex:
         self, df: DataFrame, path: str, part_col: str, key, mode: str
     ) -> None:
         if self.partitions:
-            df.withColumn(part_col, self._bp(key)).write.mode(
-                mode
-            ).partitionBy(part_col).parquet(path)
+            df = df.withColumn(part_col, self._bp(key))
+            if mode == "overwrite":
+                # one file per directory on the corpus build: without
+                # this every write task drops a fragment into every
+                # directory (tasks x partitions tiny files), and the
+                # listing overhead eats what pruning saves.  Appends
+                # stay shuffle-free — a small batch touches few
+                # directories anyway.
+                df = df.repartition(F.col(part_col))
+            df.write.mode(mode).partitionBy(part_col).parquet(path)
         else:
             df.write.mode(mode).parquet(path)
 
@@ -480,6 +492,7 @@ class MinHashIndex:
         self._last_keyed, self._last_banded = keyed_new, banded_new
 
         banded_idx = spark.read.parquet(self._bands_path())
+        prune: dict | None = None
         if self.partitions:
             # directory-level pruning: the index scan lists only the
             # partitions the BATCH's band set hashes into (one tiny
@@ -491,6 +504,7 @@ class MinHashIndex:
                 ).distinct().collect()
             ]
             banded_idx = banded_idx.filter(F.col("_bp").isin(parts)).drop("_bp")
+            prune = {"partitions": self.partitions, "band_parts": len(parts)}
         if bloom_prefilter:
             from topic_store_spark.operators.bloom import (
                 bloom_build,
@@ -529,6 +543,8 @@ class MinHashIndex:
             sh_idx = sh_idx.filter(
                 F.col("_dp").isin(sorted(dparts))
             ).drop("_dp")
+            prune["shingle_parts"] = len(dparts)
+            self.prune_log.append(prune)
         sh_all = sh_idx.unionByName(keyed_new)
         return _jaccard_out(
             _pair_jaccard(sh_all, cands), threshold_num, threshold_den

@@ -58,6 +58,7 @@ string), ANSI Spark erroring is parity, deliberately kept.
 from __future__ import annotations
 
 import contextlib as _contextlib
+import re as _re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -490,7 +491,11 @@ def _compile_value_op(
         return F.array_except(left, right)
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
-        return F.date_format(_as_timestamp(cv(arg["date"])), _java_date_fmt(fmt))
+        mins = _tz_offset_minutes(op, arg)
+        return F.date_format(
+            _tz_shift(_as_timestamp(cv(arg["date"])), mins),
+            _java_date_fmt(fmt),
+        )
     if op == "$filter":
         inp = cv(arg["input"])
         name = arg.get("as", "this")
@@ -669,12 +674,15 @@ def _compile_value_op(
             return F.lit(False)
         raise ValueError("$isNumber: cannot statically type the operand")
     if op == "$dateFromString":
-        _check_tz(op, arg)
+        # the string is LOCAL time in `timezone`; store-side is UTC
+        mins = _tz_offset_minutes(op, arg)
         fmt = arg.get("format")
         ds = cv(arg["dateString"])
-        if fmt is None:
-            return F.to_timestamp(ds)
-        return F.to_timestamp(ds, _java_date_fmt(fmt))
+        ts = (
+            F.to_timestamp(ds) if fmt is None
+            else F.to_timestamp(ds, _java_date_fmt(fmt))
+        )
+        return _tz_shift(ts, -mins)
     if op in ("$trim", "$ltrim", "$rtrim"):
         inp = cv(arg["input"])
         # Mongo's default trim set: null, tab, LF, VT, FF, CR, space
@@ -718,29 +726,35 @@ def _compile_value_op(
         inner = arg[0] if isinstance(arg, list) else arg
         return F.bitwise_not(cv(inner).cast("long"))
     if op in ("$dateAdd", "$dateSubtract"):
+        # calendar arithmetic happens in the (fixed-offset) local time:
+        # shift, add, shift back — a no-op for sub-day units, the point
+        # for day/month/year boundaries
         unit = _date_unit(arg["unit"])
-        _check_tz(op, arg)
+        mins = _tz_offset_minutes(op, arg)
         amount = cv(arg["amount"]).cast("int")
         if op == "$dateSubtract":
             amount = -amount
-        return F.timestamp_add(unit, amount, _as_timestamp(cv(arg["startDate"])))
+        local = _tz_shift(_as_timestamp(cv(arg["startDate"])), mins)
+        return _tz_shift(F.timestamp_add(unit, amount, local), -mins)
     if op == "$dateDiff":
         # Mongo counts unit-BOUNDARY crossings, not elapsed whole units
         # (23:00 -> 01:00 next day is 1 "day"): truncate both ends to
         # the unit boundary, then diff — aligned starts make
-        # timestamp_diff exact
+        # timestamp_diff exact.  Boundaries live in the local timezone.
         unit = _date_unit(arg["unit"])
-        _check_tz(op, arg)
+        mins = _tz_offset_minutes(op, arg)
         trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
-        s = trunc(_as_timestamp(cv(arg["startDate"])))
-        e = trunc(_as_timestamp(cv(arg["endDate"])))
+        s = trunc(_tz_shift(_as_timestamp(cv(arg["startDate"])), mins))
+        e = trunc(_tz_shift(_as_timestamp(cv(arg["endDate"])), mins))
         return F.timestamp_diff(unit, s, e)
     if op == "$dateTrunc":
-        _check_tz(op, arg)
+        mins = _tz_offset_minutes(op, arg)
         if int(arg.get("binSize", 1)) != 1:
             raise ValueError("$dateTrunc: only binSize=1 is supported")
         trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
-        return trunc(_as_timestamp(cv(arg["date"])))
+        return _tz_shift(
+            trunc(_tz_shift(_as_timestamp(cv(arg["date"])), mins)), -mins
+        )
     raise ValueError(f"unsupported value operator: {op}")
 
 
@@ -888,10 +902,36 @@ def _date_unit(unit: Any) -> str:
     return _DATE_UNITS[unit]
 
 
-def _check_tz(op: str, arg: dict) -> None:
+_TZ_OFFSET_RE = _re.compile(r"^([+-])(\d{2})(?::?(\d{2}))?$")
+
+
+def _tz_offset_minutes(op: str, arg: dict) -> int:
+    """Fixed-offset ``timezone`` support for the date operators: parse
+    Mongo's ``±HH`` / ``±HHMM`` / ``±HH:MM`` forms to signed minutes
+    (0 for UTC/absent).  Calendar arithmetic then runs on the
+    offset-SHIFTED timestamp and shifts back — exact for fixed offsets,
+    which have no DST transitions.  Olson zone names (which do) stay a
+    loud NotImplementedError rather than a silently-wrong answer."""
     tz = arg.get("timezone")
-    if tz not in (None, "UTC", "+00", "+0000", "+00:00"):
-        raise NotImplementedError(f"{op}: only UTC timezones are supported")
+    if tz in (None, "UTC", "Z", "+00", "+0000", "+00:00"):
+        return 0
+    m = _TZ_OFFSET_RE.match(tz) if isinstance(tz, str) else None
+    if m is None:
+        raise NotImplementedError(
+            f"{op}: only UTC and fixed ±HH:MM timezone offsets are "
+            f"supported, got {tz!r}"
+        )
+    sign = 1 if m.group(1) == "+" else -1
+    hh, mm = int(m.group(2)), int(m.group(3) or 0)
+    if hh > 18 or mm > 59:
+        raise ValueError(f"{op}: invalid timezone offset {tz!r}")
+    return sign * (hh * 60 + mm)
+
+
+def _tz_shift(col: Column, minutes: int) -> Column:
+    return (
+        F.timestamp_add("MINUTE", F.lit(minutes), col) if minutes else col
+    )
 
 
 def _unit_trunc(unit: str, start_of_week: Any):
@@ -2207,9 +2247,18 @@ def _lookup_pipeline(
       hash join), then collect per row id.  Honest cost: the collect
       shuffles the outer relation by row id — same as Mongo's own
       uncached pipeline lookup; prefer expressing pure-equi lookups in
-      the fast-path shape at scale.  ``$limit`` with residual
-      correlation is refused (a per-key window cannot express a
-      per-outer-row cutoff when residuals differ per row).
+      the fast-path shape at scale.  A suffix ``$limit`` slices the
+      sorted per-row array AFTER the collect (every match is still
+      gathered — a per-key window cannot pre-cut when residuals differ
+      per outer row).
+
+    The mixed form (``localField``/``foreignField`` together with
+    ``pipeline``, Mongo 5.0's concise correlated subquery) folds the
+    equality into this shape: merged via ``$and`` into the correlated
+    ``$match`` when one exists (requiring the stages before it to be
+    row-local, since Mongo applies the equality first), else inserted
+    after the row-local prefix — where it usually IS the single ``$eq``
+    and keeps the key-grouped fast path.
 
     Array ordering follows the suffix ``$sort`` exactly (array_sort
     comparator — collect_list order is physical, not logical); without
@@ -2219,10 +2268,56 @@ def _lookup_pipeline(
     sub = list(spec.get("pipeline") or [])
     as_name = spec["as"]
     if "localField" in spec or "foreignField" in spec:
-        raise NotImplementedError(
-            "$lookup: combining localField/foreignField with pipeline is "
-            "not supported — fold the equality into the $expr"
-        )
+        # mixed form (Mongo 5.0 "concise correlated subquery"): the
+        # equality match applies FIRST, then the pipeline runs over the
+        # equality-matched docs.  Compose by folding the equality into
+        # the let+pipeline shape: row-local stages ($match without vars,
+        # $project/$addFields/$set/$unset) commute with the equality
+        # filter, so they may stay ahead of it; a non-row-local stage
+        # ($group/$sort/$limit/...) before the correlation point would
+        # change meaning and is refused loudly.
+        if not ("localField" in spec and "foreignField" in spec):
+            raise ValueError(
+                "$lookup: localField and foreignField come as a pair"
+            )
+        var = "__ts_local"
+        while var in let:
+            var += "_"
+        let[var] = "$" + spec["localField"]
+        eq_expr = {"$eq": ["$" + spec["foreignField"], "$$" + var]}
+
+        def _row_local(st: dict) -> bool:
+            op_name = next(iter(st))
+            return op_name in ("$project", "$addFields", "$set", "$unset") or (
+                op_name == "$match" and not _contains_var(st)
+            )
+
+        corr = [i for i, st in enumerate(sub) if _contains_var(st)]
+        if corr:
+            i = corr[0]
+            st = sub[i]
+            if not (set(st) == {"$match"} and set(st["$match"]) == {"$expr"}):
+                raise NotImplementedError(
+                    "$lookup pipeline: the correlated stage must be "
+                    '{"$match": {"$expr": ...}}'
+                )
+            if not all(_row_local(s) for s in sub[:i]):
+                raise NotImplementedError(
+                    "$lookup: localField equality composes with a "
+                    "correlated pipeline only when the stages before the "
+                    "correlated $match are row-local (Mongo applies the "
+                    "equality first)"
+                )
+            sub[i] = {
+                "$match": {
+                    "$expr": {"$and": [eq_expr, st["$match"]["$expr"]]}
+                }
+            }
+        else:
+            k = 0
+            while k < len(sub) and _row_local(sub[k]):
+                k += 1
+            sub = sub[:k] + [{"$match": {"$expr": eq_expr}}] + sub[k:]
 
     corr_idx = [i for i, st in enumerate(sub) if _contains_var(st)]
     if not corr_idx:
@@ -2303,7 +2398,11 @@ def _lookup_pipeline(
         arr_type = grouped.schema[as_name].dataType.simpleString()
         return (
             out.withColumn("_lk_okey", outer_key)
-            .join(grouped, F.col("_lk_okey") == F.col("_lk_key"), "left")
+            # eqNullSafe: $expr {$eq: [null, null]} is TRUE in Mongo's
+            # aggregation expression semantics (compile_value's $eq is
+            # null-safe for the same reason), so a null outer key joins
+            # the null-key foreign group
+            .join(grouped, F.col("_lk_okey").eqNullSafe(F.col("_lk_key")), "left")
             .drop("_lk_key", "_lk_okey")
             .withColumn(
                 as_name,
@@ -2312,13 +2411,10 @@ def _lookup_pipeline(
         )
 
     # general path: rename outer columns, compile the full condition,
-    # LEFT join, collect per outer row id
-    if limit is not None:
-        raise NotImplementedError(
-            "$lookup pipeline: $limit requires the pure single-$eq "
-            "correlation (per-outer-row cutoffs with residual conditions "
-            "do not reduce to a per-key window)"
-        )
+    # LEFT join, collect per outer row id.  A suffix $limit (always
+    # after $sort — the suffix parser enforces it) is a slice of the
+    # comparator-sorted per-row array: every match is collected first
+    # (same cost as without the limit), then cut per outer row.
     out_cols = list(out.columns)
     clash = set(f_cols) & {f"_lkl_{c}" for c in out_cols}
     if clash:
@@ -2333,9 +2429,12 @@ def _lookup_pipeline(
     cond = compile_value(expr, vars_)
     joined = l2.join(r2, cond, "left")
     item = F.when(F.col("_lk_hit") == 1, fstruct)
+    arr = _sorted_collect(item)
+    if limit is not None:
+        arr = F.slice(arr, 1, limit)
     res = joined.groupBy("_lk_rowid").agg(
         *[F.first(f"`_lkl_{c}`").alias(f"_lkl_{c}") for c in out_cols],
-        _sorted_collect(item).alias(as_name),
+        arr.alias(as_name),
     )
     return res.select(
         *[F.col(f"`_lkl_{c}`").alias(c) for c in out_cols],
