@@ -334,9 +334,45 @@ def test_window_fill_densify_match_reference(spark):
     )
 
     failures = []
-    for trial in range(50):
-        shape = rng.randrange(5)
-        if shape == 4:  # derivative/integral over a numeric sort
+    for trial in range(60):
+        shape = rng.randrange(6)
+        if shape == 5:
+            # RANGE window (r7): value-based frame over the single
+            # ascending sortBy key n (unique int) — every row whose key
+            # lies in [n+lo, n+hi] inclusive, regardless of row adjacency
+            lo, hi = rng.choice(
+                [[-2, 0], [-1, 1], [0, 3], ["unbounded", 0],
+                 ["current", 2], [-3, "unbounded"]]
+            )
+            pipe = [{
+                "$setWindowFields": {
+                    "partitionBy": "$c",
+                    "sortBy": {"n": 1},
+                    "output": {
+                        "ws": {"$sum": "$b",
+                               "window": {"range": [lo, hi]}},
+                        "wc": {"$count": {},
+                               "window": {"range": [lo, hi]}},
+                    },
+                }
+            }]
+            parts: dict = {}
+            for d in docs:
+                parts.setdefault(d.get("c"), []).append(d)
+            want = []
+            for rows in parts.values():
+                for d in rows:
+                    klo = -10**9 if lo == "unbounded" else (
+                        d["n"] if lo == "current" else d["n"] + lo
+                    )
+                    khi = 10**9 if hi == "unbounded" else (
+                        d["n"] if hi == "current" else d["n"] + hi
+                    )
+                    sub = [r for r in rows if klo <= r["n"] <= khi]
+                    vals = [r["b"] for r in sub if r["b"] is not None]
+                    want.append({**d, "ws": sum(vals) if vals else 0,
+                                 "wc": len(sub)})
+        elif shape == 4:  # derivative/integral over a numeric sort
             frame = rng.choice(
                 [["unbounded", "current"], ["unbounded", "unbounded"],
                  [-2, 0], [-1, 1], ["current", "unbounded"]]
@@ -432,7 +468,7 @@ def test_window_fill_densify_match_reference(spark):
             ]
             failures.append((pipe, bad[:2]))
     assert not failures, (
-        f"{len(failures)}/40 window/fill/densify pipelines diverge; "
+        f"{len(failures)}/60 window/fill/densify pipelines diverge; "
         f"first: {failures[0]}"
     )
 

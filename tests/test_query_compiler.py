@@ -1247,3 +1247,72 @@ def test_date_ops_fixed_offset_timezone(spark):
                 "date": "$e", "unit": "day",
                 "timezone": "America/New_York"}}}}],
         )
+
+
+def test_set_window_fields_range_window(spark):
+    """Range (value-based) windows: frame = rows whose single ascending
+    sortBy KEY lies in [key+lo, key+hi] inclusive — row adjacency is
+    irrelevant (keys 1,2,10 with range [-2,0]: the 10-row's window is
+    itself).  Time-unit ranges ride epoch-millis; descending sortBy and
+    fractional bounds refuse loudly."""
+    from datetime import datetime
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 10, 40), (2, 5, 7)],
+        "g int, k long, v long",
+    )
+    rows = {
+        (r["g"], r["k"]): (r["s"], r["c"])
+        for r in apply_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {
+                    "s": {"$sum": "$v", "window": {"range": [-2, 0]}},
+                    "c": {"$count": {}, "window": {"range": [-2, 0]}},
+                },
+            }}],
+        ).collect()
+    }
+    assert rows == {(1, 1): (10, 1), (1, 2): (30, 2),
+                    (1, 10): (40, 1), (2, 5): (7, 1)}
+
+    ts = spark.createDataFrame(
+        [(1, datetime(2021, 1, 1, 12), 1), (1, datetime(2021, 1, 2, 6), 2),
+         (1, datetime(2021, 1, 9, 0), 4)],
+        "g int, t timestamp, v long",
+    )
+    got = {
+        r["v"]: r["s"]
+        for r in apply_pipeline(
+            ts,
+            [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"t": 1},
+                "output": {"s": {"$sum": "$v", "window": {
+                    "range": [-1, 0], "unit": "day"}}},
+            }}],
+        ).collect()
+    }
+    # 01-02T06 looks back to 01-01T06: includes 01-01T12; 01-09 alone
+    assert got == {1: 1, 2: 3, 4: 4}
+
+    with pytest.raises(NotImplementedError, match="descending"):
+        apply_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": -1},
+                "output": {"s": {"$sum": "$v",
+                                 "window": {"range": [-2, 0]}}},
+            }}],
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        apply_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1, "v": 1},
+                "output": {"s": {"$sum": "$v",
+                                 "window": {"range": [-2, 0]}}},
+            }}],
+        )

@@ -407,15 +407,20 @@ class MinHashIndex:
     ) -> None:
         if self.partitions:
             df = df.withColumn(part_col, self._bp(key))
-            if mode == "overwrite":
-                # one file per directory on the corpus build: without
-                # this every write task drops a fragment into every
-                # directory (tasks x partitions tiny files), and the
-                # listing overhead eats what pruning saves.  Appends
-                # stay shuffle-free — a small batch touches few
-                # directories anyway.
-                df = df.repartition(F.col(part_col))
+            # one file per (touched) directory: without this every write
+            # task drops a fragment into every directory it holds rows
+            # for (tasks x partitions tiny files), and after a few dozen
+            # appends the listing overhead eats what pruning saves — the
+            # r7 small-batch bench measured flat-layout appends growing
+            # 259s -> 323s run-over-run from exactly this.  The shuffle
+            # is corpus-sized once at build and batch-sized per append.
+            df = df.repartition(F.col(part_col))
             df.write.mode(mode).partitionBy(part_col).parquet(path)
+        elif mode == "append":
+            # appends are batch-sized by contract (the module's whole
+            # design is O(batch) per micro-batch): one file per append,
+            # not one per shuffle partition
+            df.coalesce(1).write.mode(mode).parquet(path)
         else:
             df.write.mode(mode).parquet(path)
 

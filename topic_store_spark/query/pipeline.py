@@ -26,7 +26,8 @@ $minN`` (in ``$group``, ``$setWindowFields``, ``$bucket`` and
 ``$convert``/``$toX`` cast family with ``onError``/``onNull`` (incl.
 ``$toObjectId``), ``$rand``, ``$substrBytes``/``$substr``/
 ``$strLenBytes``, date arithmetic (``$dateAdd $dateSubtract $dateDiff
-$dateTrunc $dateFromString`` — boundary-crossing $dateDiff, UTC only) and the
+$dateTrunc $dateFromString`` — boundary-crossing $dateDiff; UTC plus
+fixed ±HH:MM timezone offsets, Olson names refused loudly) and the
 date-part operators the reference's legacy session pipeline uses
 (reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
 ``$second`` applied to ObjectId creation time).
@@ -1628,7 +1629,72 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                     probe.over(sorted_base), fn.over(sorted_base)
                 ).otherwise(F.lit(default))
             continue
-        if window is not None:
+        if window is not None and "range" in window:
+            # VALUE-based frame over the single ascending sortBy key
+            # (Mongo range-window rules).  Spark rangeBetween carries
+            # the same inclusive-both-ends semantics; time units ride an
+            # epoch-millis integer ordering column (fixed-length units
+            # only — Mongo refuses month/year here too).  Unit-less
+            # range windows take the key on the integer grid (cast to
+            # long — non-integral numeric sort keys are refused, Spark's
+            # range frame needs an integral ordering expression).
+            if len(sort_by) != 1:
+                raise ValueError(
+                    "$setWindowFields range window requires exactly one "
+                    "sortBy field"
+                )
+            (rkey, rdir), = sort_by.items()
+            if rdir < 0:
+                raise NotImplementedError(
+                    "$setWindowFields range window: descending sortBy "
+                    "is not supported (bounds are value offsets)"
+                )
+            lo, hi = window["range"]
+            unit = window.get("unit")
+            if unit is not None:
+                ms = {
+                    "week": 7 * 86400000, "day": 86400000,
+                    "hour": 3600000, "minute": 60000, "second": 1000,
+                    "millisecond": 1,
+                }.get(unit)
+                if ms is None:
+                    raise ValueError(
+                        f"range window unit {unit!r}: fixed-length units "
+                        "only (week..millisecond)"
+                    )
+                okey = (
+                    path_col(rkey).cast("timestamp").cast("double") * 1000
+                ).cast("long")
+                scale = ms
+            else:
+                t = _resolve_path_type(rkey)
+                from pyspark.sql import types as T
+
+                if not isinstance(
+                    t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                        T.NullType)
+                ) and t is not None:
+                    raise NotImplementedError(
+                        "$setWindowFields range window: non-integral "
+                        f"numeric sortBy ({t.simpleString()}) is not "
+                        "supported"
+                    )
+                okey, scale = path_col(rkey).cast("long"), 1
+
+            def _rb(spec_v, side):
+                b = _frame_bound(spec_v, side)
+                if spec_v not in ("unbounded", "current"):
+                    if int(spec_v) != spec_v:
+                        raise ValueError(
+                            "range window bounds must be integral"
+                        )
+                    b = int(spec_v) * scale
+                return b
+
+            frame = base.orderBy(okey.asc()).rangeBetween(
+                _rb(lo, -1), _rb(hi, +1)
+            )
+        elif window is not None:
             lo, hi = window["documents"]
             frame = sorted_base.rowsBetween(
                 _frame_bound(lo, -1), _frame_bound(hi, +1)

@@ -132,7 +132,11 @@ def near_dedup_ingest_stream(
             t_query = time.monotonic() - t0
             t0 = time.monotonic()
             if n_kept:
-                store.write_df(survivors)
+                # survivors are cached and batch-sized: one parquet file
+                # per micro-batch, not one per shuffle partition (the
+                # store directory's file count is what every later
+                # reader lists)
+                store.write_df(survivors.coalesce(1))
                 if hasattr(index, "append_cached"):
                     # survivors are a subset of the just-queried batch —
                     # reuse its cached signatures, don't re-sign
