@@ -1316,3 +1316,53 @@ def test_set_window_fields_range_window(spark):
                                  "window": {"range": [-2, 0]}}},
             }}],
         )
+
+
+def test_trig_log_and_window_gap_fill(spark):
+    """r7 math tail: $log [num, base] / $log10 / partial-domain $asin;
+    $locf and $linearFill as $setWindowFields OUTPUT operators (same
+    math as the $fill stage methods, composable with other window
+    fields; $linearFill never extrapolates)."""
+    import math
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    row = apply_pipeline(
+        spark.createDataFrame([(8.0, 2.0)], "x double, b double"),
+        [{"$project": {
+            "lg": {"$log": ["$x", "$b"]},
+            "l10": {"$log10": {"$multiply": ["$x", 12.5]}},
+            "as": {"$asin": 0.5},
+            "at2": {"$atan2": [1, 1]},
+        }}],
+    ).collect()[0]
+    assert row["lg"] == pytest.approx(3.0)
+    assert row["l10"] == pytest.approx(2.0)
+    assert row["as"] == pytest.approx(math.asin(0.5))
+    assert row["at2"] == pytest.approx(math.pi / 4)
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, None), (1, 4, 40.0),
+         (1, 5, None)],
+        "g int, k int, v double",
+    )
+    rows = {
+        r["k"]: (r["lo"], r["li"])
+        for r in apply_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {
+                    "lo": {"$locf": "$v"},
+                    "li": {"$linearFill": "$v"},
+                },
+            }}],
+        ).collect()
+    }
+    # locf carries 10 forward; linear interpolates against k and never
+    # extrapolates past the last known value (k=5 stays null)
+    assert rows[0] == (10.0, 10.0)
+    assert rows[1] == (10.0, pytest.approx(17.5))
+    assert rows[2] == (10.0, pytest.approx(25.0))
+    assert rows[4] == (40.0, 40.0)
+    assert rows[5] == (40.0, None)

@@ -54,7 +54,20 @@ def _num_expr(rng: random.Random, depth: int = 0):
     """Numeric-valued expression tree."""
     if depth >= 2 or rng.random() < 0.4:
         return rng.choice(["$a", "$b", rng.randint(-3, 6), None])
-    k = rng.randrange(6)
+    k = rng.randrange(8)
+    if k == 6:
+        # total trig/angle ops (r7): defined on every real, so arbitrary
+        # numeric subtrees are safe; asin/acosh-style partial-domain ops
+        # are pinned by unit tests instead
+        op = rng.choice(
+            ["$sin", "$cos", "$tan", "$atan", "$sinh", "$tanh",
+             "$degreesToRadians", "$radiansToDegrees"]
+        )
+        return {op: _num_expr(rng, depth + 1)}
+    if k == 7:
+        return {
+            "$atan2": [_num_expr(rng, depth + 1), _num_expr(rng, depth + 1)]
+        }
     if k == 0:
         return {"$add": [_num_expr(rng, depth + 1), _num_expr(rng, depth + 1)]}
     if k == 1:
@@ -174,6 +187,24 @@ def _m_eval(doc: dict, e):
     if op == "$abs":
         v = _m_eval(doc, arg)
         return None if v is None else abs(v)
+    if op in ("$sin", "$cos", "$tan", "$atan", "$sinh", "$tanh",
+              "$degreesToRadians", "$radiansToDegrees"):
+        v = _m_eval(doc, arg)
+        if v is None:
+            return None
+        fn = {
+            "$sin": math.sin, "$cos": math.cos, "$tan": math.tan,
+            "$atan": math.atan, "$sinh": math.sinh, "$tanh": math.tanh,
+            "$degreesToRadians": math.radians,
+            "$radiansToDegrees": math.degrees,
+        }[op]
+        try:
+            return fn(v)
+        except OverflowError:  # sinh of a big product: Spark says inf
+            return math.copysign(math.inf, v)
+    if op == "$atan2":
+        x, y = (_m_eval(doc, a) for a in arg)
+        return None if x is None or y is None else math.atan2(x, y)
     if op == "$ifNull":
         for a in arg:
             v = _m_eval(doc, a)

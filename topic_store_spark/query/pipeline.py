@@ -25,7 +25,11 @@ $minN`` (in ``$group``, ``$setWindowFields``, ``$bucket`` and
 ``$bucketAuto`` — one collect per group, sorted/sliced JVM-side), the
 ``$convert``/``$toX`` cast family with ``onError``/``onNull`` (incl.
 ``$toObjectId``), ``$rand``, ``$substrBytes``/``$substr``/
-``$strLenBytes``, date arithmetic (``$dateAdd $dateSubtract $dateDiff
+``$strLenBytes``, the trig/angle/log family (``$sin .. $atanh $atan2
+$log $log10 $degreesToRadians $radiansToDegrees``), window gap-fill
+operators ``$locf``/``$linearFill``, value-based window frames
+(``window: {range: [lo, hi], unit?}`` -> Spark rangeBetween over the
+ascending sortBy key), date arithmetic (``$dateAdd $dateSubtract $dateDiff
 $dateTrunc $dateFromString`` — boundary-crossing $dateDiff; UTC plus
 fixed ±HH:MM timezone offsets, Olson names refused loudly) and the
 date-part operators the reference's legacy session pipeline uses
@@ -123,7 +127,16 @@ _NUMBER_OPS = {
     "$toDecimal", "$millisecond", "$dateDiff", "$year", "$month",
     "$dayOfMonth", "$hour", "$minute", "$second",
     "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
-    "$rand",
+    "$rand", "$log", "$log10", "$atan2",
+    "$degreesToRadians", "$radiansToDegrees",
+    "$sin", "$cos", "$tan", "$asin", "$acos", "$atan",
+    "$sinh", "$cosh", "$tanh", "$asinh", "$acosh", "$atanh",
+}
+#: Mongo unary trig op -> same-named pyspark.sql.functions function
+_TRIG_UNARY = {
+    f"${n}": n
+    for n in ("sin", "cos", "tan", "asin", "acos", "atan",
+              "sinh", "cosh", "tanh", "asinh", "acosh", "atanh")
 }
 _BOOL_OPS = {
     "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
@@ -442,6 +455,20 @@ def _compile_value_op(
         return F.exp(cv(arg))
     if op == "$ln":
         return F.log(cv(arg))
+    if op == "$log":
+        num, base = cv(arg[0]), cv(arg[1])
+        return F.log(num) / F.log(base)
+    if op == "$log10":
+        return F.log10(cv(arg))
+    if op in _TRIG_UNARY:
+        inner = arg[0] if isinstance(arg, list) else arg
+        return getattr(F, _TRIG_UNARY[op])(cv(inner))
+    if op == "$atan2":
+        return F.atan2(cv(arg[0]).cast("double"), cv(arg[1]).cast("double"))
+    if op == "$degreesToRadians":
+        return F.radians(cv(arg))
+    if op == "$radiansToDegrees":
+        return F.degrees(cv(arg))
     if op == "$pow":
         base, exponent = (cv(a) for a in arg)
         return F.pow(base, exponent)
@@ -1741,6 +1768,44 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                     F.element_at(arr, 1),
                     lambda acc, x: x * F.lit(alpha) + acc * F.lit(1.0 - alpha),
                 ),
+            )
+            continue
+        if op in ("$locf", "$linearFill"):
+            # gap-fill window OUTPUT operators (Mongo 5.2) — same math
+            # as the $fill stage's locf/linear methods, here usable
+            # alongside other window fields.  Neither takes a window
+            # param; $linearFill interpolates against the single
+            # (numeric or date) sortBy key and never extrapolates.
+            if window is not None:
+                raise ValueError(f"{op} does not accept a window")
+            if not order:
+                raise ValueError(f"{op} requires sortBy")
+            col = compile_value(arg)
+            fwd = sorted_base.rowsBetween(W.unboundedPreceding, W.currentRow)
+            if op == "$locf":
+                computed[name] = F.last(col, ignorenulls=True).over(fwd)
+                continue
+            if len(sort_by) != 1:
+                raise ValueError(
+                    "$linearFill requires exactly one sortBy field"
+                )
+            key = path_col(next(iter(sort_by))).cast("double")
+            bwd = sorted_base.rowsBetween(W.currentRow, W.unboundedFollowing)
+            prev_v = F.last(col, ignorenulls=True).over(fwd)
+            prev_k = F.last(
+                F.when(col.isNotNull(), key), ignorenulls=True
+            ).over(fwd)
+            next_v = F.first(col, ignorenulls=True).over(bwd)
+            next_k = F.first(
+                F.when(col.isNotNull(), key), ignorenulls=True
+            ).over(bwd)
+            computed[name] = (
+                F.when(col.isNotNull(), col)
+                .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+                .otherwise(
+                    prev_v
+                    + (next_v - prev_v) * ((key - prev_k) / (next_k - prev_k))
+                )
             )
             continue
         if op == "$count":
