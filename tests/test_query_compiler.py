@@ -1366,3 +1366,45 @@ def test_trig_log_and_window_gap_fill(spark):
     assert rows[2] == (10.0, pytest.approx(25.0))
     assert rows[4] == (40.0, 40.0)
     assert rows[5] == (40.0, None)
+
+
+def test_extended_date_parts(spark):
+    """r7 date parts: $dayOfYear/$dayOfWeek (1=Sunday)/$week (%U,
+    Sunday-started, week 0 before the first Sunday) and the ISO trio
+    ($isoDayOfWeek 1=Monday, $isoWeek, $isoWeekYear = calendar year of
+    the week's Thursday); {date, timezone} dict form shifts first.
+    2021-01-01 is a Friday in ISO week 53 of ISO year 2020."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([("x",)], "s string")
+    row = apply_pipeline(
+        df,
+        [{"$project": {
+            "doy": {"$dayOfYear": {"$dateFromString": {
+                "dateString": "2021-01-01"}}},
+            "dow": {"$dayOfWeek": {"$dateFromString": {
+                "dateString": "2021-01-01"}}},
+            "idw": {"$isoDayOfWeek": {"$dateFromString": {
+                "dateString": "2021-01-01"}}},
+            "iw": {"$isoWeek": {"$dateFromString": {
+                "dateString": "2021-01-01"}}},
+            "iwy": {"$isoWeekYear": {"$dateFromString": {
+                "dateString": "2021-01-01"}}},
+            "w0": {"$week": {"$dateFromString": {
+                "dateString": "2021-01-01"}}},
+            "w1": {"$week": {"$dateFromString": {
+                "dateString": "2021-01-03"}}},
+            "w52": {"$week": {"$dateFromString": {
+                "dateString": "2021-12-31"}}},
+            "tzd": {"$dayOfMonth": {
+                "date": {"$dateFromString": {
+                    "dateString": "2021-03-31T20:00:00"}},
+                "timezone": "+05:30"}},
+        }}],
+    ).collect()[0]
+    assert row["doy"] == 1
+    assert row["dow"] == 6  # Friday, Sunday=1
+    assert row["idw"] == 5  # Friday, Monday=1
+    assert row["iw"] == 53 and row["iwy"] == 2020
+    assert row["w0"] == 0 and row["w1"] == 1 and row["w52"] == 52
+    assert row["tzd"] == 1  # 20:00Z on 03-31 is already 04-01 at +05:30

@@ -125,7 +125,8 @@ _NUMBER_OPS = {
     "$floor", "$round", "$trunc", "$sqrt", "$exp", "$ln", "$pow", "$size",
     "$strLenCP", "$indexOfArray", "$toInt", "$toLong", "$toDouble",
     "$toDecimal", "$millisecond", "$dateDiff", "$year", "$month",
-    "$dayOfMonth", "$hour", "$minute", "$second",
+    "$dayOfMonth", "$hour", "$minute", "$second", "$dayOfYear",
+    "$dayOfWeek", "$isoDayOfWeek", "$isoWeek", "$isoWeekYear", "$week",
     "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
     "$rand", "$log", "$log10", "$atan2",
     "$degreesToRadians", "$radiansToDegrees",
@@ -321,6 +322,10 @@ def compile_value(expr: Any, vars_: dict[str, Column] | None = None) -> Column:
     )
 
 
+def _iso_day_of_week(ts: Column) -> Column:
+    return F.weekday(ts) + 1  # Spark weekday: 0=Monday; ISO: 1=Monday
+
+
 _DATE_PARTS = {
     "$year": F.year,
     "$month": F.month,
@@ -328,6 +333,20 @@ _DATE_PARTS = {
     "$hour": F.hour,
     "$minute": F.minute,
     "$second": F.second,
+    "$dayOfYear": F.dayofyear,
+    # Mongo and Spark agree: 1=Sunday .. 7=Saturday
+    "$dayOfWeek": F.dayofweek,
+    "$isoDayOfWeek": _iso_day_of_week,
+    "$isoWeek": F.weekofyear,  # Spark weekofyear IS the ISO week
+    # ISO week-numbering year = calendar year of the week's Thursday
+    "$isoWeekYear": lambda ts: F.year(
+        F.date_add(F.to_date(ts), F.lit(4) - _iso_day_of_week(ts))
+    ),
+    # strftime %U: Sunday-started week, days before the first Sunday
+    # are week 0 — (yday + 7 - wday) // 7 with 1-based yday/wday
+    "$week": lambda ts: F.floor(
+        (F.dayofyear(ts) + F.lit(7) - F.dayofweek(ts)) / 7
+    ).cast("int"),
 }
 
 _VARIADIC = {
@@ -357,7 +376,13 @@ def _compile_value_op(
     if op in _VARIADIC:
         return _VARIADIC[op]([cv(a) for a in arg])
     if op in _DATE_PARTS:
-        return _DATE_PARTS[op](_as_timestamp(cv(arg)))
+        # bare-expression form, or {date: ..., timezone: ±HH:MM}
+        if isinstance(arg, dict) and "date" in arg:
+            mins = _tz_offset_minutes(op, arg)
+            ts = _tz_shift(_as_timestamp(cv(arg["date"])), mins)
+        else:
+            ts = _as_timestamp(cv(arg))
+        return _DATE_PARTS[op](ts)
     if op == "$millisecond":
         ts = _as_timestamp(cv(arg))
         return (ts.cast("double") * 1000 % 1000).cast("int")
