@@ -1408,3 +1408,41 @@ def test_extended_date_parts(spark):
     assert row["iw"] == 53 and row["iwy"] == 2020
     assert row["w0"] == 0 and row["w1"] == 1 and row["w52"] == 52
     assert row["tzd"] == 1  # 20:00Z on 03-31 is already 04-01 at +05:30
+
+
+def test_redact_and_documents_stages(spark):
+    """$redact in the $$KEEP/$$PRUNE row-filter form (the $$DESCEND
+    recursive form refuses loudly); $documents as a first-stage literal
+    source."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "public"), (2, "secret"), (3, "public")], "id int, lvl string"
+    )
+    out = apply_pipeline(
+        df,
+        [{"$redact": {"$cond": [
+            {"$eq": ["$lvl", "public"]}, "$$KEEP", "$$PRUNE"]}}],
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+    with pytest.raises(NotImplementedError, match="DESCEND"):
+        apply_pipeline(
+            df,
+            [{"$redact": {"$cond": [
+                {"$eq": ["$lvl", "public"]}, "$$DESCEND", "$$PRUNE"]}}],
+        )
+
+    out = apply_pipeline(
+        df,
+        [
+            {"$documents": [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]},
+            {"$match": {"x": {"$gte": 2}}},
+        ],
+    ).collect()
+    assert [(r["x"], r["y"]) for r in out] == [(2, "b")]
+
+    with pytest.raises(ValueError, match="first stage"):
+        apply_pipeline(
+            df, [{"$limit": 1}, {"$documents": [{"x": 1}]}]
+        )

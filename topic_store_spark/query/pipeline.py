@@ -2598,6 +2598,17 @@ def _lookup_pipeline(
     )
 
 
+def _mentions_var(obj: Any, ref: str) -> bool:
+    """Does a fragment contain the exact ``$$Variable`` string?"""
+    if isinstance(obj, str):
+        return obj == ref
+    if isinstance(obj, dict):
+        return any(_mentions_var(v, ref) for v in obj.values())
+    if isinstance(obj, list):
+        return any(_mentions_var(v, ref) for v in obj)
+    return False
+
+
 def _rewrite_outer_refs(expr: Any) -> Any:
     """Rewrite ``$path`` field refs in a ``let`` value expression to the
     ``_lkl_``-renamed outer columns (leaves ``$$`` and operators alone)."""
@@ -2661,6 +2672,33 @@ def apply_pipeline(
             )
         elif op == "$match":
             out = out.filter(compile_query(spec, out.schema))
+        elif op == "$redact":
+            # document-level access filter: cond evaluates per document
+            # to $$KEEP (keep) / $$PRUNE (drop).  $$DESCEND — recursive
+            # per-subdocument redaction — does not fit a static-schema
+            # columnar plan and is refused loudly; at the TOP level
+            # Mongo's $$DESCEND keeps the doc, so pipelines that only
+            # ever DESCEND at the root can rewrite cond to $$KEEP.
+            if _mentions_var(spec, "$$DESCEND"):
+                raise NotImplementedError(
+                    "$redact: $$DESCEND (recursive subdocument "
+                    "redaction) is not supported — use $$KEEP/$$PRUNE"
+                )
+            with _schema_scope(out.schema):
+                marker = compile_value(
+                    spec,
+                    {"KEEP": F.lit("KEEP"), "PRUNE": F.lit("PRUNE")},
+                )
+            out = out.filter(marker.eqNullSafe(F.lit("KEEP")))
+        elif op == "$documents":
+            # literal source stage (Mongo: db-level aggregate only) —
+            # replaces the input relation with the given documents;
+            # restricted to the FIRST stage like Mongo
+            if out is not df:
+                raise ValueError("$documents must be the first stage")
+            if not (isinstance(spec, list) and spec):
+                raise ValueError("$documents takes a non-empty list")
+            out = df.sparkSession.createDataFrame(spec)
         elif op == "$project":
             flags = {k: v for k, v in spec.items() if v in (0, 1, True, False)}
             computed = {k: v for k, v in spec.items() if k not in flags}
