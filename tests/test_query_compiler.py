@@ -1446,3 +1446,43 @@ def test_redact_and_documents_stages(spark):
         apply_pipeline(
             df, [{"$limit": 1}, {"$documents": [{"x": 1}]}]
         )
+
+
+def test_projection_slice_and_elem_match(spark):
+    """Projection OPERATORS (find dialect): {"arr": {"$slice": n}} —
+    first n / last |n| / [skip, n] window, exclusion-like when alone
+    (keeps other fields); {"arr": {"$elemMatch": q}} — first matching
+    element only, null when nothing matches, inclusion semantics."""
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5], [(1, "a"), (8, "b"), (9, "c")], "keep")],
+        "id int, xs array<int>, es array<struct<v:int, t:string>>, other string",
+    )
+    r = apply_projection(df, {"xs": {"$slice": 2}}).collect()[0]
+    assert r["xs"] == [1, 2] and r["other"] == "keep"  # exclusion-like
+    assert apply_projection(df, {"xs": {"$slice": -2}}).collect()[0]["xs"] == [4, 5]
+    assert apply_projection(
+        df, {"xs": {"$slice": [1, 2]}}
+    ).collect()[0]["xs"] == [2, 3]
+    assert apply_projection(
+        df, {"xs": {"$slice": [-3, 2]}}
+    ).collect()[0]["xs"] == [3, 4]
+    assert apply_projection(
+        df, {"xs": {"$slice": -9}}
+    ).collect()[0]["xs"] == [1, 2, 3, 4, 5]
+
+    r = apply_projection(
+        df, {"es": {"$elemMatch": {"v": {"$gte": 8}}}}
+    ).collect()[0]
+    assert [(e["v"], e["t"]) for e in r["es"]] == [(8, "b")]
+    assert "other" not in r.asDict()  # inclusion semantics
+    r = apply_projection(
+        df, {"es": {"$elemMatch": {"v": {"$gt": 100}}}}
+    ).collect()[0]
+    assert r["es"] is None  # no match -> missing-as-null
+
+    # combined with a plain include: $slice joins the inclusion list
+    r = apply_projection(
+        df, {"other": 1, "xs": {"$slice": 1}}
+    ).collect()[0]
+    d = r.asDict()
+    assert d["xs"] == [1] and d["other"] == "keep" and "es" not in d

@@ -134,24 +134,7 @@ def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column
             cond = cond & F.array_contains(col, _lit(v))
         return cond
     if op == "$elemMatch":
-        # operator-doc form ({"$gt": 5}) matches the element itself;
-        # query-doc form ({"f": cond}) matches fields of struct elements
-        if _is_operator_doc(value):
-            return F.exists(col, lambda e: _compile_field(e, value))
-
-        def _elem_pred(e: Column) -> Column:
-            cond = F.lit(True)
-            for fname, fval in value.items():
-                fcol = e[fname]
-                if _is_operator_doc(fval):
-                    cond = cond & _compile_field(fcol, fval)
-                elif fval is None:
-                    cond = cond & fcol.isNull()
-                else:
-                    cond = cond & (fcol == _lit(fval))
-            return cond
-
-        return F.exists(col, _elem_pred)
+        return F.exists(col, elem_match_predicate(value))
     if op == "$not":
         if isinstance(value, dict):
             inner = _compile_field(col, value)
@@ -220,6 +203,30 @@ def _compile_type(col: Column, value: Any) -> Column:
 
 def _is_operator_doc(value: Any) -> bool:
     return isinstance(value, dict) and value and all(k.startswith("$") for k in value)
+
+
+def elem_match_predicate(value: dict[str, Any]):
+    """``$elemMatch`` element predicate as a reusable callable —
+    operator-doc form ({"$gt": 5}) matches the element itself, query-doc
+    form ({"f": cond}) matches fields of struct elements.  Shared by the
+    find dialect's array match and the projection dialect's
+    first-matching-element $elemMatch."""
+    if _is_operator_doc(value):
+        return lambda e: _compile_field(e, value)
+
+    def _elem_pred(e: Column) -> Column:
+        cond = F.lit(True)
+        for fname, fval in value.items():
+            fcol = e[fname]
+            if _is_operator_doc(fval):
+                cond = cond & _compile_field(fcol, fval)
+            elif fval is None:
+                cond = cond & fcol.isNull()
+            else:
+                cond = cond & (fcol == _lit(fval))
+        return cond
+
+    return _elem_pred
 
 
 def _compile_field(col: Column, ops: dict[str, Any]) -> Column:

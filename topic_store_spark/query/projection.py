@@ -93,9 +93,73 @@ def _exclude_struct(col: Column, dtype: T.DataType, tree: _Tree) -> Column:
     return F.when(col.isNotNull(), F.struct(*parts))
 
 
+_PROJ_OPS = ("$slice", "$elemMatch")
+
+
+def _apply_proj_ops(df: DataFrame, ops: dict[str, dict]) -> DataFrame:
+    """Projection OPERATORS over top-level array columns: ``$slice``
+    (first n / last n / [skip, n] window) and ``$elemMatch`` (array
+    reduced to its FIRST matching element; null when nothing matches —
+    Mongo omits the field, the dialect's missing-as-null equivalent)."""
+    from topic_store_spark.query.compiler import elem_match_predicate
+
+    out = df
+    for name, spec in ops.items():
+        if name not in out.columns:
+            raise ValueError(f"projection operator on unknown field {name!r}")
+        (op, arg), = spec.items()
+        col = F.col(f"`{name}`")
+        if op == "$slice":
+            if isinstance(arg, list):
+                skip, n = int(arg[0]), int(arg[1])
+                if n <= 0:
+                    raise ValueError("$slice: limit must be positive")
+                start = (
+                    F.lit(skip + 1) if skip >= 0
+                    else F.greatest(F.size(col) + skip + 1, F.lit(1))
+                )
+                sliced = F.slice(col, start, n)
+            else:
+                n = int(arg)
+                if n >= 0:
+                    sliced = F.slice(col, 1, n)
+                else:  # last |n|, whole array when shorter
+                    sliced = F.slice(
+                        col, F.greatest(F.size(col) + n + 1, F.lit(1)), -n
+                    )
+            out = out.withColumn(name, sliced)
+        else:  # $elemMatch
+            matched = F.filter(col, elem_match_predicate(arg))
+            out = out.withColumn(
+                name,
+                F.when(F.size(matched) > 0, F.slice(matched, 1, 1)),
+            )
+    return out
+
+
 def apply_projection(df: DataFrame, projection: dict[str, Any] | None) -> DataFrame:
     if not projection:
         return df
+    proj_ops = {
+        k: v
+        for k, v in projection.items()
+        if isinstance(v, dict)
+        and len(v) == 1
+        and next(iter(v)) in _PROJ_OPS
+    }
+    if proj_ops:
+        rest = {k: v for k, v in projection.items() if k not in proj_ops}
+        # $elemMatch is always an inclusion; $slice joins the inclusion
+        # list only when one exists (a lone $slice keeps every field,
+        # Mongo's exclusion-like behavior)
+        has_includes = any(
+            v not in (0, False) for v in rest.values()
+        ) or any(next(iter(v)) == "$elemMatch" for v in proj_ops.values())
+        if has_includes:
+            for k in proj_ops:
+                rest[k] = 1
+        base = apply_projection(df, rest) if rest else df
+        return _apply_proj_ops(base, proj_ops)
     includes = [k for k, v in projection.items() if v not in (0, False)]
     excludes = [k for k, v in projection.items() if v in (0, False)]
     if includes and [e for e in excludes if e != "_id"]:
