@@ -1486,3 +1486,34 @@ def test_projection_slice_and_elem_match(spark):
     ).collect()[0]
     d = r.asDict()
     assert d["xs"] == [1] and d["other"] == "keep" and "es" not in d
+
+
+def test_set_field_unset_field(spark):
+    """$setField/$unsetField (Mongo 5.0): literal field names, never
+    dot-traversed (a name containing '.' addresses ONE field); value
+    $$REMOVE drops like $unsetField; null input stays null."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [((1, "x"),), (None,)],
+        "st struct<`a.b`: int, c: string>",
+    )
+    rows = apply_pipeline(
+        df,
+        [{"$project": {
+            "set": {"$setField": {"field": "c", "input": "$st",
+                                  "value": "upd"}},
+            "add": {"$setField": {"field": "d", "input": "$st",
+                                  "value": 7}},
+            "rm": {"$unsetField": {"field": "a.b", "input": "$st"}},
+            "rm2": {"$setField": {"field": "c", "input": "$st",
+                                  "value": "$$REMOVE"}},
+        }}],
+    ).collect()
+    r = rows[0] if rows[0]["set"] is not None else rows[1]
+    n = rows[1] if rows[0]["set"] is not None else rows[0]
+    assert r["set"].asDict() == {"a.b": 1, "c": "upd"}
+    assert r["add"].asDict() == {"a.b": 1, "c": "x", "d": 7}
+    assert r["rm"].asDict() == {"c": "x"}
+    assert r["rm2"].asDict() == {"a.b": 1}
+    assert n["set"] is None and n["rm"] is None

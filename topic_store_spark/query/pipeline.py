@@ -149,7 +149,7 @@ _ALWAYS_OPS = (
     | _ARRAY_OPS
     | {"$mergeObjects", "$regexFind", "$arrayToObject", "$toDate",
        "$dateFromParts", "$dateAdd", "$dateSubtract", "$dateTrunc",
-       "$dateFromString"}
+       "$dateFromString", "$setField", "$unsetField"}
 )
 
 
@@ -615,6 +615,17 @@ def _compile_value_op(
         )
     if op == "$getField":
         return _get_field(arg, vars_)
+    if op in ("$setField", "$unsetField"):
+        # literal field names only (static schema); backticks stop any
+        # dot in the name from being traversed as a path — the whole
+        # point of the $*Field family
+        field = arg["field"]
+        if not isinstance(field, str):
+            raise ValueError(f"{op}: field must be a string literal")
+        inp = cv(arg["input"])
+        if op == "$unsetField" or arg.get("value") == "$$REMOVE":
+            return inp.dropFields(f"`{field}`")
+        return inp.withField(f"`{field}`", cv(arg["value"]))
     if op == "$concatArrays":
         # Mongo: null if ANY operand is null — matches Spark concat
         return F.concat(*[cv(a) for a in arg])
