@@ -1521,7 +1521,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse inverted lists (8 centroids, nprobe=2), each vector
     PQ-encoded as its residual to its assigned centroid, queries scored
     through a per-(query, probed-list) LUT built from the query's
-    residual — 8x16 codes instead of the 64-cell vector (the 100 TB
+    residual — 32x16 codes (2-d subspaces, the production dimension
+    split: RECALL.md's clustered sweep shows m=32 holding >=0.8x of
+    plain IVF's recall) instead of the 64-cell vector (the 100 TB
     memory story).  Codebooks derive deterministically from the first 16
     vectors' RESIDUALS (operators/similarity.py ivf_residual_vectors +
     pq_codebooks; the k-means trainer is the pytest-covered production
@@ -1537,7 +1539,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cen = emb.filter(F.col("vec_id") < 8)
     src = ivf_residual_vectors(emb.filter(F.col("vec_id") < 16), cen)
-    books = pq_codebooks(src, m=8)
+    books = pq_codebooks(src, m=32)
     return ivf_pq_ann_neighbors(
         emb,
         queries=emb.filter(F.col("vec_id") < 10),
@@ -2718,8 +2720,8 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
-    _crsub = "c_rv[cb.s*8+1 : cb.s*8+8]"
-    _qrsub = "q_rv[cb.s*8+1 : cb.s*8+8]"
+    _crsub = "c_rv[cb.s*2+1 : cb.s*2+2]"
+    _qrsub = "q_rv[cb.s*2+1 : cb.s*2+2]"
     sql["ann_pq"] = (
         """
         WITH q0 AS (
@@ -2756,8 +2758,8 @@ def oracle_sql() -> dict[str, str]:
           FROM assigned WHERE c_id < 16
         ),
         cb AS (
-          SELECT ss.s, src.j, src.sqv[ss.s*8+1 : ss.s*8+8] AS sv
-          FROM src CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss
+          SELECT ss.s, src.j, src.sqv[ss.s*2+1 : ss.s*2+2] AS sv
+          FROM src CROSS JOIN (SELECT unnest(range(0, 32)) AS s) ss
         ),
         codes AS (
           SELECT c_id, list_id, s, j AS code

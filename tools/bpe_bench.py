@@ -65,6 +65,7 @@ def main() -> None:
     hist = Counter(stats["batch_sizes"])
 
     # identical-output check vs the sequential path at measurement scale
+    check_merges = min(check_merges, len(merges))
     seq = train_bpe(
         docs, n_merges=check_merges, min_freq=2, local_max_words=0,
         batch_k=1,

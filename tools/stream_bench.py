@@ -424,15 +424,48 @@ def main() -> None:
                 f"| {r['sec']} | {r['rows_per_sec']} | {r['sign_query_sec']} "
                 f"| {r['append_sec']} | {bp} | {sp} | {r['build_sec']} |"
             )
-        flats = [r["rows_per_sec"] for r in small if r["layout"] == "flat"]
-        parts_rs = [r["rows_per_sec"] for r in small if r["layout"] != "flat"]
-        if flats and parts_rs:
-            ratio = (sum(parts_rs) / len(parts_rs)) / (sum(flats) / len(flats))
-            lines.append("")
-            lines.append(
-                f"partitioned/flat rows/s ratio (mean of interleaved "
-                f"runs): **{ratio:.2f}x**."
+        flats = [r for r in small if r["layout"] == "flat"]
+        parts_r = [r for r in small if r["layout"] != "flat"]
+        if flats and parts_r:
+            mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+            ratio = mean([r["rows_per_sec"] for r in parts_r]) / mean(
+                [r["rows_per_sec"] for r in flats]
             )
+            fq = mean([r["sign_query_sec"] / r["batches"] for r in flats])
+            pq = mean([r["sign_query_sec"] / r["batches"] for r in parts_r])
+            sp = parts_r[0].get("shingle_parts_touched_avg", 0)
+            ptot = int(parts_r[0]["layout"].split("=")[1])
+            lines += [
+                "",
+                f"partitioned/flat rows/s ratio (mean of interleaved "
+                f"runs): **{ratio:.2f}x**; per-batch sign+query: flat "
+                f"{fq:.1f}s vs partitioned {pq:.1f}s.",
+                "",
+                "How to read the crossover: the partitioned layout "
+                f"trades a per-query discovery cost over {ptot} "
+                "directories against the IO it skips "
+                f"(~{100 * (1 - sp / ptot):.0f}% of shingle bytes and "
+                "most band bytes never read).  At this LOCAL corpus "
+                "(a few hundred KB per directory, all in page cache) "
+                "the whole pruned relation costs less to scan than the "
+                "directory walk, so "
+                + ("the partitioned layout still wins"
+                   if ratio >= 1.0 else "the flat layout wins")
+                + " on wall-clock; the win condition is per-directory "
+                "data large enough that the skipped bytes dominate — "
+                "directories sized to O(100 MB)+ as on a production "
+                "index, where an 8x IO cut is seconds per batch while "
+                "listing stays milliseconds.  The pruning itself is "
+                "measured, not argued: the parts-touched columns come "
+                "from `MinHashIndex.prune_log` on every query.  Note "
+                "the flat numbers here already include the r7 "
+                "single-file-append fix — before it, flat appends "
+                "accumulated ~32 files/batch and the SAME bench "
+                "measured flat at 3.1-3.6 rows/s (the partitioned "
+                "layout's directory pruning masked the bloat, 5.1 "
+                "rows/s); fixing the baseline is what moved the "
+                "crossover out of local reach.",
+            ]
         lines.append("")
     with open(os.path.join(_REPO, "STREAMBENCH.md"), "w") as f:
         f.write("\n".join(lines))

@@ -201,14 +201,14 @@ def train_bpe(
     # one agg sizes BOTH gates for the in-driver path: row count and the
     # total collected symbol payload (a near-cap table of pathologically
     # long words must not blow the driver heap — ADVICE r5)
-    stats = wf.agg(
+    gate = wf.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum(F.size("syms")), F.lit(0)).alias("syms"),
     ).collect()[0]
     if (
         local_max_words
-        and stats["n"] <= local_max_words
-        and stats["syms"] <= LOCAL_TRAIN_MAX_SYMS
+        and gate["n"] <= local_max_words
+        and gate["syms"] <= LOCAL_TRAIN_MAX_SYMS
     ):
         rows = [
             (r["freq"], list(r["syms"]))

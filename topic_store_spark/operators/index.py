@@ -412,9 +412,16 @@ class MinHashIndex:
             # for (tasks x partitions tiny files), and after a few dozen
             # appends the listing overhead eats what pruning saves — the
             # r7 small-batch bench measured flat-layout appends growing
-            # 259s -> 323s run-over-run from exactly this.  The shuffle
-            # is corpus-sized once at build and batch-sized per append.
-            df = df.repartition(F.col(part_col))
+            # 259s -> 323s run-over-run from exactly this.  Build pays
+            # one corpus-sized shuffle; appends are batch-sized by
+            # contract, so a single write task (no shuffle — the r7
+            # repartition-per-append variant measured ~3.5s/batch SLOWER
+            # from the two extra exchanges) emits one file per touched
+            # directory.
+            if mode == "overwrite":
+                df = df.repartition(F.col(part_col))
+            else:
+                df = df.coalesce(1)
             df.write.mode(mode).partitionBy(part_col).parquet(path)
         elif mode == "append":
             # appends are batch-sized by contract (the module's whole
