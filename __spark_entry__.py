@@ -373,10 +373,30 @@ def q_mongo_window_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
             }
         },
+        # r7 RANGE window: VALUE-based frame over the event_id key —
+        # every row whose id is within 100 BELOW the current one,
+        # regardless of row adjacency (compiles to Spark rangeBetween;
+        # DuckDB twin is RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        {
+            "$setWindowFields": {
+                "partitionBy": "$user_id",
+                "sortBy": {"event_id": 1},
+                "output": {
+                    "near_cnt": {
+                        "$count": {},
+                        "window": {"range": [-100, "current"]},
+                    },
+                    "near_milli": {
+                        "$sum": "$milli",
+                        "window": {"range": [-100, "current"]},
+                    },
+                },
+            }
+        },
     ]
     return apply_pipeline(events, pipeline).select(
         "user_id", "event_id", "doc_num", "running_milli", "prev_event",
-        "v_locf", "v_lin",
+        "v_locf", "v_lin", "near_cnt", "near_milli",
     )
 
 
@@ -2407,13 +2427,17 @@ def oracle_sql() -> dict[str, str]:
                                  - last_value(CASE WHEN v IS NOT NULL
                                      THEN CAST(event_id AS DOUBLE) END
                                      IGNORE NULLS) OVER fwd))
-               END AS v_lin
+               END AS v_lin,
+               CAST(count(*) OVER rng AS BIGINT) AS near_cnt,
+               sum(round(value * 1000)) OVER rng AS near_milli
         FROM gappy
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
                fwd AS (PARTITION BY user_id ORDER BY event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                bwd AS (PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               rng AS (PARTITION BY user_id ORDER BY event_id
+                       RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
     """
 
     sql["mongo_densify_histogram"] = """
