@@ -21,7 +21,11 @@ scale, re-checked here at measurement scale).
 
 Writes BPEBENCH.md and prints one JSON line.
 
-Usage: python tools/bpe_bench.py [sf_dir] [n_merges]
+Usage: python tools/bpe_bench.py [sf_dir] [n_merges] [min_freq]
+
+(min_freq defaults to 2; pass 1 to measure full-depth vocabularies on
+a small corpus whose pair counts exhaust early — the sf documents
+table yields only ~100 merges at min_freq=2.)
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    min_freq = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     check_merges = int(os.environ.get("SPARK_GRAFT_BPE_CHECK", "64"))
 
     from topic_store_spark.operators.bpe import train_bpe
@@ -54,7 +59,7 @@ def main() -> None:
     stats: dict = {}
     t0 = time.monotonic()
     merges = train_bpe(
-        docs, n_merges=n_merges, min_freq=2, local_max_words=0,
+        docs, n_merges=n_merges, min_freq=min_freq, local_max_words=0,
         batch_k=16, stats=stats,
     )
     el = time.monotonic() - t0
@@ -67,7 +72,7 @@ def main() -> None:
     # identical-output check vs the sequential path at measurement scale
     check_merges = min(check_merges, len(merges))
     seq = train_bpe(
-        docs, n_merges=check_merges, min_freq=2, local_max_words=0,
+        docs, n_merges=check_merges, min_freq=min_freq, local_max_words=0,
         batch_k=1,
     )
     identical = seq == merges[:check_merges]
@@ -75,6 +80,7 @@ def main() -> None:
     out = {
         "metric": "bpe_distributed_batching",
         "sf": sf_dir,
+        "min_freq": min_freq,
         "merges": len(merges),
         "iterations": iters,
         "bounds_jobs": stats["bounds_jobs"],
@@ -91,9 +97,9 @@ def main() -> None:
     lines = [
         "# Distributed BPE fallback: measured batching",
         "",
-        f"`python tools/bpe_bench.py {sf_dir} {n_merges}` — the"
+        f"`python tools/bpe_bench.py {sf_dir} {n_merges} {min_freq}` — the"
         " distributed merge loop forced (`local_max_words=0`) over the"
-        f" sf documents table, batch_k=16, min_freq=2.",
+        f" sf documents table, batch_k=16, min_freq={min_freq}.",
         "",
         f"- merges learned: **{len(merges)}** in **{iters}**"
         " iterations -> E[batch] ="
