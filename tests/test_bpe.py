@@ -147,18 +147,21 @@ def test_batched_distributed_identical_under_conflicts(spark):
     import topic_store_spark.operators.bpe as bpe_mod
 
     rng = random.Random(0xBA7C4)
-    alphabets = ["ab", "abc", "abcd", "abcdefgh"]
+    # tiny alphabets force shared-symbol candidates; the digit-like one
+    # mirrors the id-heavy corpora where the r7 relaxed conflict rule
+    # (shared-first/shared-second pairs batch together) must stay exact
+    alphabets = ["ab", "abc", "abcd", "abcdefgh", "0123456789"]
     batch_sizes: list[int] = []
     real_select = bpe_mod._select_merge_batch
 
-    def spy(pairs, batch_k, min_freq):
-        out = real_select(pairs, batch_k, min_freq)
+    def spy(pairs, batch_k, min_freq, **kw):
+        out = real_select(pairs, batch_k, min_freq, **kw)
         batch_sizes.append(len(out))
         return out
 
     bpe_mod._select_merge_batch = spy
     try:
-        for trial in range(6):
+        for trial in range(10):
             alpha = alphabets[trial % len(alphabets)]
             texts = [
                 " ".join(

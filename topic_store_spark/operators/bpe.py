@@ -276,12 +276,28 @@ def _select_merge_batch(
       (strict — a tie could lose to a created pair's name).
 
     Stops at the first rejection (keeping contiguity), at a self-pair
-    ``(a, a)`` (its created pairs are bounded only by itself), at any
-    candidate whose symbols collide with an earlier candidate's symbols
-    OR merged string (merging (a,b) can RAISE counts of pre-existing
-    pairs touching the token string "ab"), and below ``min_freq``.
+    ``(a, a)`` (its created pairs are bounded only by itself), and below
+    ``min_freq``.
+
+    Conflict rule (r7 RELAXATION — the r6 rule rejected any shared
+    symbol, which collapsed E[batch] to ~1.2 on hot-symbol corpora):
+    candidate ``q=(a2,b2)`` interacts with accepted ``p=(a1,b1)`` ONLY
+    when occurrences can overlap or the merged token collides —
+
+    - ``a2 == b1`` (pattern "a1 b1 b2": merging p consumes the b1 that
+      q needs as its first symbol) or ``b2 == a1`` ("a2 a1 b1");
+    - ``a2`` or ``b2`` equals the merged string ``a1+b1`` (pairs
+      touching that token can GAIN count);
+    - sharing only the FIRST symbols (``a2 == a1, b2 != b1``) or only
+      the SECOND (``b2 == b1, a2 != a1``) is SAFE: an ``a1`` followed by
+      ``b2`` is by definition not followed by ``b1``, so the occurrence
+      sets are disjoint, no token of one is consumed by the other, and
+      both counts are invariant — these candidates batch together.
+
     Identical-output property vs the sequential loop is pinned by
-    tests/test_bpe.py."""
+    tests/test_bpe.py (conflict-engineered corpora incl. tiny and
+    digit-like alphabets, compared against the pure-Python reference
+    trainer)."""
     from pyspark import StorageLevel
 
     if batch_k <= 1:
@@ -300,19 +316,29 @@ def _select_merge_batch(
         if not top or top[0]["n"] < min_freq:
             return []
         cand = [(r["p"]["a"], r["p"]["b"], int(r["n"])) for r in top]
-        # symbol-disjointness alone is decidable driver-side — when the
-        # contiguous disjoint prefix is a single candidate (the common
-        # case on conflict-heavy vocabularies), skip the bounds job: the
-        # iteration then costs exactly the sequential path's one job
+
+        def conflicts(a, b, firsts, seconds, strings):
+            return (
+                a == b
+                or a in seconds  # "… x a …" overlap: a is an accepted b1
+                or b in firsts   # "… b y …" overlap: b is an accepted a1
+                or a in strings
+                or b in strings
+            )
+
+        # the interaction rule alone is decidable driver-side — when the
+        # contiguous conflict-free prefix is a single candidate, skip
+        # the bounds job: the iteration then costs exactly the
+        # sequential path's one job
         pre: list[tuple[str, str]] = []
-        pre_used: set[str] = set()
+        pf: set[str] = set()
+        ps: set[str] = set()
+        pstr: set[str] = set()
         for a, b, n in cand:
-            if n < min_freq or (
-                pre and (a in pre_used or b in pre_used or a == b)
-            ):
+            if n < min_freq or (pre and conflicts(a, b, pf, ps, pstr)):
                 break
             pre.append((a, b))
-            pre_used.update((a, b, a + b))
+            pf.add(a), ps.add(b), pstr.add(a + b)
             if a == b:
                 break
         if len(pre) <= 1:
@@ -344,17 +370,19 @@ def _select_merge_batch(
         )
         bound = {r["t"]: int(r["m"]) for r in bound_rows}
         batch: list[tuple[str, str]] = []
-        used: set[str] = set()
+        bf: set[str] = set()
+        bs: set[str] = set()
+        bstr: set[str] = set()
         created_bound = -1
         for a, b, n in cand:
             if n < min_freq:
                 break
             if batch and (
-                a in used or b in used or n <= created_bound or a == b
+                conflicts(a, b, bf, bs, bstr) or n <= created_bound
             ):
                 break
             batch.append((a, b))
-            used.update((a, b, a + b))
+            bf.add(a), bs.add(b), bstr.add(a + b)
             if a == b or ("C:" + a + b) in bound:
                 # created pairs bounded only by n itself (self-pair), or
                 # the merged string pre-exists as a symbol — no later
