@@ -1240,13 +1240,85 @@ def test_date_ops_fixed_offset_timezone(spark):
     assert row["s_pst"] == "2021-03-31 12:00"
     assert row["f_ist"] == datetime(2021, 3, 31, 20, 0)
 
-    with pytest.raises(NotImplementedError, match="fixed"):
+    with pytest.raises(ValueError, match="unknown timezone"):
         apply_pipeline(
             df,
             base + [{"$project": {"x": {"$dateTrunc": {
                 "date": "$e", "unit": "day",
-                "timezone": "America/New_York"}}}}],
+                "timezone": "America/Nowhere"}}}}],
         )
+
+
+def test_date_ops_named_timezone_dst(spark):
+    """IANA zone names in the date operators, exercised ACROSS the
+    US spring-forward transition (2021-03-14 02:00 EST -> 03:00 EDT):
+
+    - $dateTrunc day: local midnight on both sides of the transition
+      maps back to the right UTC instant (05:00Z in EST, 04:00Z in EDT);
+    - $dateDiff day: boundary crossings counted in LOCAL days;
+    - $dateAdd day: keeps the local wall clock over the transition
+      (Mongo's documented behavior), so the UTC delta is 23 hours;
+    - $dateAdd hour: sub-day units add ABSOLUTE time (no DST
+      adjustment), also Mongo's documented behavior;
+    - date parts / $dateToString render the local wall time."""
+    from datetime import datetime
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    # 2021-03-13T17:00-05:00 = 22:00Z (day before the transition);
+    # 2021-03-14T17:00-04:00 = 21:00Z (day of the transition)
+    df = spark.createDataFrame(
+        [("2021-03-13T22:00:00", "2021-03-14T21:00:00")],
+        "s string, e string",
+    )
+    base = [{"$addFields": {
+        "s": {"$dateFromString": {"dateString": "$s"}},
+        "e": {"$dateFromString": {"dateString": "$e"}},
+    }}]
+    tz = "America/New_York"
+    row = apply_pipeline(
+        df,
+        base + [{"$project": {
+            "t_est": {"$dateTrunc": {"date": "$s", "unit": "day",
+                                     "timezone": tz}},
+            "t_edt": {"$dateTrunc": {"date": "$e", "unit": "day",
+                                     "timezone": tz}},
+            "t_after": {"$dateTrunc": {
+                "date": {"$dateAdd": {"startDate": "$e", "unit": "day",
+                                      "amount": 1}},
+                "unit": "day", "timezone": tz}},
+            "d_day": {"$dateDiff": {"startDate": "$s", "endDate": "$e",
+                                    "unit": "day", "timezone": tz}},
+            "a_day": {"$dateAdd": {"startDate": "$s", "unit": "day",
+                                   "amount": 1, "timezone": tz}},
+            "a_hr": {"$dateAdd": {"startDate": "$s", "unit": "hour",
+                                  "amount": 24, "timezone": tz}},
+            "hour_l": {"$hour": {"date": "$e", "timezone": tz}},
+            "str_l": {"$dateToString": {"date": "$e",
+                                        "format": "%Y-%m-%d %H:%M",
+                                        "timezone": tz}},
+            "f_l": {"$dateFromString": {
+                "dateString": "2021-03-14T17:00:00", "timezone": tz}},
+            "p_l": {"$dateFromParts": {"year": 2021, "month": 3,
+                                       "day": 14, "hour": 17,
+                                       "timezone": tz}},
+        }}],
+    ).collect()[0]
+    assert row["t_est"] == datetime(2021, 3, 13, 5, 0)
+    # midnight of the TRANSITION day precedes the 02:00 switch, so it
+    # is still EST (05:00Z); the day after, midnight is EDT (04:00Z)
+    assert row["t_edt"] == datetime(2021, 3, 14, 5, 0)
+    assert row["t_after"] == datetime(2021, 3, 15, 4, 0)
+    assert row["d_day"] == 1
+    # wall 17:00 EST + 1 day = wall 17:00 EDT = 21:00Z (23 real hours)
+    assert row["a_day"] == datetime(2021, 3, 14, 21, 0)
+    # +24 absolute hours = 22:00Z (local 18:00 EDT)
+    assert row["a_hr"] == datetime(2021, 3, 14, 22, 0)
+    assert row["hour_l"] == 17
+    assert row["str_l"] == "2021-03-14 17:00"
+    # local 17:00 EDT = 21:00Z, both string- and parts-constructed
+    assert row["f_l"] == datetime(2021, 3, 14, 21, 0)
+    assert row["p_l"] == datetime(2021, 3, 14, 21, 0)
 
 
 def test_set_window_fields_range_window(spark):
@@ -1517,3 +1589,95 @@ def test_set_field_unset_field(spark):
     assert r["rm"].asDict() == {"c": "x"}
     assert r["rm2"].asDict() == {"a.b": 1}
     assert n["set"] is None and n["rm"] is None
+
+
+def test_date_to_parts_and_type_introspection(spark):
+    """$dateToParts (both calendar and iso8601 forms, timezone-aware),
+    $type (static BSON type name, null-tested at runtime), $isArray,
+    and $binarySize (UTF-8 bytes)."""
+    from datetime import datetime
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "héllo", [1, 2], 2.5, datetime(2021, 1, 3, 22, 45, 7))],
+        "i long, s string, arr array<long>, f double, ts timestamp",
+    )
+    row = apply_pipeline(
+        df,
+        [{"$project": {
+            "parts": {"$dateToParts": {"date": "$ts"}},
+            "parts_ist": {"$dateToParts": {"date": "$ts",
+                                           "timezone": "+05:30"}},
+            "iso": {"$dateToParts": {"date": "$ts", "iso8601": True}},
+            "t_i": {"$type": "$i"},
+            "t_s": {"$type": "$s"},
+            "t_a": {"$type": "$arr"},
+            "t_f": {"$type": "$f"},
+            "t_ts": {"$type": "$ts"},
+            "t_missing": {"$type": "$nope"},
+            "is_a": {"$isArray": ["$arr"]},
+            "is_s": {"$isArray": ["$s"]},
+            "bs": {"$binarySize": "$s"},
+        }}],
+    ).collect()[0]
+    assert row["parts"].asDict() == {
+        "year": 2021, "month": 1, "day": 3, "hour": 22, "minute": 45,
+        "second": 7, "millisecond": 0,
+    }
+    # 22:45+05:30 = next day 04:15 local
+    assert row["parts_ist"]["day"] == 4 and row["parts_ist"]["hour"] == 4
+    # 2021-01-03 is a Sunday: ISO week 53 of ISO year 2020, day 7
+    assert row["iso"].asDict()["isoWeekYear"] == 2020
+    assert row["iso"].asDict()["isoWeek"] == 53
+    assert row["iso"].asDict()["isoDayOfWeek"] == 7
+    assert row["t_i"] == "long" and row["t_s"] == "string"
+    assert row["t_a"] == "array" and row["t_f"] == "double"
+    assert row["t_ts"] == "date" and row["t_missing"] == "null"
+    assert row["is_a"] is True and row["is_s"] is False
+    assert row["bs"] == 6  # é is 2 UTF-8 bytes
+
+
+def test_array_expression_forms_first_last_n_sum_avg(spark):
+    """ARRAY-expression forms of the accumulator names: $first/$last
+    (element access), $firstN/$lastN (positional, nulls kept),
+    $maxN/$minN (ordered, nulls ignored), $sum/$avg (fold; $sum of
+    nothing is 0, $avg of nothing is null; list form skips null
+    operands)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, [3, None, 1, 5], 2), (2, [], 3), (3, None, None)],
+        "i long, arr array<long>, b long",
+    )
+    rows = {
+        r["i"]: r
+        for r in apply_pipeline(
+            df,
+            [{"$project": {
+                "i": 1,
+                "f": {"$first": ["$arr"]},
+                "l": {"$last": ["$arr"]},
+                "fn": {"$firstN": {"n": 2, "input": "$arr"}},
+                "ln": {"$lastN": {"n": 2, "input": "$arr"}},
+                "mx": {"$maxN": {"n": 2, "input": "$arr"}},
+                "mn": {"$minN": {"n": 2, "input": "$arr"}},
+                "s": {"$sum": "$arr"},
+                "a": {"$avg": "$arr"},
+                "s2": {"$sum": ["$b", None, 4]},
+                "a2": {"$avg": ["$b", None, 4]},
+            }}],
+        ).collect()
+    }
+    r = rows[1]
+    assert r["f"] == 3 and r["l"] == 5
+    assert r["fn"] == [3, None] and r["ln"] == [1, 5]
+    assert r["mx"] == [5, 3] and r["mn"] == [1, 3]
+    assert r["s"] == 9 and r["a"] == 3.0
+    assert r["s2"] == 6 and r["a2"] == 3.0
+    e = rows[2]
+    assert e["f"] is None and e["fn"] == [] and e["mx"] == []
+    assert e["s"] == 0 and e["a"] is None
+    n = rows[3]
+    assert n["s"] == 0 and n["a"] is None
+    assert n["s2"] == 4 and n["a2"] == 4.0

@@ -478,6 +478,70 @@ def _m_eval(doc: dict, e):
         # must lie FULLY inside the range
         pos = s.find(sub, start)
         return pos if pos >= start >= 0 and pos + len(sub) <= end else -1
+    # ---- round-7 additions ----------------------------------------------
+    if op == "$isArray":
+        inner = arg[0] if isinstance(arg, list) else arg
+        return isinstance(_m_eval(doc, inner), list)
+    if op == "$type":
+        inner = arg[0] if isinstance(arg, list) else arg
+        # a literal int is "int" when it fits 32 bits (engine rule);
+        # SCHEMA ints are long columns, so their values map to "long"
+        if isinstance(inner, bool):
+            return "bool"
+        if isinstance(inner, int):
+            return "int" if -(2**31) <= inner < 2**31 else "long"
+        if isinstance(inner, float):
+            return "double"
+        v = _m_eval(doc, inner)
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "double"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, list):
+            return "array"
+        return "object"
+    if op == "$binarySize":
+        inner = arg[0] if isinstance(arg, list) else arg
+        v = _m_eval(doc, inner)
+        return None if v is None else len(v.encode("utf-8"))
+    if op in ("$first", "$last"):
+        inner = arg[0] if isinstance(arg, list) else arg
+        v = _m_eval(doc, inner)
+        if v is None or not v:
+            return None
+        return v[0] if op == "$first" else v[-1]
+    if op in ("$firstN", "$lastN", "$maxN", "$minN"):
+        v = _m_eval(doc, arg["input"])
+        n = _m_eval(doc, arg["n"])
+        if v is None:
+            return None
+        if op == "$firstN":
+            return v[:n]
+        if op == "$lastN":
+            return v[-n:] if n <= len(v) else list(v)
+        nn = sorted(
+            (x for x in v if x is not None), reverse=op == "$maxN"
+        )
+        return nn[:n]
+    if op in ("$sum", "$avg"):
+        def _is_num(x):
+            return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+        if isinstance(arg, list):
+            vals = [_m_eval(doc, a) for a in arg]
+        else:
+            v = _m_eval(doc, arg)
+            vals = v if isinstance(v, list) else [v]
+        nums = [x for x in vals if _is_num(x)]
+        if op == "$sum":
+            return sum(nums) if nums else 0
+        return (sum(float(x) for x in nums) / len(nums)) if nums else None
     raise ValueError(op)
 
 
@@ -632,7 +696,19 @@ def _lt_str_expr(rng: random.Random, depth: int = 0):
                 {"$toUpper": "$$v1"},
             ]),
         }}
-    return {"$getField": {"field": rng.choice(["w", "u", "nope"]),
+    if rng.random() < 0.4:
+        # $type only supports statically-typeable operands: paths,
+        # literals, and ops with a fixed result kind ($toUpper is
+        # always-string, so it safely wraps arbitrary string trees;
+        # every _lt_arr_expr root is an _ARRAY_OPS member)
+        return {"$type": rng.choice([
+            "$s", "$d", "$sa", "$st", "$st.u", "$st.w", 3, None, True,
+            {"$toUpper": _lt_str_expr(rng, depth + 1)}, _lt_arr_expr(rng),
+        ])}
+    # string-typed fields only: this tree sits in STRING position, and
+    # a long-valued field would type-clash in $replaceOne/$trim above
+    # (numeric $getField is covered via _lt_doc_expr and $st.u paths)
+    return {"$getField": {"field": rng.choice(["w", "nope"]),
                           "input": rng.choice(["$st", "$st2"])}}
 
 
@@ -662,6 +738,10 @@ def _lt_bool_expr(rng: random.Random, depth: int = 0):
             if k2 == 2:
                 return {rng.choice(["$anyElementTrue", "$allElementsTrue"]):
                         [rng.choice(["$d", "$e"])]}
+            if rng.random() < 0.5:
+                return {"$isArray": [rng.choice(
+                    ["$d", "$e", "$sa", "$s", "$st", "$st.u", 3, None, "lit"]
+                )]}
             return {"$isNumber": rng.choice(["$st.u", "$st2.z", "$s", 3, None])}
         return {"$eq": [_lt_num_expr(rng, depth + 1), _lt_num_expr(rng, depth + 1)]}
     k = rng.randrange(3)
@@ -698,6 +778,25 @@ def _lt_num_expr(rng: random.Random, depth: int = 0):
         return {"$indexOfArray": ["$d", rng.randint(0, 6)]
                 + ([rng.randint(0, 2)] if rng.random() < 0.4 else [])}
     if k == 1:
+        r = rng.random()
+        if r < 0.3:
+            return {"$binarySize": _lt_str_expr(rng, depth + 1)}
+        if r < 0.6:
+            # array-expression $sum/$avg: array field, list of numeric
+            # operands (nulls skipped), or a scalar
+            which = rng.choice(["$sum", "$avg"])
+            a = rng.random()
+            if a < 0.4:
+                return {which: rng.choice(["$d", "$e", "$sa"])}
+            if a < 0.8:
+                return {which: [_lt_num_expr(rng, depth + 1),
+                                _lt_num_expr(rng, depth + 1), None]}
+            return {which: _lt_num_expr(rng, depth + 1)}
+        if r < 0.8:
+            # numeric arrays only: this expression sits in NUMERIC
+            # position, so a string element would ANSI-clash upstream
+            return {rng.choice(["$first", "$last"]):
+                    [rng.choice(["$d", "$e"])]}
         return {"$strLenCP": {"$ifNull": [_lt_str_expr(rng, depth + 1), ""]}}
     if k == 2:
         return {"$add": [_lt_num_expr(rng, depth + 1), _lt_num_expr(rng, depth + 1)]}
@@ -730,6 +829,11 @@ def _lt_arr_expr(rng: random.Random):
                              "defaults": [rng.randint(-1, 1), rng.randint(-1, 1)]}
                             if rng.random() < 0.5 else {})}}
     if k == 4:
+        if rng.random() < 0.5:
+            return {rng.choice(["$firstN", "$lastN", "$maxN", "$minN"]): {
+                "n": rng.randint(1, 4),
+                "input": rng.choice(["$d", "$e", "$sa"]),
+            }}
         return {"$objectToArray": rng.choice(["$st", "$st2"])}
     if k == 5 and rng.random() < 0.6:
         return {"$regexFindAll": {

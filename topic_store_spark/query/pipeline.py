@@ -113,12 +113,13 @@ def _truthy(col: Column) -> Column:
 _STRING_OPS = {
     "$concat", "$toLower", "$toUpper", "$toString", "$substrCP",
     "$dateToString", "$trim", "$ltrim", "$rtrim", "$replaceOne",
-    "$replaceAll", "$toObjectId", "$substrBytes",
+    "$replaceAll", "$toObjectId", "$substrBytes", "$type",
 }
 _ARRAY_OPS = {
     "$filter", "$map", "$setUnion", "$setIntersection", "$setDifference",
     "$concatArrays", "$slice", "$range", "$zip", "$objectToArray",
     "$split", "$reverseArray", "$sortArray", "$regexFindAll",
+    "$firstN", "$lastN", "$maxN", "$minN",
 }
 _NUMBER_OPS = {
     "$add", "$subtract", "$multiply", "$divide", "$mod", "$abs", "$ceil",
@@ -128,7 +129,7 @@ _NUMBER_OPS = {
     "$dayOfMonth", "$hour", "$minute", "$second", "$dayOfYear",
     "$dayOfWeek", "$isoDayOfWeek", "$isoWeek", "$isoWeekYear", "$week",
     "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
-    "$rand", "$log", "$log10", "$atan2",
+    "$rand", "$log", "$log10", "$atan2", "$binarySize", "$sum", "$avg",
     "$degreesToRadians", "$radiansToDegrees",
     "$sin", "$cos", "$tan", "$asin", "$acos", "$atan",
     "$sinh", "$cosh", "$tanh", "$asinh", "$acosh", "$atanh",
@@ -142,14 +143,14 @@ _TRIG_UNARY = {
 _BOOL_OPS = {
     "$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$and", "$or", "$not",
     "$in", "$toBool", "$regexMatch", "$setEquals", "$setIsSubset",
-    "$anyElementTrue", "$allElementsTrue", "$isNumber",
+    "$anyElementTrue", "$allElementsTrue", "$isNumber", "$isArray",
 }
 _ALWAYS_OPS = (
     _STRING_OPS
     | _ARRAY_OPS
     | {"$mergeObjects", "$regexFind", "$arrayToObject", "$toDate",
        "$dateFromParts", "$dateAdd", "$dateSubtract", "$dateTrunc",
-       "$dateFromString", "$setField", "$unsetField"}
+       "$dateFromString", "$setField", "$unsetField", "$dateToParts"}
 )
 
 
@@ -376,25 +377,32 @@ def _compile_value_op(
     if op in _VARIADIC:
         return _VARIADIC[op]([cv(a) for a in arg])
     if op in _DATE_PARTS:
-        # bare-expression form, or {date: ..., timezone: ±HH:MM}
+        # bare-expression form, or {date: ..., timezone: ...}
         if isinstance(arg, dict) and "date" in arg:
-            mins = _tz_offset_minutes(op, arg)
-            ts = _tz_shift(_as_timestamp(cv(arg["date"])), mins)
+            ts = _tz_local(_as_timestamp(cv(arg["date"])), _tz_name(op, arg))
         else:
             ts = _as_timestamp(cv(arg))
         return _DATE_PARTS[op](ts)
     if op == "$millisecond":
-        ts = _as_timestamp(cv(arg))
+        # dict form accepted for parity; milliseconds are tz-invariant
+        # (every zone offset is whole minutes)
+        inner = arg["date"] if isinstance(arg, dict) and "date" in arg else arg
+        ts = _as_timestamp(cv(inner))
         return (ts.cast("double") * 1000 % 1000).cast("int")
     if op == "$dateFromParts":
         get = lambda k, d: cv(arg[k]) if k in arg else F.lit(d)  # noqa: E731
-        return F.make_timestamp(
-            cv(arg["year"]),
-            get("month", 1),
-            get("day", 1),
-            get("hour", 0),
-            get("minute", 0),
-            get("second", 0).cast("double") + get("millisecond", 0) / 1000.0,
+        # the parts describe WALL time in `timezone`; store-side is UTC
+        return _tz_unlocal(
+            F.make_timestamp(
+                cv(arg["year"]),
+                get("month", 1),
+                get("day", 1),
+                get("hour", 0),
+                get("minute", 0),
+                get("second", 0).cast("double")
+                + get("millisecond", 0) / 1000.0,
+            ),
+            _tz_name(op, arg),
         )
     if op == "$floor":
         return F.floor(cv(arg))
@@ -544,9 +552,8 @@ def _compile_value_op(
         return F.array_except(left, right)
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
-        mins = _tz_offset_minutes(op, arg)
         return F.date_format(
-            _tz_shift(_as_timestamp(cv(arg["date"])), mins),
+            _tz_local(_as_timestamp(cv(arg["date"])), _tz_name(op, arg)),
             _java_date_fmt(fmt),
         )
     if op == "$filter":
@@ -739,14 +746,13 @@ def _compile_value_op(
         raise ValueError("$isNumber: cannot statically type the operand")
     if op == "$dateFromString":
         # the string is LOCAL time in `timezone`; store-side is UTC
-        mins = _tz_offset_minutes(op, arg)
         fmt = arg.get("format")
         ds = cv(arg["dateString"])
         ts = (
             F.to_timestamp(ds) if fmt is None
             else F.to_timestamp(ds, _java_date_fmt(fmt))
         )
-        return _tz_shift(ts, -mins)
+        return _tz_unlocal(ts, _tz_name(op, arg))
     if op in ("$trim", "$ltrim", "$rtrim"):
         inp = cv(arg["input"])
         # Mongo's default trim set: null, tab, LF, VT, FF, CR, space
@@ -790,36 +796,188 @@ def _compile_value_op(
         inner = arg[0] if isinstance(arg, list) else arg
         return F.bitwise_not(cv(inner).cast("long"))
     if op in ("$dateAdd", "$dateSubtract"):
-        # calendar arithmetic happens in the (fixed-offset) local time:
-        # shift, add, shift back — a no-op for sub-day units, the point
-        # for day/month/year boundaries
+        # Calendar (day+) units add in the LOCAL wall time — keeping
+        # 09:00 local 09:00 across a DST transition is the point of the
+        # timezone argument (Mongo's documented behavior).  Sub-day
+        # units add ABSOLUTE elapsed time (also Mongo): straight
+        # timestamp_add on the UTC instant, no localization — which
+        # sidesteps DST-gap resolution entirely.
         unit = _date_unit(arg["unit"])
-        mins = _tz_offset_minutes(op, arg)
+        tz = _tz_name(op, arg)
         amount = cv(arg["amount"]).cast("int")
         if op == "$dateSubtract":
             amount = -amount
-        local = _tz_shift(_as_timestamp(cv(arg["startDate"])), mins)
-        return _tz_shift(F.timestamp_add(unit, amount, local), -mins)
+        ts = _as_timestamp(cv(arg["startDate"]))
+        if unit in ("HOUR", "MINUTE", "SECOND", "MILLISECOND"):
+            return F.timestamp_add(unit, amount, ts)
+        return _tz_unlocal(
+            F.timestamp_add(unit, amount, _tz_local(ts, tz)), tz
+        )
     if op == "$dateDiff":
         # Mongo counts unit-BOUNDARY crossings, not elapsed whole units
         # (23:00 -> 01:00 next day is 1 "day"): truncate both ends to
         # the unit boundary, then diff — aligned starts make
         # timestamp_diff exact.  Boundaries live in the local timezone.
         unit = _date_unit(arg["unit"])
-        mins = _tz_offset_minutes(op, arg)
+        tz = _tz_name(op, arg)
         trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
-        s = trunc(_tz_shift(_as_timestamp(cv(arg["startDate"])), mins))
-        e = trunc(_tz_shift(_as_timestamp(cv(arg["endDate"])), mins))
+        s = trunc(_tz_local(_as_timestamp(cv(arg["startDate"])), tz))
+        e = trunc(_tz_local(_as_timestamp(cv(arg["endDate"])), tz))
         return F.timestamp_diff(unit, s, e)
     if op == "$dateTrunc":
-        mins = _tz_offset_minutes(op, arg)
+        tz = _tz_name(op, arg)
         if int(arg.get("binSize", 1)) != 1:
             raise ValueError("$dateTrunc: only binSize=1 is supported")
         trunc = _unit_trunc(arg["unit"], arg.get("startOfWeek"))
-        return _tz_shift(
-            trunc(_tz_shift(_as_timestamp(cv(arg["date"])), mins)), -mins
+        return _tz_unlocal(
+            trunc(_tz_local(_as_timestamp(cv(arg["date"])), tz)), tz
         )
+    if op == "$dateToParts":
+        ts = _tz_local(_as_timestamp(cv(arg["date"])), _tz_name(op, arg))
+        ms = (ts.cast("double") * 1000 % 1000).cast("int")
+        if arg.get("iso8601"):
+            return F.struct(
+                _DATE_PARTS["$isoWeekYear"](ts).alias("isoWeekYear"),
+                F.weekofyear(ts).alias("isoWeek"),
+                _iso_day_of_week(ts).alias("isoDayOfWeek"),
+                F.hour(ts).alias("hour"),
+                F.minute(ts).alias("minute"),
+                F.second(ts).alias("second"),
+                ms.alias("millisecond"),
+            )
+        return F.struct(
+            F.year(ts).alias("year"),
+            F.month(ts).alias("month"),
+            F.dayofmonth(ts).alias("day"),
+            F.hour(ts).alias("hour"),
+            F.minute(ts).alias("minute"),
+            F.second(ts).alias("second"),
+            ms.alias("millisecond"),
+        )
+    if op == "$isArray":
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        kind = _static_value_type(inner, vars_)
+        if kind == "array":
+            return compile_value(inner, vars_).isNotNull()
+        if kind is None:
+            raise ValueError("$isArray: cannot statically type the operand")
+        return F.lit(False)
+    if op == "$type":
+        # BSON type name from the STATIC Spark type; null-ness is the
+        # one runtime test.  Fixed-schema divergence (documented in the
+        # module header): a missing field reads as "null", never
+        # "missing" — parquet cannot distinguish the two.
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return _bson_type_name(inner, vars_)
+    if op == "$binarySize":
+        # bytes of a string's UTF-8 encoding or of a binary value;
+        # null input -> null (Mongo)
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return F.octet_length(cv(inner))
+    if op in ("$first", "$last"):
+        # ARRAY-expression form (Mongo 4.4): first/last element; null
+        # array -> null, empty array -> missing (null).  The $group /
+        # $setWindowFields ACCUMULATOR of the same name never reaches
+        # compile_value.
+        inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
+        return F.try_element_at(cv(inner), F.lit(1 if op == "$first" else -1))
+    if op in ("$firstN", "$lastN", "$maxN", "$minN"):
+        # ARRAY-expression forms (Mongo 5.2).  firstN/lastN keep nulls
+        # (positional); maxN/minN IGNORE nulls (ordering), like their
+        # accumulator namesakes.  n > size yields the whole (filtered)
+        # array; n must be a positive integer literal or expression.
+        arr = cv(arg["input"])
+        n = cv(arg["n"]).cast("int")
+        if op == "$firstN":
+            return F.slice(arr, F.lit(1), n)
+        if op == "$lastN":
+            return F.slice(
+                arr, F.greatest(F.size(arr) - n + 1, F.lit(1)), n
+            )
+        nn = F.filter(arr, lambda x: x.isNotNull())
+        ordered = F.sort_array(nn, asc=op == "$minN")
+        return F.slice(ordered, F.lit(1), n)
+    if op in ("$sum", "$avg"):
+        # EXPRESSION forms ($project/$addFields): a list sums/averages
+        # its operands; a single array expression folds its elements.
+        # Mongo ignores null/missing operands; $sum of nothing is 0,
+        # $avg of nothing is null.  (The $group accumulators of the
+        # same names never reach compile_value.)
+        if isinstance(arg, list):
+            # statically non-numeric operands are IGNORED (Mongo skips
+            # non-numeric values, booleans included) — and skipping them
+            # here also avoids a per-row ANSI cast failure
+            numeric = [
+                a for a in arg
+                if _static_value_type(a, vars_)
+                not in ("string", "array", "struct", "bool")
+            ]
+            if not numeric:
+                return F.lit(0) if op == "$sum" else F.lit(None).cast("double")
+            cols = [cv(a) for a in numeric]
+            if op == "$sum":
+                return _fold(
+                    [F.coalesce(c, F.lit(0)) for c in cols],
+                    lambda a, b: a + b,
+                )
+            cnt = _fold(
+                [c.isNotNull().cast("int") for c in cols], lambda a, b: a + b
+            )
+            total = _fold(
+                [F.coalesce(c.cast("double"), F.lit(0.0)) for c in cols],
+                lambda a, b: a + b,
+            )
+            return F.when(cnt > 0, total / cnt)
+        return _fold_array_numeric(op, arg, vars_)
     raise ValueError(f"unsupported value operator: {op}")
+
+
+def _fold_array_numeric(op: str, arg: Any, vars_) -> Column:
+    """``{$sum: <array>}`` / ``{$avg: <array>}``: fold the non-null
+    elements.  The accumulator type follows the array's STATIC element
+    type when the operand is a plain field path (integral -> long,
+    else double); $avg is always double (Mongo).  A scalar operand is
+    its own sum ($sum: missing -> 0) and its own average."""
+    from pyspark.sql import types as T
+
+    col = compile_value(arg, vars_)
+    kind = _static_value_type(arg, vars_)
+    if kind == "number":
+        if op == "$sum":
+            return F.coalesce(col, F.lit(0))
+        return col.cast("double")
+    if kind in ("string", "struct", "bool", "null"):
+        # non-numeric, non-array operand: $sum -> 0, $avg -> null
+        return F.lit(0) if op == "$sum" else F.lit(None).cast("double")
+    if kind != "array":
+        raise ValueError(f"{op}: cannot statically type the operand")
+    elem = None
+    if (
+        isinstance(arg, str)
+        and arg.startswith("$")
+        and not arg.startswith("$$")
+    ):
+        t = _resolve_path_type(arg[1:])
+        if isinstance(t, T.ArrayType):
+            elem = t.elementType
+    if elem is not None and not isinstance(elem, T.NumericType):
+        # Mongo ignores non-numeric elements entirely: a string array
+        # sums to 0 / averages to null.  Static, so no per-row ANSI
+        # cast failure.
+        return F.lit(0) if op == "$sum" else F.lit(None).cast("double")
+    acc_t = (
+        "long"
+        if isinstance(elem, (T.IntegralType,))
+        else "double"
+    )
+    nn = F.filter(col, lambda x: x.isNotNull())
+    if op == "$sum":
+        total = F.aggregate(
+            nn, F.lit(0).cast(acc_t), lambda a, x: a + x.cast(acc_t)
+        )
+        return F.coalesce(total, F.lit(0).cast(acc_t))
+    total = F.aggregate(nn, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return F.when(F.size(nn) > 0, total / F.size(nn))
 
 
 #: $toX shorthand -> $convert target name
@@ -969,33 +1127,51 @@ def _date_unit(unit: Any) -> str:
 _TZ_OFFSET_RE = _re.compile(r"^([+-])(\d{2})(?::?(\d{2}))?$")
 
 
-def _tz_offset_minutes(op: str, arg: dict) -> int:
-    """Fixed-offset ``timezone`` support for the date operators: parse
-    Mongo's ``±HH`` / ``±HHMM`` / ``±HH:MM`` forms to signed minutes
-    (0 for UTC/absent).  Calendar arithmetic then runs on the
-    offset-SHIFTED timestamp and shifts back — exact for fixed offsets,
-    which have no DST transitions.  Olson zone names (which do) stay a
-    loud NotImplementedError rather than a silently-wrong answer."""
+def _tz_name(op: str, arg: dict) -> str | None:
+    """``timezone`` support for the date operators: Mongo's fixed
+    ``±HH`` / ``±HHMM`` / ``±HH:MM`` offsets (normalized to ``±HH:MM``)
+    and Olson/IANA zone names (``America/New_York``), validated against
+    the zoneinfo database at compile time so a typo fails the QUERY,
+    not silently every row.  ``None`` means UTC/absent (no-op).
+
+    Calendar arithmetic runs on the zone-LOCAL wall time
+    (``from_utc_timestamp``) and converts back (``to_utc_timestamp``) —
+    exact for fixed offsets; for named zones the JVM's tzdb applies
+    real DST rules, resolving nonexistent local times (spring-forward
+    gaps) by shifting past the gap, Java's standard resolution."""
     tz = arg.get("timezone")
     if tz in (None, "UTC", "Z", "+00", "+0000", "+00:00"):
-        return 0
-    m = _TZ_OFFSET_RE.match(tz) if isinstance(tz, str) else None
-    if m is None:
-        raise NotImplementedError(
-            f"{op}: only UTC and fixed ±HH:MM timezone offsets are "
-            f"supported, got {tz!r}"
-        )
-    sign = 1 if m.group(1) == "+" else -1
-    hh, mm = int(m.group(2)), int(m.group(3) or 0)
-    if hh > 18 or mm > 59:
-        raise ValueError(f"{op}: invalid timezone offset {tz!r}")
-    return sign * (hh * 60 + mm)
+        return None
+    if not isinstance(tz, str):
+        raise ValueError(f"{op}: timezone must be a string, got {tz!r}")
+    m = _TZ_OFFSET_RE.match(tz)
+    if m is not None:
+        sign, hh, mm = m.group(1), int(m.group(2)), int(m.group(3) or 0)
+        if hh > 18 or mm > 59:
+            raise ValueError(f"{op}: invalid timezone offset {tz!r}")
+        if hh == 0 and mm == 0:
+            return None
+        return f"{sign}{hh:02d}:{mm:02d}"
+    try:
+        import zoneinfo
+
+        zoneinfo.ZoneInfo(tz)
+    except Exception:
+        raise ValueError(
+            f"{op}: unknown timezone {tz!r} (expected a fixed ±HH:MM "
+            f"offset or an IANA zone name)"
+        ) from None
+    return tz
 
 
-def _tz_shift(col: Column, minutes: int) -> Column:
-    return (
-        F.timestamp_add("MINUTE", F.lit(minutes), col) if minutes else col
-    )
+def _tz_local(col: Column, tz: str | None) -> Column:
+    """UTC instant -> wall time in ``tz`` (no-op for UTC)."""
+    return F.from_utc_timestamp(col, tz) if tz else col
+
+
+def _tz_unlocal(col: Column, tz: str | None) -> Column:
+    """Wall time in ``tz`` -> UTC instant (no-op for UTC)."""
+    return F.to_utc_timestamp(col, tz) if tz else col
 
 
 def _unit_trunc(unit: str, start_of_week: Any):
@@ -1192,6 +1368,89 @@ def _merge_objects(operands: list, vars_) -> Column:
                 )
         out_fields.append((built if built is not None else F.lit(None)).alias(f))
     return F.struct(*out_fields)
+
+
+def _bson_type_name(expr: Any, vars_) -> Column:
+    """``$type``: BSON type-name string for a value expression, derived
+    from the STATIC Spark type (single-typed columns make the name a
+    constant; only null-ness needs a runtime test).  Missing fields
+    read as "null", not "missing" — parquet cannot distinguish them
+    (documented divergence)."""
+    from pyspark.sql import types as T
+
+    def _name_of(t) -> str | None:
+        if isinstance(t, T.StringType):
+            return "string"
+        if isinstance(t, T.BooleanType):
+            return "bool"
+        if isinstance(t, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "int"
+        if isinstance(t, T.LongType):
+            return "long"
+        if isinstance(t, (T.DoubleType, T.FloatType)):
+            return "double"
+        if isinstance(t, T.DecimalType):
+            return "decimal"
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            return "date"
+        if isinstance(t, T.ArrayType):
+            return "array"
+        if isinstance(t, (T.StructType, T.MapType)):
+            return "object"
+        if isinstance(t, T.BinaryType):
+            return "binData"
+        if isinstance(t, T.NullType):
+            return "null"
+        return None
+
+    if expr is None:
+        return F.lit("null")
+    if isinstance(expr, bool):
+        return F.lit("bool")
+    if isinstance(expr, int):
+        return F.lit("int" if -(2**31) <= expr < 2**31 else "long")
+    if isinstance(expr, float):
+        return F.lit("double")
+    name: str | None = None
+    if isinstance(expr, str) and not expr.startswith("$"):
+        return F.lit("string")
+    if (
+        isinstance(expr, str)
+        and expr.startswith("$")
+        and not expr.startswith("$$")
+    ):
+        name = _name_of(_resolve_path_type(expr[1:]))
+    elif isinstance(expr, list):
+        name = "array"
+    elif isinstance(expr, dict):
+        if len(expr) == 1 and next(iter(expr)).startswith("$"):
+            op = next(iter(expr))
+            if op in _STRING_OPS:
+                name = "string"
+            elif op in _ARRAY_OPS:
+                name = "array"
+            elif op in ("$avg", "$rand"):
+                # most numeric ops' width depends on their operands
+                # (int vs long vs double) and stays unsupported; only
+                # the always-double ones have a static name
+                name = "double"
+            elif op in _BOOL_OPS or op == "$isArray":
+                name = "bool"
+            elif op in (
+                "$toDate", "$dateFromParts", "$dateAdd", "$dateSubtract",
+                "$dateTrunc", "$dateFromString",
+            ):
+                name = "date"
+            elif op in ("$mergeObjects", "$dateToParts"):
+                name = "object"
+        else:
+            name = "object"
+    if name is None:
+        raise ValueError(
+            f"$type: cannot statically type the operand {expr!r}"
+        )
+    col = compile_value(expr, vars_)
+    return F.when(col.isNull(), F.lit("null")).otherwise(F.lit(name))
 
 
 def _static_value_type(expr: Any, vars_) -> str | None:
