@@ -1681,3 +1681,64 @@ def test_array_expression_forms_first_last_n_sum_avg(spark):
     n = rows[3]
     assert n["s"] == 0 and n["a"] is None
     assert n["s2"] == 4 and n["a2"] == 4.0
+
+
+def test_date_string_formats_and_fallbacks(spark):
+    """$dateToString/$dateFromString round: literal text in formats is
+    quoted (the default format's 'T' separator used to be an invalid
+    pattern letter), %j/%% directives, unsupported directives refuse at
+    compile time, $dateToString onNull, and $dateFromString
+    onError/onNull (null input is the onNull case, never onError)."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2021-02-03T04:05:06", "2021-02-03 04:05:06"),
+         (2, "not a date", None)],
+        "i long, good string, alt string",
+    )
+    rows = {
+        r["i"]: r
+        for r in apply_pipeline(
+            df,
+            [
+                {"$addFields": {"ts": {"$dateFromString": {
+                    "dateString": "$alt", "onNull": None}}}},
+                {"$project": {
+                    "i": 1,
+                    "dflt": {"$dateToString": {"date": "$ts"}},
+                    "doy": {"$dateToString": {"date": "$ts",
+                                              "format": "day %j at %H%%"}},
+                    "onn": {"$dateToString": {"date": "$ts",
+                                              "onNull": "MISSING"}},
+                    "f_ok": {"$dateFromString": {
+                        "dateString": "$good",
+                        "onError": {"$dateFromString": {
+                            "dateString": "1970-01-01T00:00:00"}}}},
+                    "f_null": {"$dateFromString": {
+                        "dateString": "$alt",
+                        "onError": {"$dateFromString": {
+                            "dateString": "1970-01-01T00:00:00"}},
+                        "onNull": None}},
+                }},
+            ],
+        ).collect()
+    }
+    assert rows[1]["dflt"] == "2021-02-03T04:05:06"
+    assert rows[1]["doy"] == "day 034 at 04%"
+    assert rows[1]["f_ok"] == datetime(2021, 2, 3, 4, 5, 6)
+    assert rows[1]["f_null"] == datetime(2021, 2, 3, 4, 5, 6)
+    assert rows[2]["onn"] == "MISSING"
+    # "not a date" -> onError epoch; null dateString -> onNull, NOT onError
+    assert rows[2]["f_ok"] == datetime(1970, 1, 1)
+    assert rows[2]["f_null"] is None
+
+    with _pytest.raises(ValueError, match="directive"):
+        apply_pipeline(
+            df,
+            [{"$project": {"x": {"$dateToString": {
+                "date": "$ts", "format": "%V week"}}}}],
+        )

@@ -30,20 +30,26 @@ $log $log10 $degreesToRadians $radiansToDegrees``), window gap-fill
 operators ``$locf``/``$linearFill``, value-based window frames
 (``window: {range: [lo, hi], unit?}`` -> Spark rangeBetween over the
 ascending sortBy key), date arithmetic (``$dateAdd $dateSubtract $dateDiff
-$dateTrunc $dateFromString`` — boundary-crossing $dateDiff; UTC plus
-fixed ±HH:MM timezone offsets, Olson names refused loudly) and the
-date-part operators the reference's legacy session pipeline uses
-(reference database.py:243-256: ``$dateFromParts`` + ``$year`` ..
-``$second`` applied to ObjectId creation time).
+$dateTrunc $dateFromString $dateToParts`` — boundary-crossing
+$dateDiff; timezone-aware throughout: UTC, fixed ±HH:MM offsets AND
+IANA zone names with real DST rules via the JVM tzdb, differentially
+checked against Python zoneinfo in tests/test_tz_differential.py),
+type introspection (``$type $isArray $binarySize``), array-expression
+forms of the accumulator names (``$first $last $firstN $lastN $maxN
+$minN $sum $avg``) and the date-part operators the reference's legacy
+session pipeline uses (reference database.py:243-256:
+``$dateFromParts`` + ``$year`` .. ``$second`` applied to ObjectId
+creation time).
 
 Static-schema dialect decisions (documented divergences): ``$switch``
 with no default and no matching branch yields null (Mongo errors);
 ``$arrayToObject`` returns a MAP (dynamic keys can't be a static
 struct); ``$mergeObjects`` treats a null struct FIELD as
 present-with-null; ``$regexFind`` non-participating captures are ``""``
-not null; ``$indexOfArray`` can't search FOR null; truthiness of
-statically UNclassifiable expressions falls back to a boolean cast
-(see ``_truthy_expr``).
+not null; ``$indexOfArray`` can't search FOR null; ``$type`` reports a missing
+field as ``"null"``, never ``"missing"`` (parquet cannot distinguish
+them); truthiness of statically UNclassifiable expressions falls back
+to a boolean cast (see ``_truthy_expr``).
 
 Each stage maps to one declarative DataFrame op, so Catalyst still owns
 optimization: a ``$match`` early in the pipeline pushes into the scan,
@@ -552,10 +558,13 @@ def _compile_value_op(
         return F.array_except(left, right)
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
-        return F.date_format(
+        formatted = F.date_format(
             _tz_local(_as_timestamp(cv(arg["date"])), _tz_name(op, arg)),
             _java_date_fmt(fmt),
         )
+        if "onNull" in arg:
+            return F.coalesce(formatted, cv(arg["onNull"]).cast("string"))
+        return formatted
     if op == "$filter":
         inp = cv(arg["input"])
         name = arg.get("as", "this")
@@ -745,14 +754,27 @@ def _compile_value_op(
             return F.lit(False)
         raise ValueError("$isNumber: cannot statically type the operand")
     if op == "$dateFromString":
-        # the string is LOCAL time in `timezone`; store-side is UTC
+        # the string is LOCAL time in `timezone`; store-side is UTC.
+        # With onError the parse runs lenient (try_to_timestamp -> null
+        # -> onError); without it, ANSI erroring IS Mongo parity.
+        # onNull replaces a null/missing dateString.
         fmt = arg.get("format")
         ds = cv(arg["dateString"])
-        ts = (
-            F.to_timestamp(ds) if fmt is None
-            else F.to_timestamp(ds, _java_date_fmt(fmt))
-        )
-        return _tz_unlocal(ts, _tz_name(op, arg))
+        parse = F.try_to_timestamp if "onError" in arg else F.to_timestamp
+        ts = parse(ds) if fmt is None else parse(ds, F.lit(_java_date_fmt(fmt)))
+        res = _tz_unlocal(ts, _tz_name(op, arg))
+        if "onError" in arg:
+            res = F.coalesce(res, cv(arg["onError"]).cast("timestamp"))
+        if "onError" in arg or "onNull" in arg:
+            # a null dateString is the onNull case (plain null when
+            # absent) — it must NOT fall through to onError
+            on_null = (
+                cv(arg["onNull"]).cast("timestamp")
+                if "onNull" in arg
+                else F.lit(None).cast("timestamp")
+            )
+            res = F.when(ds.isNull(), on_null).otherwise(res)
+        return res
     if op in ("$trim", "$ltrim", "$rtrim"):
         inp = cv(arg["input"])
         # Mongo's default trim set: null, tab, LF, VT, FF, CR, space
@@ -1101,14 +1123,53 @@ def _convert_value(
     return result.otherwise(conv)
 
 
+#: Mongo % directive -> Java DateTimeFormatter pattern.  Absent on
+#: purpose: %G/%V/%u (ISO year/week/weekday — DateTimeFormatter's
+#: Y/w/e are LOCALE week fields, silently wrong for ISO), %w
+#: (1=Sunday weekday number, no Java pattern) and %z/%Z (the engine
+#: formats a localized wall time that no longer carries its offset);
+#: all refuse loudly below.
+_JAVA_FMT = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%L": "SSS", "%j": "DDD",
+}
+
+
 def _java_date_fmt(fmt: str) -> str:
-    """Mongo ``%``-style date format -> Java SimpleDateFormat pattern
-    (the subset both ``$dateToString`` and ``$dateFromString`` share)."""
-    return (
-        fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-        .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-        .replace("%L", "SSS")
-    )
+    """Mongo ``%``-style date format -> Java DateTimeFormatter pattern
+    (the subset both ``$dateToString`` and ``$dateFromString`` share).
+
+    Literal text is QUOTED: Mongo treats any non-``%`` character as a
+    literal, but DateTimeFormatter assigns meaning to every ASCII
+    letter — the previous straight substitution turned the default
+    format's ``T`` separator into an invalid pattern letter.
+    Unsupported directives raise at compile time instead of passing
+    through as silent pattern-letter garbage."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            d = fmt[i : i + 2]
+            if d == "%%":
+                out.append("'%'")
+            elif d in _JAVA_FMT:
+                out.append(_JAVA_FMT[d])
+            else:
+                raise ValueError(
+                    f"unsupported date format directive {d!r} in {fmt!r}"
+                )
+            i += 2
+            continue
+        j = i
+        while j < len(fmt) and fmt[j] != "%":
+            j += 1
+        lit = fmt[i:j]
+        if any(c.isalpha() for c in lit) or "'" in lit:
+            out.append("'" + lit.replace("'", "''") + "'")
+        else:
+            out.append(lit)
+        i = j
+    return "".join(out)
 
 
 _DATE_UNITS = {
