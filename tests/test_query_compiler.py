@@ -1742,3 +1742,31 @@ def test_date_string_formats_and_fallbacks(spark):
             [{"$project": {"x": {"$dateToString": {
                 "date": "$ts", "format": "%V week"}}}}],
         )
+
+
+def test_percentile_sketch_accuracy_extension(spark):
+    """The `accuracy: N` dialect extension switches $median/$percentile
+    to the bounded-memory percentile_approx sketch (the 100 TB path —
+    exact percentile holds a per-group value map).  On a small group
+    the sketch result must land on an actual element near the exact
+    rank; a window form keeps working too."""
+    import pytest as pt
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 102)], "k string, v double"
+    )
+    row = apply_pipeline(
+        df,
+        [{"$group": {
+            "_id": "$k",
+            "exact": {"$median": {"input": "$v", "method": "approximate"}},
+            "sketch": {"$median": {"input": "$v", "accuracy": 10000}},
+            "p_sketch": {"$percentile": {"input": "$v", "p": [0.25, 0.75],
+                                         "accuracy": 10000}},
+        }}],
+    ).first()
+    assert row["exact"] == pt.approx(51.0)
+    assert row["sketch"] == pt.approx(51.0)  # high accuracy: exact rank
+    assert row["p_sketch"] == pt.approx([26.0, 76.0])

@@ -1828,16 +1828,29 @@ def _percentile_agg(op: str, arg: Any) -> Column:
     continuous percentile instead (Spark ``percentile`` — deterministic,
     SQL-oracle-able, and never less accurate than what it replaces), so
     ``method`` is accepted and ignored.  ``$percentile`` with ``p`` of
-    several probabilities yields the array, like Mongo."""
+    several probabilities yields the array, like Mongo.
+
+    Scale note + dialect extension: Spark's exact ``percentile`` holds
+    a value->count map PER GROUP, so a group with billions of distinct
+    values is a memory hazard at 100 TB.  Passing ``accuracy: N``
+    switches to ``percentile_approx`` (Greenwald-Khanna sketch, memory
+    bounded by the accuracy parameter, error <= 1/N of the rank) — the
+    shape Mongo's own t-digest method has, made explicit instead of
+    silently lossy."""
     if not isinstance(arg, dict) or "input" not in arg:
         raise ValueError(f"{op} requires {{input: ...}}")
     col = compile_value(arg["input"]).cast("double")
+    if "accuracy" in arg:
+        acc = int(arg["accuracy"])
+        pct = lambda p: F.percentile_approx(col, F.lit(p), acc)  # noqa: E731
+    else:
+        pct = lambda p: F.percentile(col, F.lit(p))  # noqa: E731
     if op == "$median":
-        return F.percentile(col, F.lit(0.5))
+        return pct(0.5)
     ps = arg["p"]
     if not isinstance(ps, list) or not ps:
         raise ValueError("$percentile requires a non-empty p array")
-    return F.array(*[F.percentile(col, F.lit(float(p))) for p in ps])
+    return F.array(*[pct(float(p)) for p in ps])
 
 
 _NARY_ACCS = {
