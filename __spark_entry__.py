@@ -458,6 +458,20 @@ def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "unit": "day",
                     }
                 },
+                # r7 named-IANA-timezone rendering through the oracle:
+                # midnight-UTC order dates land on the PREVIOUS New York
+                # day (19:00 EST / 20:00 EDT), so both the string and the
+                # $dateToParts hour genuinely exercise the tzdb
+                "ny_day": {"$dateToString": {
+                    "date": "$odate", "format": "%Y-%m-%d %H:%M",
+                    "timezone": "America/New_York",
+                }},
+                "ny_hour": {"$getField": {
+                    "field": "hour",
+                    "input": {"$dateToParts": {
+                        "date": "$odate", "timezone": "America/New_York",
+                    }},
+                }},
             }
         },
         {
@@ -470,6 +484,8 @@ def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "urgent": "$urgent",
                             "qtr": "$qtr",
                             "age_days": "$age_days",
+                            "ny_day": "$ny_day",
+                            "ny_hour": "$ny_hour",
                         },
                     ]
                 }
@@ -491,12 +507,16 @@ def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "vars": {"t": "$tag"},
                     "in": {"$indexOfCP": ["$$t", "_"]},
                 }}},
+                # r7: named-timezone rendering + UTF-8 byte size
+                "min_ny": {"$min": "$ny_day"},
+                "max_nyh": {"$max": "$ny_hour"},
+                "max_bs": {"$max": {"$binarySize": "$tag"}},
             }
         },
     ]
     return apply_pipeline(orders, pipeline).select(
         "_id", "n", "max_tot", "n_urgent", "max_tag", "min_age", "min_qtr",
-        "max_us",
+        "max_us", "min_ny", "max_nyh", "max_bs",
     )
 
 
@@ -2353,7 +2373,13 @@ def oracle_sql() -> dict[str, str]:
                          '-', '_') AS tag,
                  regexp_matches(priority, '^[12]') AS urgent,
                  CAST(date_trunc('quarter', odate) AS TIMESTAMP) AS qtr,
-                 date_diff('day', odate, TIMESTAMP '2026-01-01') AS age_days
+                 date_diff('day', odate, TIMESTAMP '2026-01-01') AS age_days,
+                 strftime((CAST(odate AS TIMESTAMP) AT TIME ZONE 'UTC')
+                            AT TIME ZONE 'America/New_York',
+                          '%Y-%m-%d %H:%M') AS ny_day,
+                 CAST(hour((CAST(odate AS TIMESTAMP) AT TIME ZONE 'UTC')
+                             AT TIME ZONE 'America/New_York') AS INT)
+                   AS ny_hour
           FROM sampled
         )
         SELECT st AS _id, count(*) AS n, max(tot) AS max_tot,
@@ -2361,7 +2387,10 @@ def oracle_sql() -> dict[str, str]:
                  AS n_urgent,
                max(tag) AS max_tag, min(age_days) AS min_age,
                min(qtr) AS min_qtr,
-               CAST(max(strpos(tag, '_') - 1) AS INT) AS max_us
+               CAST(max(strpos(tag, '_') - 1) AS INT) AS max_us,
+               min(ny_day) AS min_ny,
+               CAST(max(ny_hour) AS INT) AS max_nyh,
+               CAST(max(strlen(tag)) AS INT) AS max_bs
         FROM shaped GROUP BY 1
     """
 

@@ -280,8 +280,80 @@ def run_clustered_sweep(spark) -> list[dict]:
     return rows
 
 
+def _anisotropic_corpus(spark, n: int = 800, dim: int = 64):
+    """Anisotropic densely-mixed corpus: variance concentrated in a few
+    latent dims (power-law scales), then rotated by a random orthogonal
+    mix so NO coordinate-aligned PQ subspace sees the structure — the
+    shape of real text embeddings and the case OPQ exists for."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    scales = 1.0 / (1.0 + np.arange(dim)) ** 1.5
+    latent = rng.standard_normal((n, dim)) * scales
+    mix, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    x = latent @ mix.T
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def run_opq_sweep(spark) -> list[dict]:
+    """Plain PQ vs OPQ-rotated PQ at equal (m, codes, nprobe) budget on
+    the anisotropic corpus — the rotation is trained once per config
+    (train_opq_rotation) and applied to corpus, queries AND centroids."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        kmeans_centroids,
+        rotate_vectors,
+        topk_neighbors,
+        train_opq_rotation,
+        train_pq_codebooks,
+    )
+
+    emb = _anisotropic_corpus(spark).persist()
+    queries = emb.filter(F.col("vec_id") < 40)
+    truth = _truth_sets(topk_neighbors(emb, queries, k=K))
+    centroids = kmeans_centroids(emb, 4, max_iter=4).select(
+        F.col("cen_id").alias("vec_id"), "embedding"
+    )
+    out = []
+    for m, k in ((16, 8), (32, 8)):
+        books = train_pq_codebooks(emb, m=m, k=k, max_iter=3)
+        r_plain = recall_at_k(
+            ivf_pq_ann_neighbors(
+                emb, queries, centroids, books, k=K, nprobe=4
+            ),
+            truth,
+        )
+        rot = train_opq_rotation(emb, m=m, k=k, iters=10)
+        rot_emb = rotate_vectors(emb, rot).persist()
+        rot_q = rot_emb.filter(F.col("vec_id") < 40)
+        rot_cen = rotate_vectors(centroids, rot)
+        books_opq = train_pq_codebooks(rot_emb, m=m, k=k, max_iter=3)
+        r_opq = recall_at_k(
+            ivf_pq_ann_neighbors(
+                rot_emb, rot_q, rot_cen, books_opq, k=K, nprobe=4
+            ),
+            truth,
+        )
+        rot_emb.unpersist()
+        out.append({
+            "config": f"m={m} codes={k} nprobe=4",
+            "plain": r_plain,
+            "opq": r_opq,
+            "ratio": r_opq / max(r_plain, 1e-9),
+        })
+    emb.unpersist()
+    return out
+
+
 def write_md(
-    rows: list[dict], sf_dir: str, clustered: list[dict] | None = None
+    rows: list[dict], sf_dir: str, clustered: list[dict] | None = None,
+    opq: list[dict] | None = None,
 ) -> None:
     n = next((r["_n"] for r in rows if "_n" in r), "?")
     lines = [
@@ -382,6 +454,39 @@ def write_md(
             "recommendation.",
             "",
         ]
+    if opq:
+        lines += [
+            "## OPQ rotation (anisotropic corpus)",
+            "",
+            "800 vectors, 64-d, power-law latent variance densely "
+            "mixed by a random orthogonal matrix (seeded) — the shape "
+            "where coordinate-aligned PQ subspaces waste their code "
+            "budget.  `opq` trains a rotation (Ge et al. 2013 "
+            "alternating Procrustes, `train_opq_rotation`) and applies "
+            "it to corpus, queries and centroids (`rotate_vectors`, "
+            "one SQL-literal matvec, no shuffle); codebooks retrain on "
+            "the rotated vectors at the SAME (m, codes, nprobe).",
+            "",
+            "| configuration | plain PQ | OPQ | ratio |",
+            "|---|---|---|---|",
+        ]
+        for r in opq:
+            lines.append(
+                f"| {r['config']} | {r['plain']:.3f} | {r['opq']:.3f} "
+                f"| {r['ratio']:.2f}x |"
+            )
+        lines += [
+            "",
+            "The rotation cuts per-subspace quantization MSE ~70% on "
+            "this corpus (pinned in tests/test_recall.py::"
+            "test_opq_rotation_cuts_quantization_distortion) and the "
+            "recall lift is pinned with margin in "
+            "test_opq_rotation_lifts_adc_recall.  On the UNIFORM "
+            "corpus above OPQ is a no-op by construction (isotropy "
+            "leaves nothing to rotate), which is why it is not a "
+            "column there.",
+            "",
+        ]
     with open(os.path.join(_REPO, "RECALL.md"), "w") as f:
         f.write("\n".join(lines))
 
@@ -404,8 +509,14 @@ def main() -> None:
             f"clustered {r['family']:11s} {r['config']:32s} "
             f"recall@{K} = {r['recall']:.3f} ({r['ratio']:.2f}x ivf)"
         )
+    opq = run_opq_sweep(spark)
+    for r in opq:
+        print(
+            f"opq {r['config']:28s} plain={r['plain']:.3f} "
+            f"opq={r['opq']:.3f} ({r['ratio']:.2f}x)"
+        )
     if "--write-md" in sys.argv:
-        write_md(rows, sf_dir, clustered)
+        write_md(rows, sf_dir, clustered, opq)
         print("wrote RECALL.md")
 
 
