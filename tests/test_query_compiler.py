@@ -1770,3 +1770,39 @@ def test_percentile_sketch_accuracy_extension(spark):
     assert row["exact"] == pt.approx(51.0)
     assert row["sketch"] == pt.approx(51.0)  # high accuracy: exact rank
     assert row["p_sketch"] == pt.approx([26.0, 76.0])
+
+
+def test_bucket_median_percentile_outputs(spark):
+    """$median/$percentile work as $bucket and $bucketAuto output
+    accumulators (not just $group/$setWindowFields), incl. the
+    accuracy sketch extension."""
+    import pytest as pt
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    rows = apply_pipeline(
+        df,
+        [{"$bucket": {
+            "groupBy": "$k", "boundaries": [0, 10, 20],
+            "output": {
+                "med": {"$median": {"input": "$v",
+                                    "method": "approximate"}},
+                "p": {"$percentile": {"input": "$v", "p": [0.5],
+                                      "accuracy": 1000}},
+            },
+        }}],
+    ).orderBy("_id").collect()
+    assert [r["med"] for r in rows] == pt.approx([4.5, 14.5])
+    assert [r["p"][0] for r in rows] == pt.approx([4.0, 14.0])
+    auto = apply_pipeline(
+        df,
+        [{"$bucketAuto": {
+            "groupBy": "$k", "buckets": 2,
+            "output": {"med": {"$median": {"input": "$v",
+                                           "method": "approximate"}}},
+        }}],
+    ).collect()
+    assert sorted(r["med"] for r in auto) == pt.approx([4.5, 14.5])

@@ -2604,6 +2604,8 @@ def _bucket_auto(out: DataFrame, spec: dict[str, Any]) -> DataFrame:
         acc_op, arg = next(iter(acc.items()))
         if acc_op == "$count" or (acc_op == "$sum" and arg == 1):
             aggs.append(F.count(F.lit(1)).alias(name))
+        elif acc_op in ("$median", "$percentile"):
+            aggs.append(_percentile_agg(acc_op, arg).alias(name))
         elif acc_op in _NARY_ACCS:
             raw, fin = _nary_acc(acc_op, arg)
             aggs.append(fin(raw).alias(name))
@@ -3191,6 +3193,8 @@ def apply_pipeline(
                 acc_op, arg = next(iter(acc.items()))
                 if acc_op == "$count" or (acc_op == "$sum" and arg == 1):
                     aggs.append(F.count(F.lit(1)).alias(name))
+                elif acc_op in ("$median", "$percentile"):
+                    aggs.append(_percentile_agg(acc_op, arg).alias(name))
                 elif acc_op in _NARY_ACCS:
                     raw, fin = _nary_acc(acc_op, arg)
                     aggs.append(fin(raw).alias(name))
