@@ -278,3 +278,46 @@ def test_near_dedup_ingest_stream(spark, corpus, tmp_path):
     stored = sorted(r["doc_id"] for r in store.to_df().collect())
     assert stored == [500001, 500002, 600002]
     assert seen == [(3, 2), (2, 1)]
+
+
+def test_ivfpq_index_opq_self_describing(spark, vectors, tmp_path):
+    """build(opq=True) persists rotation.json and stores centroids and
+    codes in the ROTATED space; append and query read the rotation from
+    disk and apply it automatically, so the result is bit-identical to
+    the in-line operator fed explicitly-rotated inputs — a caller can
+    never mix rotated and unrotated data."""
+    import json
+
+    from topic_store_spark.operators.index import IVFPQIndex
+    from topic_store_spark.operators.similarity import (
+        ivf_pq_ann_neighbors,
+        rotate_vectors,
+    )
+
+    small = vectors.filter(F.col("vec_id") < 80)
+    queries = small.limit(6)
+    path = str(tmp_path / "ivfpq_opq")
+    idx = IVFPQIndex.build(small, path, k=4, m=4, codes=8, opq=True)
+
+    rotation = json.load(open(path + "/rotation.json"))
+    books = json.load(open(path + "/books.json"))
+    cen = spark.read.parquet(path + "/centroids")  # already rotated
+    got = idx.query(queries, k=3, nprobe=2)
+    want = ivf_pq_ann_neighbors(
+        rotate_vectors(small, rotation),
+        rotate_vectors(queries, rotation),
+        cen,
+        books,
+        k=3,
+        nprobe=2,
+        residual=True,
+    )
+    assert _rows(got) == _rows(want)
+
+    # appended clones meet the same rotation path as the build
+    batch = small.limit(4).select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    idx.append(batch)
+    out = idx.query(small.limit(4), k=2, nprobe=4)
+    assert any(r["neighbor_id"] >= 900000 for r in out.collect())

@@ -143,7 +143,15 @@ class IVFPQIndex:
     corpus and writes all three; ``append`` encodes ONLY the batch
     against the frozen quantizers; ``query`` is ADC over stored codes —
     bit-identical to the in-line operator with the same
-    centroids/codebooks (pinned by ``tests/test_index.py``)."""
+    centroids/codebooks (pinned by ``tests/test_index.py``).
+
+    ``build(opq=True)`` additionally learns an OPQ rotation
+    (`similarity.train_opq_rotation`) and persists it as
+    ``rotation.json`` — the index is SELF-DESCRIBING: centroids and
+    codes are stored in the rotated space, and ``append``/``query``
+    read the rotation from disk and apply it to incoming batches and
+    queries automatically, so a caller cannot mix rotated and
+    unrotated data (the MinHashIndex meta.json lesson)."""
 
     def __init__(
         self,
@@ -166,11 +174,28 @@ class IVFPQIndex:
     def _books_path(self) -> str:
         return os.path.join(self.path, "books.json")
 
+    def _rotation_path(self) -> str:
+        return os.path.join(self.path, "rotation.json")
+
     def _load_books(self) -> list:
         import json
 
         with open(self._books_path()) as f:
             return json.load(f)
+
+    def _maybe_rotate(self, df: DataFrame) -> DataFrame:
+        """Apply the persisted OPQ rotation when one exists (build,
+        append and query all come through here, so every vector that
+        meets the index is in the same space)."""
+        import json
+
+        if not os.path.exists(self._rotation_path()):
+            return df
+        from topic_store_spark.operators.similarity import rotate_vectors
+
+        with open(self._rotation_path()) as f:
+            rotation = json.load(f)
+        return rotate_vectors(df, rotation, self.vec_col)
 
     def _cen(self, spark: SparkSession):
         from topic_store_spark.operators.similarity import _quantized
@@ -187,7 +212,9 @@ class IVFPQIndex:
             _quantized,
         )
 
-        c = _quantized(df, self.id_col, self.vec_col, "c")
+        c = _quantized(
+            self._maybe_rotate(df), self.id_col, self.vec_col, "c"
+        )
         return _pq_encode_corpus(
             c, self._cen(df.sparkSession), PQCoder(books), self.residual
         )
@@ -202,6 +229,7 @@ class IVFPQIndex:
         m: int = 8,
         codes: int = 16,
         max_iter: int = 3,
+        opq: bool = False,
         **kw,
     ) -> "IVFPQIndex":
         import json
@@ -209,15 +237,32 @@ class IVFPQIndex:
         from topic_store_spark.operators.similarity import (
             ivf_residual_vectors,
             kmeans_centroids,
+            rotate_vectors,
+            train_opq_rotation,
             train_pq_codebooks,
         )
 
         idx = cls(path, **kw)
+        # `corpus` stays the caller's UNROTATED relation throughout —
+        # _encode rotates internally via _maybe_rotate, so only the
+        # TRAINING view rotates here (rotating `corpus` itself would
+        # double-rotate at encoding time)
+        train_corpus = corpus
+        if opq:
+            rotation = train_opq_rotation(
+                corpus, m=m, k=codes, id_col=idx.id_col, vec_col=idx.vec_col
+            )
+            os.makedirs(path, exist_ok=True)
+            with open(idx._rotation_path(), "w") as f:
+                json.dump(rotation, f)
+            train_corpus = rotate_vectors(corpus, rotation, idx.vec_col)
+            if centroids is not None:
+                centroids = rotate_vectors(centroids, rotation, idx.vec_col)
         if centroids is None:
             if k is None:
                 raise ValueError("pass trained centroids or k to train")
             centroids = kmeans_centroids(
-                corpus, k, id_col=idx.id_col, vec_col=idx.vec_col
+                train_corpus, k, id_col=idx.id_col, vec_col=idx.vec_col
             ).select(
                 F.col("cen_id").alias(idx.id_col),
                 F.col("embedding").alias(idx.vec_col),
@@ -226,10 +271,10 @@ class IVFPQIndex:
         cen_df = corpus.sparkSession.read.parquet(idx._cen_path())
         train_src = (
             ivf_residual_vectors(
-                corpus, cen_df, id_col=idx.id_col, vec_col=idx.vec_col
+                train_corpus, cen_df, id_col=idx.id_col, vec_col=idx.vec_col
             )
             if idx.residual
-            else corpus
+            else train_corpus
         )
         books = train_pq_codebooks(
             train_src, m=m, k=codes, max_iter=max_iter,
@@ -263,7 +308,9 @@ class IVFPQIndex:
 
         spark = queries.sparkSession
         coder = PQCoder(self._load_books())
-        q = _quantized(queries, self.id_col, self.vec_col, "q")
+        q = _quantized(
+            self._maybe_rotate(queries), self.id_col, self.vec_col, "q"
+        )
         luts = _pq_query_luts(
             q, self._cen(spark), coder, nprobe, self.residual
         )
