@@ -1736,11 +1736,19 @@ def test_date_string_formats_and_fallbacks(spark):
     assert rows[2]["f_ok"] == datetime(1970, 1, 1)
     assert rows[2]["f_null"] is None
 
+    # %V is composable in $dateToString (see
+    # test_date_to_string_composed_directives) but not parseable back
     with _pytest.raises(ValueError, match="directive"):
         apply_pipeline(
             df,
             [{"$project": {"x": {"$dateToString": {
-                "date": "$ts", "format": "%V week"}}}}],
+                "date": "$ts", "format": "%Q week"}}}}],
+        )
+    with _pytest.raises(ValueError, match="directive"):
+        apply_pipeline(
+            df,
+            [{"$project": {"x": {"$dateFromString": {
+                "dateString": "2021-W01", "format": "%G-W%V"}}}}],
         )
 
 
@@ -1806,3 +1814,42 @@ def test_bucket_median_percentile_outputs(spark):
         }}],
     ).collect()
     assert sorted(r["med"] for r in auto) == pt.approx([4.5, 14.5])
+
+
+def test_date_to_string_composed_directives(spark):
+    """%G/%V/%u (ISO trio), %w, and the per-row offset directives
+    %z/%Z that DateTimeFormatter cannot render after localization —
+    composed from part expressions.  2021-01-03 is a Sunday: ISO
+    2020-W53-7, %w (1=Sunday) = 1.  Offsets are per ROW: the same NY
+    zone renders -0500 in January and -0400 in July."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "2021-01-03T10:00:00"), (2, "2021-07-03T10:00:00")],
+        "i long, t string",
+    )
+    rows = {
+        r["i"]: r
+        for r in apply_pipeline(
+            df,
+            [
+                {"$addFields": {"ts": {"$dateFromString": {
+                    "dateString": "$t"}}}},
+                {"$project": {
+                    "i": 1,
+                    "iso": {"$dateToString": {
+                        "date": "$ts", "format": "%G-W%V-%u (w%w)"}},
+                    "ny": {"$dateToString": {
+                        "date": "$ts", "format": "%Y-%m-%d %H:%M %z (%Z)",
+                        "timezone": "America/New_York"}},
+                    "ist": {"$dateToString": {
+                        "date": "$ts", "format": "%z|%Z",
+                        "timezone": "+05:30"}},
+                }},
+            ],
+        ).collect()
+    }
+    assert rows[1]["iso"] == "2020-W53-7 (w1)"
+    assert rows[1]["ny"] == "2021-01-03 05:00 -0500 (-300)"
+    assert rows[2]["ny"] == "2021-07-03 06:00 -0400 (-240)"
+    assert rows[1]["ist"] == "+0530|330"

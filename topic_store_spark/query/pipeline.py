@@ -558,10 +558,13 @@ def _compile_value_op(
         return F.array_except(left, right)
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
-        formatted = F.date_format(
-            _tz_local(_as_timestamp(cv(arg["date"])), _tz_name(op, arg)),
-            _java_date_fmt(fmt),
-        )
+        tz = _tz_name(op, arg)
+        ts_utc = _as_timestamp(cv(arg["date"]))
+        local = _tz_local(ts_utc, tz)
+        if any(d in fmt for d in _COMPOSED_DIRECTIVES):
+            formatted = _compose_date_format(fmt, local, ts_utc)
+        else:
+            formatted = F.date_format(local, _java_date_fmt(fmt))
         if "onNull" in arg:
             return F.coalesce(formatted, cv(arg["onNull"]).cast("string"))
         return formatted
@@ -1126,13 +1129,78 @@ def _convert_value(
 #: Mongo % directive -> Java DateTimeFormatter pattern.  Absent on
 #: purpose: %G/%V/%u (ISO year/week/weekday — DateTimeFormatter's
 #: Y/w/e are LOCALE week fields, silently wrong for ISO), %w
-#: (1=Sunday weekday number, no Java pattern) and %z/%Z (the engine
-#: formats a localized wall time that no longer carries its offset);
-#: all refuse loudly below.
+#: (1=Sunday weekday number, no Java pattern) and %z/%Z (the offset of
+#: the LOCALIZED time, which a bare pattern letter can't render after
+#: from_utc_timestamp strips the zone); ``$dateToString`` COMPOSES
+#: those from part expressions instead (`_compose_date_format`);
+#: ``$dateFromString`` refuses them loudly.
 _JAVA_FMT = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
     "%S": "ss", "%L": "SSS", "%j": "DDD",
 }
+
+#: directives date_format cannot render — formatted by part composition
+_COMPOSED_DIRECTIVES = ("%G", "%V", "%u", "%w", "%z", "%Z")
+
+
+def _compose_date_format(fmt: str, local: Column, ts_utc: Column) -> Column:
+    """``$dateToString`` fallback for directives DateTimeFormatter has
+    no (locale-safe) pattern for: build the string as a concat of
+    per-directive part expressions.  ``local`` is the zone-localized
+    wall time (parts read from it); ``ts_utc`` the original instant —
+    their difference IS the utc offset ``%z``/``%Z`` render, computed
+    per ROW because named zones change offset across DST transitions.
+    All JVM-side; only used when the format needs it."""
+    off_min = (
+        (local.cast("long") - ts_utc.cast("long")) / 60
+    ).cast("int")
+    sign = F.when(off_min < 0, F.lit("-")).otherwise(F.lit("+"))
+    abs_min = F.abs(off_min)
+
+    def pad(col: Column, n: int) -> Column:
+        return F.lpad(col.cast("string"), n, "0")
+
+    parts: dict[str, Column] = {
+        "%Y": pad(F.year(local), 4),
+        "%m": pad(F.month(local), 2),
+        "%d": pad(F.dayofmonth(local), 2),
+        "%H": pad(F.hour(local), 2),
+        "%M": pad(F.minute(local), 2),
+        "%S": pad(F.second(local), 2),
+        "%L": pad((local.cast("double") * 1000 % 1000).cast("int"), 3),
+        "%j": pad(F.dayofyear(local), 3),
+        "%G": pad(_DATE_PARTS["$isoWeekYear"](local), 4),
+        "%V": pad(F.weekofyear(local), 2),
+        "%u": _iso_day_of_week(local).cast("string"),
+        "%w": F.dayofweek(local).cast("string"),
+        "%z": F.concat(
+            sign,
+            pad((abs_min / 60).cast("int"), 2),
+            pad(abs_min % 60, 2),
+        ),
+        "%Z": off_min.cast("string"),
+    }
+    segments: list[Column] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            d = fmt[i : i + 2]
+            if d == "%%":
+                segments.append(F.lit("%"))
+            elif d in parts:
+                segments.append(parts[d])
+            else:
+                raise ValueError(
+                    f"unsupported date format directive {d!r} in {fmt!r}"
+                )
+            i += 2
+            continue
+        j = i
+        while j < len(fmt) and fmt[j] != "%":
+            j += 1
+        segments.append(F.lit(fmt[i:j]))
+        i = j
+    return F.concat(*segments)
 
 
 def _java_date_fmt(fmt: str) -> str:
