@@ -1853,3 +1853,45 @@ def test_date_to_string_composed_directives(spark):
     assert rows[1]["ny"] == "2021-01-03 05:00 -0500 (-300)"
     assert rows[2]["ny"] == "2021-07-03 06:00 -0400 (-240)"
     assert rows[1]["ist"] == "+0530|330"
+
+
+def test_densify_date_units(spark):
+    """$densify over a DATE field with range.unit: calendar stepping
+    (true month boundaries, not fixed second counts), partition bounds
+    per group, and explicit [lo, hi) bounds exclusive of the upper."""
+    from datetime import datetime
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("a", datetime(2021, 1, 31)), ("a", datetime(2021, 4, 30)),
+         ("b", datetime(2021, 1, 1))],
+        "g string, ts timestamp",
+    )
+    out = apply_pipeline(
+        df,
+        [{"$densify": {
+            "field": "ts", "partitionByFields": ["g"],
+            "range": {"step": 1, "unit": "month", "bounds": "partition"},
+        }}],
+    )
+    got = sorted((r["g"], r["ts"]) for r in out.collect())
+    # month steps from Jan 31 land on calendar month-ends (Feb 28!)
+    assert got == [
+        ("a", datetime(2021, 1, 31)),
+        ("a", datetime(2021, 2, 28)),
+        ("a", datetime(2021, 3, 31)),
+        ("a", datetime(2021, 4, 30)),
+        ("b", datetime(2021, 1, 1)),
+    ]
+    hours = apply_pipeline(
+        df.filter("g = 'b'"),
+        [{"$densify": {"field": "ts", "range": {
+            "step": 6, "unit": "hour",
+            "bounds": ["2021-01-01T00:00:00", "2021-01-02T00:00:00"],
+        }}}],
+    )
+    ts = sorted(r["ts"] for r in hours.collect())
+    # [lo, hi): 00/06/12/18, upper bound excluded; the data row at 00
+    # dedups against the grid point
+    assert ts == [datetime(2021, 1, 1, h) for h in (0, 6, 12, 18)]

@@ -2380,16 +2380,36 @@ def _compile_fill_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 
 def _compile_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$densify``: add documents for missing step values of a numeric
-    field.  The generated grid is tiny relative to the data ((range /
-    step) × partitions rows), so the anti-join that finds missing values
-    keys on (partition, field) and the union appends a small relation —
-    no full-data shuffle.
+    or DATE field (``range.unit`` selects calendar stepping — Spark
+    ``sequence`` over a calendar interval, so month/quarter/year steps
+    land on true calendar boundaries, not fixed second counts).  The
+    generated grid is tiny relative to the data ((range / step) ×
+    partitions rows), so the anti-join that finds missing values keys
+    on (partition, field) and the union appends a small relation — no
+    full-data shuffle.
     """
     field = spec["field"]
     part_fields = spec.get("partitionByFields") or []
     rng = spec["range"]
     step = rng["step"]
     bounds = rng.get("bounds", "full")
+    unit = rng.get("unit")
+    if unit is not None:
+        _date_unit(unit)  # validate against the Mongo unit set
+        n = int(step)
+        # INTERVAL has no QUARTER literal; a quarter is exactly 3 months
+        ivl_unit, ivl_n = (
+            ("MONTH", 3 * n) if unit == "quarter" else (unit.upper(), n)
+        )
+        step_expr = F.expr(f"INTERVAL '{ivl_n}' {ivl_unit}")
+
+        def _bound_lit(v: Any) -> Column:
+            return F.to_timestamp(F.lit(v))
+    else:
+        step_expr = F.lit(step)
+
+        def _bound_lit(v: Any) -> Column:
+            return F.lit(v)
 
     # renamed projection so the grid-vs-data anti-join below is never an
     # ambiguous self-join (grid and data share lineage)
@@ -2417,14 +2437,15 @@ def _compile_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     else:
         lo, hi = bounds
         one = df.sparkSession.range(1).select(
-            F.lit(lo).alias("_lo"), (F.lit(hi) - F.lit(step)).alias("_hi")
+            _bound_lit(lo).alias("_lo"),
+            (_bound_lit(hi) - step_expr).alias("_hi"),
         )
         grid_base = parts_df.crossJoin(F.broadcast(one)) if parts_df is not None else one
 
     grid = grid_base.select(
         *[F.col(f"`{p}`") for p in part_fields],
         F.explode(
-            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+            F.sequence(F.col("_lo"), F.col("_hi"), step_expr)
         ).alias(field),
     )
     cond = F.col(f"`{field}`").eqNullSafe(F.col("_dx_field"))
