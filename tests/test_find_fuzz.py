@@ -80,6 +80,17 @@ def _leaf(rng: random.Random) -> dict:
     if kind == 4:
         return {f: {"$exists": rng.random() < 0.5}}
     if kind == 5 and t == "int":
+        if rng.random() < 0.4:
+            op = rng.choice(["$bitsAllSet", "$bitsAnySet",
+                             "$bitsAllClear", "$bitsAnyClear"])
+            mask = (
+                [p for p in range(4) if rng.random() < 0.5]
+                if rng.random() < 0.5
+                else rng.randint(0, 15)
+            )
+            if mask == []:
+                mask = [rng.randint(0, 3)]
+            return {f: {op: mask}}
         return {f: {"$mod": [rng.randint(1, 4), rng.randint(0, 3)]}}
     if kind == 6:
         # range doc: {f: {$gte: x, $lt: y}} (implicit AND inside the doc)
@@ -131,6 +142,19 @@ def _m_op(v, op, arg) -> bool:
         return v is not None and isinstance(v, list) and len(v) == arg
     if op == "$not":
         return not _m_field(v, arg)
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+        if v is None or isinstance(v, float) and v != int(v):
+            return False
+        mask = (
+            sum(1 << p for p in arg) if isinstance(arg, list) else int(arg)
+        )
+        m = int(v) & mask
+        return {
+            "$bitsAllSet": m == mask,
+            "$bitsAnySet": m != 0,
+            "$bitsAllClear": m == 0,
+            "$bitsAnyClear": m != mask,
+        }[op]
     raise ValueError(op)
 
 

@@ -1895,3 +1895,26 @@ def test_densify_date_units(spark):
     # [lo, hi): 00/06/12/18, upper bound excluded; the data row at 00
     # dedups against the grid point
     assert ts == [datetime(2021, 1, 1, h) for h in (0, 6, 12, 18)]
+
+
+def test_bits_query_operators(spark):
+    """$bitsAllSet/$bitsAnySet/$bitsAllClear/$bitsAnyClear: int-mask and
+    bit-position-list forms; null and fractional doubles never match."""
+    from topic_store_spark.query.compiler import compile_query
+
+    df = spark.createDataFrame(
+        [(1, 0b1010, 2.0), (2, 0b0110, 2.5), (3, 0, 4.0), (4, None, None)],
+        "i long, v long, d double",
+    )
+
+    def ids(q):
+        return sorted(r["i"] for r in df.filter(compile_query(q, df.schema)).collect())
+
+    assert ids({"v": {"$bitsAllSet": 0b0010}}) == [1, 2]
+    assert ids({"v": {"$bitsAllSet": [1, 3]}}) == [1]  # positions 1,3 = 0b1010
+    assert ids({"v": {"$bitsAnySet": 0b1100}}) == [1, 2]
+    assert ids({"v": {"$bitsAllClear": 0b0101}}) == [1, 3]
+    assert ids({"v": {"$bitsAnyClear": 0b1010}}) == [2, 3]
+    # doubles: 2.0 is integral (bit 1 set), 2.5 never matches
+    assert ids({"d": {"$bitsAllSet": 0b0010}}) == [1]
+    assert ids({"d": {"$bitsAllClear": 0b0001}}) == [1, 3]

@@ -143,6 +143,30 @@ def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column
         return ~F.coalesce(inner, F.lit(False))
     if op == "$type":
         return _compile_type(col, value)
+    if op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+        # mask: an int bitmask or a list of bit POSITIONS; matches
+        # integral values by 64-bit two's complement (Mongo).  A
+        # fractional double with a nonzero fraction never matches —
+        # the integrality test below handles doubles; null/missing
+        # never matches (guarded by the isNotNull conjunct).
+        if isinstance(value, list):
+            mask = 0
+            for pos in value:
+                mask |= 1 << int(pos)
+        else:
+            mask = int(value)
+        v = col.cast("long")
+        masked = v.bitwiseAND(F.lit(mask))
+        integral = col.isNotNull() & v.isNotNull() & (
+            v.cast("double").eqNullSafe(col.cast("double"))
+        )
+        pred = {
+            "$bitsAllSet": masked == F.lit(mask),
+            "$bitsAnySet": masked != F.lit(0),
+            "$bitsAllClear": masked == F.lit(0),
+            "$bitsAnyClear": masked != F.lit(mask),
+        }[op]
+        return integral & pred
     raise ValueError(f"unsupported query operator: {op}")
 
 
