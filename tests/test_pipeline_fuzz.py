@@ -125,17 +125,31 @@ _GROUP_SPEC = lambda key, with_push: {  # noqa: E731
 }
 
 
+def _q(v):
+    """Quantize floats to 12 significant digits: JVM and Python libm
+    disagree in the last ULP on transcendentals (atan2: ...850834 vs
+    ...8508343, caught by a multi-seed fuzz run), which is library
+    noise, not an engine bug — real numeric defects differ far above
+    1e-12 relative."""
+    if isinstance(v, float) and v == v and v not in (float("inf"), float("-inf")):
+        return float(f"{v:.12g}")
+    return v
+
+
 def _canon(rows):
-    """Multiset-comparable canonical form; pushed arrays sorted."""
+    """Multiset-comparable canonical form; pushed arrays sorted, floats
+    quantized past libm ULP noise."""
     out = []
     for r in rows:
-        d = dict(r)
+        d = {k: _q(v) for k, v in r.items()}
         if "p" in d and d["p"] is not None:
             d["p"] = sorted(
-                d["p"], key=lambda v: (v is None, v if v is not None else 0)
+                (_q(v) for v in d["p"]),
+                key=lambda v: (v is None, v if v is not None else 0),
             )
         out.append(tuple(sorted(
-            (k, tuple(v) if isinstance(v, list) else v) for k, v in d.items()
+            (k, tuple(_q(x) for x in v) if isinstance(v, list) else v)
+            for k, v in d.items()
         )))
     return sorted(out, key=repr)
 

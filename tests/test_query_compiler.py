@@ -1918,3 +1918,45 @@ def test_bits_query_operators(spark):
     # doubles: 2.0 is integral (bit 1 set), 2.5 never matches
     assert ids({"d": {"$bitsAllSet": 0b0010}}) == [1]
     assert ids({"d": {"$bitsAllClear": 0b0001}}) == [1, 3]
+
+
+def test_merge_custom_update_pipeline(spark, tmp_path):
+    """whenMatched as a CUSTOM update pipeline: the existing document is
+    the input, $$new binds the incoming one — the Mongo counter-upsert
+    idiom (accumulate a count, refresh a field, keep the rest)."""
+    import topic_store_spark as ts
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    path = str(tmp_path / "cu.parquet")
+    store = ts.load(path, spark)
+    store.insert_one({"k": 1, "cnt": 10, "label": "orig"})
+    store.insert_one({"k": 2, "cnt": 5, "label": "other"})
+
+    inc = spark.createDataFrame(
+        [(1, 7, "fresh"), (3, 1, "ins")], "k long, cnt long, label string"
+    )
+    apply_pipeline(
+        inc,
+        [{"$merge": {"into": path, "on": "k", "whenMatched": [
+            {"$set": {
+                "cnt": {"$add": ["$cnt", "$$new.cnt"]},
+                "label": "$$new.label",
+                "src": {"$getField": {"field": "label", "input": "$$new"}},
+            }},
+        ]}}],
+    )
+    rows = {r["k"]: r for r in ts.load(path, spark).find().collect()}
+    # matched: counter accumulated, label refreshed, whole-$$new works
+    assert rows[1]["cnt"] == 17 and rows[1]["label"] == "fresh"
+    assert rows[1]["src"] == "fresh"
+    # untouched + inserted rows unaffected by the pipeline
+    assert rows[2]["cnt"] == 5 and rows[2]["label"] == "other"
+    assert rows[3]["cnt"] == 1
+
+    # disallowed stage refuses loudly
+    with pytest.raises(ValueError, match="not allowed"):
+        apply_pipeline(
+            inc,
+            [{"$merge": {"into": path, "on": "k",
+                         "whenMatched": [{"$group": {"_id": None}}]}}],
+        )

@@ -2566,16 +2566,71 @@ def _graph_lookup(
     )
 
 
+def _rewrite_new_refs(obj: Any) -> Any:
+    """Rewrite ``$$new`` variable references in a ``whenMatched`` update
+    pipeline to field refs on the ``_m_new`` struct column the join
+    stages the incoming document under (``$$new`` alone is the whole
+    incoming doc; ``$$new.x`` a field of it)."""
+    if isinstance(obj, str):
+        if obj == "$$new":
+            return "$_m_new"
+        if obj.startswith("$$new."):
+            return "$_m_new." + obj[len("$$new."):]
+        return obj
+    if isinstance(obj, dict):
+        return {k: _rewrite_new_refs(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_rewrite_new_refs(v) for v in obj]
+    return obj
+
+
+_MERGE_PIPELINE_STAGES = {
+    "$addFields", "$set", "$project", "$unset", "$replaceRoot",
+    "$replaceWith",
+}
+
+
+def _merge_update_pipeline(
+    existing: DataFrame, incoming: DataFrame, keys: list[str], stages: list
+) -> DataFrame:
+    """``whenMatched: [<custom update pipeline>]``: each matched pair
+    runs the pipeline with the EXISTING document as input and ``$$new``
+    bound to the incoming one (Mongo's counter-upsert idiom:
+    ``{"$set": {"n": {"$add": ["$n", "$$new.n"]}}}``).  Compiled as one
+    equi-join staging the incoming doc as a struct column, then the
+    ordinary row-local pipeline compiler over the rewritten stages —
+    Mongo's own stage allowlist enforced."""
+    for st in stages:
+        op_name = next(iter(st))
+        if op_name not in _MERGE_PIPELINE_STAGES:
+            raise ValueError(
+                f"$merge whenMatched pipeline: stage {op_name} not "
+                f"allowed (Mongo permits {sorted(_MERGE_PIPELINE_STAGES)})"
+            )
+    inc = incoming.select(
+        *keys,
+        F.struct(
+            *[F.col(f"`{c}`").alias(c) for c in incoming.columns]
+        ).alias("_m_new"),
+    )
+    joined = existing.join(inc, keys)
+    result = apply_pipeline(joined, _rewrite_new_refs(stages))
+    return result.drop("_m_new")
+
+
 def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> None:
     """``$merge`` with Mongo's mode matrix.
 
     ``{"into": path, "on": key(s), "whenMatched": "merge"|"replace"|
-    "keepExisting"|"fail", "whenNotMatched": "insert"|"discard"|"fail"}``
-    (defaults ``merge``/``insert``, ``on: _id`` — Mongo's).  Matching is
-    one equi-join on the ``on`` keys; ``merge`` coalesces incoming
-    non-null fields over existing ones field-wise.  Any mode that touches
-    existing rows rewrites through the storage's atomic ``_overwrite``
-    swap; pure inserts stay on the append path.
+    "keepExisting"|"fail"|[custom update pipeline], "whenNotMatched":
+    "insert"|"discard"|"fail"}`` (defaults ``merge``/``insert``,
+    ``on: _id`` — Mongo's).  Matching is one equi-join on the ``on``
+    keys; ``merge`` coalesces incoming non-null fields over existing
+    ones field-wise; a LIST runs the custom update pipeline per matched
+    pair with ``$$new`` bound to the incoming doc
+    (`_merge_update_pipeline`).  Any mode that touches existing rows
+    rewrites through the storage's atomic ``_overwrite`` swap; pure
+    inserts stay on the append path.
     """
     if isinstance(spec, str):
         spec = {"into": spec}
@@ -2620,7 +2675,11 @@ def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> Non
 
     in_keys = incoming_matched.select(*keys)
     untouched = existing.join(in_keys, keys, "left_anti")
-    if when_matched == "replace":
+    if isinstance(when_matched, list):
+        replaced = _merge_update_pipeline(
+            existing, incoming_matched, keys, when_matched
+        )
+    elif when_matched == "replace":
         replaced = incoming_matched
     else:  # merge: incoming non-null fields override, field-wise
         inc = incoming_matched.select(
