@@ -676,6 +676,14 @@ def test_lookup_compositions_match_reference(spark):
     )
 
 
+def _project_safe(expr):
+    """A bare numeric/None literal in $project position is Mongo's
+    include/exclude FLAG syntax, not a value (both engines refuse the
+    mix with includes) — wrap generated literal leaves as $literal, the
+    way a real query must spell them (multi-seed-marathon find)."""
+    return expr if isinstance(expr, (dict, str)) else {"$literal": expr}
+
+
 def test_stage_compositions_match_reference(spark):
     rng = random.Random(0x51A6E5)
     docs = _docs(rng)
@@ -726,13 +734,13 @@ def test_stage_compositions_match_reference(spark):
             want = _ref_match(docs, q)
         elif shape == 1:  # match -> project (computed field)
             q = _scalar_filter(rng)
-            expr = _num_expr(rng)
+            expr = _project_safe(_num_expr(rng))
             pipe = [{"$match": q}, {"$project": {"n": 1, "a": 1, "t": expr}}]
             want = _ref_project(
                 _ref_match(docs, q), {"a": 1, "t": expr}
             )
         elif shape == 2:  # project computed -> match on it
-            expr = _num_expr(rng)
+            expr = _project_safe(_num_expr(rng))
             thr = rng.randint(-2, 5)
             pipe = [
                 {"$project": {"n": 1, "t": expr}},
