@@ -1960,3 +1960,34 @@ def test_merge_custom_update_pipeline(spark, tmp_path):
             [{"$merge": {"into": path, "on": "k",
                          "whenMatched": [{"$group": {"_id": None}}]}}],
         )
+
+
+def test_unwind_document_form_options(spark):
+    """$unwind document form: includeArrayIndex adds the element's
+    position (long; null for preserved docs), and
+    preserveNullAndEmptyArrays passes null/empty docs through with a
+    null element — the default drops them."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None)],
+        "i long, arr array<string>",
+    )
+    plain = apply_pipeline(df, [{"$unwind": "$arr"}]).collect()
+    assert sorted((r["i"], r["arr"]) for r in plain) == [(1, "a"), (1, "b")]
+
+    kept = apply_pipeline(
+        df,
+        [{"$unwind": {"path": "$arr",
+                      "preserveNullAndEmptyArrays": True,
+                      "includeArrayIndex": "pos"}}],
+    ).collect()
+    got = sorted((r["i"], r["arr"], r["pos"]) for r in kept)
+    assert got == [
+        (1, "a", 0), (1, "b", 1), (2, None, None), (3, None, None),
+    ]
+
+    idx_only = apply_pipeline(
+        df, [{"$unwind": {"path": "$arr", "includeArrayIndex": "pos"}}]
+    ).collect()
+    assert sorted((r["i"], r["pos"]) for r in idx_only) == [(1, 0), (1, 1)]

@@ -2378,6 +2378,45 @@ def _compile_fill_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     return df.select(*cols)
 
 
+def _compile_unwind(out: DataFrame, spec: dict[str, Any] | str) -> DataFrame:
+    """``$unwind`` — string form or the document form with
+    ``includeArrayIndex`` (element's position as a long column; null
+    for preserved null/empty docs) and ``preserveNullAndEmptyArrays``
+    (null/missing/empty-array docs pass through with a null element —
+    Spark's ``explode_outer``/``posexplode_outer`` ARE those semantics;
+    the default drops them, like ``explode``)."""
+    if isinstance(spec, dict):
+        path = spec["path"]
+        idx_name = spec.get("includeArrayIndex")
+        preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+    else:
+        path, idx_name, preserve = spec, None, False
+    field = path[1:] if path.startswith("$") else path
+    arr = path_col(field)
+
+    def _put_back(df: DataFrame, elem: Column) -> DataFrame:
+        if "." not in field:
+            return df.withColumn(field, elem)
+        # Mongo replaces the array at its original path: rebuild the
+        # enclosing struct with the element put back where the array was
+        top, rest = field.split(".", 1)
+        return df.withColumn(
+            top, F.col(f"`{top}`").withField(rest, elem)
+        )
+
+    if idx_name is None:
+        exploded = F.explode_outer(arr) if preserve else F.explode(arr)
+        out = out.withColumn("_unwind_elem", exploded)
+        out = _put_back(out, F.col("_unwind_elem"))
+        return out.drop("_unwind_elem")
+    gen = F.posexplode_outer(arr) if preserve else F.posexplode(arr)
+    cols = [F.col(f"`{c}`") for c in out.columns]
+    out = out.select(*cols, gen.alias("_uw_pos", "_uw_elem"))
+    out = _put_back(out, F.col("_uw_elem"))
+    out = out.withColumn(idx_name, F.col("_uw_pos").cast("long"))
+    return out.drop("_uw_pos", "_uw_elem")
+
+
 def _compile_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     """``$densify``: add documents for missing step values of a numeric
     or DATE field (``range.unit`` selects calendar stepping — Spark
@@ -3287,24 +3326,7 @@ def apply_pipeline(
         elif op == "$skip":
             out = out.offset(int(spec))
         elif op == "$unwind":
-            path = spec["path"] if isinstance(spec, dict) else spec
-            field = path[1:] if path.startswith("$") else path
-            exploded = F.explode(path_col(field))
-            if "." not in field:
-                out = out.withColumn(field, exploded)
-            else:
-                # Mongo replaces the array at its original path: explode to
-                # a scratch column (generators must sit at the top of a
-                # projection), then rebuild the enclosing struct with the
-                # element put back where the array was.
-                top, rest = field.split(".", 1)
-                out = (
-                    out.withColumn("_unwind_elem", exploded)
-                    .withColumn(
-                        top, F.col(f"`{top}`").withField(rest, F.col("_unwind_elem"))
-                    )
-                    .drop("_unwind_elem")
-                )
+            out = _compile_unwind(out, spec)
         elif op == "$sortByCount":
             field = spec[1:] if isinstance(spec, str) and spec.startswith("$") else spec
             out = (
