@@ -1991,3 +1991,35 @@ def test_unwind_document_form_options(spark):
         df, [{"$unwind": {"path": "$arr", "includeArrayIndex": "pos"}}]
     ).collect()
     assert sorted((r["i"], r["pos"]) for r in idx_only) == [(1, 0), (1, 1)]
+
+
+def test_graph_lookup_restrict_search_with_match(spark):
+    """restrictSearchWithMatch filters the documents CONSIDERED at each
+    recursion step: a restricted-out node truncates every path through
+    it (Mongo), and the filter uses the full find dialect."""
+    base = spark.createDataFrame(
+        [(1, 1, "ok"), (2, 1, "blocked"), (4, 2, "ok"), (8, 4, "ok")],
+        "doc_id long, parent long, status string",
+    )
+    out = apply_pipeline(
+        base,
+        [{"$graphLookup": {
+            "from": "base",
+            "startWith": "$parent",
+            "connectFromField": "parent",
+            "connectToField": "doc_id",
+            "as": "anc",
+            "restrictSearchWithMatch": {"status": {"$ne": "blocked"}},
+        }}],
+        tables={"base": base},
+    )
+    rows = {r["doc_id"]: sorted(a["doc_id"] for a in r["anc"])
+            for r in out.collect()}
+    # node 2 is restricted out: 8's chain stops at 4; 4's at nothing
+    # past 2; and 2's own ancestry (1) is still reachable? no — the
+    # restriction removes doc 2's PARENT step target only if that doc
+    # itself is blocked; 1 is ok so 2 -> [1]
+    assert rows[8] == [4]
+    assert rows[4] == []  # parent 2 is blocked
+    assert rows[2] == [1]
+    assert rows[1] == [1]  # self-loop root, unrestricted

@@ -2534,6 +2534,13 @@ def _graph_lookup(
     if not tables or spec["from"] not in tables:
         raise ValueError(f"$graphLookup: unknown collection {spec.get('from')!r}")
     foreign = tables[spec["from"]]
+    if spec.get("restrictSearchWithMatch"):
+        # the restriction filters the documents CONSIDERED at every
+        # recursion step (Mongo) — pre-filtering the foreign relation
+        # is exactly that, and it pushes into the scan
+        foreign = foreign.filter(
+            compile_query(spec["restrictSearchWithMatch"], foreign.schema)
+        )
     to_field, from_field = spec["connectToField"], spec["connectFromField"]
     as_name = spec["as"]
     depth_field = spec.get("depthField")
