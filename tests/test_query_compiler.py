@@ -2023,3 +2023,25 @@ def test_graph_lookup_restrict_search_with_match(spark):
     assert rows[4] == []  # parent 2 is blocked
     assert rows[2] == [1]
     assert rows[1] == [1]  # self-loop root, unrestricted
+
+
+def test_union_with_documents_source(spark):
+    """Coll-less $unionWith (Mongo 6): the pipeline starts with a
+    $documents literal source; missing fields null-fill on both sides."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(1, "a")], "i long, s string")
+    out = apply_pipeline(
+        df,
+        [{"$unionWith": {"pipeline": [
+            {"$documents": [{"i": 2, "extra": True}, {"i": 3}]},
+            {"$match": {"i": {"$gte": 2}}},
+        ]}}],
+    )
+    rows = sorted(
+        (r["i"], r["s"], r["extra"]) for r in out.collect()
+    )
+    assert rows == [(1, "a", None), (2, None, True), (3, None, None)]
+
+    with pytest.raises(ValueError, match="documents"):
+        apply_pipeline(df, [{"$unionWith": {"pipeline": [{"$match": {}}]}}])

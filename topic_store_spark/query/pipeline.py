@@ -3383,15 +3383,26 @@ def apply_pipeline(
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
         elif op == "$unionWith":
-            # {"$unionWith": "coll"} or {"coll": ..., "pipeline": [...]};
-            # Mongo concatenates heterogeneous documents — missing fields
-            # null-fill on either side (unionByName allowMissingColumns)
-            coll = spec if isinstance(spec, str) else spec["coll"]
-            if not tables or coll not in tables:
-                raise ValueError(f"$unionWith: unknown collection {coll!r}")
-            other = tables[coll]
-            if isinstance(spec, dict) and spec.get("pipeline"):
-                other = apply_pipeline(other, spec["pipeline"], tables)
+            # {"$unionWith": "coll"} or {"coll": ..., "pipeline": [...]}
+            # or (Mongo 6) the coll-LESS form whose pipeline starts with
+            # a $documents literal source; Mongo concatenates
+            # heterogeneous documents — missing fields null-fill on
+            # either side (unionByName allowMissingColumns)
+            coll = spec if isinstance(spec, str) else spec.get("coll")
+            if coll is None:
+                sub = (spec or {}).get("pipeline") if isinstance(spec, dict) else None
+                if not sub or next(iter(sub[0])) != "$documents":
+                    raise ValueError(
+                        "$unionWith without coll requires a pipeline "
+                        "starting with $documents"
+                    )
+                other = apply_pipeline(out.limit(0), sub, tables)
+            else:
+                if not tables or coll not in tables:
+                    raise ValueError(f"$unionWith: unknown collection {coll!r}")
+                other = tables[coll]
+                if isinstance(spec, dict) and spec.get("pipeline"):
+                    other = apply_pipeline(other, spec["pipeline"], tables)
             out = out.unionByName(other, allowMissingColumns=True)
         elif op == "$bucketAuto":
             out = _bucket_auto(out, spec)
