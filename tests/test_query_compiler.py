@@ -2045,3 +2045,14 @@ def test_union_with_documents_source(spark):
 
     with pytest.raises(ValueError, match="documents"):
         apply_pipeline(df, [{"$unionWith": {"pipeline": [{"$match": {}}]}}])
+
+
+def test_query_comment_ignored(spark):
+    """{$comment: ...} in a find filter is an annotation, not a
+    predicate — it must not affect matching or raise."""
+    from topic_store_spark.query.compiler import compile_query
+
+    df = spark.createDataFrame([(1,), (2,)], "n long")
+    q = {"n": {"$gte": 2}, "$comment": "audit trail"}
+    assert [r["n"] for r in df.filter(compile_query(q, df.schema)).collect()] == [2]
+    assert df.filter(compile_query({"$comment": "only"}, df.schema)).count() == 2

@@ -277,6 +277,8 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
     query = parse_objectid_literals(query)
     out: Column | None = None
     for key, value in query.items():
+        if key == "$comment":  # annotation only, matches everything
+            continue
         if key in _LOGICAL:
             subs = [compile_query(q, schema, resolver) for q in value]
             if key == "$and":
