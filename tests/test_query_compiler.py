@@ -2056,3 +2056,22 @@ def test_query_comment_ignored(spark):
     q = {"n": {"$gte": 2}, "$comment": "audit trail"}
     assert [r["n"] for r in df.filter(compile_query(q, df.schema)).collect()] == [2]
     assert df.filter(compile_query({"$comment": "only"}, df.schema)).count() == 2
+
+
+def test_array_to_object_pair_form(spark):
+    """$arrayToObject's [k, v] pair form, supported when the static
+    type is array<array<..>> (typed 2-arrays); keys coerce to string."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, [["a", "1"], ["b", "2"]]), (2, None)],
+        "i long, pairs array<array<string>>",
+    )
+    rows = {
+        r["i"]: r["m"]
+        for r in apply_pipeline(
+            df, [{"$project": {"i": 1, "m": {"$arrayToObject": "$pairs"}}}]
+        ).collect()
+    }
+    assert rows[1] == {"a": "1", "b": "2"}
+    assert rows[2] is None

@@ -625,10 +625,35 @@ def _compile_value_op(
     if op == "$arrayToObject":
         # Mongo returns a document; documents with data-dependent keys
         # cannot be a static Spark struct, so the engine's honest
-        # representation is a MAP (supported input: the {k, v} struct
-        # form; the [k, v] pair form needs heterogeneous arrays).
+        # representation is a MAP.  Both input forms: {k, v} structs,
+        # and — when the STATIC type is array<array<..>> (homogeneous
+        # values, so the pair is a typed 2-array) — the [k, v] pair
+        # form (r7).  A pair form with MIXED value types would need a
+        # heterogeneous array, which a fixed schema cannot hold.
+        from pyspark.sql import types as T
+
         inner = arg[0] if isinstance(arg, list) and len(arg) == 1 else arg
         entries = cv(inner)
+        pair_form = False
+        if (
+            isinstance(inner, str)
+            and inner.startswith("$")
+            and not inner.startswith("$$")
+        ):
+            t = _resolve_path_type(inner[1:])
+            pair_form = isinstance(t, T.ArrayType) and isinstance(
+                t.elementType, T.ArrayType
+            )
+        if pair_form:
+            return F.map_from_entries(
+                F.transform(
+                    entries,
+                    lambda x: F.struct(
+                        F.element_at(x, 1).cast("string").alias("k"),
+                        F.element_at(x, 2).alias("v"),
+                    ),
+                )
+            )
         return F.map_from_entries(
             F.transform(entries, lambda x: F.struct(x["k"], x["v"]))
         )
