@@ -4,7 +4,7 @@ re-derives the generators' hard-coded seeds from a round seed.  The
 suite's fixed seeds make CI deterministic but explore one trajectory;
 this tool is the soak that walks new ones.
 
-    python tools/fuzz_marathon.py [rounds]        # default 10
+    python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
 Each round runs all ten harnesses (value expressions, long-tail ops,
 find dialect x3 incl. the ragged resolver, projections, and the four
@@ -28,6 +28,7 @@ sys.path.insert(0, _REPO)
 
 def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     from topic_store_spark.session import get_spark
 
@@ -61,7 +62,7 @@ def main() -> int:
     orig_random = _random.Random
     failures = 0
     try:
-        for round_i in range(1, rounds + 1):
+        for round_i in range(start, start + rounds):
             round_seed = 0xA5EED000 + round_i
 
             class SeededRandom(orig_random):
