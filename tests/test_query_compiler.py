@@ -2075,3 +2075,32 @@ def test_array_to_object_pair_form(spark):
     }
     assert rows[1] == {"a": "1", "b": "2"}
     assert rows[2] is None
+
+
+def test_index_of_bytes(spark):
+    """$indexOfBytes returns the BYTE index of the first occurrence
+    (multibyte prefixes count their UTF-8 length); -1 when absent, null
+    input nulls; the byte-ranged form refuses loudly."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "héllo x", "x"), (2, "plain", "zz"), (3, None, "a")],
+        "i long, s string, sub string",
+    )
+    rows = {
+        r["i"]: r["b"]
+        for r in apply_pipeline(
+            df,
+            [{"$project": {"i": 1, "b": {"$indexOfBytes": ["$s", "$sub"]}}}],
+        ).collect()
+    }
+    # "héllo " is 7 bytes (é = 2), so x sits at byte 7 (cp index 6)
+    assert rows[1] == 7
+    assert rows[2] == -1
+    assert rows[3] is None
+
+    with pytest.raises(NotImplementedError, match="byte-ranged"):
+        apply_pipeline(
+            df,
+            [{"$project": {"b": {"$indexOfBytes": ["$s", "$sub", 0]}}}],
+        )

@@ -18,7 +18,7 @@ window ops (``$derivative $integral`` — trapezoidal, documents frames,
 single-WindowExec), string ops
 (``$trim/$ltrim/$rtrim $replaceOne $replaceAll $regexMatch
 $regexFind $regexFindAll``), bit ops (``$bitAnd $bitOr $bitXor $bitNot``), ``$let`` variable
-binding, ``$strcasecmp $indexOfCP``,
+binding, ``$strcasecmp $indexOfCP $indexOfBytes``,
 accumulators ``$median $percentile`` (exact continuous percentiles) and
 the n-ary family ``$top $bottom $topN $bottomN $firstN $lastN $maxN
 $minN`` (in ``$group``, ``$setWindowFields``, ``$bucket`` and
@@ -135,6 +135,7 @@ _NUMBER_OPS = {
     "$dayOfMonth", "$hour", "$minute", "$second", "$dayOfYear",
     "$dayOfWeek", "$isoDayOfWeek", "$isoWeek", "$isoWeekYear", "$week",
     "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
+    "$indexOfBytes",
     "$rand", "$log", "$log10", "$atan2", "$binarySize", "$sum", "$avg",
     "$degreesToRadians", "$radiansToDegrees",
     "$sin", "$cos", "$tan", "$asin", "$acos", "$atan",
@@ -745,6 +746,25 @@ def _compile_value_op(
         return (
             F.when(s.isNull(), F.lit(None).cast("int"))
             .when((pos >= start) & (pos + F.length(sub) <= end), pos.cast("int"))
+            .otherwise(F.lit(-1))
+        )
+    if op == "$indexOfBytes":
+        # BYTE index of the first occurrence (Mongo's UTF-8 sibling of
+        # $indexOfCP): locate by code point, then measure the prefix's
+        # UTF-8 length.  The byte-ranged 3/4-arg form would have to
+        # slice mid-code-point, which decode() cannot represent —
+        # refused loudly rather than silently wrong.
+        if isinstance(arg, list) and len(arg) > 2:
+            raise NotImplementedError(
+                "$indexOfBytes: byte-ranged start/end not supported "
+                "(byte offsets can split UTF-8 code points)"
+            )
+        s, sub = cv(arg[0]), cv(arg[1])
+        pos_cp = F.position(sub, s)
+        byte_idx = F.octet_length(F.substring(s, F.lit(1), pos_cp - 1))
+        return (
+            F.when(s.isNull(), F.lit(None).cast("int"))
+            .when(pos_cp > 0, byte_idx.cast("int"))
             .otherwise(F.lit(-1))
         )
     if op == "$reverseArray":
