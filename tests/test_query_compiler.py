@@ -2104,3 +2104,38 @@ def test_index_of_bytes(spark):
             df,
             [{"$project": {"b": {"$indexOfBytes": ["$s", "$sub", 0]}}}],
         )
+
+
+def test_cmp_and_merge_objects_accumulator(spark):
+    """$cmp three-way comparison over the BSON order (null lowest,
+    two-valued), and $mergeObjects as a $group accumulator (last
+    non-null wins per field — the fixed-schema reading of Mongo's
+    later-overwrites rule)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 3, 5), (2, 5, 5), (3, 7, 5), (4, None, 5)],
+        "i long, a long, b long",
+    )
+    rows = {
+        r["i"]: r["c"]
+        for r in apply_pipeline(
+            df, [{"$project": {"i": 1, "c": {"$cmp": ["$a", "$b"]}}}]
+        ).collect()
+    }
+    assert rows == {1: -1, 2: 0, 3: 1, 4: -1}  # null sorts below 5
+
+    docs = spark.createDataFrame(
+        [("g", (1, None)), ("g", (None, "x")), ("g", (2, None))],
+        "k string, st struct<u: long, w: string>",
+    )
+    merged = apply_pipeline(
+        docs,
+        [{"$group": {"_id": "$k", "m": {"$mergeObjects": "$st"}}}],
+    ).first()["m"]
+    assert merged["u"] in (1, 2) and merged["w"] == "x"
+
+    with pytest.raises(ValueError, match="document field"):
+        apply_pipeline(
+            docs, [{"$group": {"_id": "$k", "m": {"$mergeObjects": "$k"}}}]
+        )

@@ -135,7 +135,7 @@ _NUMBER_OPS = {
     "$dayOfMonth", "$hour", "$minute", "$second", "$dayOfYear",
     "$dayOfWeek", "$isoDayOfWeek", "$isoWeek", "$isoWeekYear", "$week",
     "$bitAnd", "$bitOr", "$bitXor", "$bitNot", "$strcasecmp", "$indexOfCP",
-    "$indexOfBytes",
+    "$indexOfBytes", "$cmp",
     "$rand", "$log", "$log10", "$atan2", "$binarySize", "$sum", "$avg",
     "$degreesToRadians", "$radiansToDegrees",
     "$sin", "$cos", "$tan", "$asin", "$acos", "$atan",
@@ -473,6 +473,17 @@ def _compile_value_op(
             "$eq": eq, "$ne": ~eq, "$gt": gt, "$gte": gt | eq,
             "$lt": lt, "$lte": lt | eq,
         }[op]
+    if op == "$cmp":
+        # three-way comparator over the same BSON total order as the
+        # comparison family above (null below every value, two-valued)
+        left, right = (cv(a) for a in arg)
+        eq = left.eqNullSafe(right)
+        gt = (left.isNotNull() & right.isNull()) | F.coalesce(
+            left > right, F.lit(False)
+        )
+        return (
+            F.when(eq, F.lit(0)).when(gt, F.lit(1)).otherwise(F.lit(-1))
+        )
     if op == "$and":
         # Mongo $and/$or/$not evaluate TRUTHINESS (null/false/0 falsy)
         # and always return true/false, never null
@@ -1923,6 +1934,8 @@ def _compile_group_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
         elif op in _NARY_ACCS:
             raw, fin = _nary_acc(op, arg)
             aggs.append(fin(raw).alias(name))
+        elif op == "$mergeObjects":
+            aggs.append(_merge_objects_acc(arg).alias(name))
         elif op in _ACCUMULATORS:
             aggs.append(_ACCUMULATORS[op](compile_value(arg)).alias(name))
         else:
@@ -1933,6 +1946,38 @@ def _compile_group_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     elif key_cols:
         out = out.withColumnsRenamed({f"_gk_{k}": k for k in key_cols})
     return out
+
+
+def _merge_objects_acc(arg: Any) -> Column:
+    """``$mergeObjects`` as a GROUP accumulator: merge the group's
+    documents, later fields overwriting — per FIELD, the last non-null
+    value wins (the fixed schema cannot distinguish a missing field,
+    which must not overwrite, from an explicit null — the same
+    documented divergence the value-op form carries).  The operand must
+    be a struct-typed field path (a static schema is what makes the
+    per-field fold expressible)."""
+    from pyspark.sql import types as T
+
+    if not (
+        isinstance(arg, str)
+        and arg.startswith("$")
+        and not arg.startswith("$$")
+    ):
+        raise ValueError(
+            "$mergeObjects accumulator: operand must be a field path"
+        )
+    t = _resolve_path_type(arg[1:])
+    if not isinstance(t, T.StructType):
+        raise ValueError(
+            f"$mergeObjects accumulator: {arg} is not a document field"
+        )
+    col = compile_value(arg)
+    return F.struct(
+        *[
+            F.last(col[f.name], ignorenulls=True).alias(f.name)
+            for f in t.fields
+        ]
+    )
 
 
 def _percentile_agg(op: str, arg: Any) -> Column:
