@@ -321,3 +321,33 @@ def test_ivfpq_index_opq_self_describing(spark, vectors, tmp_path):
     idx.append(batch)
     out = idx.query(small.limit(4), k=2, nprobe=4)
     assert any(r["neighbor_id"] >= 900000 for r in out.collect())
+
+
+def test_ivfpq_rebuild_without_opq_drops_stale_rotation(spark, vectors, tmp_path):
+    """build(opq=False) over a directory previously built with opq=True
+    must remove the stale rotation.json (r8 advisor find): otherwise
+    centroids/codebooks train on UNROTATED vectors while _maybe_rotate
+    still rotates queries — a silently space-mixed index."""
+    import os
+
+    from topic_store_spark.operators.index import IVFPQIndex
+    from topic_store_spark.operators.similarity import ivf_pq_ann_neighbors
+
+    small = vectors.filter(F.col("vec_id") < 80)
+    queries = small.limit(5)
+    path = str(tmp_path / "ivfpq_rebuild")
+    IVFPQIndex.build(small, path, k=4, m=4, codes=8, opq=True)
+    assert os.path.exists(path + "/rotation.json")
+
+    idx = IVFPQIndex.build(small, path, k=4, m=4, codes=8, opq=False)
+    assert not os.path.exists(path + "/rotation.json")
+    # and the rebuilt index now matches the plain (unrotated) inline op
+    cen = spark.read.parquet(path + "/centroids")
+    import json
+
+    books = json.load(open(path + "/books.json"))
+    got = idx.query(queries, k=3, nprobe=2)
+    want = ivf_pq_ann_neighbors(
+        small, queries, cen, books, k=3, nprobe=2, residual=True
+    )
+    assert _rows(got) == _rows(want)

@@ -248,6 +248,13 @@ class IVFPQIndex:
         # TRAINING view rotates here (rotating `corpus` itself would
         # double-rotate at encoding time)
         train_corpus = corpus
+        if not opq and os.path.exists(idx._rotation_path()):
+            # rebuilding in place over a previously-OPQ directory: a
+            # stale rotation.json would train centroids/codebooks on
+            # unrotated vectors while _maybe_rotate still rotates
+            # queries/appends — a silently space-mixed index.  Drop it
+            # (mirrors MinHashIndex.build's meta.json removal).
+            os.remove(idx._rotation_path())
         if opq:
             rotation = train_opq_rotation(
                 corpus, m=m, k=codes, id_col=idx.id_col, vec_col=idx.vec_col
