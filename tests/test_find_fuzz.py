@@ -425,3 +425,183 @@ def test_ragged_resolver_matches_reference_evaluator(spark, tmp_path):
         f"{len(failures)}/{checked} ragged filters diverge; "
         f"first: {failures[0]}"
     )
+
+
+# -- fourth sweep: $jsonSchema (r8) ------------------------------------------
+#
+# Generator keeps keywords on fields of their applicable type (numeric
+# keywords on numbers, string keywords on strings, ...), matching the
+# implementation's documented lean: castability approximates JSON
+# Schema's type-applicability under schema-on-read.
+
+def _js_prop(rng: random.Random, f: str) -> dict:
+    t = FIELDS[f]
+    if t == "int":
+        return rng.choice([
+            {"minimum": rng.randint(-4, 9)},
+            {"maximum": rng.randint(-4, 9)},
+            {"minimum": rng.randint(-4, 5), "exclusiveMinimum": True},
+            {"maximum": rng.randint(-2, 8), "exclusiveMaximum": True},
+            {"enum": [rng.randint(-3, 8), rng.randint(-3, 8)]},
+            {"bsonType": "long"},
+            {"bsonType": "string"},
+            {"multipleOf": rng.randint(1, 3)},
+        ])
+    if t == "float":
+        return rng.choice([
+            {"minimum": rng.choice([-1.5, 0.0, 0.5, 2.5])},
+            {"maximum": rng.choice([0.0, 1.0, 7.25])},
+            {"bsonType": "double"},
+            {"multipleOf": 0.5},
+        ])
+    if t == "str":
+        return rng.choice([
+            {"minLength": rng.randint(0, 3)},
+            {"maxLength": rng.randint(0, 3)},
+            {"pattern": rng.choice(["^a", "x", "z+", "^$"])},
+            {"enum": ["x", "abc", "nope"]},
+            {"bsonType": "string"},
+        ])
+    return rng.choice([
+        {"minItems": rng.randint(0, 3)},
+        {"maxItems": rng.randint(0, 3)},
+        {"uniqueItems": True},
+        {"items": {"minimum": rng.randint(0, 5)}},
+        {"bsonType": "array"},
+    ])
+
+
+def _js_schema(rng: random.Random, depth: int = 0) -> dict:
+    spec: dict = {}
+    if rng.random() < 0.5:
+        spec["required"] = rng.sample(list(FIELDS), rng.randint(1, 2))
+    props = {}
+    for _ in range(rng.randint(0, 3)):
+        f = rng.choice(list(FIELDS))
+        props.setdefault(f, {}).update(_js_prop(rng, f))
+    if props:
+        spec["properties"] = props
+    if depth == 0 and rng.random() < 0.3:
+        comb = rng.choice(["anyOf", "allOf", "oneOf", "not"])
+        if comb == "not":
+            spec["not"] = _js_schema(rng, 1)
+        else:
+            spec[comb] = [_js_schema(rng, 1) for _ in range(rng.randint(1, 2))]
+    if not spec:
+        spec["required"] = [rng.choice(list(FIELDS))]
+    return spec
+
+
+def _js_num(v) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _js_val_ok(v, sub: dict) -> bool:
+    import math
+    import re as _re
+
+    for k, arg in sub.items():
+        if k == "bsonType":
+            ok = {
+                "long": isinstance(v, int) and not isinstance(v, bool),
+                "double": isinstance(v, float),
+                "string": isinstance(v, str),
+                "array": isinstance(v, list),
+            }[arg]
+            if not ok:
+                return False
+        elif k == "minimum":
+            if _js_num(v):
+                strict = sub.get("exclusiveMinimum") is True
+                if not (v > arg if strict else v >= arg):
+                    return False
+        elif k == "maximum":
+            if _js_num(v):
+                strict = sub.get("exclusiveMaximum") is True
+                if not (v < arg if strict else v <= arg):
+                    return False
+        elif k in ("exclusiveMinimum", "exclusiveMaximum"):
+            pass
+        elif k == "multipleOf":
+            if _js_num(v) and math.fmod(v, arg) != 0:
+                return False
+        elif k == "enum":
+            if not any(v == a for a in arg):
+                return False
+        elif k == "minLength":
+            if isinstance(v, str) and len(v) < arg:
+                return False
+        elif k == "maxLength":
+            if isinstance(v, str) and len(v) > arg:
+                return False
+        elif k == "pattern":
+            if isinstance(v, str) and not _re.search(arg, v):
+                return False
+        elif k == "minItems":
+            if isinstance(v, list) and len(v) < arg:
+                return False
+        elif k == "maxItems":
+            if isinstance(v, list) and len(v) > arg:
+                return False
+        elif k == "uniqueItems":
+            if arg and isinstance(v, list) and len(set(v)) != len(v):
+                return False
+        elif k == "items":
+            if isinstance(v, list) and not all(
+                e is None or _js_val_ok(e, arg) for e in v
+            ):
+                return False
+        else:
+            raise ValueError(k)
+    return True
+
+
+def _js_ok(doc: dict, spec: dict) -> bool:
+    for f in spec.get("required") or []:
+        if doc.get(f) is None:
+            return False
+    for f, sub in (spec.get("properties") or {}).items():
+        v = doc.get(f)
+        if v is not None and not _js_val_ok(v, sub):
+            return False
+    if "allOf" in spec and not all(_js_ok(doc, s) for s in spec["allOf"]):
+        return False
+    if "anyOf" in spec and not any(_js_ok(doc, s) for s in spec["anyOf"]):
+        return False
+    if "oneOf" in spec and sum(_js_ok(doc, s) for s in spec["oneOf"]) != 1:
+        return False
+    if "not" in spec and _js_ok(doc, spec["not"]):
+        return False
+    return True
+
+
+def test_json_schema_matches_reference_evaluator(spark):
+    rng = random.Random(0x15C4E3A)
+    docs = _docs(rng)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["_id", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+    schemas = [_js_schema(rng) for _ in range(120)]
+
+    failures = []
+    for base in range(0, len(schemas), BATCH):
+        chunk = schemas[base : base + BATCH]
+        cols = [F.col("_id")]
+        for j, spec in enumerate(chunk):
+            cols.append(
+                F.coalesce(
+                    compile_query({"$jsonSchema": spec}, df.schema),
+                    F.lit(False),
+                ).alias(f"p{j}")
+            )
+        rows = df.select(*cols).collect()
+        for j, spec in enumerate(chunk):
+            got = {r["_id"] for r in rows if r[f"p{j}"]}
+            want = {d["_id"] for d in docs if _js_ok(d, spec)}
+            if got != want:
+                failures.append((spec, sorted(got ^ want)[:5]))
+    assert not failures, (
+        f"{len(failures)}/120 $jsonSchema filters diverge; "
+        f"first: {failures[0]}"
+    )

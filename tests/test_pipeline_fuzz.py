@@ -358,10 +358,13 @@ def test_window_fill_densify_match_reference(spark):
                 [[-2, 0], [-1, 1], [0, 3], ["unbounded", 0],
                  ["current", 2], [-3, "unbounded"]]
             )
+            # r8: direction-free membership — a descending sortBy
+            # must produce the same sums (bounds are value offsets)
+            rdir = rng.choice([1, -1])
             pipe = [{
                 "$setWindowFields": {
                     "partitionBy": "$c",
-                    "sortBy": {"n": 1},
+                    "sortBy": {"n": rdir},
                     "output": {
                         "ws": {"$sum": "$b",
                                "window": {"range": [lo, hi]}},
@@ -559,8 +562,8 @@ def test_lookup_compositions_match_reference(spark):
         return sorted(matched, key=cmp_to_key(cmp))[:k]
 
     failures = []
-    for trial in range(25):
-        shape = trial % 5
+    for trial in range(35):
+        shape = trial % 7
         thr = rng.randint(0, 6)
         k = rng.randint(1, 3)
         direction = rng.choice([1, -1])
@@ -636,6 +639,64 @@ def test_lookup_compositions_match_reference(spark):
                 )}
                 for d in docs
             ]
+        elif shape == 5:
+            # r8: row-local suffix stages AFTER the correlated match —
+            # per-element transforms of the collected array ($match /
+            # $addFields / $skip / $project), on the fast path
+            pipe = [{"$lookup": {
+                "from": "t2",
+                "let": {"la": "$a"},
+                "pipeline": [
+                    {"$match": {"$expr": {"$eq": ["$fa", "$$la"]}}},
+                    {"$sort": dict(order)},
+                    {"$match": {"fv": {"$gte": thr}}},
+                    {"$addFields": {"fx": {"$add": ["$fv", 1]}}},
+                    {"$skip": 1},
+                    {"$project": {"fid": 1, "fx": 1}},
+                ],
+                "as": "m",
+            }}]
+
+            def _suffix_ref(d):
+                matched = _sort_limit(
+                    [f for f in fdocs if f.get("fa") == d.get("a")],
+                    order, 10**9,
+                )
+                matched = [
+                    f for f in matched
+                    if f.get("fv") is not None and f["fv"] >= thr
+                ]
+                matched = [
+                    {**f, "fx": None if f.get("fv") is None else f["fv"] + 1}
+                    for f in matched
+                ]
+                matched = matched[1:]
+                return [{"fid": f["fid"], "fx": f["fx"]} for f in matched]
+
+            want = [{**d, "m": _suffix_ref(d)} for d in docs]
+        elif shape == 6:
+            # r8 advisor find: mixed form where a pipeline stage
+            # REWRITES the foreignField — the equality must use the
+            # ORIGINAL value, the array elements the rewritten one
+            pipe = [{"$lookup": {
+                "from": "t2", "localField": "a", "foreignField": "fa",
+                "pipeline": [
+                    {"$match": {"fv": {"$gte": thr}}},
+                    {"$set": {"fa": {"$literal": -5}}},
+                    {"$sort": dict(order)},
+                    {"$limit": k},
+                ],
+                "as": "m",
+            }}]
+            want = [
+                {**d, "m": _sort_limit(
+                    [{**f, "fa": -5} for f in fdocs
+                     if f.get("fv") is not None and f["fv"] >= thr
+                     and f.get("fa") == d.get("a")],
+                    order, k,
+                )}
+                for d in docs
+            ]
         else:
             # residual correlation + $sort + $limit (r7): the general
             # row-id path's post-collect slice
@@ -672,7 +733,7 @@ def test_lookup_compositions_match_reference(spark):
             ]
             failures.append((pipe, bad[:2]))
     assert not failures, (
-        f"{len(failures)}/25 $lookup pipelines diverge; first: {failures[0]}"
+        f"{len(failures)}/35 $lookup pipelines diverge; first: {failures[0]}"
     )
 
 

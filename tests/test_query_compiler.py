@@ -1370,15 +1370,23 @@ def test_set_window_fields_range_window(spark):
     # 01-02T06 looks back to 01-01T06: includes 01-01T12; 01-09 alone
     assert got == {1: 1, 2: 3, 4: 4}
 
-    with pytest.raises(NotImplementedError, match="descending"):
-        apply_pipeline(
+    # descending sortBy (r8): bounds are VALUE offsets, so membership
+    # (k in [cur-2, cur]) is direction-free — the descending form must
+    # produce exactly the ascending sums
+    desc = {
+        (r["g"], r["k"]): (r["s"], r["c"])
+        for r in apply_pipeline(
             df,
             [{"$setWindowFields": {
                 "partitionBy": "$g", "sortBy": {"k": -1},
-                "output": {"s": {"$sum": "$v",
-                                 "window": {"range": [-2, 0]}}},
+                "output": {
+                    "s": {"$sum": "$v", "window": {"range": [-2, 0]}},
+                    "c": {"$count": {}, "window": {"range": [-2, 0]}},
+                },
             }}],
-        )
+        ).collect()
+    }
+    assert desc == rows
     with pytest.raises(ValueError, match="exactly one"):
         apply_pipeline(
             df,
@@ -2139,3 +2147,261 @@ def test_cmp_and_merge_objects_accumulator(spark):
         apply_pipeline(
             docs, [{"$group": {"_id": "$k", "m": {"$mergeObjects": "$k"}}}]
         )
+
+
+def test_linear_fill_repeated_sort_key_raises(spark):
+    """Mongo ERRORS when $linearFill meets repeated sortBy values in a
+    partition (r8 advisor find: the denominator is 0 there and the old
+    code emitted NaN/Infinity silently)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 1, 30.0), (1, 2, 20.0)],
+        "g int, k int, v double",
+    )
+    with pytest.raises(Exception, match="repeated sortBy"):
+        apply_pipeline(
+            df,
+            [{"$setWindowFields": {
+                "partitionBy": "$g", "sortBy": {"k": 1},
+                "output": {"li": {"$linearFill": "$v"}},
+            }}],
+        ).collect()
+
+
+def test_bits_on_string_field_never_matches(spark):
+    """$bits* on a string-typed field: Mongo matches numbers only, so a
+    castable string like "5" must NOT match — and under ANSI the old
+    plain cast ERRORED the whole query (r8 advisor find: try_cast +
+    typeof guard)."""
+    from topic_store_spark.query.compiler import compile_query
+
+    df = spark.createDataFrame(
+        [(1, "5"), (2, "abc"), (3, None)], "i long, s string"
+    )
+
+    def ids(q):
+        return sorted(
+            r["i"] for r in df.filter(compile_query(q, df.schema)).collect()
+        )
+
+    assert ids({"s": {"$bitsAllSet": 0b101}}) == []
+    assert ids({"s": {"$bitsAnyClear": 0b101}}) == []
+    assert ids({"s": {"$bitsAllClear": 1}}) == []
+
+
+def test_date_trunc_full_start_of_week(spark):
+    """$dateTrunc week honors every startOfWeek weekday (r8: the
+    sunday/monday-only refusal is closed; shift-trunc-unshift on
+    Spark's Monday-started week)."""
+    from datetime import datetime, timedelta
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    # 2021-06-10 is a Thursday
+    df = spark.createDataFrame([(datetime(2021, 6, 10, 15, 30),)], "t timestamp")
+    names = ["monday", "tuesday", "wednesday", "thursday", "friday",
+             "saturday", "sunday"]
+    row = apply_pipeline(
+        df,
+        [{"$project": {
+            n: {"$dateTrunc": {"date": "$t", "unit": "week",
+                               "startOfWeek": n}}
+            for n in names
+        }}],
+    ).collect()[0]
+    # most recent <weekday> on-or-before Thursday 2021-06-10
+    want = {
+        "monday": datetime(2021, 6, 7), "tuesday": datetime(2021, 6, 8),
+        "wednesday": datetime(2021, 6, 9), "thursday": datetime(2021, 6, 10),
+        "friday": datetime(2021, 6, 4), "saturday": datetime(2021, 6, 5),
+        "sunday": datetime(2021, 6, 6),
+    }
+    got = {n: row[n] for n in names}
+    assert got == want
+    # truncated values sit exactly one day apart mod 7 — and abbreviated
+    # / mixed-case names resolve too
+    abbr = apply_pipeline(
+        df,
+        [{"$project": {"x": {"$dateTrunc": {
+            "date": "$t", "unit": "week", "startOfWeek": "Fri"}}}}],
+    ).collect()[0]["x"]
+    assert abbr == want["friday"]
+
+
+def test_lookup_suffix_row_local_stages(spark):
+    """r8: the $lookup sub-pipeline suffix allowlist extends past
+    [$sort]/[$sort,$limit] — row-local $match/$project/$addFields/
+    $unset/$skip after the correlated stage run per-element over the
+    collected array (transform/filter/slice), on both join paths."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    custs = spark.createDataFrame(
+        [(10, "ada"), (20, "bob"), (30, "cee")], "cid int, name string"
+    )
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 10, 9.0), (3, 10, 7.0), (4, 20, 1.0), (5, 20, 8.0)],
+        "oid int, cust int, total double",
+    )
+
+    def run(pipeline):
+        out = apply_pipeline(
+            custs,
+            [{"$lookup": {"from": "orders", "let": {"c": "$cid"},
+                          "pipeline": pipeline, "as": "a"}}],
+            tables={"orders": orders},
+        )
+        return {r["cid"]: r["a"] for r in out.collect()}
+
+    eq = {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}}
+
+    # fast path: sort + suffix $match + $project (computed field)
+    rows = run([
+        eq,
+        {"$sort": {"total": -1}},
+        {"$match": {"total": {"$gte": 5.0}}},
+        {"$project": {"oid": 1, "twice": {"$multiply": ["$total", 2]},
+                      "_id": 0}},
+    ])
+    assert [tuple(o) for o in rows[10]] == [(2, 18.0), (3, 14.0), (1, 10.0)]
+    assert [tuple(o) for o in rows[20]] == [(5, 16.0)]
+    assert rows[30] == []
+
+    # $addFields then $unset then $skip
+    rows = run([
+        eq,
+        {"$sort": {"oid": 1}},
+        {"$addFields": {"flag": {"$gt": ["$total", 6.0]}}},
+        {"$unset": ["cust"]},
+        {"$skip": 1},
+    ])
+    assert [o.asDict() for o in rows[10]] == [
+        {"oid": 2, "total": 9.0, "flag": True},
+        {"oid": 3, "total": 7.0, "flag": True},
+    ]
+    assert rows[20] == [] or len(rows[20]) == 1  # skip 1 of 2
+    assert len(rows[20]) == 1 and rows[20][0]["oid"] == 5
+
+    # suffix $match with $expr; general path (residual correlation)
+    out = apply_pipeline(
+        spark.createDataFrame([(10, 4.0)], "cid int, m double"),
+        [{"$lookup": {"from": "orders",
+                      "let": {"c": "$cid", "m": "$m"},
+                      "pipeline": [
+                          {"$match": {"$expr": {"$and": [
+                              {"$eq": ["$cust", "$$c"]},
+                              {"$gte": ["$total", "$$m"]}]}}},
+                          {"$sort": {"total": 1}},
+                          {"$match": {"$expr": {"$lt": ["$total", 8.0]}}},
+                          {"$project": {"oid": 1, "_id": 0}},
+                      ], "as": "a"}}],
+        tables={"orders": orders},
+    )
+    got = [[o["oid"] for o in r["a"]] for r in out.collect()]
+    assert got == [[1, 3]]
+
+    # exclusion $project in the suffix
+    rows = run([eq, {"$sort": {"oid": 1}}, {"$project": {"cust": 0}}])
+    assert rows[20][0].asDict() == {"oid": 4, "total": 1.0}
+
+
+def test_lookup_mixed_form_foreign_field_rewrite(spark):
+    """r8 advisor find: Mongo applies the localField equality to the
+    ORIGINAL foreign documents before the pipeline.  A pipeline stage
+    that rewrites the foreignField must therefore run AFTER the
+    equality (per-element over the array), not be hoisted ahead of it —
+    and joining must use the original value."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    custs = spark.createDataFrame([(10,), (99,)], "cid int")
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)], "oid int, cust int"
+    )
+    out = apply_pipeline(
+        custs,
+        [{"$lookup": {"from": "orders", "localField": "cid",
+                      "foreignField": "cust",
+                      "pipeline": [{"$set": {"cust": {"$literal": -1}}}],
+                      "as": "a"}}],
+        tables={"orders": orders},
+    )
+    rows = {r["cid"]: sorted((o["oid"], o["cust"]) for o in r["a"])
+            for r in out.collect()}
+    # joined on ORIGINAL cust, but elements carry the rewritten value
+    assert rows[10] == [(1, -1), (2, -1)]
+    assert rows[99] == [(3, -1)]
+
+    # a VAR-FREE stage after the rewrite commutes through the array
+    # path — only a rewriting stage before a CORRELATED $match (which
+    # pins the stage order ahead of the equality) must refuse
+    with pytest.raises(NotImplementedError, match="foreignField"):
+        apply_pipeline(
+            custs,
+            [{"$lookup": {"from": "orders", "localField": "cid",
+                          "foreignField": "cust", "let": {"x": "$cid"},
+                          "pipeline": [
+                              {"$set": {"cust": {"$literal": -1}}},
+                              {"$match": {"$expr": {"$gt": ["$$x", 0]}}},
+                          ],
+                          "as": "a"}}],
+            tables={"orders": orders},
+        )
+
+
+def test_json_schema_find_operator(spark):
+    """r8: $jsonSchema (MongoDB's draft-4 subset) — type/required/
+    properties core plus scalar keywords; a property schema constrains
+    only documents where the property is present; $where stays a loud
+    documented non-goal."""
+    from topic_store_spark.query.compiler import compile_query
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab", 5.0, [1, 2], (3,)),
+            (2, "abcdef", -1.0, [1, 1], (None,)),
+            (3, None, 2.5, None, None),
+            (4, "zz", 99.0, [], (7,)),
+        ],
+        "i long, s string, d double, arr array<long>, st struct<u: long>",
+    )
+
+    def ids(schema_doc):
+        return sorted(
+            r["i"]
+            for r in df.filter(
+                compile_query({"$jsonSchema": schema_doc}, df.schema)
+            ).collect()
+        )
+
+    # required: presence (engine convention: null == missing)
+    assert ids({"required": ["s"]}) == [1, 2, 4]
+    # properties constrain only present values: doc 3 (s missing) passes
+    assert ids({"properties": {"s": {"maxLength": 3}}}) == [1, 3, 4]
+    assert ids({"properties": {"s": {"pattern": "^a"}}}) == [1, 2, 3]
+    assert ids({"properties": {"d": {"minimum": 0,
+                                     "maximum": 10}}}) == [1, 3]
+    assert ids({"properties": {"d": {"minimum": 2.5,
+                                     "exclusiveMinimum": True}}}
+               ) == [1, 4]  # 2.5 itself excluded by the strict bound
+    # bsonType
+    assert ids({"properties": {"d": {"bsonType": "double"}}}) == [1, 2, 3, 4]
+    assert ids({"properties": {"s": {"bsonType": "int"}}}) == [3]
+    # arrays
+    assert ids({"properties": {"arr": {"minItems": 1}}}) == [1, 2, 3]
+    assert ids({"properties": {"arr": {"uniqueItems": True}}}) == [1, 3, 4]
+    assert ids({"properties": {"arr": {"items": {"maximum": 1}}}}) == [2, 3, 4]
+    # nested object properties + required
+    assert ids({"properties": {"st": {"required": ["u"]}}}) == [1, 3, 4]
+    assert ids({"properties": {"st": {"properties": {"u": {"minimum": 5}}}}}
+               ) == [2, 3, 4]
+    # enum + combinators
+    assert ids({"properties": {"s": {"enum": ["ab", "zz"]}}}) == [1, 3, 4]
+    assert ids({"anyOf": [{"required": ["arr"]},
+                          {"properties": {"d": {"minimum": 50}}}]}
+               ) == [1, 2, 4]
+    assert ids({"not": {"required": ["s"]}}) == [3]
+    # unsupported keywords refuse loudly
+    with pytest.raises(NotImplementedError, match="additionalProperties"):
+        ids({"additionalProperties": False})
+    with pytest.raises(NotImplementedError, match="where"):
+        df.filter(compile_query({"$where": "this.i > 1"}, df.schema))

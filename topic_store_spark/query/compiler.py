@@ -57,6 +57,33 @@ def _path_in_schema(schema, path: str) -> bool:
     return True
 
 
+def _static_path_type(schema, path: str):
+    """Engine type of a dotted path under a KNOWN static schema, or None
+    when the path doesn't resolve (follows field access through arrays,
+    like _path_in_schema)."""
+    from pyspark.sql import types as T
+
+    node = schema
+    for part in path.split("."):
+        while isinstance(node, T.ArrayType):
+            node = node.elementType
+        if not isinstance(node, T.StructType):
+            return None
+        match = next((f for f in node.fields if f.name == part), None)
+        if match is None:
+            return None
+        node = match.dataType
+    return node
+
+
+def _is_numeric_type(dtype) -> bool:
+    from pyspark.sql import types as T
+
+    while isinstance(dtype, T.ArrayType):
+        dtype = dtype.elementType
+    return isinstance(dtype, (T.NumericType, T.NullType))
+
+
 def parse_objectid_literals(value: Any) -> Any:
     """CLI convenience: ``"ObjectId(<hex>)"`` strings become their 24-hex id
     (parity: reference convert.py:319-327)."""
@@ -86,7 +113,8 @@ def _regex_to_rlike(pattern: Any, options: str | None) -> str:
     return f"{flags}{pattern}"
 
 
-def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column:
+def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any],
+                engine_type=None) -> Column:
     if op == "$eq":
         return col.isNull() if value is None else col == _lit(value)
     if op == "$ne":
@@ -155,10 +183,19 @@ def _compile_op(col: Column, op: str, value: Any, ops: dict[str, Any]) -> Column
                 mask |= 1 << int(pos)
         else:
             mask = int(value)
-        v = col.cast("long")
+        # try_cast (not cast): under ANSI a plain cast ERRORS the whole
+        # query for string-typed fields / longs out of range, where
+        # Mongo just treats the value as non-matching.  Mongo's
+        # numbers-only rule (a castable string "5" must NOT match) is
+        # enforced statically when the engine type is known; under the
+        # ragged resolver numbers surface as strings, so there the
+        # castability test IS the numeric test.
+        if engine_type is not None and not _is_numeric_type(engine_type):
+            return F.lit(False)
+        v = col.try_cast("long")
         masked = v.bitwiseAND(F.lit(mask))
         integral = col.isNotNull() & v.isNotNull() & (
-            v.cast("double").eqNullSafe(col.cast("double"))
+            v.cast("double").eqNullSafe(col.try_cast("double"))
         )
         pred = {
             "$bitsAllSet": masked == F.lit(mask),
@@ -253,9 +290,11 @@ def elem_match_predicate(value: dict[str, Any]):
     return _elem_pred
 
 
-def _compile_field(col: Column, ops: dict[str, Any]) -> Column:
+def _compile_field(col: Column, ops: dict[str, Any], engine_type=None) -> Column:
     conds = [
-        _compile_op(col, op, val, ops) for op, val in ops.items() if op != "$options"
+        _compile_op(col, op, val, ops, engine_type)
+        for op, val in ops.items()
+        if op != "$options"
     ]
     out = conds[0] if conds else F.lit(True)
     for cond in conds[1:]:
@@ -312,6 +351,13 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
 
             with _schema_scope(schema) if schema is not None else _contextlib.nullcontext():
                 cond = _truthy_expr(value)
+        elif key == "$jsonSchema":
+            cond = _compile_json_schema(value, schema, resolver, prefix="")
+        elif key == "$where":
+            raise NotImplementedError(
+                "$where runs server-side JavaScript — a documented "
+                "non-goal (use $expr with aggregation operators instead)"
+            )
         elif key == "$sampleRate":
             # {"$match": {"$sampleRate": p}} — keep each doc with
             # probability p (Mongo 4.4.2).  Nondeterministic per run,
@@ -330,13 +376,246 @@ def compile_query(query: dict[str, Any] | None, schema=None, resolver=None) -> C
                 else path_col(key, schema)
             )
             if _is_operator_doc(value):
-                cond = _compile_field(col, value)
+                etype = (
+                    _static_path_type(schema, key)
+                    if resolver is None and schema is not None
+                    else None
+                )
+                cond = _compile_field(col, value, etype)
             elif value is None:
                 cond = col.isNull()
             else:
                 cond = col == _lit(value)
         out = cond if out is None else out & cond
     return out if out is not None else F.lit(True)
+
+
+#: keywords a property subschema may carry (draft-4 core, the subset
+#: MongoDB validates); `description`/`title` are annotations
+_JS_KEYWORDS = {
+    "bsonType", "type", "enum", "minimum", "maximum",
+    "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+    "minLength", "maxLength", "pattern", "minItems", "maxItems",
+    "uniqueItems", "items", "properties", "required",
+    "allOf", "anyOf", "oneOf", "not", "description", "title",
+}
+
+#: JSON-Schema "type" name -> BSON alias for _compile_type
+_JS_TYPE_TO_BSON = {
+    "number": "number", "string": "string", "object": "object",
+    "array": "array", "boolean": "bool", "null": "null",
+}
+
+
+def _js_typeof_is(col: Column, *prefixes: str) -> Column:
+    t = F.call_function("typeof", col)
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | t.startswith(p)
+    return out
+
+
+def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
+    """Property-level ``$jsonSchema`` predicate (draft-4 core as MongoDB
+    validates it).  JSON-Schema semantics: each keyword constrains only
+    values of its applicable type (``minimum`` ignores strings, ...) —
+    non-applicable values pass.  Null handling is the caller's job
+    (a property schema applies only when the property is present)."""
+    extra = set(spec) - _JS_KEYWORDS
+    if extra:
+        raise NotImplementedError(
+            f"$jsonSchema: unsupported keywords {sorted(extra)}"
+        )
+    conds: list[Column] = []
+
+    def safe(p: Column) -> Column:
+        # a keyword that evaluates NULL on a present value means "not
+        # applicable to this type" -> pass
+        return F.coalesce(p, F.lit(True))
+
+    bt = spec.get("bsonType", spec.get("type"))
+    if bt is not None:
+        aliases = bt if isinstance(bt, list) else [bt]
+        if "type" in spec and "bsonType" not in spec:
+            if any(a == "integer" for a in aliases):
+                raise NotImplementedError(
+                    '$jsonSchema: type "integer" is rejected by MongoDB '
+                    '(use bsonType "int"/"long")'
+                )
+            aliases = [_JS_TYPE_TO_BSON.get(a, a) for a in aliases]
+        conds.append(_compile_type(col, aliases))
+    if "enum" in spec:
+        pred = F.lit(False)
+        for v in spec["enum"]:
+            if isinstance(v, (dict, list)):
+                raise NotImplementedError(
+                    "$jsonSchema enum: document/array constants are not "
+                    "supported"
+                )
+            pred = pred | col.eqNullSafe(F.lit(v))
+        conds.append(pred)
+    num = col.try_cast("double")
+    if "minimum" in spec:
+        lo = F.lit(spec["minimum"])
+        strict = spec.get("exclusiveMinimum") is True
+        conds.append(safe(num > lo if strict else num >= lo))
+    if "maximum" in spec:
+        hi = F.lit(spec["maximum"])
+        strict = spec.get("exclusiveMaximum") is True
+        conds.append(safe(num < hi if strict else num <= hi))
+    if "multipleOf" in spec:
+        conds.append(safe(num % F.lit(spec["multipleOf"]) == 0))
+    is_str = _js_typeof_is(col, "string")
+    if "minLength" in spec:
+        conds.append(
+            safe(~is_str | (F.length(col.cast("string")) >= spec["minLength"]))
+        )
+    if "maxLength" in spec:
+        conds.append(
+            safe(~is_str | (F.length(col.cast("string")) <= spec["maxLength"]))
+        )
+    if "pattern" in spec:
+        conds.append(
+            safe(
+                ~is_str
+                | col.cast("string").rlike(
+                    _regex_to_rlike(spec["pattern"], None)
+                )
+            )
+        )
+    is_arr = _js_typeof_is(col, "array")
+    if "minItems" in spec:
+        conds.append(safe(~is_arr | (F.size(col) >= spec["minItems"])))
+    if "maxItems" in spec:
+        conds.append(safe(~is_arr | (F.size(col) <= spec["maxItems"])))
+    if spec.get("uniqueItems"):
+        conds.append(
+            safe(~is_arr | (F.size(F.array_distinct(col)) == F.size(col)))
+        )
+    if "items" in spec:
+        items = spec["items"]
+        if isinstance(items, list):
+            raise NotImplementedError(
+                "$jsonSchema items: per-position schema arrays are not "
+                "supported (single-schema form only)"
+            )
+        conds.append(
+            safe(
+                F.forall(
+                    col,
+                    lambda e: F.coalesce(
+                        e.isNull() | _js_value_pred(e, items), F.lit(True)
+                    ),
+                )
+            )
+        )
+    for f in spec.get("required") or []:
+        conds.append(col[f].isNotNull())
+    for f, sub in (spec.get("properties") or {}).items():
+        fc = col[f]
+        conds.append(F.coalesce(fc.isNull() | _js_value_pred(fc, sub), F.lit(True)))
+    for comb in ("allOf", "anyOf", "oneOf"):
+        if comb in spec:
+            subs = [_js_value_pred(col, s) for s in spec[comb]]
+            if comb == "allOf":
+                pred = F.lit(True)
+                for s in subs:
+                    pred = pred & safe(s)
+            elif comb == "anyOf":
+                pred = F.lit(False)
+                for s in subs:
+                    pred = pred | F.coalesce(s, F.lit(False))
+            else:
+                total = F.lit(0)
+                for s in subs:
+                    total = total + F.coalesce(s, F.lit(False)).cast("int")
+                pred = total == 1
+            conds.append(pred)
+    if "not" in spec:
+        conds.append(~F.coalesce(_js_value_pred(col, spec["not"]), F.lit(True)))
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
+
+
+def _compile_json_schema(
+    spec: dict[str, Any], schema=None, resolver=None, prefix: str = ""
+) -> Column:
+    """``$jsonSchema`` (MongoDB's draft-4 subset) -> boolean predicate.
+    Document level: ``required`` (presence; engine convention null ==
+    missing, same as ``$exists``), ``properties`` (a property schema
+    constrains only documents where the property is PRESENT),
+    ``bsonType: object`` (trivially true for a document stream) and the
+    combinators.  Property subschemas compile via :func:`_js_value_pred`.
+    Parity: the reference passes find dicts through verbatim
+    (reference database.py:193-204)."""
+    spec = {k: v for k, v in spec.items() if k not in ("title", "description")}
+    allowed = {"bsonType", "type", "properties", "required",
+               "allOf", "anyOf", "oneOf", "not", "additionalProperties"}
+    extra = set(spec) - allowed
+    if extra:
+        raise NotImplementedError(
+            f"$jsonSchema: unsupported document-level keywords {sorted(extra)}"
+        )
+    if "additionalProperties" in spec and spec["additionalProperties"] is not True:
+        raise NotImplementedError(
+            "$jsonSchema: additionalProperties restrictions are not "
+            "supported (schema-on-read columns are fixed)"
+        )
+    bt = spec.get("bsonType", spec.get("type"))
+    if bt is not None:
+        bts = bt if isinstance(bt, list) else [bt]
+        if "object" not in bts:
+            raise ValueError("$jsonSchema: the document root is an object")
+
+    def resolve(path: str) -> Column:
+        full = f"{prefix}.{path}" if prefix else path
+        return (
+            resolver(full, None)
+            if resolver is not None
+            else path_col(full, schema)
+        )
+
+    conds: list[Column] = []
+    for f in spec.get("required") or []:
+        conds.append(resolve(f).isNotNull())
+    for f, sub in (spec.get("properties") or {}).items():
+        col = resolve(f)
+        conds.append(
+            F.coalesce(col.isNull() | _js_value_pred(col, sub), F.lit(True))
+        )
+    for comb in ("allOf", "anyOf", "oneOf"):
+        if comb in spec:
+            subs = [
+                _compile_json_schema(s, schema, resolver, prefix)
+                for s in spec[comb]
+            ]
+            if comb == "allOf":
+                pred = F.lit(True)
+                for s in subs:
+                    pred = pred & s
+            elif comb == "anyOf":
+                pred = F.lit(False)
+                for s in subs:
+                    pred = pred | F.coalesce(s, F.lit(False))
+            else:
+                total = F.lit(0)
+                for s in subs:
+                    total = total + F.coalesce(s, F.lit(False)).cast("int")
+                pred = total == 1
+            conds.append(pred)
+    if "not" in spec:
+        conds.append(
+            ~F.coalesce(
+                _compile_json_schema(spec["not"], schema, resolver, prefix),
+                F.lit(True),
+            )
+        )
+    out = F.lit(True)
+    for c in conds:
+        out = out & c
+    return out
 
 
 def _probe_value(value: Any) -> Any:

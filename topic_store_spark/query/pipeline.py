@@ -1367,15 +1367,18 @@ def _unit_trunc(unit: str, start_of_week: Any):
     if unit != "week":
         return lambda c: F.date_trunc(unit, c)
     sow = (start_of_week or "sunday").lower()[:3]
-    if sow in ("mon",):
+    idx = {"mon": 0, "tue": 1, "wed": 2, "thu": 3,
+           "fri": 4, "sat": 5, "sun": 6}.get(sow)
+    if idx is None:
+        raise ValueError(f"startOfWeek {start_of_week!r}: not a weekday")
+    # shift so the requested weekday lands on Monday, truncate with
+    # Spark's Monday-start week, shift back (sunday -> +1/-1 etc.)
+    delta = (7 - idx) % 7
+    if delta == 0:
         return lambda c: F.date_trunc("week", c)
-    if sow in ("sun",):
-        return lambda c: F.timestamp_add(
-            "DAY", F.lit(-1),
-            F.date_trunc("week", F.timestamp_add("DAY", F.lit(1), c)),
-        )
-    raise NotImplementedError(
-        f"startOfWeek {start_of_week!r}: only sunday/monday are supported"
+    return lambda c: F.timestamp_add(
+        "DAY", F.lit(-delta),
+        F.date_trunc("week", F.timestamp_add("DAY", F.lit(delta), c)),
     )
 
 
@@ -2198,11 +2201,6 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                     "sortBy field"
                 )
             (rkey, rdir), = sort_by.items()
-            if rdir < 0:
-                raise NotImplementedError(
-                    "$setWindowFields range window: descending sortBy "
-                    "is not supported (bounds are value offsets)"
-                )
             lo, hi = window["range"]
             unit = window.get("unit")
             if unit is not None:
@@ -2234,6 +2232,18 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                         "supported"
                     )
                 okey, scale = path_col(rkey).cast("long"), 1
+
+            if rdir < 0:
+                # descending sortBy: bounds are VALUE offsets, so
+                # membership (v in [cur+lo, cur+hi]) is direction-free —
+                # negate the ordering key and mirror the bounds to get
+                # the same set through Spark's ascending range frame.
+                okey = (-okey).cast("long")
+
+                def _mirror(v):
+                    return v if v in ("unbounded", "current") else -v
+
+                lo, hi = _mirror(hi), _mirror(lo)
 
             def _rb(spec_v, side):
                 b = _frame_bound(spec_v, side)
@@ -2326,8 +2336,21 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             next_k = F.first(
                 F.when(col.isNotNull(), key), ignorenulls=True
             ).over(bwd)
+            # Mongo ERRORS on repeated sortBy values with $linearFill
+            # (the interpolation denominator would be 0).  Detect via
+            # adjacent-key equality under the stage sort — flags any
+            # duplicate in the partition without adding an exchange —
+            # and raise, rather than silently emitting NaN/Infinity.
+            dup_here = F.lag(key).over(sorted_base).eqNullSafe(key)
             computed[name] = (
-                F.when(col.isNotNull(), col)
+                F.when(
+                    dup_here,
+                    F.raise_error(F.lit(
+                        "$linearFill: repeated sortBy value within a "
+                        "partition (Mongo requires distinct sort keys)"
+                    )),
+                )
+                .when(col.isNotNull(), col)
                 .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
                 .otherwise(
                     prev_v
@@ -3001,6 +3024,260 @@ def _single_eq_correlation(expr: Any) -> tuple[Any, str] | None:
     return None
 
 
+def _element_scope(expr: Any, var: str = "__el") -> Any:
+    """Rewrite field-path refs in a value expression to resolve against
+    a bound ELEMENT variable (``"$a.b"`` -> ``"$$__el.a.b"``), so stage
+    expressions written against the sub-pipeline's document stream can
+    compile per-element inside ``transform``/``filter`` over a collected
+    array.  ``$$`` system/let refs and ``$literal`` payloads pass
+    through untouched."""
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return expr
+        if expr.startswith("$"):
+            return f"$${var}." + expr[1:]
+        return expr
+    if isinstance(expr, dict):
+        if set(expr) == {"$literal"}:
+            return expr
+        return {k: _element_scope(v, var) for k, v in expr.items()}
+    if isinstance(expr, list):
+        return [_element_scope(e, var) for e in expr]
+    return expr
+
+
+def _plain_include(v: Any) -> bool:
+    return isinstance(v, (int, float, bool)) and bool(v)
+
+
+def _falsy_flag(v: Any) -> bool:
+    return v is False or v == 0
+
+
+def _suffix_transforms(
+    stages: list[dict[str, Any]], fields: list[str]
+) -> tuple[list, list[str]]:
+    """Row-local ``$lookup`` sub-pipeline stages AFTER the correlated
+    ``$match``, compiled to transformations of the COLLECTED per-row
+    array (Mongo runs them per matched document, so ``transform`` /
+    ``filter`` / ``slice`` over the array preserves semantics with no
+    extra shuffle or re-join — the at-scale shape).  Supported:
+    ``$sort`` / ``$limit`` / ``$skip`` / ``$match`` (field predicates +
+    var-free ``$expr``) / ``$addFields`` / ``$set`` / ``$unset`` /
+    ``$project`` with FLAT field names (dotted paths in these suffix
+    stages are refused loudly).  Returns ``(closures, final_fields)``
+    where each closure maps the array Column to the transformed one."""
+    from topic_store_spark.query.compiler import elem_match_predicate
+
+    cur = list(fields)
+    closures: list = []
+    for st in stages:
+        if len(st) != 1:
+            raise ValueError(f"$lookup pipeline suffix: bad stage {st!r}")
+        op, spec = next(iter(st.items()))
+        if op == "$limit":
+            n = int(spec)
+            closures.append(lambda arr, n=n: F.slice(arr, 1, n))
+        elif op == "$skip":
+            n = int(spec)
+            closures.append(
+                lambda arr, n=n: F.slice(
+                    arr, n + 1, F.greatest(F.size(arr) - n, F.lit(0))
+                )
+            )
+        elif op == "$sort":
+            order = list(spec.items())
+            missing = [k for k, _ in order if k not in cur]
+            if missing:
+                raise ValueError(
+                    f"$lookup pipeline suffix $sort: unknown fields {missing}"
+                )
+            closures.append(
+                lambda arr, o=order: F.array_sort(arr, _struct_comparator(o))
+            )
+        elif op == "$match":
+            mspec = dict(spec)
+            expr = mspec.pop("$expr", None)
+            bad = [k for k in mspec if k.startswith("$")]
+            if bad:
+                raise NotImplementedError(
+                    f"$lookup pipeline suffix $match: top-level {bad} is "
+                    "not supported after the correlated stage (field "
+                    "predicates and $expr only)"
+                )
+            if expr is not None and _contains_var(expr):
+                raise NotImplementedError(
+                    "$lookup pipeline suffix $match: $$var refs would be "
+                    "a second correlated stage"
+                )
+
+            def _pred(e, mspec=mspec, expr=expr):
+                conds = []
+                if mspec:
+                    conds.append(elem_match_predicate(mspec)(e))
+                if expr is not None:
+                    conds.append(
+                        _truthy_expr(_element_scope(expr), {"__el": e})
+                    )
+                out_c = conds[0]
+                for c in conds[1:]:
+                    out_c = out_c & c
+                return F.coalesce(out_c, F.lit(False))
+
+            # F.filter infers lambda arity from the signature — wrap to
+            # arity 1 so the bound defaults aren't taken for (e, i)
+            closures.append(
+                lambda arr, p=_pred: F.filter(arr, lambda e: p(e))
+            )
+        elif op in ("$addFields", "$set"):
+            if any("." in k for k in spec):
+                raise NotImplementedError(
+                    f"$lookup pipeline suffix {op}: dotted paths are not "
+                    "supported"
+                )
+            items = [(k, _element_scope(v)) for k, v in spec.items()]
+
+            def _add(arr, items=items):
+                def f(e):
+                    for k, v in items:
+                        e = e.withField(
+                            f"`{k}`", compile_value(v, {"__el": e})
+                        )
+                    return e
+
+                return F.transform(arr, f)
+
+            closures.append(_add)
+            for k, _ in items:
+                if k not in cur:
+                    cur.append(k)
+        elif op == "$unset":
+            paths = [spec] if isinstance(spec, str) else list(spec)
+            if any("." in p for p in paths):
+                raise NotImplementedError(
+                    "$lookup pipeline suffix $unset: dotted paths are not "
+                    "supported"
+                )
+            kept = [f for f in cur if f not in paths]
+
+            def _drop(arr, kept=list(kept)):
+                return F.transform(
+                    arr, lambda e: F.struct(*[e[f].alias(f) for f in kept])
+                )
+
+            closures.append(_drop)
+            cur = kept
+        elif op == "$project":
+            if any("." in k for k in spec):
+                raise NotImplementedError(
+                    "$lookup pipeline suffix $project: dotted paths are "
+                    "not supported"
+                )
+            if not spec:
+                raise ValueError("$project: empty specification")
+            exclusion = all(
+                _falsy_flag(v) for k, v in spec.items() if k != "_id"
+            )
+            if exclusion:
+                dropped = {k for k, v in spec.items() if _falsy_flag(v)}
+                kept = [f for f in cur if f not in dropped]
+
+                def _excl(arr, kept=list(kept)):
+                    return F.transform(
+                        arr,
+                        lambda e: F.struct(*[e[f].alias(f) for f in kept]),
+                    )
+
+                closures.append(_excl)
+                cur = kept
+            else:
+                keys: list[tuple[str, Any]] = []
+                if "_id" in cur and not _falsy_flag(spec.get("_id", 1)):
+                    id_v = spec.get("_id", 1)
+                    keys.append(
+                        ("_id", 1 if _plain_include(id_v) else id_v)
+                    )
+                for k, v in spec.items():
+                    if k == "_id" or _falsy_flag(v):
+                        continue
+                    keys.append((k, 1 if _plain_include(v) else v))
+                scoped = [
+                    (k, v if v == 1 else _element_scope(v)) for k, v in keys
+                ]
+
+                def _proj(arr, scoped=scoped):
+                    def f(e):
+                        cols = []
+                        for k, v in scoped:
+                            c = (
+                                e[k]
+                                if v == 1
+                                else compile_value(v, {"__el": e})
+                            )
+                            cols.append(c.alias(k))
+                        return F.struct(*cols)
+
+                    return F.transform(arr, f)
+
+                closures.append(_proj)
+                cur = [k for k, _ in scoped]
+        else:
+            raise NotImplementedError(
+                f"$lookup pipeline suffix: stage {op} after the "
+                "correlated $match is not row-local (supported: $sort/"
+                "$limit/$skip/$match/$project/$addFields/$set/$unset)"
+            )
+    return closures, cur
+
+
+def _path_overlaps(k: str, ff: str) -> bool:
+    return k == ff or k.startswith(ff + ".") or ff.startswith(k + ".")
+
+
+def _preserves_field(st: dict[str, Any], ff: str) -> bool:
+    """Does a row-local stage leave the dotted path ``ff`` (and its
+    value) untouched?  Used by the mixed-form ``$lookup``: only stages
+    that preserve the foreignField may be hoisted AHEAD of the equality
+    match Mongo applies first (r8 advisor find — a prefix that rewrites
+    the foreignField must not silently join on the rewritten value)."""
+    op = next(iter(st))
+    if op == "$match":
+        return True
+    if op == "$unset":
+        paths = st["$unset"]
+        paths = [paths] if isinstance(paths, str) else list(paths)
+        return not any(_path_overlaps(p, ff) for p in paths)
+    if op in ("$addFields", "$set"):
+        return not any(_path_overlaps(k, ff) for k in st[op])
+    if op == "$project":
+        spec = st["$project"]
+        exclusion = all(_falsy_flag(v) for k, v in spec.items() if k != "_id")
+        if exclusion:
+            return not any(
+                _path_overlaps(k, ff)
+                for k, v in spec.items()
+                if _falsy_flag(v)
+            )
+        if ff == "_id":
+            return not _falsy_flag(spec.get("_id", 1)) and not isinstance(
+                spec.get("_id", 1), (dict, list)
+            )
+        covered = any(
+            _plain_include(v) and (k == ff or ff.startswith(k + "."))
+            for k, v in spec.items()
+        )
+        clobbered = any(
+            _path_overlaps(k, ff)
+            and not (
+                _plain_include(v) and (k == ff or ff.startswith(k + "."))
+            )
+            for k, v in spec.items()
+            if k != "_id"
+        )
+        return covered and not clobbered
+    return False
+
+
 def _lookup_pipeline(
     out: DataFrame,
     foreign: DataFrame,
@@ -3010,10 +3287,14 @@ def _lookup_pipeline(
     """``$lookup`` with ``let`` + ``pipeline`` (correlated sub-pipeline).
 
     Supported shape: ``[<var-free prefix stages...>, {"$match":
-    {"$expr": E}}, <suffix: [] | [$sort] | [$sort, $limit]>]`` — the
-    prefix runs once over the foreign collection through the ordinary
-    pipeline compiler; E correlates against the outer document via
-    ``$$let`` vars; the suffix orders/limits matches PER OUTER DOCUMENT.
+    {"$expr": E}}, <suffix: row-local stages>]`` — the prefix runs once
+    over the foreign collection through the ordinary pipeline compiler;
+    E correlates against the outer document via ``$$let`` vars; the
+    suffix runs PER OUTER DOCUMENT: a leading ``$sort``/``$limit`` pair
+    via the per-key window top-k, every further row-local stage
+    (``$match``/``$project``/``$addFields``/``$set``/``$unset``/
+    ``$sort``/``$skip``/``$limit``) as per-element transforms of the
+    collected array (see :func:`_suffix_transforms`).
     An entirely var-free pipeline (no correlation) collects one shared
     array and cross-joins it — the broadcast-constant case.
 
@@ -3078,6 +3359,7 @@ def _lookup_pipeline(
                 op_name == "$match" and not _contains_var(st)
             )
 
+        ff = spec["foreignField"]
         corr = [i for i, st in enumerate(sub) if _contains_var(st)]
         if corr:
             i = corr[0]
@@ -3094,14 +3376,32 @@ def _lookup_pipeline(
                     "correlated $match are row-local (Mongo applies the "
                     "equality first)"
                 )
+            if not all(_preserves_field(s, ff) for s in sub[:i]):
+                # Mongo applies the equality to the ORIGINAL foreign
+                # documents; a prefix that rewrites/removes the
+                # foreignField would silently join on the new value
+                raise NotImplementedError(
+                    "$lookup: a pipeline stage before the correlated "
+                    f"$match writes or removes foreignField {ff!r} — "
+                    "Mongo applies the localField equality to the "
+                    "original documents first"
+                )
             sub[i] = {
                 "$match": {
                     "$expr": {"$and": [eq_expr, st["$match"]["$expr"]]}
                 }
             }
         else:
+            # hoist row-local stages ahead of the equality only while
+            # they PRESERVE the foreignField (Mongo matches on the
+            # original value); a rewriting stage stays after the match
+            # and runs per-element over the collected array
             k = 0
-            while k < len(sub) and _row_local(sub[k]):
+            while (
+                k < len(sub)
+                and _row_local(sub[k])
+                and _preserves_field(sub[k], ff)
+            ):
                 k += 1
             sub = sub[:k] + [{"$match": {"$expr": eq_expr}}] + sub[k:]
 
@@ -3131,23 +3431,26 @@ def _lookup_pipeline(
     expr = stage["$match"]["$expr"]
     prefix, suffix = sub[:idx], sub[idx + 1 :]
 
-    # suffix: [] | [$sort] | [$sort, $limit]
+    # suffix: a leading [$sort] / [$sort, $limit] pair rides the
+    # key-grouped window top-k (pre-collect, the at-scale shape); any
+    # remaining row-local stages compile to per-element transforms of
+    # the collected array (r8: extended past the sort/limit allowlist)
     order: list[tuple[str, int]] | None = None
     limit: int | None = None
-    for st in suffix:
-        op_name = next(iter(st))
-        if op_name == "$sort" and order is None and limit is None:
-            order = list(st["$sort"].items())
-        elif op_name == "$limit" and limit is None and order is not None:
-            limit = int(st["$limit"])
-        else:
-            raise NotImplementedError(
-                "$lookup pipeline: suffix stages after the correlated "
-                "$match may only be [$sort] or [$sort, $limit]"
-            )
+    rest = list(suffix)
+    if rest and next(iter(rest[0])) == "$sort":
+        order = list(rest.pop(0)["$sort"].items())
+        if rest and next(iter(rest[0])) == "$limit":
+            limit = int(rest.pop(0)["$limit"])
 
     prepped = apply_pipeline(foreign, prefix, tables) if prefix else foreign
     f_cols = list(prepped.columns)
+    arr_transforms, _ = _suffix_transforms(rest, f_cols)
+
+    def _apply_suffix(arr: Column) -> Column:
+        for t in arr_transforms:
+            arr = t(arr)
+        return arr
     fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in f_cols])
     arr_sorter = (
         _struct_comparator(order)
@@ -3179,7 +3482,9 @@ def _lookup_pipeline(
             keyed = keyed.withColumn("_lk_rn", F.row_number().over(w)).filter(
                 F.col("_lk_rn") <= limit
             )
-        grouped = keyed.groupBy("_lk_key").agg(_sorted_collect(fstruct).alias(as_name))
+        grouped = keyed.groupBy("_lk_key").agg(
+            _apply_suffix(_sorted_collect(fstruct)).alias(as_name)
+        )
         outer_key = compile_value(let[var]).alias("_lk_okey")
         arr_type = grouped.schema[as_name].dataType.simpleString()
         return (
@@ -3218,6 +3523,7 @@ def _lookup_pipeline(
     arr = _sorted_collect(item)
     if limit is not None:
         arr = F.slice(arr, 1, limit)
+    arr = _apply_suffix(arr)
     res = joined.groupBy("_lk_rowid").agg(
         *[F.first(f"`_lkl_{c}`").alias(f"_lkl_{c}") for c in out_cols],
         arr.alias(as_name),
