@@ -120,9 +120,12 @@ def q_mongo_projection_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct tree, then the dotted-name flatten — the full reference
     read-path reshaping (projection dict -> pruned select -> flat
     dotted columns) in one query."""
+    from topic_store_spark.operators.util import ensure_parallelism
     from topic_store_spark.query.projection import apply_projection, flatten_dotted
 
-    events = _t(spark, sf_dir, "events")
+    # single-file testdata parquet scans as 1 partition; spread the
+    # struct-rebuild work across cores like the sibling carriers
+    events = ensure_parallelism(_t(spark, sf_dir, "events"))
     nested = events.select(
         "event_id",
         F.struct(

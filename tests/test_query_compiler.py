@@ -1491,9 +1491,9 @@ def test_extended_date_parts(spark):
 
 
 def test_redact_and_documents_stages(spark):
-    """$redact in the $$KEEP/$$PRUNE row-filter form (the $$DESCEND
-    recursive form refuses loudly); $documents as a first-stage literal
-    source."""
+    """$redact: the $$KEEP/$$PRUNE row-filter form and the r8
+    $$DESCEND recursive form (schema-bounded struct rewrite);
+    $documents as a first-stage literal source."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     df = spark.createDataFrame(
@@ -1506,12 +1506,52 @@ def test_redact_and_documents_stages(spark):
     )
     assert sorted(r["id"] for r in out.collect()) == [1, 3]
 
-    with pytest.raises(NotImplementedError, match="DESCEND"):
-        apply_pipeline(
-            df,
-            [{"$redact": {"$cond": [
-                {"$eq": ["$lvl", "public"]}, "$$DESCEND", "$$PRUNE"]}}],
-        )
+    # $$DESCEND (r8): the canonical access-level walk — cond
+    # re-evaluates per embedded document; pruned subdocs null out,
+    # pruned array<struct> elements drop, and a level WITHOUT the
+    # tested field reads it as missing (the "tags" check below)
+    nested = spark.createDataFrame(
+        [
+            (1, 5, (1, "ok", (0, "deep")), [(1, "a"), (9, "b")]),
+            (2, 9, (9, "hid", (1, "d2")), [(9, "x")]),
+        ],
+        "id int, level int, sub struct<level:int, s:string, "
+        "inner: struct<level:int, t:string>>, "
+        "items array<struct<level:int, v:string>>",
+    )
+    cond = {"$cond": [{"$lte": [{"$ifNull": ["$level", 0]}, 5]},
+                      "$$DESCEND", "$$PRUNE"]}
+    rows = {r["id"]: r for r in apply_pipeline(
+        nested, [{"$redact": cond}]
+    ).collect()}
+    # doc 2: top-level level=9 -> whole doc pruned
+    assert sorted(rows) == [1]
+    r1 = rows[1]
+    assert r1["level"] == 5
+    # sub.level=1 -> descend; sub.inner.level=0 -> descend (kept)
+    assert r1["sub"]["s"] == "ok" and r1["sub"]["inner"]["t"] == "deep"
+    # items: level=1 kept, level=9 dropped
+    assert [e["v"] for e in r1["items"]] == ["a"]
+
+    # a pruned SUBDOC nulls out while siblings survive
+    rows = {r["id"]: r for r in apply_pipeline(
+        nested,
+        [{"$redact": {"$cond": [
+            {"$lte": [{"$ifNull": ["$level", 99]}, 5]},
+            "$$DESCEND", "$$PRUNE"]}}],
+    ).collect()}
+    # doc 1 root level=5 descend; sub.level=1 keep-descend; but
+    # sub.inner.level=0 <=5 descend -> kept; items elements carry
+    # level -> 1 kept / 9 pruned
+    assert rows[1]["sub"] is not None
+    # now flip: prune any subdoc whose level > 0
+    rows = {r["id"]: r for r in apply_pipeline(
+        nested,
+        [{"$redact": {"$cond": [
+            {"$eq": [{"$ifNull": ["$level", 0]}, 0]},
+            "$$DESCEND", "$$PRUNE"]}}],
+    ).collect()}
+    assert sorted(rows) == []  # both roots have level != 0
 
     out = apply_pipeline(
         df,

@@ -3046,6 +3046,105 @@ def _element_scope(expr: Any, var: str = "__el") -> Any:
     return expr
 
 
+def _element_scope_schema(expr: Any, subschema, var: str = "__el") -> Any:
+    """Schema-aware :func:`_element_scope`: field paths PRESENT in the
+    subdocument's static schema rewrite to ``$$var.path``; paths absent
+    from it become a NULL literal (Mongo: missing field), which keeps
+    the per-level re-evaluation of ``$redact`` cond faithful for
+    subdocuments that lack the referenced fields."""
+    from topic_store_spark.query.compiler import _path_in_schema
+
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            return expr
+        if expr.startswith("$"):
+            path = expr[1:]
+            if _path_in_schema(subschema, path):
+                return f"$${var}." + path
+            return {"$literal": None}
+        return expr
+    if isinstance(expr, dict):
+        if set(expr) == {"$literal"}:
+            return expr
+        return {k: _element_scope_schema(v, subschema, var) for k, v in expr.items()}
+    if isinstance(expr, list):
+        return [_element_scope_schema(e, subschema, var) for e in expr]
+    return expr
+
+
+def _redact_marker(
+    col: Column, node, spec: Any, redact_vars: dict[str, Column]
+) -> Column:
+    """``$redact`` cond re-evaluated against an embedded document."""
+    return compile_value(
+        _element_scope_schema(spec, node), {**redact_vars, "__el": col}
+    )
+
+
+def _redact_value(
+    col: Column, dtype, spec: Any, redact_vars: dict[str, Column]
+) -> Column:
+    """Recursive ``$$DESCEND`` rewrite of one value: structs re-evaluate
+    cond (KEEP -> as-is, PRUNE -> null, DESCEND -> recurse into
+    children), array<struct> does the same per element with PRUNEd
+    elements dropped, everything else passes through.  Recursion depth
+    is bounded by the static schema."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.StructType):
+        m = _redact_marker(col, dtype, spec, redact_vars)
+        return (
+            # a missing subdocument stays missing (cond is not
+            # evaluated for it — a constant $$DESCEND cond must not
+            # materialize a struct of nulls)
+            F.when(col.isNull(), F.lit(None))
+            .when(m.eqNullSafe(F.lit("KEEP")), col)
+            .when(
+                m.eqNullSafe(F.lit("DESCEND")),
+                _redact_struct(col, dtype, spec, redact_vars),
+            )
+        )  # anything else (PRUNE, unresolved) -> null
+    if isinstance(dtype, T.ArrayType):
+        inner = dtype.elementType
+        if isinstance(inner, T.StructType):
+            kept = F.filter(
+                col,
+                lambda e: _redact_marker(e, inner, spec, redact_vars).isin(
+                    "KEEP", "DESCEND"
+                ),
+            )
+            return F.transform(
+                kept,
+                lambda e: F.when(
+                    _redact_marker(e, inner, spec, redact_vars).eqNullSafe(
+                        F.lit("KEEP")
+                    ),
+                    e,
+                ).otherwise(_redact_struct(e, inner, spec, redact_vars)),
+            )
+        if isinstance(inner, T.ArrayType):
+            return F.transform(
+                col, lambda e: _redact_value(e, inner, spec, redact_vars)
+            )
+        return col
+    return col
+
+
+def _redact_struct(
+    col: Column, node, spec: Any, redact_vars: dict[str, Column]
+) -> Column:
+    from pyspark.sql import types as T  # noqa: F401
+
+    return F.struct(
+        *[
+            _redact_value(col[f.name], f.dataType, spec, redact_vars).alias(
+                f.name
+            )
+            for f in node.fields
+        ]
+    )
+
+
 def _plain_include(v: Any) -> bool:
     return isinstance(v, (int, float, bool)) and bool(v)
 
@@ -3610,22 +3709,38 @@ def apply_pipeline(
             out = out.filter(compile_query(spec, out.schema))
         elif op == "$redact":
             # document-level access filter: cond evaluates per document
-            # to $$KEEP (keep) / $$PRUNE (drop).  $$DESCEND — recursive
-            # per-subdocument redaction — does not fit a static-schema
-            # columnar plan and is refused loudly; at the TOP level
-            # Mongo's $$DESCEND keeps the doc, so pipelines that only
-            # ever DESCEND at the root can rewrite cond to $$KEEP.
-            if _mentions_var(spec, "$$DESCEND"):
-                raise NotImplementedError(
-                    "$redact: $$DESCEND (recursive subdocument "
-                    "redaction) is not supported — use $$KEEP/$$PRUNE"
-                )
+            # to $$KEEP (keep) / $$PRUNE (drop).  $$DESCEND (r8): the
+            # static schema bounds the recursion, so per-subdocument
+            # redaction compiles to a depth-limited struct rewrite —
+            # cond re-evaluates per embedded document (struct fields
+            # and array<struct> elements), pruned subdocuments null
+            # out, pruned array elements drop.  One projection, no
+            # Python, no shuffle.
+            redact_vars = {
+                "KEEP": F.lit("KEEP"),
+                "PRUNE": F.lit("PRUNE"),
+                "DESCEND": F.lit("DESCEND"),
+            }
             with _schema_scope(out.schema):
-                marker = compile_value(
-                    spec,
-                    {"KEEP": F.lit("KEEP"), "PRUNE": F.lit("PRUNE")},
+                marker = compile_value(spec, redact_vars)
+            if not _mentions_var(spec, "$$DESCEND"):
+                out = out.filter(marker.eqNullSafe(F.lit("KEEP")))
+            else:
+                out = out.filter(
+                    marker.eqNullSafe(F.lit("KEEP"))
+                    | marker.eqNullSafe(F.lit("DESCEND"))
                 )
-            out = out.filter(marker.eqNullSafe(F.lit("KEEP")))
+                cols = []
+                for f in out.schema.fields:
+                    src = F.col(f"`{f.name}`")
+                    rw = _redact_value(src, f.dataType, spec, redact_vars)
+                    cols.append(
+                        F.when(marker.eqNullSafe(F.lit("KEEP")), src)
+                        .otherwise(rw)
+                        .alias(f.name)
+                    )
+                with _schema_scope(out.schema):
+                    out = out.select(*cols)
         elif op == "$documents":
             # literal source stage (Mongo: db-level aggregate only) —
             # replaces the input relation with the given documents;
