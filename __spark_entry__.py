@@ -1576,17 +1576,29 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topic_store_spark.operators.similarity import (
         ivf_pq_ann_neighbors,
         ivf_residual_vectors,
+        permute_vectors,
         pq_codebooks,
+        variance_balanced_permutation,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     cen = emb.filter(F.col("vec_id") < 8)
+    # r8: OPQ-lite learned rotation rides the carrier — a
+    # variance-balanced dimension PERMUTATION (exactly orthogonal,
+    # integer-exact, so the rotated encoding reproduces bit-for-bit in
+    # DuckDB where the float Procrustes rotation could not).  IVF
+    # assignment is permutation-invariant; only the subspace split (and
+    # hence codebooks/codes/ADC) changes — the OPQ effect.
     src = ivf_residual_vectors(emb.filter(F.col("vec_id") < 16), cen)
-    books = pq_codebooks(src, m=32)
+    perm = variance_balanced_permutation(src)
+    emb_p = permute_vectors(emb, perm)
+    cen_p = emb_p.filter(F.col("vec_id") < 8)
+    src_p = ivf_residual_vectors(emb_p.filter(F.col("vec_id") < 16), cen_p)
+    books = pq_codebooks(src_p, m=32)
     return ivf_pq_ann_neighbors(
-        emb,
-        queries=emb.filter(F.col("vec_id") < 10),
-        centroids=cen,
+        emb_p,
+        queries=emb_p.filter(F.col("vec_id") < 10),
+        centroids=cen_p,
         codebooks=books,
         k=5,
         nprobe=2,
@@ -2813,9 +2825,44 @@ def oracle_sql() -> dict[str, str]:
           SELECT row_number() OVER (ORDER BY c_id) - 1 AS j, c_rv AS sqv
           FROM assigned WHERE c_id < 16
         ),
+        -- r8 OPQ-lite: variance-balanced dimension permutation, learned
+        -- from the SAME residual sample (exact integer variance
+        -- numerator n*sum(x^2)-sum(x)^2; pair s-th highest with s-th
+        -- lowest).  Permutation = orthogonal rotation, integer-exact.
+        dimvar AS (
+          SELECT dd.dim,
+                 CAST(count(*) * sum(src.sqv[dd.dim + 1] * src.sqv[dd.dim + 1])
+                      - sum(src.sqv[dd.dim + 1]) * sum(src.sqv[dd.dim + 1])
+                      AS BIGINT) AS varnum
+          FROM src CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) dd
+          GROUP BY dd.dim
+        ),
+        sorted_dims AS (
+          SELECT dim,
+                 row_number() OVER (ORDER BY varnum DESC, dim ASC) AS rn
+          FROM dimvar
+        ),
+        perm AS (
+          SELECT ss.s * 2 AS pos, sd.dim
+          FROM (SELECT unnest(range(0, 32)) AS s) ss
+          JOIN sorted_dims sd ON sd.rn = ss.s + 1
+          UNION ALL
+          SELECT ss.s * 2 + 1 AS pos, sd.dim
+          FROM (SELECT unnest(range(0, 32)) AS s) ss
+          JOIN sorted_dims sd ON sd.rn = 64 - ss.s
+        ),
+        srcp AS (
+          SELECT s.j, list(s.sqv[p.dim + 1] ORDER BY p.pos) AS sqv
+          FROM src s CROSS JOIN perm p GROUP BY s.j
+        ),
+        assignedp AS (
+          SELECT a.c_id, a.list_id,
+                 list(a.c_rv[p.dim + 1] ORDER BY p.pos) AS c_rv
+          FROM assigned a CROSS JOIN perm p GROUP BY a.c_id, a.list_id
+        ),
         cb AS (
-          SELECT ss.s, src.j, src.sqv[ss.s*2+1 : ss.s*2+2] AS sv
-          FROM src CROSS JOIN (SELECT unnest(range(0, 32)) AS s) ss
+          SELECT ss.s, srcp.j, srcp.sqv[ss.s*2+1 : ss.s*2+2] AS sv
+          FROM srcp CROSS JOIN (SELECT unnest(range(0, 32)) AS s) ss
         ),
         codes AS (
           SELECT c_id, list_id, s, j AS code
@@ -2826,7 +2873,7 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY """
         + _INT_L2.format(a=f"a.{_crsub}", b="cb.sv")
         + """ ASC, cb.j ASC) AS rn
-            FROM assigned a CROSS JOIN cb
+            FROM assignedp a CROSS JOIN cb
           ) WHERE rn = 1
         ),
         -- per-(query, probed list) residual — the LUT key is the pair
@@ -2845,15 +2892,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE qs.vec_id < 10
           ) WHERE rn <= 2
         ),
+        probesp AS (
+          SELECT pr.q_id, pr.list_id,
+                 list(pr.q_rv[p.dim + 1] ORDER BY p.pos) AS q_rv
+          FROM probes pr CROSS JOIN perm p GROUP BY pr.q_id, pr.list_id
+        ),
         lut AS (
           SELECT p.q_id, p.list_id, cb.s, cb.j, """
         + _INT_L2.format(a=f"p.{_qrsub}", b="cb.sv")
         + """ AS d2
-          FROM probes p CROSS JOIN cb
+          FROM probesp p CROSS JOIN cb
         ),
         scored AS (
           SELECT p.q_id, c.c_id, CAST(sum(l.d2) AS BIGINT) AS adc_dist
-          FROM probes p
+          FROM probesp p
           JOIN codes c ON c.list_id = p.list_id AND c.c_id <> p.q_id
           JOIN lut l ON l.q_id = p.q_id AND l.list_id = p.list_id
                     AND l.s = c.s AND l.j = c.code

@@ -74,7 +74,7 @@ def main() -> None:
     # min-of-2 alone.  Every query is isolated in try/except so one
     # failure can never zero the whole bench (the r2 lesson): failures are
     # recorded per-query and the JSON line is always emitted.
-    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
     for round_idx in range(n_rounds):
         for name in headline:
             if name in errors:
@@ -109,10 +109,17 @@ def main() -> None:
     # which is one-time cost, not run-to-run noise.  Dropping it makes the
     # noise band measure steady-state variance, so cross-round drift above
     # the band is attributable signal.  min still uses ALL samples.
-    spreads = {
-        n: round(max(s[1:]) - min(s[1:]), 3) if len(s) > 2 else round(max(s) - min(s), 3)
-        for n, s in samples.items()
-    }
+    # r8: drop-max TRIM on the steady-state samples — one host-noise
+    # spike in one round (load-average bursts measured 10+ here with no
+    # local process) should not widen the whole band.  With the default
+    # 4 rounds the band is the gap between the two best steady-state
+    # samples; min (the headline) still uses ALL samples.
+    spreads = {}
+    for n, s in samples.items():
+        steady = s[1:] if len(s) > 2 else list(s)
+        if len(steady) > 2:
+            steady = sorted(steady)[:-1]
+        spreads[n] = round(max(steady) - min(steady), 3)
     total = round(sum(timings.values()), 3)
     # Keep the stdout JSON line SHORT (2-decimal, no medians/spreads): the
     # driver captures only a bounded tail of stdout, and r6's full line

@@ -964,3 +964,48 @@ def test_containment_prefix_filter_identical(spark, sf_dir):
         fast = sorted(tuple(r) for r in containment_pairs(
             corpus, max_shingle_freq=cap, prefix_filter=True).collect())
         assert plain == fast and len(plain) >= 20
+
+
+def test_variance_balanced_permutation_opq_lite(spark, embeddings):
+    """r8 OPQ-lite: the variance-balanced dimension permutation is an
+    exactly-orthogonal rotation on the integer grid — IVF results are
+    invariant under it (orthogonality), the permutation itself is
+    data-derived and non-trivial, and permute_vectors is exact
+    (pure element shuffle, no float arithmetic)."""
+    from topic_store_spark.operators.similarity import (
+        ivf_ann_neighbors,
+        ivf_residual_vectors,
+        permute_vectors,
+        variance_balanced_permutation,
+    )
+
+    emb = embeddings
+    cen = emb.filter(F.col("vec_id") < 8)
+    src = ivf_residual_vectors(emb.filter(F.col("vec_id") < 16), cen)
+    perm = variance_balanced_permutation(src)
+    assert sorted(perm) == list(range(64))  # a true permutation
+    assert perm != list(range(64))          # and a non-trivial one
+
+    # permute_vectors is an exact element shuffle
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    prow = (
+        permute_vectors(emb.orderBy("vec_id").limit(1), perm)
+        .collect()[0]
+    )
+    assert prow["embedding"] == [row["embedding"][i] for i in perm]
+
+    # orthogonality: coarse search results are permutation-invariant
+    queries = emb.filter(F.col("vec_id") < 5)
+    base = ivf_ann_neighbors(emb, queries, cen, k=3, nprobe=2)
+    emb_p = permute_vectors(emb, perm)
+    rot = ivf_ann_neighbors(
+        emb_p,
+        permute_vectors(queries, perm),
+        permute_vectors(cen, perm),
+        k=3,
+        nprobe=2,
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    b = {key(r): r["neighbor_id"] for r in base.collect()}
+    p = {key(r): r["neighbor_id"] for r in rot.collect()}
+    assert b == p

@@ -51,6 +51,50 @@ def _events_source_dir(spark, sf_dir: str, n_files: int = 8) -> tuple[str, int]:
     return path, n
 
 
+def _executor_input_bytes(spark) -> int:
+    """Cumulative bytes READ by all tasks so far (Spark's own
+    ``totalInputBytes`` executor metric, via the status REST API) —
+    the unit the 100 TB pruning claim is actually about.  Returns -1
+    when the UI/status endpoint is unavailable."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return -1
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/executors"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            data = json.loads(r.read())
+        return sum(e.get("totalInputBytes", 0) for e in data)
+    except Exception:  # noqa: BLE001 — metrics are best-effort
+        return -1
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _part_dir_bytes(base: str) -> dict[int, int]:
+    """On-disk bytes per ``_bp=<id>`` partition directory."""
+    out: dict[int, int] = {}
+    if not os.path.isdir(base):
+        return out
+    for name in os.listdir(base):
+        if name.startswith("_bp="):
+            out[int(name.split("=", 1)[1])] = _tree_bytes(
+                os.path.join(base, name)
+            )
+    return out
+
+
 def bench_rate_monitor(spark, src: str, n_rows: int) -> dict:
     from topic_store_spark.streaming.monitor import rate_monitor_stream
 
@@ -272,6 +316,7 @@ def bench_small_batch_regime(
                 .json(src)
             )
             prune_before = len(idx.prune_log)
+            bytes0 = _executor_input_bytes(spark)
             t0 = time.monotonic()
             q = (
                 near_dedup_ingest_stream(
@@ -303,12 +348,34 @@ def bench_small_batch_regime(
                 "append_sec": round(
                     sum(t["append"] for t in timings), 2),
             }
+            bytes1 = _executor_input_bytes(spark)
+            if bytes0 >= 0 and bytes1 >= 0:
+                out["input_bytes"] = bytes1 - bytes0
             log = idx.prune_log[prune_before:]
             if log:
                 out["band_parts_touched_avg"] = round(
                     sum(p["band_parts"] for p in log) / len(log), 1)
                 out["shingle_parts_touched_avg"] = round(
                     sum(p["shingle_parts"] for p in log) / len(log), 1)
+                # on-disk bytes the pruned scans expose vs the full
+                # index (what every flat query must read) — computed
+                # from the actual touched-partition ids per query
+                bsz = _part_dir_bytes(os.path.join(idx.path, "bands"))
+                ssz = _part_dir_bytes(os.path.join(idx.path, "shingles"))
+                per_q = [
+                    sum(bsz.get(i, 0) for i in p.get("band_part_ids", []))
+                    + sum(ssz.get(i, 0) for i in p.get("shingle_part_ids", []))
+                    for p in log
+                ]
+                out["idx_scan_bytes_avg"] = round(sum(per_q) / len(per_q))
+                out["idx_total_bytes"] = sum(bsz.values()) + sum(ssz.values())
+            else:
+                out["idx_total_bytes"] = (
+                    _tree_bytes(os.path.join(idx.path, "bands"))
+                    + _tree_bytes(os.path.join(idx.path, "shingles"))
+                )
+                # flat: every query scans the whole index
+                out["idx_scan_bytes_avg"] = out["idx_total_bytes"]
             results.append(out)
     return results
 
@@ -319,7 +386,9 @@ def main() -> None:
     )
     from topic_store_spark.session import get_spark
 
-    spark = get_spark()
+    # status REST API on: _executor_input_bytes reads the engine's own
+    # bytes-read counters around each A/B run
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
     src, n = _events_source_dir(spark, sf_dir)
     env = os.environ.get
@@ -413,16 +482,25 @@ def main() -> None:
             "set, shingles by the candidate doc-hash set).",
             "",
             "| layout | run | rows | kept | sec | rows/s | sign+query s | "
-            "append s | band parts | shingle parts | build s |",
-            "|---|---|---|---|---|---|---|---|---|---|---|",
+            "append s | band parts | shingle parts | idx scan MB/query | "
+            "input GB (run) | build s |",
+            "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
         ]
+
+        def _mb(b):
+            return f"{b / 1e6:.1f}" if isinstance(b, (int, float)) else "-"
+
         for r in small:
             bp = r.get("band_parts_touched_avg", "-")
             sp = r.get("shingle_parts_touched_avg", "-")
+            ib = r.get("input_bytes")
             lines.append(
                 f"| {r['layout']} | {r['run']} | {r['rows']} | {r['kept']} "
                 f"| {r['sec']} | {r['rows_per_sec']} | {r['sign_query_sec']} "
-                f"| {r['append_sec']} | {bp} | {sp} | {r['build_sec']} |"
+                f"| {r['append_sec']} | {bp} | {sp} "
+                f"| {_mb(r.get('idx_scan_bytes_avg'))} "
+                f"| {f'{ib / 1e9:.2f}' if ib is not None else '-'} "
+                f"| {r['build_sec']} |"
             )
         flats = [r for r in small if r["layout"] == "flat"]
         parts_r = [r for r in small if r["layout"] != "flat"]
@@ -435,11 +513,38 @@ def main() -> None:
             pq = mean([r["sign_query_sec"] / r["batches"] for r in parts_r])
             sp = parts_r[0].get("shingle_parts_touched_avg", 0)
             ptot = int(parts_r[0]["layout"].split("=")[1])
+            mean_scan_f = mean([r.get("idx_scan_bytes_avg", 0) for r in flats])
+            mean_scan_p = mean(
+                [r.get("idx_scan_bytes_avg", 0) for r in parts_r]
+            )
+            byte_cut = (mean_scan_f / mean_scan_p) if mean_scan_p else 0
+            in_f = [r["input_bytes"] for r in flats if "input_bytes" in r]
+            in_p = [r["input_bytes"] for r in parts_r if "input_bytes" in r]
+            in_ratio = (
+                mean(in_f) / mean(in_p) if in_f and in_p and mean(in_p) else 0
+            )
             lines += [
                 "",
                 f"partitioned/flat rows/s ratio (mean of interleaved "
                 f"runs): **{ratio:.2f}x**; per-batch sign+query: flat "
                 f"{fq:.1f}s vs partitioned {pq:.1f}s.",
+                "",
+                "**Bytes, not directories (r8)**: the index bytes a "
+                "query must scan, computed from the touched-partition "
+                "ids (`prune_log`) against the on-disk partition sizes "
+                f"— flat {mean_scan_f / 1e6:.1f} MB/query (the whole "
+                f"index) vs partitioned {mean_scan_p / 1e6:.1f} "
+                f"MB/query: **{byte_cut:.1f}x less index IO per "
+                "query**.  Corroborated by the engine's own input "
+                "counters (REST `totalInputBytes` around each run, "
+                "which also include batch/store/checkpoint reads): "
+                + (
+                    f"flat {mean(in_f) / 1e9:.2f} GB vs partitioned "
+                    f"{mean(in_p) / 1e9:.2f} GB per run = "
+                    f"**{in_ratio:.1f}x less total input**."
+                    if in_f and in_p
+                    else "(status endpoint unavailable this run)."
+                ),
                 "",
                 "How to read the crossover: the partitioned layout "
                 f"trades a per-query discovery cost over {ptot} "

@@ -570,7 +570,8 @@ class MinHashIndex:
                 ).distinct().collect()
             ]
             banded_idx = banded_idx.filter(F.col("_bp").isin(parts)).drop("_bp")
-            prune = {"partitions": self.partitions, "band_parts": len(parts)}
+            prune = {"partitions": self.partitions, "band_parts": len(parts),
+                     "band_part_ids": sorted(parts)}
         if bloom_prefilter:
             from topic_store_spark.operators.bloom import (
                 bloom_build,
@@ -610,6 +611,7 @@ class MinHashIndex:
                 F.col("_dp").isin(sorted(dparts))
             ).drop("_dp")
             prune["shingle_parts"] = len(dparts)
+            prune["shingle_part_ids"] = sorted(dparts)
             self.prune_log.append(prune)
         sh_all = sh_idx.unionByName(keyed_new)
         return _jaccard_out(

@@ -885,6 +885,59 @@ def kmeans_centroids(
 # OPQ: optimized product quantization (learned rotation)
 # ---------------------------------------------------------------------------
 
+def variance_balanced_permutation(
+    residuals: DataFrame, vec_col: str = "embedding"
+) -> list[int]:
+    """OPQ-lite learned "rotation" as a variance-balanced DIMENSION
+    PERMUTATION (the parametric-OPQ allocation intuition of Ge et al.
+    2013 §4: spread variance evenly across subspaces).  A signless
+    permutation is an exactly-orthogonal matrix whose application is
+    EXACT on the shared integer grid — so unlike the float Procrustes
+    rotation (`train_opq_rotation`), the permuted encoding reproduces
+    bit-for-bit in the DuckDB oracle (the r7 blocker for carrying OPQ
+    in `ann_pq`).
+
+    Allocation for 2-d subspaces: sort dims by residual variance
+    (exact integer numerator ``n*sum(x^2) - sum(x)^2``, ties by dim
+    index) and pair the s-th highest with the s-th lowest —
+    ``perm[2s], perm[2s+1] = sorted[s], sorted[D-1-s]``.
+
+    ``residuals`` is the (BOUNDED — the codebook training sample, 16
+    vectors in the carried config) residual relation from
+    `ivf_residual_vectors`; the collect here is the same bounded
+    driver-side step the codebook derivation already takes."""
+    rows = residuals.select(vec_col).collect()
+    if not rows:
+        raise ValueError("variance_balanced_permutation: empty sample")
+    vecs = [
+        [int(round(x * 1000.0)) for x in r[0]] for r in rows
+    ]  # back to the exact integer grid
+    dims = len(vecs[0])
+    if dims % 2:
+        raise ValueError("variance_balanced_permutation: even dim count only")
+    n = len(vecs)
+    varnum = [
+        n * sum(v[d] * v[d] for v in vecs) - sum(v[d] for v in vecs) ** 2
+        for d in range(dims)
+    ]
+    order = sorted(range(dims), key=lambda d: (-varnum[d], d))
+    perm: list[int] = []
+    for s in range(dims // 2):
+        perm += [order[s], order[dims - 1 - s]]
+    return perm
+
+
+def permute_vectors(
+    df: DataFrame, perm: list[int], vec_col: str = "embedding"
+) -> DataFrame:
+    """Apply a dimension permutation to a vector column — one JVM-side
+    array rebuild, exact for any value (no float arithmetic at all)."""
+    col = F.col(vec_col)
+    return df.withColumn(
+        vec_col, F.array(*[F.element_at(col, i + 1) for i in perm])
+    )
+
+
 def train_opq_rotation(
     df: DataFrame,
     m: int,
