@@ -50,6 +50,7 @@ def main() -> int:
         ("longtail", vf.test_longtail_expressions_match_reference_evaluator),
         ("find", ff.test_find_dialect_matches_reference_evaluator),
         ("find_nested", ff.test_nested_dialect_matches_reference_evaluator),
+        ("find_jsonschema", ff.test_json_schema_matches_reference_evaluator),
         ("find_ragged", lambda sp: ff.test_ragged_resolver_matches_reference_evaluator(
             sp, pathlib.Path(tempfile.mkdtemp()))),
         ("projection", jf.test_projections_match_reference),

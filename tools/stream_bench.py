@@ -179,30 +179,44 @@ def bench_near_dedup_ingest(spark, sf_dir: str) -> dict:
     src = os.path.join(work, "src")
     batch.coalesce(4).write.mode("overwrite").json(src)
 
-    counts: list[tuple[int, int]] = []
-    timings: list[dict] = []
-    stream = spark.readStream.schema("doc_id long, text string").json(src)
-    t0 = time.monotonic()
-    q = (
-        near_dedup_ingest_stream(
-            stream, store, idx,
-            on_batch=lambda b, i, k: counts.append((i, k)),
-            on_timing=lambda b, t: timings.append(t),
+    # warm-up + measured run against FRESH store/index state each time:
+    # run 1 pays one-time JVM/codegen warm-up for this pipeline's
+    # operators (same convention as bench.py's dropped first sample);
+    # run 2 is the steady-state number a standing ingest service runs
+    # at.  Both are reported.
+    results = []
+    for attempt in ("cold", "steady"):
+        if attempt == "steady":
+            idx = MinHashIndex.build(docs, os.path.join(work, "idx2"))
+            store = ts.load(os.path.join(work, "store2.parquet"), spark)
+        counts: list[tuple[int, int]] = []
+        timings: list[dict] = []
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        t0 = time.monotonic()
+        q = (
+            near_dedup_ingest_stream(
+                stream, store, idx,
+                on_batch=lambda b, i, k: counts.append((i, k)),
+                on_timing=lambda b, t: timings.append(t),
+            )
+            .option("checkpointLocation", os.path.join(work, f"ck_{attempt}"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", os.path.join(work, "ck"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    el = time.monotonic() - t0
-    n_kept = sum(k for _, k in counts)
-    split = {
-        "sign_query_sec": round(sum(t["query"] for t in timings), 2),
-        "append_sec": round(sum(t["append"] for t in timings), 2),
-    }
-    return {"stage": "near_dedup_ingest_stream", "rows": n_in,
-            "kept": n_kept, "sec": round(el, 2),
-            "rows_per_sec": round(n_in / el), **split}
+        q.awaitTermination(600)
+        el = time.monotonic() - t0
+        n_kept = sum(k for _, k in counts)
+        results.append({
+            "attempt": attempt, "rows": n_in, "kept": n_kept,
+            "sec": round(el, 2), "rows_per_sec": round(n_in / el),
+            "sign_query_sec": round(sum(t["query"] for t in timings), 2),
+            "append_sec": round(sum(t["append"] for t in timings), 2),
+        })
+    cold, steady = results
+    return {"stage": "near_dedup_ingest_stream",
+            "cold_rows_per_sec": cold["rows_per_sec"],
+            "cold_sec": cold["sec"],
+            **{k: v for k, v in steady.items() if k != "attempt"}}
 
 
 def _standing_corpus(spark, sf_dir: str, replicas: int):
@@ -436,9 +450,12 @@ def main() -> None:
     small = [r for r in results if r["stage"] == "near_dedup_ingest_small_batches"]
     for r in classic:
         extra = f" (kept {r['kept']})" if "kept" in r else ""
+        rps = str(r["rows_per_sec"])
+        if "cold_rows_per_sec" in r:
+            rps += f" (cold first run {r['cold_rows_per_sec']})"
         lines.append(
             f"| {r['stage']} | {src_names[r['stage']]} | {r['rows']}{extra} "
-            f"| {r['sec']} | {r['rows_per_sec']} |"
+            f"| {r['sec']} | {rps} |"
         )
     ingest = classic[-1]
     lines += [
@@ -458,7 +475,15 @@ def main() -> None:
         "whose directory pruning wins when batch << corpus; at this "
         "bench's corpus-sized batch it prunes nothing and measured "
         "SLOWER (~280 vs ~600 rows/s same-session), so the bench runs "
-        "the flat layout.  Per-batch stage split: "
+        "the flat layout.  r8 sink/index changes (each phase-A/B'd "
+        "same-session): micro-batches re-spread across cores before "
+        "the CPU-bound signing (stream sources deliver one partition "
+        "per source FILE), the three appends (store + index bands + "
+        "index shingles) submit concurrently, and the Bloom prefilter "
+        "is adaptive — OFF at corpus-scale batches where its build "
+        "job + per-row evaluation measured ~1.5s of a 4.2s query for "
+        "identical output, ON when batch << corpus (the "
+        "`batch_docs*16 <= doc_count` rule).  Per-batch stage split: "
         f"sign+query+anti-join {ingest['sign_query_sec']}s, "
         f"store/index append {ingest['append_sec']}s, remainder is "
         "micro-batch planning/source listing.",
@@ -535,13 +560,24 @@ def main() -> None:
                 f"— flat {mean_scan_f / 1e6:.1f} MB/query (the whole "
                 f"index) vs partitioned {mean_scan_p / 1e6:.1f} "
                 f"MB/query: **{byte_cut:.1f}x less index IO per "
-                "query**.  Corroborated by the engine's own input "
-                "counters (REST `totalInputBytes` around each run, "
-                "which also include batch/store/checkpoint reads): "
+                "query**.  The engine's own counters (REST "
+                "`totalInputBytes` around each run, all reads "
+                "included) add the honest local-scale counterpoint: "
                 + (
                     f"flat {mean(in_f) / 1e9:.2f} GB vs partitioned "
-                    f"{mean(in_p) / 1e9:.2f} GB per run = "
-                    f"**{in_ratio:.1f}x less total input**."
+                    f"{mean(in_p) / 1e9:.2f} GB actually read per run "
+                    f"({in_ratio:.1f}x) — the flat layout's EFFECTIVE "
+                    "scan is already far below its on-disk size here "
+                    "(columnar projection + runtime-filter row-group "
+                    "skipping inside one well-laid-out file), while "
+                    "the partitioned layout pays per-file footer "
+                    "overhead across hundreds of touched directories "
+                    "and one appended file per touched directory per "
+                    "batch.  That is WHY flat wins wall-clock at this "
+                    "scale — and why the crossover needs directories "
+                    "big enough (O(100 MB)+ data pages) that data "
+                    "bytes, which the 9.9x prune cut attacks, dominate "
+                    "footers and listing."
                     if in_f and in_p
                     else "(status endpoint unavailable this run)."
                 ),

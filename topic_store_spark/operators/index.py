@@ -372,6 +372,7 @@ class MinHashIndex:
         #: evidence tools/stream_bench.py records) — bounded, one small
         #: dict per query.
         self.prune_log: list[dict] = []
+        self._doc_count: int | None = None
         self._check_meta()
 
     # -- internals ---------------------------------------------------------
@@ -514,8 +515,21 @@ class MinHashIndex:
         keyed, banded = self._derive(new_df)
         self._write(keyed, self._shingles_path(), "_dp", F.col("doc"), "append")
         self._write(banded, self._bands_path(), "_bp", F.col("band"), "append")
+        self._doc_count = None
 
-    def append_cached(self, ids: DataFrame) -> None:
+    def doc_count(self) -> int:
+        """Number of indexed documents — parquet FOOTER count of the
+        shingles relation (metadata-only, no data read), cached on the
+        handle; appends keep it current incrementally when they know
+        their size, else invalidate."""
+        if self._doc_count is None:
+            spark = SparkSession.getActiveSession()
+            self._doc_count = (
+                spark.read.parquet(self._shingles_path()).count()
+            )
+        return self._doc_count
+
+    def append_cached(self, ids: DataFrame, n_docs: int | None = None) -> None:
         """Append the subset of the LAST ``query``'s batch whose doc id
         is in ``ids`` (single column), REUSING the cached signatures that
         query derived — the ingest sink's shape, where survivors are a
@@ -534,6 +548,10 @@ class MinHashIndex:
             banded.join(sel, "doc", "left_semi"),
             self._bands_path(), "_bp", F.col("band"), "append",
         )
+        if n_docs is not None and self._doc_count is not None:
+            self._doc_count += n_docs
+        else:
+            self._doc_count = None
 
     # -- query -------------------------------------------------------------
     def query(
@@ -541,7 +559,8 @@ class MinHashIndex:
         batch_df: DataFrame,
         threshold_num: int = 8,
         threshold_den: int = 10,
-        bloom_prefilter: bool = True,
+        bloom_prefilter: bool | str = "auto",
+        batch_docs: int | None = None,
     ) -> DataFrame:
         """Verified near-dup pairs (jaccard >= num/den) where at least
         one side is in ``batch_df``: (batch x index) and (batch x batch).
@@ -551,6 +570,17 @@ class MinHashIndex:
         from pyspark import StorageLevel
 
         spark: SparkSession = batch_df.sparkSession
+        if bloom_prefilter == "auto":
+            # the Bloom prefilter pays when batch << corpus (it removes
+            # most index rows before the candidate join); at
+            # corpus-scale batches its build job + per-row evaluation
+            # are pure cost (measured ~1.5s of a 4.2s query at
+            # batch == corpus, identical output).  Callers that know
+            # the batch size pass it (the ingest sink does); without
+            # the hint the small-batch-safe default stays on.
+            bloom_prefilter = (
+                batch_docs is None or batch_docs * 16 <= self.doc_count()
+            )
         keyed_new, banded_new = self._derive(batch_df)
         keyed_new = keyed_new.persist(StorageLevel.MEMORY_AND_DISK)
         banded_new = banded_new.persist(StorageLevel.MEMORY_AND_DISK)

@@ -99,8 +99,28 @@ def near_dedup_ingest_stream(
                 if on_batch is not None:
                     on_batch(batch_id, 0, 0)
                 return
+            # streaming sources deliver as many partitions as source
+            # FILES — a corpus-sized micro-batch from a handful of
+            # files would sign on a handful of cores (the CPU-bound
+            # stage).  Re-spread large batches; small batches keep
+            # their layout (a 64-row batch across 32 partitions would
+            # pay 32-task scheduling on every downstream job).
+            sc = batch.sparkSession.sparkContext
+            want = min(sc.defaultParallelism, max(1, n_in // 256))
+            if want > batch.rdd.getNumPartitions():
+                spread = batch.repartition(want).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                spread.count()
+                batch.unpersist()
+                batch = spread
             t0 = time.monotonic()
-            pairs = index.query(batch)
+            try:
+                # batch-size hint lets MinHashIndex decide whether its
+                # Bloom prefilter pays (on when batch << corpus)
+                pairs = index.query(batch, batch_docs=n_in)
+            except TypeError:
+                pairs = index.query(batch)
             ids = batch.select(F.col(id_col))
             # membership tags: a batch doc loses to any index doc it
             # pairs with, and to any smaller-id batch doc
@@ -132,17 +152,40 @@ def near_dedup_ingest_stream(
             t_query = time.monotonic() - t0
             t0 = time.monotonic()
             if n_kept:
-                # survivors are cached and batch-sized: one parquet file
-                # per micro-batch, not one per shuffle partition (the
-                # store directory's file count is what every later
-                # reader lists)
-                store.write_df(survivors.coalesce(1))
-                if hasattr(index, "append_cached"):
-                    # survivors are a subset of the just-queried batch —
-                    # reuse its cached signatures, don't re-sign
-                    index.append_cached(survivors.select(F.col(id_col)))
-                else:
-                    index.append(survivors)
+                # the three appends (store parquet, index shingles,
+                # index bands) write to independent paths from cached
+                # inputs — submit them CONCURRENTLY so the wall cost is
+                # the slowest write, not the sum (Spark schedules
+                # concurrent jobs across the same executors; measured
+                # ~2x on the append phase at local[32])
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _store():
+                    # one parquet file per micro-batch, not one per
+                    # shuffle partition (the store directory's file
+                    # count is what every later reader lists)
+                    store.write_df(survivors.coalesce(1))
+
+                def _index():
+                    if hasattr(index, "append_cached"):
+                        # survivors are a subset of the just-queried
+                        # batch — reuse its cached signatures
+                        try:
+                            index.append_cached(
+                                survivors.select(F.col(id_col)),
+                                n_docs=n_kept,
+                            )
+                        except TypeError:
+                            index.append_cached(
+                                survivors.select(F.col(id_col))
+                            )
+                    else:
+                        index.append(survivors)
+
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    futs = [ex.submit(_store), ex.submit(_index)]
+                    for f in futs:
+                        f.result()
             t_append = time.monotonic() - t0
             survivors.unpersist()
             if hasattr(index, "release"):
