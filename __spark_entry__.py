@@ -517,7 +517,14 @@ def q_mongo_sample_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         },
     ]
-    return apply_pipeline(orders, pipeline).select(
+    # split at the $sample: its deterministic TakeOrdered produces ONE
+    # partition, which would serialize the whole reshape+rollup onto
+    # one core — re-spread the 200-doc sample before the expression
+    # stages (stage composition is associative, semantics unchanged)
+    from topic_store_spark.operators.util import ensure_parallelism
+
+    sampled = ensure_parallelism(apply_pipeline(orders, pipeline[:2]))
+    return apply_pipeline(sampled, pipeline[2:]).select(
         "_id", "n", "max_tot", "n_urgent", "max_tag", "min_age", "min_qtr",
         "max_us", "min_ny", "max_nyh", "max_bs",
     )
@@ -1422,8 +1429,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path: candidate generation is a band-bucket equi-join.
     This is the index BUILD query — it always pays the full
     signature/band/verify cost and materializes the pair artifact that
-    `q_dedup_clusters` derives clusters from (`_shared_minhash_pairs`)."""
-    return _shared_minhash_pairs(spark, sf_dir, rebuild=True)
+    `q_dedup_clusters` derives clusters from (`_shared_minhash_pairs`).
+    The returned relation is the artifact RE-READ (tiny single-file
+    parquet -> one partition); re-spread it so downstream consumers of
+    the pair set start parallel."""
+    from topic_store_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(_shared_minhash_pairs(spark, sf_dir, rebuild=True))
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
