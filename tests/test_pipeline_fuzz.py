@@ -354,9 +354,12 @@ def test_window_fill_densify_match_reference(spark):
             # RANGE window (r7): value-based frame over the single
             # ascending sortBy key n (unique int) — every row whose key
             # lies in [n+lo, n+hi] inclusive, regardless of row adjacency
+            # r8: fractional bounds ride the SQL-frame path (the
+            # DataFrame API's rangeBetween is long-only)
             lo, hi = rng.choice(
                 [[-2, 0], [-1, 1], [0, 3], ["unbounded", 0],
-                 ["current", 2], [-3, "unbounded"]]
+                 ["current", 2], [-3, "unbounded"],
+                 [-1.5, 0.5], [-2.5, "unbounded"], ["current", 1.5]]
             )
             # r8: direction-free membership — a descending sortBy
             # must produce the same sums (bounds are value offsets)

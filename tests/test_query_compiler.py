@@ -2445,3 +2445,51 @@ def test_json_schema_find_operator(spark):
         ids({"additionalProperties": False})
     with pytest.raises(NotImplementedError, match="where"):
         df.filter(compile_query({"$where": "this.i > 1"}, df.schema))
+
+
+def test_range_window_fractional(spark):
+    """r8: fractional range windows — double sortBy keys and/or
+    non-integral bounds ride Spark SQL's RANGE frame via the
+    expression->SQL round-trip (the DataFrame API's rangeBetween is
+    long-only).  Membership is value-based and inclusive both ends,
+    direction-free under descending sort; comparator-lambda
+    accumulators refuse loudly (lambdas don't survive the SQL
+    round-trip)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 10), (1, 2.2, 20), (1, 2.9, 40), (1, 10.5, 7),
+         (2, 0.5, 3)],
+        "g int, k double, v long",
+    )
+    spec = {"partitionBy": "$g", "sortBy": {"k": 1},
+            "output": {"s": {"$sum": "$v", "window": {"range": [-1.5, 0.5]}},
+                       "c": {"$count": {}, "window": {"range": [-1.5, 0.5]}}}}
+    rows = {(r["g"], r["k"]): (r["s"], r["c"])
+            for r in apply_pipeline(df, [{"$setWindowFields": spec}]).collect()}
+    assert rows == {(1, 1.0): (10, 1), (1, 2.2): (30, 2), (1, 2.9): (60, 2),
+                    (1, 10.5): (7, 1), (2, 0.5): (3, 1)}
+
+    # descending double sortBy: same value-based membership
+    desc = dict(spec, sortBy={"k": -1},
+                output={"s": {"$sum": "$v", "window": {"range": [-1.5, 0.5]}}})
+    rows2 = {(r["g"], r["k"]): r["s"]
+             for r in apply_pipeline(df, [{"$setWindowFields": desc}]).collect()}
+    assert rows2 == {k: v[0] for k, v in rows.items()}
+
+    # fractional bounds over an INTEGER key
+    df2 = spark.createDataFrame([(1, 1, 10), (1, 2, 20), (1, 4, 40)],
+                                "g int, k long, v long")
+    rows3 = {r["k"]: r["s"] for r in apply_pipeline(df2, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"k": 1},
+        "output": {"s": {"$sum": "$v", "window": {"range": [-1.5, 0.5]}}}}}]
+    ).collect()}
+    assert rows3 == {1: 10, 2: 30, 4: 40}
+
+    # n-ary accumulators refuse on the SQL-frame path
+    with pytest.raises(NotImplementedError, match="fractional range"):
+        apply_pipeline(df, [{"$setWindowFields": {
+            "partitionBy": "$g", "sortBy": {"k": 1},
+            "output": {"t": {"$topN": {"sortBy": {"v": 1}, "output": "$v",
+                                       "n": 2},
+                             "window": {"range": [-1.5, 0.5]}}}}}])

@@ -2120,6 +2120,34 @@ def _frame_bound(spec: Any, side: int) -> int:
     return int(spec)
 
 
+def _col_sql(c: Column) -> str:
+    """Expression -> SQL text round-trip (classic-mode column-node
+    converter) — the bridge that lets fractional RANGE frames, which
+    the DataFrame API's ``rangeBetween(long, long)`` cannot express,
+    ride Spark SQL's frame syntax.  Lambda-bearing expressions
+    (``lambdafunction``) do NOT parse back — callers must refuse those
+    combinations loudly."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    conv = getattr(
+        getattr(
+            spark._jvm.org.apache.spark.sql.classic,
+            "ColumnNodeToExpressionConverter$",
+        ),
+        "MODULE$",
+    )
+    return conv.apply(c._jc.node()).sql()
+
+
+def _over_frame(agg: Column, frame) -> Column:
+    """Apply a window frame that is either a WindowSpec or a rendered
+    SQL OVER-clause string (the fractional range path)."""
+    if isinstance(frame, str):
+        return F.expr(f"{_col_sql(agg)} {frame}")
+    return agg.over(frame)
+
+
 def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
     with _schema_scope(df.schema):
         return _compile_window_fields_scoped(df, spec)
@@ -2222,42 +2250,85 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                 t = _resolve_path_type(rkey)
                 from pyspark.sql import types as T
 
-                if not isinstance(
+                if isinstance(
+                    t, (T.FloatType, T.DoubleType, T.DecimalType)
+                ):
+                    # fractional sortBy (r8): the DataFrame API's
+                    # rangeBetween takes long bounds only, but Spark
+                    # SQL's RANGE frame accepts fractional bounds over
+                    # a fractional ordering column — route through the
+                    # SQL-frame path below
+                    okey, scale = path_col(rkey).cast("double"), 1
+                elif not isinstance(
                     t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                         T.NullType)
                 ) and t is not None:
                     raise NotImplementedError(
-                        "$setWindowFields range window: non-integral "
-                        f"numeric sortBy ({t.simpleString()}) is not "
-                        "supported"
+                        "$setWindowFields range window: sortBy must be "
+                        f"numeric (got {t.simpleString()})"
                     )
-                okey, scale = path_col(rkey).cast("long"), 1
+                else:
+                    okey, scale = path_col(rkey).cast("long"), 1
+
+            def _num_bound(v):
+                return None if isinstance(v, str) else float(v) * scale
+
+            fractional = (
+                unit is None
+                and isinstance(
+                    _resolve_path_type(rkey),
+                    (T.FloatType, T.DoubleType, T.DecimalType),
+                )
+            ) or any(
+                b is not None and b != int(b)
+                for b in (_num_bound(lo), _num_bound(hi))
+            )
 
             if rdir < 0:
                 # descending sortBy: bounds are VALUE offsets, so
                 # membership (v in [cur+lo, cur+hi]) is direction-free —
                 # negate the ordering key and mirror the bounds to get
                 # the same set through Spark's ascending range frame.
-                okey = (-okey).cast("long")
+                okey = -okey if fractional else (-okey).cast("long")
 
                 def _mirror(v):
                     return v if v in ("unbounded", "current") else -v
 
                 lo, hi = _mirror(hi), _mirror(lo)
 
-            def _rb(spec_v, side):
-                b = _frame_bound(spec_v, side)
-                if spec_v not in ("unbounded", "current"):
-                    if int(spec_v) != spec_v:
-                        raise ValueError(
-                            "range window bounds must be integral"
-                        )
-                    b = int(spec_v) * scale
-                return b
+            if fractional:
+                # SQL-frame path: render the frame as an OVER clause
+                # (expression -> SQL round-trip); the aggregate applies
+                # via F.expr at the bottom of the loop.  Same Exchange +
+                # WindowExec physical shape as the API path.
+                def _sb(spec_v, side):
+                    if spec_v == "unbounded":
+                        return ("UNBOUNDED PRECEDING" if side < 0
+                                else "UNBOUNDED FOLLOWING")
+                    if spec_v == "current":
+                        return "CURRENT ROW"
+                    x = float(spec_v) * scale
+                    return (f"{-x!r} PRECEDING" if x < 0
+                            else f"{x!r} FOLLOWING")
 
-            frame = base.orderBy(okey.asc()).rangeBetween(
-                _rb(lo, -1), _rb(hi, +1)
-            )
+                part_sql = (
+                    f"PARTITION BY {_col_sql(parts[0])} " if parts else ""
+                )
+                frame = (
+                    f"OVER ({part_sql}ORDER BY {_col_sql(okey)} ASC "
+                    f"RANGE BETWEEN {_sb(lo, -1)} AND {_sb(hi, +1)})"
+                )
+            else:
+
+                def _rb(spec_v, side):
+                    b = _frame_bound(spec_v, side)
+                    if spec_v not in ("unbounded", "current"):
+                        b = int(spec_v) * scale
+                    return b
+
+                frame = base.orderBy(okey.asc()).rangeBetween(
+                    _rb(lo, -1), _rb(hi, +1)
+                )
         elif window is not None:
             lo, hi = window["documents"]
             frame = sorted_base.rowsBetween(
@@ -2269,6 +2340,10 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
         else:
             frame = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         if op in ("$derivative", "$integral"):
+            if isinstance(frame, str):
+                raise NotImplementedError(
+                    f"{op}: fractional range windows are not supported"
+                )
             computed[name] = _calculus_window(
                 op, arg, sort_by, sorted_base, frame
             )
@@ -2276,10 +2351,12 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
         if op in ("$covariancePop", "$covarianceSamp"):
             x, y = (compile_value(a) for a in arg)
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
-            computed[name] = fn(x.cast("double"), y.cast("double")).over(frame)
+            computed[name] = _over_frame(
+                fn(x.cast("double"), y.cast("double")), frame
+            )
             continue
         if op in ("$median", "$percentile"):
-            computed[name] = _percentile_agg(op, arg).over(frame)
+            computed[name] = _over_frame(_percentile_agg(op, arg), frame)
             continue
         if op == "$expMovingAvg":
             # no window param in Mongo: always the running frame.  Exact
@@ -2364,13 +2441,19 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             # sort-aware inside the accumulator itself ($top*'s own
             # sortBy), independent of the stage sortBy; still one
             # WindowExec — collect over the frame, sort/slice per row
+            if isinstance(frame, str):
+                raise NotImplementedError(
+                    f"{op}: fractional range windows are not supported "
+                    "(comparator lambdas do not survive the SQL frame "
+                    "round-trip)"
+                )
             agg, finish = _nary_acc(op, arg)
         elif op in _ACC_RAW:
             agg = _ACC_RAW[op](compile_value(arg))
             finish = _ACC_FINISH.get(op, lambda c: c)
         else:
             raise ValueError(f"unsupported $setWindowFields operator: {op}")
-        computed[name] = finish(agg.over(frame))
+        computed[name] = finish(_over_frame(agg, frame))
 
     cols = [
         computed[c].alias(c) if c in computed else F.col(f"`{c}`")
