@@ -152,40 +152,31 @@ def near_dedup_ingest_stream(
             t_query = time.monotonic() - t0
             t0 = time.monotonic()
             if n_kept:
-                # the three appends (store parquet, index shingles,
-                # index bands) write to independent paths from cached
-                # inputs — submit them CONCURRENTLY so the wall cost is
-                # the slowest write, not the sum (Spark schedules
-                # concurrent jobs across the same executors; measured
-                # ~2x on the append phase at local[32])
-                from concurrent.futures import ThreadPoolExecutor
-
-                def _store():
-                    # one parquet file per micro-batch, not one per
-                    # shuffle partition (the store directory's file
-                    # count is what every later reader lists)
-                    store.write_df(survivors.coalesce(1))
-
-                def _index():
-                    if hasattr(index, "append_cached"):
-                        # survivors are a subset of the just-queried
-                        # batch — reuse its cached signatures
-                        try:
-                            index.append_cached(
-                                survivors.select(F.col(id_col)),
-                                n_docs=n_kept,
-                            )
-                        except TypeError:
-                            index.append_cached(
-                                survivors.select(F.col(id_col))
-                            )
-                    else:
-                        index.append(survivors)
-
-                with ThreadPoolExecutor(max_workers=2) as ex:
-                    futs = [ex.submit(_store), ex.submit(_index)]
-                    for f in futs:
-                        f.result()
+                # the three appends run SEQUENTIALLY on purpose: a
+                # concurrent-submission variant (ThreadPool over the
+                # store write + index appends) measured ~0.6s faster
+                # per corpus-sized batch but hit an intermittent
+                # "Block rdd_N does not exist" abort (~1 in 300
+                # micro-batches) from concurrent jobs sharing the
+                # batch/survivor cached relations — a killed streaming
+                # query is worth more than the overlap.
+                #
+                # one parquet file per micro-batch, not one per shuffle
+                # partition (the store directory's file count is what
+                # every later reader lists)
+                store.write_df(survivors.coalesce(1))
+                if hasattr(index, "append_cached"):
+                    # survivors are a subset of the just-queried batch —
+                    # reuse its cached signatures, don't re-sign
+                    try:
+                        index.append_cached(
+                            survivors.select(F.col(id_col)),
+                            n_docs=n_kept,
+                        )
+                    except TypeError:
+                        index.append_cached(survivors.select(F.col(id_col)))
+                else:
+                    index.append(survivors)
             t_append = time.monotonic() - t0
             survivors.unpersist()
             if hasattr(index, "release"):
