@@ -2493,3 +2493,30 @@ def test_range_window_fractional(spark):
             "output": {"t": {"$topN": {"sortBy": {"v": 1}, "output": "$v",
                                        "n": 2},
                              "window": {"range": [-1.5, 0.5]}}}}}])
+
+
+def test_lookup_suffix_dotted_paths(spark):
+    """r8: dotted paths in $lookup suffix $addFields/$set/$unset write
+    into / drop from NESTED structs per element; unsetting a missing
+    path is a no-op (Mongo)."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    custs = spark.createDataFrame([(10,)], "cid int")
+    orders = spark.createDataFrame(
+        [(1, 10, ("x", 2)), (2, 10, ("y", 5))],
+        "oid int, cust int, meta struct<tag:string, lvl:int>",
+    )
+    out = apply_pipeline(
+        custs,
+        [{"$lookup": {"from": "orders", "let": {"c": "$cid"},
+                      "pipeline": [
+                          {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                          {"$sort": {"oid": 1}},
+                          {"$set": {"meta.lvl": {"$add": ["$meta.lvl", 10]}}},
+                          {"$unset": ["meta.tag", "nope.deep"]},
+                      ], "as": "a"}}],
+        tables={"orders": orders},
+    )
+    arr = out.collect()[0]["a"]
+    assert [e["meta"].asDict() for e in arr] == [{"lvl": 12}, {"lvl": 15}]
+    assert [e["oid"] for e in arr] == [1, 2]

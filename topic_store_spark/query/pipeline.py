@@ -3312,43 +3312,49 @@ def _suffix_transforms(
                 lambda arr, p=_pred: F.filter(arr, lambda e: p(e))
             )
         elif op in ("$addFields", "$set"):
-            if any("." in k for k in spec):
-                raise NotImplementedError(
-                    f"$lookup pipeline suffix {op}: dotted paths are not "
-                    "supported"
-                )
+            # dotted keys write into nested structs (r8): withField's
+            # quoted-segment path syntax.  Writing under a MISSING
+            # intermediate document refuses loudly at analysis (Mongo
+            # would create it) — faithful-or-loud.
             items = [(k, _element_scope(v)) for k, v in spec.items()]
 
             def _add(arr, items=items):
                 def f(e):
                     for k, v in items:
-                        e = e.withField(
-                            f"`{k}`", compile_value(v, {"__el": e})
+                        path = ".".join(
+                            f"`{p}`" for p in k.split(".")
                         )
+                        e = e.withField(path, compile_value(v, {"__el": e}))
                     return e
 
                 return F.transform(arr, f)
 
             closures.append(_add)
             for k, _ in items:
-                if k not in cur:
-                    cur.append(k)
+                top = k.split(".")[0]
+                if "." not in k and top not in cur:
+                    cur.append(top)
         elif op == "$unset":
+            # dotted paths drop nested fields (r8: dropFields quoted
+            # segments — a missing path is a no-op, same as Mongo)
             paths = [spec] if isinstance(spec, str) else list(spec)
-            if any("." in p for p in paths):
-                raise NotImplementedError(
-                    "$lookup pipeline suffix $unset: dotted paths are not "
-                    "supported"
-                )
-            kept = [f for f in cur if f not in paths]
+            # a dotted path under a MISSING top-level field is a Mongo
+            # no-op, but dropFields errors on it — skip those here
+            # (deeper missing segments under an existing struct are
+            # already no-ops)
+            quoted = [
+                ".".join(f"`{seg}`" for seg in p.split("."))
+                for p in paths
+                if p.split(".")[0] in cur
+            ]
 
-            def _drop(arr, kept=list(kept)):
-                return F.transform(
-                    arr, lambda e: F.struct(*[e[f].alias(f) for f in kept])
-                )
+            def _drop(arr, quoted=list(quoted)):
+                if not quoted:
+                    return arr
+                return F.transform(arr, lambda e: e.dropFields(*quoted))
 
             closures.append(_drop)
-            cur = kept
+            cur = [f for f in cur if f not in paths]
         elif op == "$project":
             if any("." in k for k in spec):
                 raise NotImplementedError(
