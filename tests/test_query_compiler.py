@@ -2209,6 +2209,32 @@ def test_linear_fill_repeated_sort_key_raises(spark):
         ).collect()
 
 
+def test_linear_fill_null_first_sort_key_is_not_a_duplicate(spark):
+    """r9 advice fix: lag() on a partition's FIRST row returns an
+    out-of-frame NULL — a first row whose sortBy key is itself NULL
+    must not trip the duplicate guard (eqNullSafe(NULL, NULL) aliased
+    the two before the in-partition indicator was ANDed in).  Two REAL
+    null keys in one partition still raise."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (1, 1, 10.0), (1, 3, None), (1, 5, 30.0)],
+        "g int, k int, v double",
+    )
+    spec = {"partitionBy": "$g", "sortBy": {"k": 1},
+            "output": {"li": {"$linearFill": "$v"}}}
+    got = {r["k"]: r["li"]
+           for r in apply_pipeline(df, [{"$setWindowFields": spec}]).collect()}
+    assert got[3] == 20.0 and got[None] == 5.0
+
+    dup = spark.createDataFrame(
+        [(1, None, 5.0), (1, None, 6.0), (1, 1, 10.0)],
+        "g int, k int, v double",
+    )
+    with pytest.raises(Exception, match="repeated sortBy"):
+        apply_pipeline(dup, [{"$setWindowFields": spec}]).collect()
+
+
 def test_bits_on_string_field_never_matches(spark):
     """$bits* on a string-typed field: Mongo matches numbers only, so a
     castable string like "5" must NOT match — and under ANSI the old
@@ -2344,6 +2370,11 @@ def test_lookup_suffix_row_local_stages(spark):
     rows = run([eq, {"$sort": {"oid": 1}}, {"$project": {"cust": 0}}])
     assert rows[20][0].asDict() == {"oid": 4, "total": 1.0}
 
+    # {"$match": {}} is valid Mongo (matches everything) — previously
+    # an IndexError inside the filter closure (r9 advice fix)
+    rows = run([eq, {"$sort": {"oid": 1}}, {"$match": {}}])
+    assert [o["oid"] for o in rows[10]] == [1, 2, 3]
+
 
 def test_lookup_mixed_form_foreign_field_rewrite(spark):
     """r8 advisor find: Mongo applies the localField equality to the
@@ -2449,12 +2480,12 @@ def test_json_schema_find_operator(spark):
 
 def test_range_window_fractional(spark):
     """r8: fractional range windows — double sortBy keys and/or
-    non-integral bounds ride Spark SQL's RANGE frame via the
-    expression->SQL round-trip (the DataFrame API's rangeBetween is
+    non-integral bounds ride Spark SQL's RANGE frame, rendered over
+    pre-projected temp columns (the DataFrame API's rangeBetween is
     long-only).  Membership is value-based and inclusive both ends,
     direction-free under descending sort; comparator-lambda
     accumulators refuse loudly (lambdas don't survive the SQL
-    round-trip)."""
+    rendering)."""
     from topic_store_spark.query.pipeline import apply_pipeline
 
     df = spark.createDataFrame(
@@ -2493,6 +2524,98 @@ def test_range_window_fractional(spark):
             "output": {"t": {"$topN": {"sortBy": {"v": 1}, "output": "$v",
                                        "n": 2},
                              "window": {"range": [-1.5, 0.5]}}}}}])
+
+
+def test_range_window_unit_rejects_fractional_bounds(spark):
+    """r9 advice fix (high): a fractional bound combined with ``unit``
+    must raise, not silently truncate — -1.5 hours scales to an
+    integral -5400000.0 ms, which previously slipped past the
+    fractional detection into the integer path and computed
+    int(-1.5) * 3600000 = -1 hour (Mongo rejects non-integer bounds
+    whenever unit is set)."""
+    from datetime import datetime
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    ts = spark.createDataFrame(
+        [(1, datetime(2021, 1, 1, 12), 1), (1, datetime(2021, 1, 1, 13), 2),
+         (1, datetime(2021, 1, 1, 14, 30), 4)],
+        "g int, t timestamp, v long",
+    )
+    spec = {"partitionBy": "$g", "sortBy": {"t": 1},
+            "output": {"s": {"$sum": "$v",
+                             "window": {"range": [-1.5, 0], "unit": "hour"}}}}
+    with pytest.raises(ValueError, match="integers when unit"):
+        apply_pipeline(ts, [{"$setWindowFields": spec}])
+
+    # integral bounds (incl. float-typed 2.0) with unit still compute
+    spec["output"]["s"]["window"]["range"] = [-2.0, 0]
+    got = {r["v"]: r["s"]
+           for r in apply_pipeline(ts, [{"$setWindowFields": spec}]).collect()}
+    # 14:30-row's 2h window reaches back to 12:30 -> only the 13:00 row
+    assert got == {1: 1, 2: 3, 4: 6}
+
+
+def test_range_window_fractional_full_operator_matrix(spark):
+    """r9: the SQL-frame path (fractional range windows) renders every
+    supported window aggregate from temp columns — covariance,
+    $median/$percentile, $push/$addToSet (null-keeping struct wrap),
+    $first/$last, $avg/$min/$max/$stdDev* — with no private-API
+    expression->SQL round-trip."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 10, 1.0), (1, 2.0, None, 2.0), (1, 2.5, 40, 5.0),
+         (2, 0.5, 3, 1.0)],
+        "g int, k double, v long, w double",
+    )
+    win = {"range": [-1.5, 0.5]}
+    out = apply_pipeline(df, [{"$setWindowFields": {
+        "partitionBy": "$g", "sortBy": {"k": 1},
+        "output": {
+            "avg_v": {"$avg": "$v", "window": win},
+            "push_v": {"$push": "$v", "window": win},
+            "set_v": {"$addToSet": "$v", "window": win},
+            "first_v": {"$first": "$v", "window": win},
+            "last_v": {"$last": "$v", "window": win},
+            "med_w": {"$median": {"input": "$w"}, "window": win},
+            "pcts": {"$percentile": {"input": "$w", "p": [0.0, 1.0]},
+                     "window": win},
+            "cov": {"$covariancePop": ["$k", "$w"], "window": win},
+            "mx": {"$max": "$v", "window": win},
+            "sd": {"$stdDevPop": "$w", "window": win},
+        }}}])
+    r = {row["k"]: row for row in out.where("g = 1").collect()}
+    # k=2.0's frame is [0.5, 2.5] -> all three g=1 rows
+    assert r[2.0]["avg_v"] == 25.0
+    assert r[2.0]["push_v"] == [10, None, 40]   # $push keeps nulls
+    # $addToSet keeps null as a distinct element (Mongo parity)
+    assert sorted(r[2.0]["set_v"], key=lambda x: (x is None, x)) == \
+        [10, 40, None]
+    assert r[2.0]["first_v"] == 10 and r[2.0]["last_v"] == 40
+    assert r[2.0]["med_w"] == 2.0
+    assert r[2.0]["pcts"] == [1.0, 5.0]
+    assert r[2.0]["mx"] == 40
+    # k=1.0's frame is [-0.5, 1.5] -> just itself
+    assert r[1.0]["cov"] == 0.0 and r[1.0]["sd"] == 0.0
+    # temp columns never leak into the stage output
+    assert not [c for c in out.columns if c.startswith("__ts_wf_")]
+
+
+def test_no_private_jvm_api_in_package():
+    """r9 (VERDICT #1): the engine must survive Spark Connect, where
+    ``SparkSession._jvm`` / ``Column._jc`` do not exist.  Grep-pin: no
+    source file in the package touches either."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for py in (root / "topic_store_spark").rglob("*.py"):
+        text = py.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            if "._jvm" in line or "._jc" in line:
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
 
 
 def test_lookup_suffix_dotted_paths(spark):

@@ -2120,32 +2120,85 @@ def _frame_bound(spec: Any, side: int) -> int:
     return int(spec)
 
 
-def _col_sql(c: Column) -> str:
-    """Expression -> SQL text round-trip (classic-mode column-node
-    converter) — the bridge that lets fractional RANGE frames, which
-    the DataFrame API's ``rangeBetween(long, long)`` cannot express,
-    ride Spark SQL's frame syntax.  Lambda-bearing expressions
-    (``lambdafunction``) do NOT parse back — callers must refuse those
-    combinations loudly."""
-    from pyspark.sql import SparkSession
+class _TempAlloc:
+    """Stage-level allocator of uniquely-named projected temp columns
+    (collision-proof against the input's column names)."""
 
-    spark = SparkSession.getActiveSession()
-    conv = getattr(
-        getattr(
-            spark._jvm.org.apache.spark.sql.classic,
-            "ColumnNodeToExpressionConverter$",
-        ),
-        "MODULE$",
-    )
-    return conv.apply(c._jc.node()).sql()
+    def __init__(self, taken) -> None:
+        self.cols: dict[str, Column] = {}
+        self._taken = set(taken)
+        self._i = 0
+
+    def add(self, value: Column) -> str:
+        """Register ``value`` as a temp column; return its backticked
+        SQL identifier."""
+        while True:
+            name = f"__ts_wf_{self._i}"
+            self._i += 1
+            if name not in self._taken:
+                break
+        self._taken.add(name)
+        self.cols[name] = value
+        return f"`{name}`"
 
 
-def _over_frame(agg: Column, frame) -> Column:
-    """Apply a window frame that is either a WindowSpec or a rendered
-    SQL OVER-clause string (the fractional range path)."""
-    if isinstance(frame, str):
-        return F.expr(f"{_col_sql(agg)} {frame}")
-    return agg.over(frame)
+class _SqlFrame:
+    """Fractional RANGE frame as a SQL ``OVER`` clause — the DataFrame
+    API's ``rangeBetween(long, long)`` cannot express fractional bounds,
+    but Spark SQL's frame syntax can.  Every column input (partition
+    key, ordering key, aggregate arguments) rides a PRE-PROJECTED temp
+    column, so the rendered SQL contains only backticked identifiers and
+    numeric literals: no expression->SQL round-trip, no ``_jvm`` /
+    ``_jc`` private API (the classic-only ColumnNodeToExpressionConverter
+    bridge this replaces breaks under Spark Connect, where managed
+    clusters land).  Physical shape is unchanged: one Exchange on the
+    partition key + one WindowExec, same as the API path."""
+
+    def __init__(self, alloc: "_TempAlloc", over: str = "") -> None:
+        self.alloc = alloc
+        self.over = over
+
+    def add(self, value: Column) -> str:
+        return self.alloc.add(value)
+
+    def apply(self, agg_sql: str) -> Column:
+        """The aggregate (as SQL text over temp identifiers) applied
+        over this frame."""
+        return F.expr(f"{agg_sql} {self.over}")
+
+
+#: window-path SQL names for the single-input accumulators (_ACC_RAW
+#: parity; $push/$addToSet pre-wrap elements in a struct temp so
+#: collect_list keeps nulls, same trick as the Column path)
+_ACC_SQL = {
+    "$sum": "sum", "$avg": "avg", "$min": "min", "$max": "max",
+    "$first": "first", "$last": "last",
+    "$push": "collect_list", "$addToSet": "collect_list",
+    "$stdDevPop": "stddev_pop", "$stdDevSamp": "stddev_samp",
+}
+
+
+def _percentile_sql(op: str, arg: Any, frame: "_SqlFrame") -> Column:
+    """``$median`` / ``$percentile`` on the SQL-frame path (same
+    exact-percentile / accuracy-switch semantics as
+    :func:`_percentile_agg`).  The OVER clause attaches to EACH
+    percentile aggregate — an ``array(...)`` wrapper is not a window
+    function, so the frame applies inside and the array builds outside
+    (still one WindowExec: identical window specs collapse)."""
+    if not isinstance(arg, dict) or "input" not in arg:
+        raise ValueError(f"{op} requires {{input: ...}}")
+    ident = frame.add(compile_value(arg["input"]).cast("double"))
+    if "accuracy" in arg:
+        acc = int(arg["accuracy"])
+        pct = lambda p: f"percentile_approx({ident}, {p!r}, {acc})"  # noqa: E731
+    else:
+        pct = lambda p: f"percentile({ident}, {p!r})"  # noqa: E731
+    if op == "$median":
+        return frame.apply(pct(0.5))
+    ps = arg["p"]
+    if not isinstance(ps, list) or not ps:
+        raise ValueError("$percentile requires a non-empty p array")
+    return F.array(*[frame.apply(pct(float(p))) for p in ps])
 
 
 def _compile_window_fields(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
@@ -2177,6 +2230,8 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
     sorted_base = base.orderBy(*order) if order else base
 
     computed: dict[str, Column] = {}
+    out_columns = list(df.columns)
+    temp_alloc = _TempAlloc(out_columns)
     for name, out_spec in spec["output"].items():
         out_spec = dict(out_spec)
         window = out_spec.pop("window", None)
@@ -2242,6 +2297,17 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                         f"range window unit {unit!r}: fixed-length units "
                         "only (week..millisecond)"
                     )
+                # Mongo rejects non-integer bounds when unit is set —
+                # refuse loudly BEFORE scaling: a fractional bound like
+                # -1.5 hours scales to an integral -5400000.0 ms, which
+                # would otherwise slip past the fractional detection
+                # into the integer path and truncate (r9 advice fix).
+                for b in (lo, hi):
+                    if not isinstance(b, str) and float(b) != int(float(b)):
+                        raise ValueError(
+                            "$setWindowFields range window: bounds must "
+                            f"be integers when unit is set (got {b!r})"
+                        )
                 okey = (
                     path_col(rkey).cast("timestamp").cast("double") * 1000
                 ).cast("long")
@@ -2298,9 +2364,10 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
 
             if fractional:
                 # SQL-frame path: render the frame as an OVER clause
-                # (expression -> SQL round-trip); the aggregate applies
-                # via F.expr at the bottom of the loop.  Same Exchange +
-                # WindowExec physical shape as the API path.
+                # over pre-projected temp columns (no private-API
+                # expression->SQL round-trip); the aggregate applies via
+                # frame.apply(...) in the op branches below.  Same
+                # Exchange + WindowExec physical shape as the API path.
                 def _sb(spec_v, side):
                     if spec_v == "unbounded":
                         return ("UNBOUNDED PRECEDING" if side < 0
@@ -2311,11 +2378,12 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                     return (f"{-x!r} PRECEDING" if x < 0
                             else f"{x!r} FOLLOWING")
 
+                frame = _SqlFrame(temp_alloc)
                 part_sql = (
-                    f"PARTITION BY {_col_sql(parts[0])} " if parts else ""
+                    f"PARTITION BY {frame.add(parts[0])} " if parts else ""
                 )
-                frame = (
-                    f"OVER ({part_sql}ORDER BY {_col_sql(okey)} ASC "
+                frame.over = (
+                    f"OVER ({part_sql}ORDER BY {frame.add(okey)} ASC "
                     f"RANGE BETWEEN {_sb(lo, -1)} AND {_sb(hi, +1)})"
                 )
             else:
@@ -2323,7 +2391,10 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
                 def _rb(spec_v, side):
                     b = _frame_bound(spec_v, side)
                     if spec_v not in ("unbounded", "current"):
-                        b = int(spec_v) * scale
+                        # the unscaled bound is validated integral when
+                        # unit is set; int() after float() so a float
+                        # literal like 2.0 rides too
+                        b = int(float(spec_v)) * scale
                     return b
 
                 frame = base.orderBy(okey.asc()).rangeBetween(
@@ -2340,7 +2411,7 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
         else:
             frame = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         if op in ("$derivative", "$integral"):
-            if isinstance(frame, str):
+            if isinstance(frame, _SqlFrame):
                 raise NotImplementedError(
                     f"{op}: fractional range windows are not supported"
                 )
@@ -2349,14 +2420,22 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             )
             continue
         if op in ("$covariancePop", "$covarianceSamp"):
-            x, y = (compile_value(a) for a in arg)
-            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
-            computed[name] = _over_frame(
-                fn(x.cast("double"), y.cast("double")), frame
-            )
+            x, y = (compile_value(a).cast("double") for a in arg)
+            if isinstance(frame, _SqlFrame):
+                fn = ("covar_pop" if op == "$covariancePop"
+                      else "covar_samp")
+                computed[name] = frame.apply(
+                    f"{fn}({frame.add(x)}, {frame.add(y)})"
+                )
+            else:
+                fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+                computed[name] = fn(x, y).over(frame)
             continue
         if op in ("$median", "$percentile"):
-            computed[name] = _over_frame(_percentile_agg(op, arg), frame)
+            if isinstance(frame, _SqlFrame):
+                computed[name] = _percentile_sql(op, arg, frame)
+            else:
+                computed[name] = _percentile_agg(op, arg).over(frame)
             continue
         if op == "$expMovingAvg":
             # no window param in Mongo: always the running frame.  Exact
@@ -2418,7 +2497,13 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             # adjacent-key equality under the stage sort — flags any
             # duplicate in the partition without adding an exchange —
             # and raise, rather than silently emitting NaN/Infinity.
-            dup_here = F.lag(key).over(sorted_base).eqNullSafe(key)
+            # The eqNullSafe must be ANDed with an in-partition
+            # indicator: lag() on a partition's FIRST row returns an
+            # out-of-frame NULL, which would alias a null sortBy key
+            # (eqNullSafe(NULL, NULL) = TRUE) and raise with no
+            # duplicate present (r9 advice fix).
+            in_part = F.lag(F.lit(True), 1, False).over(sorted_base)
+            dup_here = in_part & F.lag(key).over(sorted_base).eqNullSafe(key)
             computed[name] = (
                 F.when(
                     dup_here,
@@ -2436,30 +2521,48 @@ def _compile_window_fields_scoped(df: DataFrame, spec: dict[str, Any]) -> DataFr
             )
             continue
         if op == "$count":
+            if isinstance(frame, _SqlFrame):
+                computed[name] = frame.apply("count(1)")
+                continue
             agg, finish = F.count(F.lit(1)), (lambda c: c)
         elif op in _NARY_ACCS:
             # sort-aware inside the accumulator itself ($top*'s own
             # sortBy), independent of the stage sortBy; still one
             # WindowExec — collect over the frame, sort/slice per row
-            if isinstance(frame, str):
+            if isinstance(frame, _SqlFrame):
                 raise NotImplementedError(
                     f"{op}: fractional range windows are not supported "
                     "(comparator lambdas do not survive the SQL frame "
-                    "round-trip)"
+                    "rendering)"
                 )
             agg, finish = _nary_acc(op, arg)
         elif op in _ACC_RAW:
-            agg = _ACC_RAW[op](compile_value(arg))
             finish = _ACC_FINISH.get(op, lambda c: c)
+            if isinstance(frame, _SqlFrame):
+                c = compile_value(arg)
+                if op in ("$push", "$addToSet"):
+                    c = F.struct(c.alias("v"))
+                computed[name] = finish(
+                    frame.apply(f"{_ACC_SQL[op]}({frame.add(c)})")
+                )
+                continue
+            agg = _ACC_RAW[op](compile_value(arg))
         else:
             raise ValueError(f"unsupported $setWindowFields operator: {op}")
-        computed[name] = finish(_over_frame(agg, frame))
+        computed[name] = finish(agg.over(frame))
 
+    if temp_alloc.cols:
+        # fractional SQL frames reference pre-projected temp inputs;
+        # they exist only between these two selects and never reach the
+        # stage output (out_columns was captured before)
+        df = df.select(
+            "*", *[c.alias(n) for n, c in temp_alloc.cols.items()]
+        )
     cols = [
         computed[c].alias(c) if c in computed else F.col(f"`{c}`")
-        for c in df.columns
+        for c in out_columns
     ]
-    cols += [e.alias(n) for n, e in computed.items() if n not in df.columns]
+    cols += [e.alias(n) for n, e in computed.items() if n not in out_columns]
     return df.select(*cols)
 
 
@@ -3245,9 +3348,10 @@ def _suffix_transforms(
     ``filter`` / ``slice`` over the array preserves semantics with no
     extra shuffle or re-join — the at-scale shape).  Supported:
     ``$sort`` / ``$limit`` / ``$skip`` / ``$match`` (field predicates +
-    var-free ``$expr``) / ``$addFields`` / ``$set`` / ``$unset`` /
-    ``$project`` with FLAT field names (dotted paths in these suffix
-    stages are refused loudly).  Returns ``(closures, final_fields)``
+    var-free ``$expr``) / ``$addFields`` / ``$set`` / ``$unset``
+    (dotted paths supported — withField/dropFields quoted segments) /
+    ``$project`` with FLAT field names (dotted ``$project`` paths are
+    refused loudly).  Returns ``(closures, final_fields)``
     where each closure maps the array Column to the transformed one."""
     from topic_store_spark.query.compiler import elem_match_predicate
 
@@ -3301,6 +3405,9 @@ def _suffix_transforms(
                     conds.append(
                         _truthy_expr(_element_scope(expr), {"__el": e})
                     )
+                if not conds:
+                    # {"$match": {}} is valid Mongo: matches everything
+                    return F.lit(True)
                 out_c = conds[0]
                 for c in conds[1:]:
                     out_c = out_c & c
