@@ -2465,6 +2465,37 @@ def test_json_schema_find_operator(spark):
     assert ids({"properties": {"st": {"required": ["u"]}}}) == [1, 3, 4]
     assert ids({"properties": {"st": {"properties": {"u": {"minimum": 5}}}}}
                ) == [2, 3, 4]
+    # numeric keywords are statically inapplicable to a string-typed
+    # property: a numeric-LOOKING string must pass (r9 advice fix — an
+    # unconditional try_cast range-checked "3" against minimum/maximum)
+    num_strs = spark.createDataFrame(
+        [(1, "3"), (2, "zz"), (3, "150")], "i long, s string"
+    )
+    got = sorted(
+        r["i"]
+        for r in num_strs.filter(
+            compile_query(
+                {"$jsonSchema": {"properties": {"s": {"minimum": 5,
+                                                      "maximum": 10,
+                                                      "multipleOf": 2}}}},
+                num_strs.schema,
+            )
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+    # ... including via items over a string array and nested properties
+    arr_strs = spark.createDataFrame(
+        [(1, ["3", "9"], ("4",))],
+        "i long, a array<string>, st struct<u: string>",
+    )
+    assert arr_strs.filter(
+        compile_query(
+            {"$jsonSchema": {"properties": {
+                "a": {"items": {"minimum": 100}},
+                "st": {"properties": {"u": {"multipleOf": 3}}}}}},
+            arr_strs.schema,
+        )
+    ).count() == 1
     # enum + combinators
     assert ids({"properties": {"s": {"enum": ["ab", "zz"]}}}) == [1, 3, 4]
     assert ids({"anyOf": [{"required": ["arr"]},

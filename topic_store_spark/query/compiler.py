@@ -415,12 +415,35 @@ def _js_typeof_is(col: Column, *prefixes: str) -> Column:
     return out
 
 
-def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
+def _js_field_type(etype, field: str):
+    """Engine type of ``field`` under a property's known static type
+    (follows field access through arrays, like _static_path_type);
+    None when unknown."""
+    from pyspark.sql import types as T
+
+    node = etype
+    while isinstance(node, T.ArrayType):
+        node = node.elementType
+    if isinstance(node, T.StructType):
+        match = next((f for f in node.fields if f.name == field), None)
+        return match.dataType if match is not None else None
+    return None
+
+
+def _js_value_pred(
+    col: Column, spec: dict[str, Any], etype=None
+) -> Column:
     """Property-level ``$jsonSchema`` predicate (draft-4 core as MongoDB
     validates it).  JSON-Schema semantics: each keyword constrains only
     values of its applicable type (``minimum`` ignores strings, ...) —
     non-applicable values pass.  Null handling is the caller's job
-    (a property schema applies only when the property is present)."""
+    (a property schema applies only when the property is present).
+    ``etype`` is the property's STATIC engine type when known (None
+    under the ragged resolver) — it gates the numeric keywords the same
+    way the $bits* path is gated: on a string-typed column a
+    numeric-LOOKING string like "3" must pass ``minimum: 5`` (keyword
+    not applicable), where an unconditional try_cast would range-check
+    it (r9 advice fix)."""
     extra = set(spec) - _JS_KEYWORDS
     if extra:
         raise NotImplementedError(
@@ -432,6 +455,12 @@ def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
         # a keyword that evaluates NULL on a present value means "not
         # applicable to this type" -> pass
         return F.coalesce(p, F.lit(True))
+
+    # numeric keywords apply only when the value can be a number: with
+    # a known non-numeric engine type they are statically inapplicable
+    # (pass); under the ragged resolver (etype None) numbers surface as
+    # strings, so there the castability test IS the numeric test
+    numeric_applicable = etype is None or _is_numeric_type(etype)
 
     bt = spec.get("bsonType", spec.get("type"))
     if bt is not None:
@@ -455,15 +484,15 @@ def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
             pred = pred | col.eqNullSafe(F.lit(v))
         conds.append(pred)
     num = col.try_cast("double")
-    if "minimum" in spec:
+    if "minimum" in spec and numeric_applicable:
         lo = F.lit(spec["minimum"])
         strict = spec.get("exclusiveMinimum") is True
         conds.append(safe(num > lo if strict else num >= lo))
-    if "maximum" in spec:
+    if "maximum" in spec and numeric_applicable:
         hi = F.lit(spec["maximum"])
         strict = spec.get("exclusiveMaximum") is True
         conds.append(safe(num < hi if strict else num <= hi))
-    if "multipleOf" in spec:
+    if "multipleOf" in spec and numeric_applicable:
         conds.append(safe(num % F.lit(spec["multipleOf"]) == 0))
     is_str = _js_typeof_is(col, "string")
     if "minLength" in spec:
@@ -499,12 +528,16 @@ def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
                 "$jsonSchema items: per-position schema arrays are not "
                 "supported (single-schema form only)"
             )
+        from pyspark.sql import types as T
+
+        el_type = etype.elementType if isinstance(etype, T.ArrayType) else None
         conds.append(
             safe(
                 F.forall(
                     col,
                     lambda e: F.coalesce(
-                        e.isNull() | _js_value_pred(e, items), F.lit(True)
+                        e.isNull() | _js_value_pred(e, items, el_type),
+                        F.lit(True),
                     ),
                 )
             )
@@ -513,10 +546,15 @@ def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
         conds.append(col[f].isNotNull())
     for f, sub in (spec.get("properties") or {}).items():
         fc = col[f]
-        conds.append(F.coalesce(fc.isNull() | _js_value_pred(fc, sub), F.lit(True)))
+        conds.append(
+            F.coalesce(
+                fc.isNull() | _js_value_pred(fc, sub, _js_field_type(etype, f)),
+                F.lit(True),
+            )
+        )
     for comb in ("allOf", "anyOf", "oneOf"):
         if comb in spec:
-            subs = [_js_value_pred(col, s) for s in spec[comb]]
+            subs = [_js_value_pred(col, s, etype) for s in spec[comb]]
             if comb == "allOf":
                 pred = F.lit(True)
                 for s in subs:
@@ -532,7 +570,9 @@ def _js_value_pred(col: Column, spec: dict[str, Any]) -> Column:
                 pred = total == 1
             conds.append(pred)
     if "not" in spec:
-        conds.append(~F.coalesce(_js_value_pred(col, spec["not"]), F.lit(True)))
+        conds.append(
+            ~F.coalesce(_js_value_pred(col, spec["not"], etype), F.lit(True))
+        )
     out = F.lit(True)
     for c in conds:
         out = out & c
@@ -578,12 +618,23 @@ def _compile_json_schema(
         )
 
     conds: list[Column] = []
+    def static_type(path: str):
+        # the property's engine type when the schema is static; None
+        # under the ragged resolver (types unknown until runtime)
+        if resolver is not None or schema is None:
+            return None
+        full = f"{prefix}.{path}" if prefix else path
+        return _static_path_type(schema, full)
+
     for f in spec.get("required") or []:
         conds.append(resolve(f).isNotNull())
     for f, sub in (spec.get("properties") or {}).items():
         col = resolve(f)
         conds.append(
-            F.coalesce(col.isNull() | _js_value_pred(col, sub), F.lit(True))
+            F.coalesce(
+                col.isNull() | _js_value_pred(col, sub, static_type(f)),
+                F.lit(True),
+            )
         )
     for comb in ("allOf", "anyOf", "oneOf"):
         if comb in spec:
