@@ -479,7 +479,9 @@ def main() -> None:
         "same-session): micro-batches re-spread across cores before "
         "the CPU-bound signing (stream sources deliver one partition "
         "per source FILE), the three appends (store + index bands + "
-        "index shingles) submit concurrently, and the Bloom prefilter "
+        "index shingles) run sequentially (a concurrent-submit variant "
+        "was tried and REVERTED in d758d39 — an intermittent "
+        "shared-cache race, ~1/300 batches), and the Bloom prefilter "
         "is adaptive — OFF at corpus-scale batches where its build "
         "job + per-row evaluation measured ~1.5s of a 4.2s query for "
         "identical output, ON when batch << corpus (the "
