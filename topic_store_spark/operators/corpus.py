@@ -677,13 +677,20 @@ def unigram_logprob(
     DuckDB oracle).  The one ``ln`` call per *distinct vocabulary term*
     operates on an identical double in both engines.
 
-    Plan at 100 TB: (doc, term) tf rollup (one shuffle, map-side
-    partials over the Zipf-hot terms), a vocabulary rollup off the tf
-    relation (second rollup is over distinct (doc, term) — far smaller
-    than the token stream), a term-keyed join to attach log-probs (AQE
-    broadcasts a small vocab; a web-scale vocab shuffle-joins — correct
-    either way), and a per-doc rollup.  The corpus total rides a 1-row
-    broadcast cross join.  No Python anywhere.
+    Plan at 100 TB (r9 shuffle diet — 10 Exchanges down to 5): the
+    corpus TOTAL is one eager 1-row scalar (``sum(size(tokens))`` —
+    equal to the exploded-token count because ``tokens()`` never yields
+    null/empty elements — collected to the driver and inlined as a
+    literal), which removes both the 1-row SinglePartition exchange and
+    the diamond that recomputed the whole tf lineage under the old
+    ``crossJoin(broadcast(total))``.  The vocabulary rollup runs
+    DIRECTLY off the token stream (map-side partials over the Zipf-hot
+    terms; same counts as summing tf, without dragging the expensive
+    (doc, term) exchange into a second branch).  Then: (doc, term) tf
+    rollup (one shuffle), a term-keyed join to attach log-probs (AQE
+    broadcasts a small vocab; a web-scale vocab shuffle-joins with AQE
+    skew splitting — correct either way), and a per-doc rollup.  No
+    Python beyond the one collected integer.
 
     Returns (doc, n_tokens, nll_milli, mean_nll_milli, ppl_bucket):
     ``nll_milli``   = -sum over tokens of logprob_milli (exact integer),
@@ -692,16 +699,25 @@ def unigram_logprob(
     fixed-width histogram bucket a CCNet-style head/middle/tail split
     thresholds on.
     """
-    tk = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
     )
+    tk = src.select("doc", tokens(F.col("_txt")).alias("_tk"))
     terms = explode_nonempty(tk, "_tk", "term", "doc")
     tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
-    total = vocab.select(F.sum("cnt").cast("long").alias("n_total"))
-    lp = vocab.crossJoin(F.broadcast(total)).select(
+    # eager scalar: one cheap scan + 1-row aggregate, exact integer
+    n_total = (
+        tk.select(
+            F.sum(F.coalesce(F.size("_tk"), F.lit(0))).cast("long")
+        ).first()[0]
+        or 0
+    )
+    vocab = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    lp = vocab.select(
         "term",
-        F.round(F.log(F.col("cnt") / F.col("n_total")) * precision)
+        F.round(F.log(F.col("cnt") / F.lit(n_total)) * precision)
         .cast("long")
         .alias("lp_milli"),
     )
@@ -806,58 +822,76 @@ def bigram_logprob(
     rounded to a milli-nat BIGINT before the per-doc sum, so totals are
     exact integer sums.
 
-    Plan at 100 TB: bigram/prefix/unigram count rollups over the (small)
-    LM slice; the scored side rolls up per-doc bigram tf once (one
-    shuffle over the token stream) and attaches counts via three keyed
-    left joins (AQE broadcasts small LMs); per-doc rollup.  No Python.
+    Plan at 100 TB (r9 shuffle diet — 12 Exchanges down to 8): the LM
+    total is one eager 1-row scalar (``sum(size(tokens))`` over the LM
+    slice, inlined as a literal — the old derivation from ``uni``
+    recomputed the whole unigram rollup a second time under
+    ``crossJoin(broadcast(total))``).  The prefix counts ``c1`` attach
+    to the bigram-count relation via a WINDOW over the AGGREGATED c12
+    rows (``sum(c12) over (partition by w1)`` — c1 is only ever read
+    where c12 matched, and the window's worst partition is bounded by
+    the distinct bigrams sharing one prefix, vocabulary- not
+    corpus-sized), which folds the old separate c1 rollup over the full
+    bigram stream into one exchange on the small aggregate.  The scored
+    side rolls up per-doc bigram tf once and attaches counts via two
+    keyed left joins (AQE broadcasts small LMs); per-doc rollup.
 
     Returns ``(doc, n_events, n_backoff, nll_milli, mean_nll_milli,
     ppl_bucket)``; documents with fewer than two tokens have no bigram
     events and are absent.
     """
+    from pyspark.sql import Window as W
+
     if lm_df is None:
         lm_df = df
     alpha = alpha_num / alpha_den
 
     def _bigrams(src: DataFrame, with_id: bool) -> DataFrame:
-        tk = ensure_parallelism(src).select(
-            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
-        )
+        cols = [F.col(id_col).alias("doc")] if with_id else []
+        tk = ensure_parallelism(
+            src.select(*cols, F.col(text_col).alias("_txt"))
+        ).select(*(["doc"] if with_id else []), tokens(F.col("_txt")).alias("_tk"))
         bg = tk.select(
-            "doc", shingles_from_tokens(F.col("_tk"), 2).alias("_bg")
+            *(["doc"] if with_id else []),
+            shingles_from_tokens(F.col("_tk"), 2).alias("_bg"),
         )
-        out = explode_nonempty(bg, "_bg", "bg", "doc")
-        return out if with_id else out.select("bg")
+        return explode_nonempty(bg, "_bg", "bg", *(["doc"] if with_id else []))
 
-    lm_bg = _bigrams(lm_df, with_id=False)
-    c12 = lm_bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    c1 = (
-        lm_bg.select(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    c12 = (
+        _bigrams(lm_df, with_id=False)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .withColumn(
+            "c1",
+            F.sum("c12")
+            .over(W.partitionBy(F.split(F.col("bg"), " ").getItem(0)))
+            .cast("long"),
+        )
     )
-    lm_tk = ensure_parallelism(lm_df).select(
-        tokens(F.col(text_col)).alias("_tk")
-    )
+    lm_tk = ensure_parallelism(
+        lm_df.select(F.col(text_col).alias("_txt"))
+    ).select(tokens(F.col("_txt")).alias("_tk"))
     uni = (
         explode_nonempty(lm_tk, "_tk", "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c2"))
     )
-    total = uni.select(F.sum("c2").cast("long").alias("n_total"))
+    # eager scalar (== sum of c2: tokens() yields no null/empty elements)
+    n_total = (
+        lm_tk.select(
+            F.sum(F.coalesce(F.size("_tk"), F.lit(0))).cast("long")
+        ).first()[0]
+        or 0
+    )
 
     d_bg = (
         _bigrams(df, with_id=True)
         .groupBy("doc", "bg")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
     )
-    scored = (
-        d_bg.join(c12, "bg", "left")
-        .join(c1, "w1", "left")
-        .join(uni.withColumnRenamed("term", "w2"), "w2", "left")
-        .crossJoin(F.broadcast(total))
+    scored = d_bg.join(c12, "bg", "left").join(
+        uni.withColumnRenamed("term", "w2"), "w2", "left"
     )
     lp = (
         F.when(
@@ -867,12 +901,12 @@ def bigram_logprob(
         .when(
             F.col("c2").isNotNull(),
             F.round(
-                F.log(F.lit(alpha) * F.col("c2") / F.col("n_total"))
+                F.log(F.lit(alpha) * F.col("c2") / F.lit(n_total))
                 * precision
             ),
         )
         .otherwise(
-            F.round(F.log(F.lit(alpha) / F.col("n_total")) * precision)
+            F.round(F.log(F.lit(alpha) / F.lit(n_total)) * precision)
         )
         .cast("long")
     )
@@ -929,37 +963,41 @@ def importance_resample(
     kept with probability exp(avg log-ratio), reproducibly (no RNG
     state; re-runs and late-arriving shards make identical decisions).
 
-    Plan at 100 TB: target-side bucket rollup (small by construction),
-    raw-side bucket rollup off the (doc, bucket) tf relation, both
-    collapsed to ``n_buckets`` rows and broadcast; the raw corpus is
-    scanned once, its per-doc score is one rollup shuffle; the accept
+    Plan at 100 TB (r9 shuffle diet — 16 Exchanges down to 8, one lazy
+    job): the per-bucket distributions roll up DIRECTLY off each token
+    stream (one map-side-combined 64-row rollup per side — the old
+    derivation through the (doc, bucket) tf relation dragged that
+    expensive exchange into the counts branch, and the
+    ``crossJoin(broadcast(tot))`` diamond then recomputed the whole raw
+    lineage twice more).  The totals attach to the 64-row joined
+    relation via an unpartitioned WINDOW — bounded by ``n_buckets``
+    rows, so the single-partition barrier is constant-sized — instead
+    of a second aggregation branch.  The raw corpus is tokenized twice
+    (counts + scoring) and never more; every branch's lineage appears
+    exactly once, and all branches overlap inside one job.  The accept
     decision is a map-side expression.  Nothing large ever joins
     anything large.
 
     Returns (doc, n_tokens, weight_milli, avg_ratio_milli, accept).
     """
-    def _bucket_tf(frame: DataFrame) -> DataFrame:
-        tk = ensure_parallelism(frame).select(
-            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
-        )
-        terms = explode_nonempty(tk, "_tk", "term", "doc")
-        return terms.select(
-            "doc", _md5_bucket(F.col("term"), n_buckets).alias("bucket")
-        ).groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window as W
 
-    raw_tf = _bucket_tf(df)
-    tgt_counts = (
-        _bucket_tf(target)
-        .groupBy("bucket")
-        .agg(F.sum("tf").cast("long").alias("t_cnt"))
-    )
-    raw_counts = raw_tf.groupBy("bucket").agg(
-        F.sum("tf").cast("long").alias("s_cnt")
-    )
+    def _bucket_counts(frame: DataFrame, out: str) -> DataFrame:
+        tk = ensure_parallelism(
+            frame.select(F.col(text_col).alias("_txt"))
+        ).select(tokens(F.col("_txt")).alias("_tk"))
+        terms = explode_nonempty(tk, "_tk", "term")
+        return terms.groupBy(
+            _md5_bucket(F.col("term"), n_buckets).alias("bucket")
+        ).agg(F.count(F.lit(1)).cast("long").alias(out))
+
+    tgt_counts = _bucket_counts(target, "t_cnt")
+    raw_counts = _bucket_counts(df, "s_cnt")
     # dense bucket spine so +1-smoothed ratios exist for unseen buckets
     spine = df.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
+    whole = W.partitionBy()  # 64 rows: a constant-sized barrier
     joined = (
         spine.join(F.broadcast(tgt_counts), "bucket", "left")
         .join(F.broadcast(raw_counts), "bucket", "left")
@@ -968,12 +1006,15 @@ def importance_resample(
             F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
             F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
         )
+        .select(
+            "bucket",
+            "t_cnt",
+            "s_cnt",
+            F.sum("t_cnt").over(whole).cast("long").alias("t_total"),
+            F.sum("s_cnt").over(whole).cast("long").alias("s_total"),
+        )
     )
-    tot = joined.select(
-        F.sum("t_cnt").cast("long").alias("t_total"),
-        F.sum("s_cnt").cast("long").alias("s_total"),
-    )
-    ratios = joined.crossJoin(F.broadcast(tot)).select(
+    ratios = joined.select(
         "bucket",
         F.round(
             (
@@ -986,6 +1027,17 @@ def importance_resample(
         )
         .cast("long")
         .alias("ratio_milli"),
+    )
+    tk = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+    ).select("doc", tokens(F.col("_txt")).alias("_tk"))
+    terms = explode_nonempty(tk, "_tk", "term", "doc")
+    raw_tf = (
+        terms.select(
+            "doc", _md5_bucket(F.col("term"), n_buckets).alias("bucket")
+        )
+        .groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
     scored = (
         raw_tf.join(F.broadcast(ratios), "bucket")
