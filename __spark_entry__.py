@@ -76,7 +76,12 @@ def q_mongo_find_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested $and, $gte/$lt, positive $regex, $not($regex) (Mongo
     null-safe negation), $ne and $mod (reference database.py:193-204
     passes this dialect through to the server; the compiler turns it
-    into Catalyst predicates, each branch pushed to its own scan)."""
+    into Catalyst predicates, each branch pushed to its own scan).
+    The third branch (r9) is a ``$jsonSchema`` validator find —
+    required/enum/numeric range/multipleOf/pattern/min-maxLength plus
+    an anyOf combinator — oracle-carried against DuckDB's equivalent
+    type/null/length/regexp predicates (previously pinned only by the
+    differential fuzz sweep)."""
     from topic_store_spark.query.compiler import compile_query
 
     events = _t(spark, sf_dir, "events")
@@ -112,7 +117,33 @@ def q_mongo_find_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("s2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return ev.unionByName(dc)
+    js_query = {
+        "$jsonSchema": {
+            "required": ["lang", "source"],
+            "properties": {
+                "lang": {"bsonType": "string",
+                         "enum": ["en", "de", "fr", "es", "zh"]},
+                "n_chars": {"bsonType": "long", "minimum": 120,
+                            "maximum": 5000, "multipleOf": 5},
+                "source": {"pattern": "^src[0-4]", "minLength": 4,
+                           "maxLength": 8},
+                "text": {"minLength": 50},
+            },
+            "anyOf": [
+                {"properties": {"lang": {"enum": ["en"]}}},
+                {"properties": {"n_chars": {"maximum": 900}}},
+            ],
+        }
+    }
+    dj = docs.filter(compile_query(js_query, docs.schema)).select(
+        F.lit("jschema").alias("part"),
+        F.col("doc_id").alias("id"),
+        F.col("n_chars").cast("long").alias("num"),
+        F.col("lang").alias("s1"),
+        F.col("source").alias("s2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return ev.unionByName(dc).unionByName(dj)
 
 
 def q_mongo_projection_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2307,6 +2338,21 @@ def oracle_sql() -> dict[str, str]:
           AND NOT coalesce(regexp_matches(source, '^src0'), FALSE)
           AND lang <> 'xx'
           AND doc_id % 2 = 1
+        UNION ALL
+        -- $jsonSchema branch: property schemas constrain only PRESENT
+        -- values (NULL passes); required = presence
+        SELECT 'jschema', doc_id, CAST(n_chars AS BIGINT),
+               lang, source, CAST(NULL AS DOUBLE)
+        FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+          AND (lang IS NULL OR lang IN ('en', 'de', 'fr', 'es', 'zh'))
+          AND (n_chars IS NULL OR (n_chars >= 120 AND n_chars <= 5000
+               AND CAST(n_chars AS DOUBLE) % 5 = 0))
+          AND (source IS NULL OR (regexp_matches(source, '^src[0-4]')
+               AND length(source) >= 4 AND length(source) <= 8))
+          AND (text IS NULL OR length(text) >= 50)
+          AND ((lang IS NULL OR lang = 'en')
+               OR (n_chars IS NULL OR n_chars <= 900))
     """
 
     sql["mongo_projection_flatten"] = """
