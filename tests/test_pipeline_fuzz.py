@@ -1053,3 +1053,294 @@ def test_nary_accumulators_and_convert_match_reference(spark):
         f"{len(failures)}/60 n-ary/convert pipelines diverge; "
         f"first: {failures[0]}"
     )
+
+
+# -- $redact $$DESCEND family (r9) -------------------------------------------
+#
+# Schema-recursive rewrite: cond re-evaluates per embedded document
+# (struct fields, array<struct> elements) against a depth-limited
+# static-schema recursion.  The reference mirrors the ENGINE's two
+# documented conventions where Mongo differs by data model: a pruned
+# struct FIELD nulls out (fixed columns cannot disappear), and null ==
+# missing.  Everything else follows the Mongo 7 manual: KEEP keeps the
+# subtree as-is without further evaluation, PRUNE drops it, DESCEND
+# keeps non-document values at this level and recurses into embedded
+# documents; pruned ARRAY elements are removed; NULL array elements are
+# not documents and pass through untouched.
+
+_REDACT_SCHEMA = (
+    "n long, lvl long, tag string, "
+    "sub struct<lvl: long, tag: string, "
+    "items: array<struct<lvl: long, tag: string>>>, "
+    "arr array<struct<lvl: long, tag: string, "
+    "deep: struct<lvl: long, tag: string>>>"
+)
+
+#: field -> recursion shape at each level ("struct"/"arrstruct" + child
+#: shape; absent = non-document leaf, kept as-is under DESCEND)
+_REDACT_SHAPE = {
+    "sub": ("struct", {"items": ("arrstruct", {})}),
+    "arr": ("arrstruct", {"deep": ("struct", {})}),
+}
+
+_PRUNED = object()
+
+
+def _leaf_doc(rng: random.Random) -> dict:
+    return {
+        "lvl": rng.choice([None, 0, 1, 2, 3]),
+        "tag": rng.choice([None, "a", "b", "c"]),
+    }
+
+
+def _redact_docs(rng: random.Random, count: int = 30) -> list[dict]:
+    docs = []
+    for i in range(count):
+        sub = rng.choice([None, True])
+        arr = rng.choice([None, 0, 1, 3])
+        docs.append({
+            "n": i,
+            **_leaf_doc(rng),
+            "sub": None if sub is None else {
+                **_leaf_doc(rng),
+                "items": rng.choice(
+                    [None, [], [_leaf_doc(rng)],
+                     [_leaf_doc(rng), None, _leaf_doc(rng)]]
+                ),
+            },
+            "arr": None if arr is None else [
+                rng.choice([None, True]) and {**_leaf_doc(rng),
+                                              "deep": rng.choice(
+                                                  [None, _leaf_doc(rng)])}
+                or None
+                for _ in range(arr)
+            ],
+        })
+    return docs
+
+
+def _redact_cond(rng: random.Random) -> dict:
+    """{"$cond": [pred, marker-or-nested, marker-or-nested]} with
+    $$DESCEND guaranteed somewhere; preds are total (always yield a
+    marker) over lvl/tag, which exist at every level."""
+    def pred():
+        return rng.choice([
+            {"$gt": [{"$ifNull": ["$lvl", -1]}, rng.randint(-1, 3)]},
+            {"$lte": [{"$ifNull": ["$lvl", -1]}, rng.randint(0, 3)]},
+            {"$eq": ["$tag", rng.choice(["a", "b", "c"])]},
+            {"$ne": ["$tag", rng.choice(["a", "b", "c"])]},
+            {"$and": [{"$gte": [{"$ifNull": ["$lvl", 0]}, 1]},
+                      {"$ne": ["$tag", "c"]}]},
+            {"$or": [{"$eq": ["$tag", "a"]},
+                     {"$gt": [{"$ifNull": ["$lvl", -1]}, 2]}]},
+        ])
+
+    other = rng.choice(["$$PRUNE", "$$KEEP"])
+    if rng.random() < 0.3:
+        # nested cond in one branch for marker variety
+        nested = {"$cond": [pred(), "$$KEEP", "$$PRUNE"]}
+        return {"$cond": [pred(), "$$DESCEND",
+                          nested if rng.random() < 0.5 else other]}
+    if rng.random() < 0.5:
+        return {"$cond": [pred(), "$$DESCEND", other]}
+    return {"$cond": [pred(), other, "$$DESCEND"]}
+
+
+def _ref_redact_marker(doc: dict, cond) -> str:
+    pred, then, els = cond["$cond"]
+    v = _m_eval(doc, pred)
+    branch = then if not (v is None or v is False or v == 0) else els
+    if isinstance(branch, dict):
+        return _ref_redact_marker(doc, branch)
+    return branch
+
+
+def _ref_redact_descend(doc: dict, cond, shape) -> dict:
+    out = {}
+    for k, v in doc.items():
+        kind = shape.get(k)
+        if kind is None:
+            out[k] = v
+        elif kind[0] == "struct":
+            out[k] = _ref_redact_subdoc(v, cond, kind[1])
+        else:  # arrstruct
+            if v is None:
+                out[k] = None
+            else:
+                new = []
+                for e in v:
+                    if e is None:
+                        new.append(None)  # non-document element: kept
+                        continue
+                    r = _ref_redact_elem(e, cond, kind[1])
+                    if r is not _PRUNED:
+                        new.append(r)
+                out[k] = new
+    return out
+
+
+def _ref_redact_subdoc(v, cond, shape):
+    if v is None:
+        return None  # missing subdocument: cond is not evaluated
+    m = _ref_redact_marker(v, cond)
+    if m == "$$KEEP":
+        return v
+    if m == "$$DESCEND":
+        return _ref_redact_descend(v, cond, shape)
+    return None  # pruned struct field nulls out (engine convention)
+
+
+def _ref_redact_elem(e, cond, shape):
+    m = _ref_redact_marker(e, cond)
+    if m == "$$KEEP":
+        return e
+    if m == "$$DESCEND":
+        return _ref_redact_descend(e, cond, shape)
+    return _PRUNED  # pruned array element drops
+
+
+def _freeze(v):
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, list):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def test_redact_descend_matches_reference(spark):
+    rng = random.Random(0x12EDAC7)
+    docs = _redact_docs(rng)
+    df = spark.createDataFrame(docs, _REDACT_SCHEMA)
+
+    failures = []
+    for trial in range(40):
+        cond = _redact_cond(rng)
+        got = [
+            r.asDict(recursive=True)
+            for r in apply_pipeline(df, [{"$redact": cond}]).collect()
+        ]
+        want = []
+        for d in docs:
+            m = _ref_redact_marker(d, cond)
+            if m == "$$KEEP":
+                want.append(d)
+            elif m == "$$DESCEND":
+                want.append(_ref_redact_descend(d, cond, _REDACT_SHAPE))
+        got_c = sorted((_freeze(r) for r in got), key=repr)
+        want_c = sorted((_freeze(r) for r in want), key=repr)
+        if got_c != want_c:
+            bad = [(g, w) for g, w in zip(got_c, want_c) if g != w]
+            failures.append((cond, len(got), len(want), bad[:1]))
+    assert not failures, (
+        f"{len(failures)}/40 $redact $$DESCEND conds diverge; "
+        f"first: {failures[0]}"
+    )
+
+
+# -- $graphLookup family (r9) ------------------------------------------------
+#
+# Reference BFS with the documented Mongo semantics: start at startWith,
+# follow connectFromField -> connectToField, depth-bound by maxDepth
+# (levels 0..maxDepth inclusive), cycle-guarded (a key expands once),
+# restrictSearchWithMatch filters the documents CONSIDERED at every
+# step, depthField records first-arrival depth, output is the SET of
+# reached documents; null keys never match (equi-join semantics).
+
+def _graph_nodes(rng: random.Random, count: int = 14) -> list[dict]:
+    return [
+        {
+            "_id": i,
+            "link": rng.choice([None, *[rng.randrange(count) for _ in range(3)],
+                                count + 5]),  # dangling links too
+            "grp": rng.choice(["x", "y", "z"]),
+            "w": rng.randrange(10),
+        }
+        for i in range(count)
+    ]
+
+
+def _ref_graph_reach(start, nodes, max_depth, restrict):
+    if restrict is not None:
+        nodes = [n for n in nodes if _m_query(n, restrict)]
+    frontier = {start} - {None}
+    expanded: set = set()
+    reached: dict = {}
+    for depth in range(max_depth + 1):
+        matched = [n for n in nodes if n["_id"] in frontier]
+        for n in matched:
+            if n["_id"] not in reached or reached[n["_id"]][0] > depth:
+                reached[n["_id"]] = (depth, n)
+        expanded |= frontier
+        if depth == max_depth:
+            break
+        frontier = {
+            n["link"] for n in matched if n["link"] is not None
+        } - expanded
+        if not frontier:
+            break
+    return reached
+
+
+def test_graph_lookup_matches_reference(spark):
+    rng = random.Random(0x96A9B00)
+
+    failures = []
+    for trial in range(8):
+        nodes = _graph_nodes(rng)
+        nodes_df = spark.createDataFrame(
+            [tuple(n[k] for k in ["_id", "link", "grp", "w"]) for n in nodes],
+            "_id long, link long, grp string, w long",
+        )
+        starts = [
+            {"sid": i, "start": rng.choice([None, *range(len(nodes) + 2)])}
+            for i in range(10)
+        ]
+        starts_df = spark.createDataFrame(
+            [(s["sid"], s["start"]) for s in starts], "sid long, start long"
+        )
+        spec = {
+            "from": "nodes",
+            "startWith": "$start",
+            "connectFromField": "link",
+            "connectToField": "_id",
+            "as": "reach",
+        }
+        max_depth = rng.choice([0, 1, 2, 4, None])
+        if max_depth is not None:
+            spec["maxDepth"] = max_depth
+        depth_field = rng.random() < 0.5
+        if depth_field:
+            spec["depthField"] = "d"
+        restrict = rng.choice(
+            [None, {"grp": {"$ne": "x"}}, {"w": {"$gte": rng.randrange(5)}}]
+        )
+        if restrict is not None:
+            spec["restrictSearchWithMatch"] = restrict
+
+        out = apply_pipeline(
+            starts_df, [{"$graphLookup": spec}], tables={"nodes": nodes_df}
+        )
+        got = {
+            r["sid"]: sorted((_freeze(e) for e in r["reach"]), key=repr)
+            for r in (row.asDict(recursive=True) for row in out.collect())
+        }
+        want = {}
+        for s in starts:
+            reached = _ref_graph_reach(
+                s["start"], nodes, 20 if max_depth is None else max_depth,
+                restrict,
+            )
+            elems = []
+            for depth, n in reached.values():
+                e = dict(n)
+                if depth_field:
+                    e["d"] = depth
+                elems.append(_freeze(e))
+            want[s["sid"]] = sorted(elems, key=repr)
+        if got != want:
+            bad = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+            failures.append((spec, list(bad.items())[:1]))
+    assert not failures, (
+        f"{len(failures)}/8 $graphLookup specs diverge; "
+        f"first: {failures[0]}"
+    )

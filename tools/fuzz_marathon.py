@@ -6,13 +6,17 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all ten harnesses (value expressions, long-tail ops,
-find dialect x3 incl. the ragged resolver, projections, and the four
-pipeline families); any divergence prints the harness, round, and the
-failing case.  Finds from past runs (both fixed): last-ULP atan2
-differences between JVM and Python libm (now quantized past in the
-comparator), and a generator flaw where a bare literal landed in
-$project's include/exclude flag position.
+Each round runs all thirteen harnesses (value expressions, long-tail
+ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
+sweep, projections, and the six pipeline families incl. the r9
+$redact-$$DESCEND and $graphLookup references); any divergence prints
+the harness, round, and the failing case.  Finds from past runs (all
+fixed): last-ULP atan2 differences between JVM and Python libm (now
+quantized past in the comparator), a generator flaw where a bare
+literal landed in $project's include/exclude flag position, and (r9,
+caught while WRITING the $redact reference) null array elements being
+cond-evaluated under $$DESCEND instead of passing through as
+non-documents.
 """
 from __future__ import annotations
 
@@ -58,6 +62,8 @@ def main() -> int:
         ("pipe_lookup", pf.test_lookup_compositions_match_reference),
         ("pipe_stage", pf.test_stage_compositions_match_reference),
         ("pipe_nary", pf.test_nary_accumulators_and_convert_match_reference),
+        ("pipe_redact", pf.test_redact_descend_matches_reference),
+        ("pipe_graphlookup", pf.test_graph_lookup_matches_reference),
     ]
 
     orig_random = _random.Random

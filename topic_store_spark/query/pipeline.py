@@ -3293,16 +3293,23 @@ def _redact_value(
     if isinstance(dtype, T.ArrayType):
         inner = dtype.elementType
         if isinstance(inner, T.StructType):
+            # a NULL element is not a document: Mongo's $$DESCEND keeps
+            # non-document array values untouched, so cond is NOT
+            # evaluated for it (r9 fuzzer-guard fix — the old filter
+            # could drop a null element or materialize a struct of
+            # nulls from one)
             kept = F.filter(
                 col,
-                lambda e: _redact_marker(e, inner, spec, redact_vars).isin(
+                lambda e: e.isNull()
+                | _redact_marker(e, inner, spec, redact_vars).isin(
                     "KEEP", "DESCEND"
                 ),
             )
             return F.transform(
                 kept,
                 lambda e: F.when(
-                    _redact_marker(e, inner, spec, redact_vars).eqNullSafe(
+                    e.isNull()
+                    | _redact_marker(e, inner, spec, redact_vars).eqNullSafe(
                         F.lit("KEEP")
                     ),
                     e,
