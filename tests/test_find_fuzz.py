@@ -467,6 +467,11 @@ def _js_prop(rng: random.Random, f: str) -> dict:
         {"maxItems": rng.randint(0, 3)},
         {"uniqueItems": True},
         {"items": {"minimum": rng.randint(0, 5)}},
+        # r9: per-position schema array — element i vs schema i,
+        # shorter arrays and extra elements unconstrained
+        {"items": [{"minimum": rng.randint(0, 5)}]},
+        {"items": [{"maximum": rng.randint(0, 6)},
+                   {"minimum": rng.randint(0, 4)}]},
         {"bsonType": "array"},
     ])
 
@@ -487,6 +492,10 @@ def _js_schema(rng: random.Random, depth: int = 0) -> dict:
             spec["not"] = _js_schema(rng, 1)
         else:
             spec[comb] = [_js_schema(rng, 1) for _ in range(rng.randint(1, 2))]
+    if depth == 0 and rng.random() < 0.25:
+        # r9: closed document — columns outside `properties` must be
+        # absent (null); _id always admitted
+        spec["additionalProperties"] = False
     if not spec:
         spec["required"] = [rng.choice(list(FIELDS))]
     return spec
@@ -547,7 +556,14 @@ def _js_val_ok(v, sub: dict) -> bool:
             if arg and isinstance(v, list) and len(set(v)) != len(v):
                 return False
         elif k == "items":
-            if isinstance(v, list) and not all(
+            if isinstance(arg, list):
+                if isinstance(v, list) and not all(
+                    v[i] is None or _js_val_ok(v[i], si)
+                    for i, si in enumerate(arg)
+                    if i < len(v)
+                ):
+                    return False
+            elif isinstance(v, list) and not all(
                 e is None or _js_val_ok(e, arg) for e in v
             ):
                 return False
@@ -557,6 +573,11 @@ def _js_val_ok(v, sub: dict) -> bool:
 
 
 def _js_ok(doc: dict, spec: dict) -> bool:
+    if spec.get("additionalProperties") is False:
+        allowed = set(spec.get("properties") or {}) | {"_id"}
+        for f in doc:
+            if f not in allowed and doc.get(f) is not None:
+                return False
     for f in spec.get("required") or []:
         if doc.get(f) is None:
             return False

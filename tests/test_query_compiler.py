@@ -2502,9 +2502,25 @@ def test_json_schema_find_operator(spark):
                           {"properties": {"d": {"minimum": 50}}}]}
                ) == [1, 2, 4]
     assert ids({"not": {"required": ["s"]}}) == [3]
-    # unsupported keywords refuse loudly
-    with pytest.raises(NotImplementedError, match="additionalProperties"):
-        ids({"additionalProperties": False})
+    # additionalProperties: false (r9) — closed field set enumerated
+    # from the static struct type; null == missing
+    assert ids({"additionalProperties": False,
+                "properties": {"i": {}, "s": {}, "d": {}, "arr": {}}}) == [3]
+    assert ids({"properties": {"st": {"additionalProperties": False}}}
+               ) == [2, 3]
+    assert ids({"properties": {"st": {"additionalProperties": False,
+                                      "properties": {"u": {"minimum": 5}}}}}
+               ) == [2, 3, 4]
+    # per-position items (r9): element i validates against schema i;
+    # shorter arrays and elements past the list are unconstrained
+    assert ids({"properties": {"arr": {"items": [{"minimum": 2},
+                                                 {"maximum": 1}]}}}
+               ) == [3, 4]
+    assert ids({"properties": {"arr": {"items": [{"minimum": 1}]}}}
+               ) == [1, 2, 3, 4]
+    # schema-form additionalProperties stays a loud refusal
+    with pytest.raises(NotImplementedError, match="schema-form"):
+        ids({"properties": {"st": {"additionalProperties": {"bsonType": "long"}}}})
     with pytest.raises(NotImplementedError, match="where"):
         df.filter(compile_query({"$where": "this.i > 1"}, df.schema))
 

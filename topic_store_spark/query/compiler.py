@@ -397,6 +397,7 @@ _JS_KEYWORDS = {
     "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
     "minLength", "maxLength", "pattern", "minItems", "maxItems",
     "uniqueItems", "items", "properties", "required",
+    "additionalProperties",
     "allOf", "anyOf", "oneOf", "not", "description", "title",
 }
 
@@ -522,26 +523,69 @@ def _js_value_pred(
             safe(~is_arr | (F.size(F.array_distinct(col)) == F.size(col)))
         )
     if "items" in spec:
-        items = spec["items"]
-        if isinstance(items, list):
-            raise NotImplementedError(
-                "$jsonSchema items: per-position schema arrays are not "
-                "supported (single-schema form only)"
-            )
         from pyspark.sql import types as T
 
+        items = spec["items"]
         el_type = etype.elementType if isinstance(etype, T.ArrayType) else None
-        conds.append(
-            safe(
-                F.forall(
-                    col,
-                    lambda e: F.coalesce(
-                        e.isNull() | _js_value_pred(e, items, el_type),
+        if isinstance(items, list):
+            # per-position schema array (draft-4, r9): element i
+            # validates against schema i; arrays shorter than the list
+            # are valid (missing positions unconstrained), elements past
+            # the list are unconstrained (additionalItems absent); null
+            # elements pass (engine convention null == missing, same as
+            # the single-schema form).  F.get is 0-based and null (not
+            # an ANSI error) out of range.
+            per = F.lit(True)
+            for i, si in enumerate(items):
+                ei = F.get(col, i)
+                per = per & F.when(
+                    F.size(col) > i,
+                    F.coalesce(
+                        ei.isNull() | _js_value_pred(ei, si, el_type),
                         F.lit(True),
                     ),
+                ).otherwise(F.lit(True))
+            conds.append(safe(~is_arr | per))
+        else:
+            conds.append(
+                safe(
+                    F.forall(
+                        col,
+                        lambda e: F.coalesce(
+                            e.isNull() | _js_value_pred(e, items, el_type),
+                            F.lit(True),
+                        ),
+                    )
                 )
             )
-        )
+    ap = spec.get("additionalProperties", True)
+    if ap is not True:
+        from pyspark.sql import types as T
+
+        if ap is not False:
+            raise NotImplementedError(
+                "$jsonSchema additionalProperties: schema-form is not "
+                "supported (true/false only)"
+            )
+        node = etype
+        while isinstance(node, T.ArrayType):
+            node = node.elementType
+        if node is None:
+            raise NotImplementedError(
+                "$jsonSchema additionalProperties: false needs a "
+                "statically-known document type (closed field set = "
+                "struct field enumeration; unavailable under the "
+                "ragged resolver)"
+            )
+        if isinstance(node, T.StructType):
+            allowed = set(spec.get("properties") or {}) | {"_id"}
+            for fld in node.fields:
+                if fld.name not in allowed:
+                    # engine convention: null == missing, so "no
+                    # additional property" compiles to "every other
+                    # field is null"
+                    conds.append(col[fld.name].isNull())
+        # known non-object type: the keyword is inapplicable -> pass
     for f in spec.get("required") or []:
         conds.append(col[f].isNotNull())
     for f, sub in (spec.get("properties") or {}).items():
@@ -598,10 +642,11 @@ def _compile_json_schema(
         raise NotImplementedError(
             f"$jsonSchema: unsupported document-level keywords {sorted(extra)}"
         )
-    if "additionalProperties" in spec and spec["additionalProperties"] is not True:
+    ap = spec.get("additionalProperties", True)
+    if ap is not True and ap is not False:
         raise NotImplementedError(
-            "$jsonSchema: additionalProperties restrictions are not "
-            "supported (schema-on-read columns are fixed)"
+            "$jsonSchema additionalProperties: schema-form is not "
+            "supported (true/false only)"
         )
     bt = spec.get("bsonType", spec.get("type"))
     if bt is not None:
@@ -618,6 +663,7 @@ def _compile_json_schema(
         )
 
     conds: list[Column] = []
+
     def static_type(path: str):
         # the property's engine type when the schema is static; None
         # under the ragged resolver (types unknown until runtime)
@@ -625,6 +671,27 @@ def _compile_json_schema(
             return None
         full = f"{prefix}.{path}" if prefix else path
         return _static_path_type(schema, full)
+
+    if ap is False:
+        # closed document (r9): with a static schema, "no additional
+        # properties" enumerates the struct's field set — every column
+        # not named in `properties` must be absent (engine convention:
+        # null == missing).  Mongo always admits _id.  The ragged
+        # resolver has no closed field enumeration — refuse loudly.
+        from pyspark.sql import types as T
+
+        node = schema if not prefix else _static_path_type(schema, prefix)
+        if resolver is not None or not isinstance(node, T.StructType):
+            raise NotImplementedError(
+                "$jsonSchema additionalProperties: false needs a "
+                "statically-known document type (closed field set = "
+                "struct field enumeration; unavailable under the "
+                "ragged resolver)"
+            )
+        allowed = set(spec.get("properties") or {}) | {"_id"}
+        for fld in node.fields:
+            if fld.name not in allowed:
+                conds.append(resolve(fld.name).isNull())
 
     for f in spec.get("required") or []:
         conds.append(resolve(f).isNotNull())
