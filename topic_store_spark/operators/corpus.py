@@ -436,26 +436,31 @@ def salient_terms(
     integer-exact ordering equivalent in spirit to tf·idf — and report
     ``salience = tf * (N / df)`` for the survivors.
 
-    Plan: one explode + (doc, term) rollup for TF, a term-keyed rollup
-    for DF (both with map-side partials), a term-keyed equi-join to
-    attach DF (AQE broadcasts when the vocabulary is small; with a
-    web-scale vocabulary it stays a shuffle join, which is the right
-    plan), and a per-doc window top-k.  The corpus-size scalar rides a
-    broadcast cross join of a 1-row aggregate.
+    Plan (r9 shuffle diet — 8 Exchanges down to 5, no diamond): one
+    explode + (doc, term) rollup for TF, then DF attaches as a WINDOW
+    count over the tf relation partitioned by term — the same
+    df-as-window-count move the prefix-filtered AllPairs plan uses
+    (operators/dedup.py), one exchange on the aggregated relation
+    instead of a second rollup branch that recomputed the whole tf
+    lineage; worst window partition is bounded by the number of
+    documents containing the hottest term.  Then a per-doc window
+    top-k.  The corpus-size scalar rides a broadcast cross join of a
+    1-row source count (metadata-cheap, no tokenize).
     """
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
     terms = explode_nonempty(tk, "_tk", "term", "doc")
     tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    tf = tf.withColumn(
+        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     total = df.select(F.count(F.lit(1)).alias("n_total"))
     w = Window.partitionBy("doc").orderBy(
         F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(total))
+        tf.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -490,45 +495,65 @@ def bm25_scores(
     to a milli-unit BIGINT, and the per-doc total is an exact integer
     sum — no float-summation-order wobble.
 
-    Plan: the (doc, term) tf rollup filters to the query's terms FIRST
-    (a broadcast literal ``isin`` — map-side, so only query-term
-    postings shuffle), df/doc-length/avgdl are tiny rollups, and the
-    final per-doc sum has map-side partials.  Returns ``(doc,
+    Plan (r9 shuffle diet — 9 Exchanges down to 2, zero joins): the
+    query is a FIXED SMALL term list by contract, so per-doc term
+    frequencies compute MAP-SIDE as array-filter counts over the token
+    array (no explode, no (doc, term) shuffle), and the corpus stats
+    the scoring needs — per-term document frequencies, doc count, token
+    total — collapse into ONE 1-row aggregate that broadcasts back via
+    cross join.  One tokenize pass over the corpus, one single-row
+    exchange, one map-side scoring expression.  Returns ``(doc,
     n_terms_matched, bm25_milli)`` for every doc matching >= 1 term.
     """
+    qts = list(query_terms)
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
-    dl = tk.select("doc", F.size("_tk").alias("dl"))
-    stats = dl.agg(
+
+    def term_tf(t: str):
+        return F.size(F.filter(F.col("_tk"), lambda e: e == F.lit(t)))
+
+    tfs = tk.select(
+        "doc",
+        F.size("_tk").alias("dl"),
+        *[term_tf(t).alias(f"_tf_{i}") for i, t in enumerate(qts)],
+    )
+    stats = tfs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("tok_total"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(qts))
+        ],
     )
-    terms = explode_nonempty(tk, "_tk", "term", "doc").filter(
-        F.col("term").isin(list(query_terms))
-    )
-    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     avgdl = F.col("tok_total") / F.col("n_docs")
-    idf = F.log(
-        (F.col("n_docs") - F.col("df_docs") + 0.5)
-        / (F.col("df_docs") + 0.5)
-        + 1.0
-    )
-    tf_part = (F.col("tf") * (k1 + 1.0)) / (
-        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)
-    )
-    contrib = F.round(idf * tf_part * precision).cast("long")
-    return (
-        tf.join(dfreq, "term")
-        .join(dl, "doc")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("contrib_milli", contrib)
-        .groupBy("doc")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
-            F.sum("contrib_milli").cast("long").alias("bm25_milli"),
+
+    def contrib(i: int):
+        tf_c = F.col(f"_tf_{i}")
+        df_c = F.col(f"_df_{i}")
+        idf = F.log(
+            (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5) + 1.0
         )
+        tf_part = (tf_c * (k1 + 1.0)) / (
+            tf_c + k1 * (1.0 - b + b * F.col("dl") / avgdl)
+        )
+        milli = F.round(idf * tf_part * precision).cast("long")
+        return F.when(tf_c > 0, milli).otherwise(F.lit(0))
+
+    matched = sum(
+        ((F.col(f"_tf_{i}") > 0).cast("long") for i in range(len(qts))),
+        F.lit(0),
+    )
+    return (
+        tfs.crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            matched.alias("n_terms_matched"),
+            sum(
+                (contrib(i) for i in range(len(qts))), F.lit(0)
+            ).cast("long").alias("bm25_milli"),
+        )
+        .filter(F.col("n_terms_matched") > 0)
     )
 
 
