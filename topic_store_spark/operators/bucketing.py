@@ -61,6 +61,14 @@ def is_exchange_free_join(
     shuffle of both sides."""
     keys = [on] if isinstance(on, str) else list(on)
     joined = left.join(right, keys)
-    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # public explain capture, not _jdf.queryExecution() — the private
+    # JVM handle does not exist under Spark Connect (r9)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="simple")
+    plan = buf.getvalue()
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     return joined, n_shuffles == 0

@@ -15,9 +15,29 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     input already has >= defaultParallelism partitions and this is a
     no-op — the repartition only fires when the data is too small for it
     to be expensive.
+
+    Spark Connect (r9): ``df.rdd`` / ``sparkContext`` do not exist
+    there, so the partition probe falls back to ``inputFiles()`` (file
+    count approximates scan parallelism from below — parquet splits can
+    only raise it) and the target to ``spark.sql.shuffle.partitions``;
+    an input already spread over >= target files skips the repartition,
+    everything else (incl. non-file relations) spreads.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    try:
+        target = min_partitions or spark.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD / driver-context surface
+        target = min_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        try:
+            if len(df.inputFiles()) >= target:
+                return df
+        except Exception:
+            pass
+        return df.repartition(target)
+    if current < target:
         return df.repartition(target)
     return df
 
@@ -30,10 +50,12 @@ def materialize_iter(df: DataFrame) -> DataFrame:
     ephemeral jobs).  Without this, iteration k's action re-executes the
     entire chain of previous iterations — O(k^2) work and an unbounded
     plan."""
-    sc = df.sparkSession.sparkContext
     try:
+        sc = df.sparkSession.sparkContext
         has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
-    except Exception:  # pragma: no cover - py4j surface differences
+    except Exception:
+        # py4j surface differences, or Spark Connect (no sparkContext);
+        # localCheckpoint is in the Connect API since Spark 4
         has_dir = False
     if has_dir:
         return df.checkpoint(eager=True)
