@@ -364,6 +364,10 @@ def test_window_fill_densify_match_reference(spark):
             # r8: direction-free membership — a descending sortBy
             # must produce the same sums (bounds are value offsets)
             rdir = rng.choice([1, -1])
+            # r9: the fractional-bound path renders the frame as SQL
+            # from pre-projected temp columns — fuzz MORE aggregates
+            # through it than $sum/$count ($avg/$min/$max null
+            # handling, $median's per-element OVER attachment)
             pipe = [{
                 "$setWindowFields": {
                     "partitionBy": "$c",
@@ -373,9 +377,25 @@ def test_window_fill_densify_match_reference(spark):
                                "window": {"range": [lo, hi]}},
                         "wc": {"$count": {},
                                "window": {"range": [lo, hi]}},
+                        "wa": {"$avg": "$b",
+                               "window": {"range": [lo, hi]}},
+                        "wmx": {"$max": "$b",
+                                "window": {"range": [lo, hi]}},
+                        "wmd": {"$median": {"input": "$b"},
+                                "window": {"range": [lo, hi]}},
                     },
                 }
             }]
+
+            def _median(vals):
+                if not vals:
+                    return None
+                vs = sorted(vals)
+                h = (len(vs) - 1) * 0.5
+                lo_i = int(h)
+                hi_i = min(lo_i + 1, len(vs) - 1)
+                return vs[lo_i] + (vs[hi_i] - vs[lo_i]) * (h - lo_i)
+
             parts: dict = {}
             for d in docs:
                 parts.setdefault(d.get("c"), []).append(d)
@@ -391,7 +411,11 @@ def test_window_fill_densify_match_reference(spark):
                     sub = [r for r in rows if klo <= r["n"] <= khi]
                     vals = [r["b"] for r in sub if r["b"] is not None]
                     want.append({**d, "ws": sum(vals) if vals else 0,
-                                 "wc": len(sub)})
+                                 "wc": len(sub),
+                                 "wa": (sum(vals) / len(vals)) if vals
+                                 else None,
+                                 "wmx": max(vals) if vals else None,
+                                 "wmd": _median([float(v) for v in vals])})
         elif shape == 4:  # derivative/integral over a numeric sort
             frame = rng.choice(
                 [["unbounded", "current"], ["unbounded", "unbounded"],
@@ -653,6 +677,9 @@ def test_lookup_compositions_match_reference(spark):
                     {"$match": {"$expr": {"$eq": ["$fa", "$$la"]}}},
                     {"$sort": dict(order)},
                     {"$match": {"fv": {"$gte": thr}}},
+                    # {} is valid Mongo: matches everything (r9 advice
+                    # fix — previously IndexError in the filter closure)
+                    {"$match": {}},
                     {"$addFields": {"fx": {"$add": ["$fv", 1]}}},
                     {"$skip": 1},
                     {"$project": {"fid": 1, "fx": 1}},
