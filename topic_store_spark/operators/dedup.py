@@ -1354,17 +1354,24 @@ def paragraph_dedup(
 
     Scale shape: one shuffle groups paragraph fingerprints (the keeper
     is a ``min(struct(doc, pos))`` partial aggregate — no window sort
-    over the paragraph relation); keepers attach back by fingerprint
-    with fan-out 1 (a footer shared by the whole crawl is ONE group row
+    over the paragraph relation, so a crawl-wide footer cannot
+    serialize one task); keepers attach back by fingerprint with
+    fan-out 1 (a footer shared by the whole crawl is ONE group row
     joined against its occurrences — never a self-join); reassembly is
-    one shuffle on the document id with a bounded per-doc sort.
+    one shuffle on the document id with a bounded per-doc sort.  The
+    per-doc paragraph TOTALS come map-side from the source's split
+    array (r9: ``size(filter(split(...)))`` — one row per doc already,
+    no aggregation), so the explode+md5 lineage runs twice (keepers +
+    attach), not three times.
     """
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+    )
     paras = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("doc"),
+        src.select(
+            "doc",
             F.posexplode_outer(
-                F.filter(F.split(F.col(text_col), sep_pattern), lambda p: p != "")
+                F.filter(F.split(F.col("_txt"), sep_pattern), lambda p: p != "")
             ).alias("pos", "para"),
         )
         .filter(F.col("para").isNotNull())
@@ -1379,7 +1386,14 @@ def paragraph_dedup(
         .filter((F.col("doc") == F.col("k_doc")) & (F.col("pos") == F.col("k_pos")))
         .select("doc", "pos", "para")
     )
-    totals = paras.groupBy("doc").agg(F.count(F.lit(1)).alias("n_paras"))
+    # same doc set as the old paras.groupBy(doc): docs whose text is
+    # null or splits to no non-empty paragraph contribute no rows
+    totals = src.select(
+        "doc",
+        F.size(
+            F.filter(F.split(F.col("_txt"), sep_pattern), lambda p: p != "")
+        ).cast("long").alias("n_paras"),
+    ).filter(F.col("n_paras") > 0)
     rebuilt = kept.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
