@@ -118,6 +118,13 @@ def audit_one(name: str, df) -> dict:
 
     n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan)) + len(
         re.findall(r"\(\d+\) AQEShuffleRead\b", plan))
+    # round-robin repartitions are ensure_parallelism artifacts of the
+    # SINGLE-FILE test parquet (the helper is a no-op once the scan
+    # arrives in >= defaultParallelism splits, i.e. at any real scale)
+    # — split them out so the at-scale shuffle count is visible
+    n_rr = len(re.findall(
+        r"Arguments: RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan
+    ))
     n_bcast = plan.count("BroadcastHashJoin")
     n_smj = plan.count("SortMergeJoin")
     n_arrow = plan.count("MapInPandas") + plan.count("ArrowEvalPython") + plan.count(
@@ -155,6 +162,7 @@ def audit_one(name: str, df) -> dict:
             "scans": len(scans),
             "pushed_filters": has_pushed,
             "shuffles": n_exchange,
+            "rr_local_only": n_rr,
             "broadcast_joins": n_bcast,
             "sortmerge_joins": n_smj,
             "codegen_spans": n_codegen,
@@ -221,6 +229,7 @@ def main() -> int:
         flag = "VIOLATION " + "; ".join(r["hard"]) if r["hard"] else "ok"
         adv = (" | advisory: " + "; ".join(r["findings"])) if r["findings"] else ""
         print(f"{flag:>9}  {name}: shuffles={s.get('shuffles', '?')} "
+              f"(rr={s.get('rr_local_only', '?')}) "
               f"bcast={s.get('broadcast_joins', '?')} smj={s.get('sortmerge_joins', '?')} "
               f"codegen={s.get('codegen_spans', '?')} arrow={s.get('arrow_stages', '?')} "
               f"pushed={s.get('pushed_filters', '?')} "
@@ -244,16 +253,22 @@ def _write_md(results: list[dict], sf_dir: str) -> None:
         "whole-stage-codegen coverage (Arrow `mapInPandas` stages are the",
         "sanctioned Python path).  `shuffles` counts `Exchange` operators —",
         "each is a cluster-wide data movement, so lower is better at scale.",
+        "`rr local-only` is the subset that is a round-robin",
+        "REPARTITION_BY_NUM from `ensure_parallelism`: an artifact of the",
+        "SINGLE-FILE test parquet (the helper no-ops once the scan arrives in",
+        ">= defaultParallelism splits, i.e. at any real scale), so the",
+        "at-scale shuffle count is `shuffles - rr`.",
         "",
-        "| query | shuffles | broadcast | sort-merge | codegen spans | arrow stages | pushed filters | status |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | rr local-only | broadcast | sort-merge | codegen spans | arrow stages | pushed filters | status |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
         s = r["stats"]
         status = "**" + "; ".join(r["hard"]) + "**" if r["hard"] else (
             "; ".join(r["findings"]) if r["findings"] else "ok")
         out.append(
-            f"| {r['name']} | {s.get('shuffles', '?')} | {s.get('broadcast_joins', '?')} "
+            f"| {r['name']} | {s.get('shuffles', '?')} | {s.get('rr_local_only', '?')} "
+            f"| {s.get('broadcast_joins', '?')} "
             f"| {s.get('sortmerge_joins', '?')} | {s.get('codegen_spans', '?')} "
             f"| {s.get('arrow_stages', '?')} | {s.get('pushed_filters', '?')} | {status} |")
     out += [
