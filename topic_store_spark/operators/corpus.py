@@ -353,18 +353,26 @@ def temperature_sample(
     reproduces the exact kept set.  No RNG state: re-runs and late
     shards make identical choices (same property as ``mixture_sample``).
 
-    Plan: one tiny stratum rollup, its 1-row global min crossJoin'd back
-    (both broadcast), then a map-side predicate on the corpus scan —
-    the corpus itself never shuffles.
+    Plan: one tiny stratum rollup; the global min attaches via an
+    unpartitioned WINDOW over that stratum-count relation (bounded by
+    the number of strata — a constant-sized barrier; the old
+    ``crossJoin(broadcast(agg))`` diamond recomputed the rollup's
+    corpus scan a second time, r9), then a map-side predicate on the
+    corpus scan — the corpus itself never shuffles.
     """
+    from pyspark.sql import Window as W
+
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
     ).cast("long")
     counts = df.groupBy(F.col(strata_col).alias("_ts_strata")).agg(
         F.count(F.lit(1)).alias("_ts_n")
     )
-    nmin = counts.agg(F.min("_ts_n").alias("_ts_nmin"))
-    rates = F.broadcast(counts.crossJoin(F.broadcast(nmin)))
+    rates = F.broadcast(
+        counts.withColumn(
+            "_ts_nmin", F.min("_ts_n").over(W.partitionBy())
+        )
+    )
     dec = "decimal(38,0)"
     keep = (
         F.col("_h").cast(dec) * F.col("_h").cast(dec) * F.col("_ts_n").cast(dec)
