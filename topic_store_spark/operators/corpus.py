@@ -509,8 +509,10 @@ def bm25_scores(
     array (no explode, no (doc, term) shuffle), and the corpus stats
     the scoring needs — per-term document frequencies, doc count, token
     total — collapse into ONE 1-row aggregate that broadcasts back via
-    cross join.  One tokenize pass over the corpus, one single-row
-    exchange, one map-side scoring expression.  Returns ``(doc,
+    cross join.  The tokenize pass runs twice (stats + scoring — the
+    two stages overlap inside one job), with one single-row exchange
+    and a map-side scoring expression; the old plan tokenized and
+    exploded four times across its join branches.  Returns ``(doc,
     n_terms_matched, bm25_milli)`` for every doc matching >= 1 term.
     """
     qts = list(query_terms)
