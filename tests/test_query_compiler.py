@@ -2668,6 +2668,46 @@ def test_no_private_jvm_api_in_package():
     assert not offenders, offenders
 
 
+def test_no_unguarded_classic_only_surface():
+    """r10 (VERDICT #1): the r9 pin above misses the OTHER classic-only
+    surface — bare ``sparkContext`` / ``.rdd`` (absent under Spark
+    Connect).  AST-pin every attribute access to the explicit allowlist:
+    the ``binaryFiles`` pickle scan (documented classic-only), the local
+    classic session factory, and the two PROBES that carry a Connect
+    fallback in their try/except (``ensure_parallelism`` +
+    ``materialize_iter`` in operators/util.py, ``_respread_target`` in
+    streaming/ingest.py).  A new use must either gain a fallback and a
+    row here, or not exist."""
+    import ast
+    import pathlib
+    from collections import Counter
+
+    allowed = {
+        ("filesystem.py", "sparkContext"): 1,  # binaryFiles pickle scan
+        ("session.py", "sparkContext"): 1,  # local classic session factory
+        ("util.py", "sparkContext"): 2,  # guarded probes (Connect fallback)
+        ("util.py", "rdd"): 1,  # guarded probe (Connect fallback)
+        ("ingest.py", "sparkContext"): 1,  # _respread_target (no-op fallback)
+        ("ingest.py", "rdd"): 1,  # _respread_target (no-op fallback)
+    }
+    root = pathlib.Path(__file__).resolve().parent.parent
+    seen: Counter = Counter()
+    where: dict = {}
+    for py in (root / "topic_store_spark").rglob("*.py"):
+        for node in ast.walk(ast.parse(py.read_text())):
+            if isinstance(node, ast.Attribute) and node.attr in (
+                "rdd",
+                "sparkContext",
+            ):
+                seen[(py.name, node.attr)] += 1
+                where.setdefault((py.name, node.attr), []).append(node.lineno)
+    assert dict(seen) == allowed, {
+        k: (seen.get(k), allowed.get(k), where.get(k))
+        for k in set(seen) | set(allowed)
+        if seen.get(k) != allowed.get(k)
+    }
+
+
 def test_lookup_suffix_dotted_paths(spark):
     """r8: dotted paths in $lookup suffix $addFields/$set/$unset write
     into / drop from NESTED structs per element; unsetting a missing

@@ -16,27 +16,42 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     no-op — the repartition only fires when the data is too small for it
     to be expensive.
 
-    Spark Connect (r9): ``df.rdd`` / ``sparkContext`` do not exist
-    there, so the partition probe falls back to ``inputFiles()`` (file
-    count approximates scan parallelism from below — parquet splits can
-    only raise it) and the target to ``spark.sql.shuffle.partitions``;
-    an input already spread over >= target files skips the repartition,
-    everything else (incl. non-file relations) spreads.
+    Spark Connect (r9, hardened r10): ``df.rdd`` / ``sparkContext`` do
+    not exist there, so the partition probe falls back to
+    ``inputFiles()`` (file count approximates scan parallelism from
+    below — parquet splits can only raise it) and the target to
+    ``spark.sql.shuffle.partitions``.  The fallback is deliberately
+    conservative at scale: a FILE-BACKED relation spread over fewer
+    files than the target repartitions (the local-testdata case this
+    helper exists for); an UNPROBEABLE relation (``inputFiles`` raises
+    or is empty — views, in-memory, post-shuffle plans) is left alone
+    unless the caller passed an explicit ``min_partitions`` — the r9
+    behavior of unconditionally round-robin-shuffling it could re-spread
+    a 100 TB relation that was already parallel.  A non-numeric
+    ``shuffle.partitions`` ("auto" on managed AQE) also degrades to
+    no-op rather than raising.
     """
     spark = df.sparkSession
     try:
         target = min_partitions or spark.sparkContext.defaultParallelism
         current = df.rdd.getNumPartitions()
     except Exception:  # Spark Connect: no RDD / driver-context surface
-        target = min_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
-        try:
-            if len(df.inputFiles()) >= target:
+        if min_partitions:
+            target = min_partitions
+        else:
+            try:
+                target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (TypeError, ValueError):  # e.g. "auto" under managed AQE
                 return df
+        try:
+            files = df.inputFiles()
         except Exception:
-            pass
-        return df.repartition(target)
+            files = None
+        if files and len(files) < target:
+            return df.repartition(target)
+        if not files and min_partitions:
+            return df.repartition(min_partitions)
+        return df
     if current < target:
         return df.repartition(target)
     return df

@@ -60,6 +60,29 @@ def ingest_stream(
     return deduped.writeStream.foreachBatch(_sink)
 
 
+def _respread_target(batch: DataFrame, n_in: int) -> int | None:
+    """Partition count a large micro-batch should re-spread to before
+    the CPU-bound signing stage, or ``None`` to keep the source layout.
+
+    Classic Spark: spread to ``min(defaultParallelism, n_in // 256)``
+    when that exceeds the batch's current partition count.  Spark
+    Connect (r10): ``sparkContext`` / ``batch.rdd`` do not exist inside
+    ``foreachBatch`` either, and a micro-batch relation is never
+    file-backed, so no layout probe exists — keep the source layout
+    (no-op), the same scale-safe default as
+    :func:`topic_store_spark.operators.util.ensure_parallelism`'s
+    unprobeable branch; a blind repartition could shrink an
+    already-parallel batch.
+    """
+    try:
+        sc = batch.sparkSession.sparkContext
+        want = min(sc.defaultParallelism, max(1, n_in // 256))
+        current = batch.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no RDD / driver-context surface
+        return None
+    return want if want > current else None
+
+
 def near_dedup_ingest_stream(
     stream: DataFrame,
     store,
@@ -105,9 +128,8 @@ def near_dedup_ingest_stream(
             # stage).  Re-spread large batches; small batches keep
             # their layout (a 64-row batch across 32 partitions would
             # pay 32-task scheduling on every downstream job).
-            sc = batch.sparkSession.sparkContext
-            want = min(sc.defaultParallelism, max(1, n_in // 256))
-            if want > batch.rdd.getNumPartitions():
+            want = _respread_target(batch, n_in)
+            if want:
                 spread = batch.repartition(want).persist(
                     StorageLevel.MEMORY_AND_DISK
                 )
