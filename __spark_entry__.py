@@ -2003,11 +2003,28 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely back off (n_backoff counts them).  Both use fixed-point
     milli-nat integer log-probs so distributed sums are exact and
     engine-reproducible (operators/corpus.py unigram_logprob /
-    bigram_logprob)."""
+    bigram_logprob).
+
+    r10 shuffle/scan diet: the corpus is tokenized ONCE into a
+    persisted ``array<string>`` relation shared by BOTH LM branches
+    (the operators accept pre-tokenized input) — the r9 plan rebuilt
+    its own scan→tokenize chain in each union branch (and the bigram
+    branch three more times for the LM-slice counts); at 100 TB those
+    are whole extra corpus passes.  MEMORY_AND_DISK so a
+    corpus-sized token relation spills instead of evicting."""
+    from pyspark import StorageLevel
+
+    from topic_store_spark.functions.text import tokens
     from topic_store_spark.operators.corpus import bigram_logprob, unigram_logprob
+    from topic_store_spark.operators.util import ensure_parallelism
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    uni = unigram_logprob(docs).select(
+    tk = (
+        ensure_parallelism(docs)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = unigram_logprob(tk, text_col="toks").select(
         F.lit("unigram").alias("kind"),
         "doc",
         F.col("n_tokens").alias("n_events"),
@@ -2016,8 +2033,8 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_nll_milli",
         "ppl_bucket",
     )
-    lm = docs.filter(F.col("doc_id") % 10 == 1)
-    bi = bigram_logprob(docs, lm).select(
+    lm = tk.filter(F.col("doc_id") % 10 == 1)
+    bi = bigram_logprob(tk, lm, text_col="toks").select(
         F.lit("bigram").alias("kind"),
         "doc",
         "n_events",

@@ -75,6 +75,25 @@ def main() -> None:
     # failure can never zero the whole bench (the r2 lesson): failures are
     # recorded per-query and the JSON line is always emitted.
     n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+    # r10: one UNTIMED warmup execution per query before the timed
+    # rounds.  r9's BENCH_detail showed first samples 2-3x steady state
+    # (per-query codegen / shuffle-machinery warmup: unigram 6.48 vs
+    # 2.47) — the min-of-N headline absorbed it but the noise band
+    # (~7%) didn't, so sub-0.4s perf claims were unprovable.  With
+    # every query pre-warmed, ALL timed samples are steady-state.
+    warmup_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    for _ in range(warmup_rounds):
+        for name in headline:
+            if name in errors:
+                continue
+            spark.catalog.clearCache()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 - record, keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     for round_idx in range(n_rounds):
         for name in headline:
             if name in errors:
@@ -104,21 +123,15 @@ def main() -> None:
 
     timings = {n: min(s) for n, s in samples.items()}
     medians = {n: sorted(s)[len(s) // 2] for n, s in samples.items()}
-    # Spread over samples AFTER round 1: the first sample carries per-query
-    # JVM/codegen warm-up (r6's dedup_simhash: 21.3s spread vs 2.4s median),
-    # which is one-time cost, not run-to-run noise.  Dropping it makes the
-    # noise band measure steady-state variance, so cross-round drift above
-    # the band is attributable signal.  min still uses ALL samples.
-    # r8: drop-max TRIM on the steady-state samples — one host-noise
-    # spike in one round (load-average bursts measured 10+ here with no
-    # local process) should not widen the whole band.  With the default
-    # 4 rounds the band is the gap between the two best steady-state
-    # samples; min (the headline) still uses ALL samples.
+    # r10: with the untimed warmup pass, every TIMED sample is already
+    # steady-state, so the band uses all of them (r9 dropped sample 1,
+    # which carried per-query codegen warmup).  The r8 drop-max TRIM
+    # stays: one host-noise spike in one round (load bursts measured
+    # 10+ here with no local process) should not widen the whole band.
+    # min (the headline) still uses ALL timed samples.
     spreads = {}
     for n, s in samples.items():
-        steady = s[1:] if len(s) > 2 else list(s)
-        if len(steady) > 2:
-            steady = sorted(steady)[:-1]
+        steady = sorted(s)[:-1] if len(s) > 2 else list(s)
         spreads[n] = round(max(steady) - min(steady), 3)
     total = round(sum(timings.values()), 3)
     # Keep the stdout JSON line SHORT (2-decimal, no medians/spreads): the
@@ -138,11 +151,19 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     detail = {
+        "protocol": (
+            f"{warmup_rounds} untimed warmup execution(s) per query, then "
+            f"{n_rounds} timed interleaved rounds (cache cleared before "
+            "every execution); headline = per-query min over timed "
+            "samples; noise band = per-query spread of the drop-max "
+            "trimmed timed samples, summed"
+        ),
         "queries": timings,
         "medians": medians,
         "spreads_steady_state": spreads,
         "samples": samples,
         "rounds": n_rounds,
+        "warmup_rounds": warmup_rounds,
         "sf": out["sf"],
     }
     try:

@@ -447,3 +447,100 @@ def test_bm25_known_answer(spark):
     assert out[2]["bm25_milli"] == contrib(1, 2, 2)
     # rarer term ("cat") outscores the common one at equal tf
     assert contrib(1, 1, 3) > contrib(1, 2, 3)
+
+
+def test_bm25_duplicate_query_terms_dedupe(spark):
+    """r10 ADVICE: a repeated query term must not double-count in
+    n_terms_matched / bm25_milli (the old explode+isin plan dedup'd
+    implicitly; the map-side array-filter plan must do it explicitly)."""
+    from topic_store_spark.operators.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "cherry banana"), (3, "kiwi")],
+        "doc_id long, text string",
+    )
+    once = sorted(tuple(r) for r in bm25_scores(docs, ["apple", "banana"]).collect())
+    twice = sorted(
+        tuple(r)
+        for r in bm25_scores(
+            docs, ["apple", "banana", "apple", "apple"]
+        ).collect()
+    )
+    assert once == twice
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salient_terms_df_via_aggregate_not_window(spark):
+    """r10 ADVICE: document frequency must attach via a term-keyed
+    AGGREGATE + JOIN (map-side partials + AQE-skew-splittable), not a
+    `count over (partition by term)` window — under Zipf the hottest
+    term would put ~n_docs rows into ONE window task with no partials
+    and no skew splitting.  Exactly one Window survives: the per-doc
+    top-k."""
+    import re
+
+    from topic_store_spark.operators.corpus import salient_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a")], "doc_id long, text string"
+    )
+    plan = _formatted_plan(salient_terms(docs))
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_lm_logprob_operators_build_lazily(spark):
+    """r10 ADVICE: constructing unigram/bigram logprob plans must run
+    NO job (r9 ran an eager full-corpus .first() for the token total —
+    explain/audit became a full scan).  A scan that raises on execution
+    proves it: construction succeeds, collection raises."""
+    from topic_store_spark.operators.corpus import bigram_logprob, unigram_logprob
+
+    poison = F.when(
+        F.length(F.raise_error(F.concat(F.lit("poisoned-scan-"),
+                                        F.col("id").cast("string")))) < 0,
+        F.lit("x"),
+    ).otherwise(F.lit("y z"))
+    docs = spark.range(3).select(F.col("id").alias("doc_id"),
+                                 poison.alias("text"))
+    uni = unigram_logprob(docs)  # must not raise / run anything
+    bi = bigram_logprob(docs, docs)
+    with pytest.raises(Exception, match="poisoned-scan"):
+        uni.collect()
+    with pytest.raises(Exception, match="poisoned-scan"):
+        bi.collect()
+
+
+def test_lm_logprob_pretokenized_matches_text_input(spark):
+    """r10: passing a pre-tokenized array<string> column (the shared
+    persisted relation the perplexity composite builds) must give
+    byte-identical results to tokenizing inside the operator."""
+    from topic_store_spark.functions.text import tokens
+    from topic_store_spark.operators.corpus import bigram_logprob, unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a cat and a dog and a bird"),
+            (4, "completely unseen tokens here"),
+        ],
+        "doc_id long, text string",
+    )
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("text"))
+    lm = docs.filter(F.col("doc_id") <= 2)
+    lm_tk = tk.filter(F.col("doc_id") <= 2)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(unigram_logprob(docs)) == rows(unigram_logprob(tk))
+    assert rows(bigram_logprob(docs, lm)) == rows(bigram_logprob(tk, lm_tk))

@@ -494,8 +494,13 @@ def _js_schema(rng: random.Random, depth: int = 0) -> dict:
             spec[comb] = [_js_schema(rng, 1) for _ in range(rng.randint(1, 2))]
     if depth == 0 and rng.random() < 0.25:
         # r9: closed document — columns outside `properties` must be
-        # absent (null); _id always admitted
+        # absent (null).  r10 (_id parity): Mongo does NOT implicitly
+        # admit _id, so most generated closed schemas list it (the
+        # usable shape) while some omit it (the server footgun where
+        # every doc with an _id fails) — both sides must agree on both.
         spec["additionalProperties"] = False
+        if rng.random() < 0.75:
+            spec.setdefault("properties", {}).setdefault("_id", {})
     if not spec:
         spec["required"] = [rng.choice(list(FIELDS))]
     return spec
@@ -574,7 +579,8 @@ def _js_val_ok(v, sub: dict) -> bool:
 
 def _js_ok(doc: dict, spec: dict) -> bool:
     if spec.get("additionalProperties") is False:
-        allowed = set(spec.get("properties") or {}) | {"_id"}
+        # Mongo parity (r10): _id is NOT implicitly admitted
+        allowed = set(spec.get("properties") or {})
         for f in doc:
             if f not in allowed and doc.get(f) is not None:
                 return False

@@ -2506,6 +2506,25 @@ def test_json_schema_find_operator(spark):
     # from the static struct type; null == missing
     assert ids({"additionalProperties": False,
                 "properties": {"i": {}, "s": {}, "d": {}, "arr": {}}}) == [3]
+    # _id parity (r10 ADVICE): Mongo does NOT implicitly admit _id —
+    # a closed schema that omits it from `properties` fails every
+    # document whose _id is present (the server footgun, reproduced)
+    with_id = spark.createDataFrame(
+        [(10, 1, "a"), (11, 2, None)], "_id long, i long, s string"
+    )
+
+    def with_id_ids(schema_doc):
+        return sorted(
+            r["i"]
+            for r in with_id.filter(
+                compile_query({"$jsonSchema": schema_doc}, with_id.schema)
+            ).collect()
+        )
+
+    assert with_id_ids({"additionalProperties": False,
+                        "properties": {"i": {}, "s": {}}}) == []
+    assert with_id_ids({"additionalProperties": False,
+                        "properties": {"_id": {}, "i": {}, "s": {}}}) == [1, 2]
     assert ids({"properties": {"st": {"additionalProperties": False}}}
                ) == [2, 3]
     assert ids({"properties": {"st": {"additionalProperties": False,

@@ -169,6 +169,7 @@ def domain_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Domain balancing: keep the top-``k`` documents per domain by
     quality score (deterministic tie-break on id).  The per-domain cap
@@ -176,17 +177,24 @@ def domain_topk(
 
     One shuffle on the domain key; ranking is a window ``row_number``.
     Skew note: a mega-domain (half the corpus from one host) serializes
-    its partition — cap fan-in upstream or salt (operators/skew.py).
+    its window partition — pass ``salt_buckets`` to switch to the
+    two-phase salted top-k (operators/skew.py ``salted_topk``:
+    identical rows, hot domain spread over ``salt_buckets`` tasks, one
+    extra small shuffle; measured receipts in SKEW.md).
     """
     scored = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("domain"),
         quality_score(F.col(text_col)).alias("quality"),
     )
-    w = (
-        Window.partitionBy("domain")
-        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
-    )
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    if salt_buckets:
+        from topic_store_spark.operators.skew import salted_topk
+
+        return salted_topk(scored, ["domain"], order, k, salt_buckets).select(
+            "domain", "rank", "doc_id", "quality"
+        )
+    w = Window.partitionBy("domain").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -354,13 +362,14 @@ def temperature_sample(
     shards make identical choices (same property as ``mixture_sample``).
 
     Plan: one tiny stratum rollup; the global min attaches via an
-    unpartitioned WINDOW over that stratum-count relation (bounded by
-    the number of strata — a constant-sized barrier; the old
-    ``crossJoin(broadcast(agg))`` diamond recomputed the rollup's
-    corpus scan a second time, r9), then a map-side predicate on the
-    corpus scan — the corpus itself never shuffles.
+    unpartitioned WINDOW over that stratum-count relation
+    (``with_global_agg`` — bounded by the number of strata, a
+    constant-sized barrier; the old ``crossJoin(broadcast(agg))``
+    diamond recomputed the rollup's corpus scan a second time, r9),
+    then a map-side predicate on the corpus scan — the corpus itself
+    never shuffles.
     """
-    from pyspark.sql import Window as W
+    from topic_store_spark.operators.util import with_global_agg
 
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
@@ -368,11 +377,7 @@ def temperature_sample(
     counts = df.groupBy(F.col(strata_col).alias("_ts_strata")).agg(
         F.count(F.lit(1)).alias("_ts_n")
     )
-    rates = F.broadcast(
-        counts.withColumn(
-            "_ts_nmin", F.min("_ts_n").over(W.partitionBy())
-        )
-    )
+    rates = F.broadcast(with_global_agg(counts, _ts_nmin=F.min("_ts_n")))
     dec = "decimal(38,0)"
     keep = (
         F.col("_h").cast(dec) * F.col("_h").cast(dec) * F.col("_ts_n").cast(dec)
@@ -444,25 +449,28 @@ def salient_terms(
     integer-exact ordering equivalent in spirit to tf·idf — and report
     ``salience = tf * (N / df)`` for the survivors.
 
-    Plan (r9 shuffle diet — 8 Exchanges down to 5, no diamond): one
-    explode + (doc, term) rollup for TF, then DF attaches as a WINDOW
-    count over the tf relation partitioned by term — the same
-    df-as-window-count move the prefix-filtered AllPairs plan uses
-    (operators/dedup.py), one exchange on the aggregated relation
-    instead of a second rollup branch that recomputed the whole tf
-    lineage; worst window partition is bounded by the number of
-    documents containing the hottest term.  Then a per-doc window
-    top-k.  The corpus-size scalar rides a broadcast cross join of a
-    1-row source count (metadata-cheap, no tokenize).
+    Plan (r10, reverting one r9 move): one explode + (doc, term)
+    rollup for TF, then DF attaches via a TERM-KEYED AGGREGATE + JOIN
+    — not the r9 ``count over (partition by term)`` window, which put
+    every document containing the hottest term into ONE window
+    partition/task; under Zipf a stopword-grade term appears in most
+    documents, so that task held ~n_docs rows with no map-side
+    partials and no AQE skew splitting (windows get neither) — a
+    scalability cliff at 100 TB.  The aggregate has map-side partials
+    (the hot term collapses per-partition before the shuffle) and the
+    join back onto tf is AQE-skew-splittable; the price is the tf
+    lineage appearing in two plan branches, which the DF branch prunes
+    to its term column (cheap relative to the cliff).  Then a per-doc
+    window top-k.  The corpus-size scalar rides a broadcast cross join
+    of a 1-row source count (metadata-cheap, no tokenize).
     """
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
     terms = explode_nonempty(tk, "_tk", "term", "doc")
     tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn(
-        "df_docs", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    tf = tf.join(dfreq, "term")
     total = df.select(F.count(F.lit(1)).alias("n_total"))
     w = Window.partitionBy("doc").orderBy(
         F.col("tf").desc(), F.col("df_docs").asc(), F.col("term").asc()
@@ -512,10 +520,14 @@ def bm25_scores(
     cross join.  The tokenize pass runs twice (stats + scoring — the
     two stages overlap inside one job), with one single-row exchange
     and a map-side scoring expression; the old plan tokenized and
-    exploded four times across its join branches.  Returns ``(doc,
-    n_terms_matched, bm25_milli)`` for every doc matching >= 1 term.
+    exploded four times across its join branches.  Duplicate entries
+    in ``query_terms`` are deduplicated (order-preserving) — the old
+    explode+isin plan did this implicitly, and a repeated term must
+    not double-count in ``n_terms_matched``/``bm25_milli`` (r10,
+    ADVICE).  Returns ``(doc, n_terms_matched, bm25_milli)`` for every
+    doc matching >= 1 term.
     """
-    qts = list(query_terms)
+    qts = list(dict.fromkeys(query_terms))
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
@@ -680,6 +692,24 @@ def pack_sequences(
     )
 
 
+def _maybe_tokens(df: DataFrame, text_col: str):
+    """``tokens(text_col)`` — or the column itself when the caller
+    already tokenized (``array<string>`` input).  Lets a composite
+    tokenize ONCE, persist the token relation, and share it across
+    several LM operators (unigram + bigram perplexity score the same
+    corpus; re-tokenizing 100 TB per branch is the single biggest
+    avoidable cost in the union plan)."""
+    from pyspark.sql import types as T
+
+    try:
+        dt = df.schema[text_col].dataType
+    except Exception:
+        dt = None
+    if isinstance(dt, T.ArrayType):
+        return F.col(text_col)
+    return tokens(F.col(text_col))
+
+
 def _md5_bucket(col, mod: int):
     """Deterministic cross-engine hash bucket in [0, mod): integer value
     of the first 8 md5 hex digits, mod ``mod``.  Identical in DuckDB:
@@ -712,20 +742,30 @@ def unigram_logprob(
     DuckDB oracle).  The one ``ln`` call per *distinct vocabulary term*
     operates on an identical double in both engines.
 
-    Plan at 100 TB (r9 shuffle diet — 10 Exchanges down to 5): the
-    corpus TOTAL is one eager 1-row scalar (``sum(size(tokens))`` —
-    equal to the exploded-token count because ``tokens()`` never yields
-    null/empty elements — collected to the driver and inlined as a
-    literal), which removes both the 1-row SinglePartition exchange and
-    the diamond that recomputed the whole tf lineage under the old
-    ``crossJoin(broadcast(total))``.  The vocabulary rollup runs
-    DIRECTLY off the token stream (map-side partials over the Zipf-hot
-    terms; same counts as summing tf, without dragging the expensive
-    (doc, term) exchange into a second branch).  Then: (doc, term) tf
-    rollup (one shuffle), a term-keyed join to attach log-probs (AQE
-    broadcasts a small vocab; a web-scale vocab shuffle-joins with AQE
-    skew splitting — correct either way), and a per-doc rollup.  No
-    Python beyond the one collected integer.
+    Plan at 100 TB (r9 shuffle diet, r10 made the total LAZY again):
+    the corpus TOTAL is a lazy 1-row aggregate (``sum(size(tokens))``
+    — equal to the exploded-token count because ``tokens()`` never
+    yields null/empty elements) broadcast-cross-joined onto the SMALL
+    vocabulary relation, never onto the (doc, term) tf relation — so
+    the r9 diamond (Catalyst recomputing the whole tf lineage per
+    consumer of the cross join) stays dead, while the r9 *eager*
+    ``.first()`` is gone: building/explaining the operator no longer
+    runs a full-corpus job, and because both the total and the counts
+    derive from the SAME logical scan relation inside ONE job, a
+    source that gains shards between plan construction and execution
+    can never yield ``cnt > n_total`` (positive log-probs) the way the
+    two-job eager variant could.  The vocabulary rollup runs DIRECTLY
+    off the token stream (map-side partials over the Zipf-hot terms);
+    then: (doc, term) tf rollup (one shuffle), a term-keyed join to
+    attach log-probs (AQE broadcasts a small vocab; a web-scale vocab
+    shuffle-joins with AQE skew splitting — correct either way), and a
+    per-doc rollup.  No Python anywhere.
+
+    ``text_col`` may already be ``array<string>`` (pre-tokenized) — a
+    composite that scores the same corpus under several LMs should
+    tokenize once, persist, and pass the token relation in (see
+    ``_maybe_tokens``); that collapses the scan+tokenize passes the
+    unigram/bigram union would otherwise each rebuild.
 
     Returns (doc, n_tokens, nll_milli, mean_nll_milli, ppl_bucket):
     ``nll_milli``   = -sum over tokens of logprob_milli (exact integer),
@@ -737,22 +777,22 @@ def unigram_logprob(
     src = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
     )
-    tk = src.select("doc", tokens(F.col("_txt")).alias("_tk"))
+    tk = src.select("doc", _maybe_tokens(src, "_txt").alias("_tk"))
     terms = explode_nonempty(tk, "_tk", "term", "doc")
     tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # eager scalar: one cheap scan + 1-row aggregate, exact integer
-    n_total = (
-        tk.select(
-            F.sum(F.coalesce(F.size("_tk"), F.lit(0))).cast("long")
-        ).first()[0]
-        or 0
+    # lazy 1-row scalar off the same scan relation (one cheap
+    # tokenize-and-sum branch, no explode, no eager job)
+    total = tk.agg(
+        F.sum(F.coalesce(F.size("_tk"), F.lit(0)))
+        .cast("long")
+        .alias("_n_total")
     )
     vocab = terms.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    lp = vocab.select(
+    lp = vocab.crossJoin(F.broadcast(total)).select(
         "term",
-        F.round(F.log(F.col("cnt") / F.lit(n_total)) * precision)
+        F.round(F.log(F.col("cnt") / F.col("_n_total")) * precision)
         .cast("long")
         .alias("lp_milli"),
     )
@@ -857,11 +897,18 @@ def bigram_logprob(
     rounded to a milli-nat BIGINT before the per-doc sum, so totals are
     exact integer sums.
 
-    Plan at 100 TB (r9 shuffle diet — 12 Exchanges down to 8): the LM
-    total is one eager 1-row scalar (``sum(size(tokens))`` over the LM
-    slice, inlined as a literal — the old derivation from ``uni``
-    recomputed the whole unigram rollup a second time under
-    ``crossJoin(broadcast(total))``).  The prefix counts ``c1`` attach
+    Plan at 100 TB (r9 shuffle diet, r10 made the total LAZY again):
+    the LM total is a lazy 1-row aggregate (``sum(size(tokens))`` over
+    the LM slice) broadcast onto the scored relation — the broadcast
+    branch re-reads only the SMALL LM slice, never the scored corpus,
+    so the r9 diamond (the old derivation from ``uni`` recomputed the
+    whole unigram rollup per consumer) stays dead while plan
+    construction no longer runs an eager full-slice job, and the total
+    is read in the same job as the counts (late shards can never make
+    ``c2 > n_total``).  ``text_col`` may be pre-tokenized
+    ``array<string>`` (see ``unigram_logprob``) so a perplexity
+    composite shares one persisted token relation across both LM
+    branches.  The prefix counts ``c1`` attach
     to the bigram-count relation via a WINDOW over the AGGREGATED c12
     rows (``sum(c12) over (partition by w1)`` — c1 is only ever read
     where c12 matched, and the window's worst partition is bounded by
@@ -883,9 +930,11 @@ def bigram_logprob(
 
     def _bigrams(src: DataFrame, with_id: bool) -> DataFrame:
         cols = [F.col(id_col).alias("doc")] if with_id else []
-        tk = ensure_parallelism(
-            src.select(*cols, F.col(text_col).alias("_txt"))
-        ).select(*(["doc"] if with_id else []), tokens(F.col("_txt")).alias("_tk"))
+        wide = ensure_parallelism(src.select(*cols, F.col(text_col).alias("_txt")))
+        tk = wide.select(
+            *(["doc"] if with_id else []),
+            _maybe_tokens(wide, "_txt").alias("_tk"),
+        )
         bg = tk.select(
             *(["doc"] if with_id else []),
             shingles_from_tokens(F.col("_tk"), 2).alias("_bg"),
@@ -903,20 +952,20 @@ def bigram_logprob(
             .cast("long"),
         )
     )
-    lm_tk = ensure_parallelism(
-        lm_df.select(F.col(text_col).alias("_txt"))
-    ).select(tokens(F.col("_txt")).alias("_tk"))
+    lm_wide = ensure_parallelism(lm_df.select(F.col(text_col).alias("_txt")))
+    lm_tk = lm_wide.select(_maybe_tokens(lm_wide, "_txt").alias("_tk"))
     uni = (
         explode_nonempty(lm_tk, "_tk", "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("c2"))
     )
-    # eager scalar (== sum of c2: tokens() yields no null/empty elements)
-    n_total = (
-        lm_tk.select(
-            F.sum(F.coalesce(F.size("_tk"), F.lit(0))).cast("long")
-        ).first()[0]
-        or 0
+    # lazy 1-row scalar (== sum of c2: tokens() yields no null/empty
+    # elements) off the same LM scan relation — building the operator
+    # runs no job, and counts can never outrun the total (r10)
+    total = lm_tk.agg(
+        F.sum(F.coalesce(F.size("_tk"), F.lit(0)))
+        .cast("long")
+        .alias("_n_total")
     )
 
     d_bg = (
@@ -925,8 +974,10 @@ def bigram_logprob(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .withColumn("w2", F.split(F.col("bg"), " ").getItem(1))
     )
-    scored = d_bg.join(c12, "bg", "left").join(
-        uni.withColumnRenamed("term", "w2"), "w2", "left"
+    scored = (
+        d_bg.join(c12, "bg", "left")
+        .join(uni.withColumnRenamed("term", "w2"), "w2", "left")
+        .crossJoin(F.broadcast(total))
     )
     lp = (
         F.when(
@@ -936,12 +987,12 @@ def bigram_logprob(
         .when(
             F.col("c2").isNotNull(),
             F.round(
-                F.log(F.lit(alpha) * F.col("c2") / F.lit(n_total))
+                F.log(F.lit(alpha) * F.col("c2") / F.col("_n_total"))
                 * precision
             ),
         )
         .otherwise(
-            F.round(F.log(F.lit(alpha) / F.lit(n_total)) * precision)
+            F.round(F.log(F.lit(alpha) / F.col("_n_total")) * precision)
         )
         .cast("long")
     )
@@ -1032,22 +1083,19 @@ def importance_resample(
     spine = df.sparkSession.range(n_buckets).select(
         F.col("id").cast("long").alias("bucket")
     )
-    whole = W.partitionBy()  # 64 rows: a constant-sized barrier
-    joined = (
+    from topic_store_spark.operators.util import with_global_agg
+
+    joined = with_global_agg(
+        # n_buckets rows: a constant-sized barrier
         spine.join(F.broadcast(tgt_counts), "bucket", "left")
         .join(F.broadcast(raw_counts), "bucket", "left")
         .select(
             "bucket",
             F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
             F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
-        )
-        .select(
-            "bucket",
-            "t_cnt",
-            "s_cnt",
-            F.sum("t_cnt").over(whole).cast("long").alias("t_total"),
-            F.sum("s_cnt").over(whole).cast("long").alias("s_total"),
-        )
+        ),
+        t_total=F.sum("t_cnt"),
+        s_total=F.sum("s_cnt"),
     )
     ratios = joined.select(
         "bucket",

@@ -673,11 +673,17 @@ def _compile_json_schema(
         return _static_path_type(schema, full)
 
     if ap is False:
-        # closed document (r9): with a static schema, "no additional
-        # properties" enumerates the struct's field set — every column
-        # not named in `properties` must be absent (engine convention:
-        # null == missing).  Mongo always admits _id.  The ragged
-        # resolver has no closed field enumeration — refuse loudly.
+        # closed document (r9, _id parity fixed r10): with a static
+        # schema, "no additional properties" enumerates the struct's
+        # field set — every column not named in `properties` must be
+        # absent (engine convention: null == missing).  Mongo does NOT
+        # implicitly admit _id: the manual requires _id to be listed in
+        # `properties` (or covered by `required`'s presence check plus
+        # a property entry) or EVERY stored document fails validation —
+        # a famous server footgun this compiler reproduces exactly, so
+        # a spec that validates nothing here validates nothing there.
+        # The ragged resolver has no closed field enumeration — refuse
+        # loudly.
         from pyspark.sql import types as T
 
         node = schema if not prefix else _static_path_type(schema, prefix)
@@ -688,7 +694,7 @@ def _compile_json_schema(
                 "struct field enumeration; unavailable under the "
                 "ragged resolver)"
             )
-        allowed = set(spec.get("properties") or {}) | {"_id"}
+        allowed = set(spec.get("properties") or {})
         for fld in node.fields:
             if fld.name not in allowed:
                 conds.append(resolve(fld.name).isNull())
