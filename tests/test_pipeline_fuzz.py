@@ -1371,3 +1371,236 @@ def test_graph_lookup_matches_reference(spark):
         f"{len(failures)}/8 $graphLookup specs diverge; "
         f"first: {failures[0]}"
     )
+
+
+# ----------------------------------------------------------------- $merge
+# Differential fuzz (r10, VERDICT #5): $merge is the one large pipeline
+# surface with no fuzz harness — and a STATEFUL writer, where a bug
+# corrupts the store rather than one query's result.  A pure-Python
+# reference executes Mongo's whenMatched x whenNotMatched mode matrix
+# (incl. custom update pipelines with $$new) over small generated
+# store/incoming pairs; the engine side drives _merge_into through an
+# in-memory target exposing the same to_df/write_df/_overwrite surface
+# the parquet store does.
+
+_MERGE_STORE_SCHEMA = "k1 long, k2 string, x long, y string, z long"
+_MERGE_INC_SCHEMA = "k1 long, k2 string, x long, y string, w long"
+
+
+class _MemTarget:
+    def __init__(self, df):
+        self._df_val = df
+
+    def to_df(self):
+        return self._df_val
+
+    def write_df(self, df):
+        self._df_val = self._df_val.unionByName(df, allowMissingColumns=True)
+
+    def _overwrite(self, df):
+        self._df_val = df
+
+
+def _merge_docs(rng: random.Random, n: int, store: bool) -> list[dict]:
+    keys = rng.sample([(i, c) for i in range(8) for c in "pq"], n)
+    return [
+        {
+            "k1": k1,
+            "k2": k2,
+            "x": rng.choice([None, *range(-2, 7)]),
+            "y": rng.choice([None, "u", "v", "w"]),
+            ("z" if store else "w"): rng.choice([None, 0, 3, 11]),
+        }
+        for k1, k2 in keys
+    ]
+
+
+def _merge_update_stages(rng: random.Random) -> list[dict]:
+    def numref():
+        return rng.choice(
+            ["$x", "$z", "$$new.x", {"$literal": rng.randint(-3, 9)},
+             rng.randint(0, 5)]
+        )
+
+    def guarded():
+        return {"$ifNull": [numref(), rng.randint(0, 3)]}
+
+    shape = rng.randrange(4)
+    if shape == 0:
+        return [{"$set": {"x": {"$add": [guarded(), guarded()]}}}]
+    if shape == 1:
+        return [{"$set": {"y": "$$new.y",
+                          "v": {"$multiply": [guarded(), guarded()]}}}]
+    if shape == 2:
+        return [{"$set": {"x": guarded()}}, {"$unset": ["y"]}]
+    return [{"$unset": rng.sample(["x", "y", "z"], rng.randint(1, 2))}]
+
+
+def _ref_merge_val(e, doc: dict, new: dict):
+    if isinstance(e, str) and e.startswith("$$new."):
+        return new.get(e[len("$$new."):])
+    if isinstance(e, str) and e.startswith("$"):
+        return doc.get(e[1:])
+    if isinstance(e, dict):
+        op, arg = next(iter(e.items()))
+        if op == "$literal":
+            return arg
+        if op == "$ifNull":
+            v = _ref_merge_val(arg[0], doc, new)
+            return v if v is not None else _ref_merge_val(arg[1], doc, new)
+        vs = [_ref_merge_val(a, doc, new) for a in arg]
+        if any(v is None for v in vs):
+            return None
+        if op == "$add":
+            return sum(vs)
+        if op == "$multiply":
+            out = 1
+            for v in vs:
+                out *= v
+            return out
+        raise ValueError(op)
+    return e
+
+
+def _ref_merge_update(d: dict, n: dict, stages: list) -> dict:
+    doc = dict(d)
+    for st in stages:
+        op, spec = next(iter(st.items()))
+        if op in ("$set", "$addFields"):
+            # all RHS evaluate against the PRE-stage doc (Mongo + engine)
+            vals = {f: _ref_merge_val(e, doc, n) for f, e in spec.items()}
+            doc.update(vals)
+        elif op == "$unset":
+            for f in spec if isinstance(spec, list) else [spec]:
+                doc.pop(f, None)
+        else:
+            raise ValueError(op)
+    return doc
+
+
+def _ref_merge(store_docs, inc_docs, on, wm, wnm):
+    """Pure-Python $merge per the MongoDB manual (engine convention:
+    null == missing).  Raises ValueError exactly where the engine must."""
+    if not store_docs:
+        if wnm == "discard":
+            return []
+        if wnm == "fail" and inc_docs:
+            raise ValueError("whenNotMatched=fail")
+        return [dict(d) for d in inc_docs]
+
+    def key(d):
+        return tuple(d[k] for k in on)
+
+    store_keys = {key(d) for d in store_docs}
+    matched = {key(d): d for d in inc_docs if key(d) in store_keys}
+    new = [d for d in inc_docs if key(d) not in store_keys]
+    if wnm == "fail" and new:
+        raise ValueError("whenNotMatched=fail")
+    if wm == "fail" and matched:
+        raise ValueError("whenMatched=fail")
+    inserts = [dict(d) for d in new] if wnm == "insert" else []
+    if wm == "keepExisting":
+        return [dict(d) for d in store_docs] + inserts
+    out = []
+    for d in store_docs:
+        n = matched.get(key(d))
+        if n is None:
+            out.append(dict(d))
+        elif wm == "replace":
+            out.append(dict(n))
+        elif isinstance(wm, list):
+            out.append(_ref_merge_update(d, n, wm))
+        else:  # merge: incoming non-null fields override field-wise
+            m = dict(d)
+            for c, v in n.items():
+                if c not in on and v is not None:
+                    m[c] = v
+            out.append(m)
+    return out + inserts
+
+
+def _canon_merge(docs: list[dict], on: list[str]):
+    cols = sorted({c for d in docs for c in d})
+    return sorted(
+        tuple((c, d.get(c)) for c in cols if d.get(c) is not None)
+        for d in docs
+    )
+
+
+def test_merge_matches_reference(spark):
+    from topic_store_spark.query.pipeline import _merge_into
+
+    rng = random.Random(0x4E46E10)
+    failures = []
+    for case_i in range(25):
+        on = rng.choice([["k1"], ["k1", "k2"]])
+        # on=["k1"] needs k1 alone unique: thin the key space
+        store_docs = _merge_docs(rng, rng.randint(0, 10), store=True)
+        inc_docs = _merge_docs(rng, rng.randint(0, 8), store=False)
+        if on == ["k1"]:
+            store_docs = list({d["k1"]: d for d in store_docs}.values())
+            inc_docs = list({d["k1"]: d for d in inc_docs}.values())
+        wm = rng.choice(
+            ["merge", "merge", "replace", "keepExisting", "fail",
+             _merge_update_stages(rng), _merge_update_stages(rng)]
+        )
+        wnm = rng.choice(["insert", "insert", "discard", "fail"])
+
+        store_df = spark.createDataFrame(
+            [tuple(d[c] for c in ["k1", "k2", "x", "y", "z"])
+             for d in store_docs],
+            _MERGE_STORE_SCHEMA,
+        )
+        inc_df = spark.createDataFrame(
+            [tuple(d[c] for c in ["k1", "k2", "x", "y", "w"])
+             for d in inc_docs],
+            _MERGE_INC_SCHEMA,
+        )
+        tgt = _MemTarget(store_df)
+        spec = {"into": "mem",
+                "on": on[0] if len(on) == 1 else on,
+                "whenMatched": wm, "whenNotMatched": wnm}
+        try:
+            _merge_into(inc_df, spec, lambda path, sp: tgt)
+            got = _canon_merge(
+                [r.asDict() for r in tgt.to_df().collect()], on
+            )
+            engine_err = None
+        except ValueError as e:
+            engine_err = str(e)
+        try:
+            want = _canon_merge(
+                _ref_merge(store_docs, inc_docs, on, wm, wnm), on
+            )
+            ref_err = None
+        except ValueError as e:
+            ref_err = str(e)
+        if (engine_err is None) != (ref_err is None):
+            failures.append((case_i, spec, "raise-mismatch",
+                             engine_err, ref_err))
+        elif engine_err is None and got != want:
+            diff = [p for p in got if p not in want] + \
+                   [p for p in want if p not in got]
+            failures.append((case_i, spec, "value-mismatch", diff[:4]))
+    assert not failures, (
+        f"{len(failures)}/25 $merge cases diverge; first: {failures[0]}"
+    )
+
+    # fixed corners the generator can't hit: default on=_id, and the
+    # missing-'on'-field errors on either side
+    store_df = spark.createDataFrame([(1, 10), (2, 20)], "_id long, x long")
+    inc_df = spark.createDataFrame([(2, 99), (3, 30)], "_id long, x long")
+    tgt = _MemTarget(store_df)
+    _merge_into(inc_df, {"into": "mem"}, lambda path, sp: tgt)
+    rows = {r["_id"]: r["x"] for r in tgt.to_df().collect()}
+    assert rows == {1: 10, 2: 99, 3: 30}
+    with pytest.raises(ValueError, match="missing from incoming"):
+        _merge_into(
+            inc_df.drop("_id"), {"into": "mem"}, lambda path, sp: tgt
+        )
+    with pytest.raises(ValueError, match="missing from target"):
+        _merge_into(
+            inc_df,
+            {"into": "mem"},
+            lambda path, sp: _MemTarget(store_df.drop("_id")),
+        )

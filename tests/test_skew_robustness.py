@@ -154,3 +154,46 @@ def test_overlap_cap_is_broadcast_anti_join(spark):
     assert got == {(2 * k, 2 * k + 1) for k in range(20)}
     for r in word_overlap_pairs(df, n=3, max_shingle_freq=8).collect():
         assert r["jaccard"] == 1.0
+
+
+def test_salted_topk_equals_plain_window(spark):
+    """r10: two-phase salted top-k returns IDENTICAL rows to the plain
+    per-key window for a total ordering — including under a mega-key
+    (half the rows in one key)."""
+    from pyspark.sql import Window
+
+    from topic_store_spark.operators.skew import salted_topk
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % 97).cast("string")))
+        .alias("key"),
+        (F.col("id") * 2654435761 % 1000003).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    w = Window.partitionBy("key").orderBy(*order)
+    plain = df.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 7
+    )
+    salted = salted_topk(df, ["key"], order, 7, salt_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_domain_topk_salted_equals_default(spark):
+    from topic_store_spark.operators.corpus import domain_topk
+
+    docs = spark.createDataFrame(
+        [
+            (i,
+             "hot" if i % 3 else f"s{i % 5}",
+             f"word{i % 11} " * (3 + i % 7))
+            for i in range(500)
+        ],
+        "doc_id long, source string, text string",
+    )
+    a = sorted(map(tuple, domain_topk(docs, k=4).collect()))
+    b = sorted(map(tuple, domain_topk(docs, k=4, salt_buckets=8).collect()))
+    assert a == b

@@ -6,10 +6,12 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all thirteen harnesses (value expressions, long-tail
+Each round runs all fourteen harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
-sweep, projections, and the six pipeline families incl. the r9
-$redact-$$DESCEND and $graphLookup references); any divergence prints
+sweep, projections, and the seven pipeline families incl. the r9
+$redact-$$DESCEND / $graphLookup references and the r10 $merge
+whenMatched x whenNotMatched mode-matrix reference — the stateful
+writer surface); any divergence prints
 the harness, round, and the failing case.  Finds from past runs (all
 fixed): last-ULP atan2 differences between JVM and Python libm (now
 quantized past in the comparator), a generator flaw where a bare
@@ -64,6 +66,7 @@ def main() -> int:
         ("pipe_nary", pf.test_nary_accumulators_and_convert_match_reference),
         ("pipe_redact", pf.test_redact_descend_matches_reference),
         ("pipe_graphlookup", pf.test_graph_lookup_matches_reference),
+        ("pipe_merge", pf.test_merge_matches_reference),
     ]
 
     orig_random = _random.Random

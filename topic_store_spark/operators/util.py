@@ -93,3 +93,27 @@ def explode_nonempty(df: DataFrame, arr_col: str, out_name: str, *keep: str) -> 
 
     out = df.select(*keep, F.explode_outer(F.col(arr_col)).alias(out_name))
     return out.filter(F.col(out_name).isNotNull())
+
+
+def with_global_agg(df: DataFrame, **aggs) -> DataFrame:
+    """Attach global-aggregate columns to every row of a SMALL relation
+    via one unpartitioned window: ``with_global_agg(counts,
+    nmin=F.min("n"), total=F.sum("n"))``.
+
+    This is the scale-safe way to put a "grand total" next to grouped
+    rows when the input is ALREADY bounded (a stratum rollup, a
+    fixed-width feature table): ``crossJoin(broadcast(df.agg(...)))``
+    creates a diamond lineage — Catalyst recomputes the input's whole
+    upstream branch once per consumer because column pruning
+    differentiates the subtrees, so no ReusedExchange fires (measured
+    r9: unigram 22->13 Exchanges, resample 16->8 from removing these) —
+    while the window reads the relation once.  The trade: the window
+    gathers ALL rows into ONE task, so this is ONLY for relations whose
+    row count is bounded by construction (strata, buckets, band
+    tables), never for per-key relations with unbounded key cardinality
+    (see salted_topk / SKEW.md for that cliff).
+    """
+    from pyspark.sql import Window, functions as F  # noqa: F401
+
+    w = Window.partitionBy()
+    return df.select("*", *[c.over(w).alias(n) for n, c in aggs.items()])
