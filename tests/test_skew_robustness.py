@@ -156,44 +156,26 @@ def test_overlap_cap_is_broadcast_anti_join(spark):
         assert r["jaccard"] == 1.0
 
 
-def test_salted_topk_equals_plain_window(spark):
-    """r10: two-phase salted top-k returns IDENTICAL rows to the plain
-    per-key window for a total ordering — including under a mega-key
-    (half the rows in one key)."""
-    from pyspark.sql import Window
+def test_domain_topk_window_is_group_limited(spark):
+    """r10 (SKEW.md receipts): the rank<=k filter must reach the plan
+    as map-side WindowGroupLimit partial top-k nodes — Spark's native
+    "salting" for limited windows, and what keeps domain_topk flat
+    under a mega-domain (one key = 50% of rows measured 0.83x uniform).
+    A hand-rolled two-phase salted top-k measured strictly worse on
+    uniform data and no better under skew, so the operator deliberately
+    stays on the plain window; if a refactor ever hides the filter from
+    Catalyst (ranks materialized, filter applied in a later stage),
+    this pin fails and the skew posture must be re-measured."""
+    import contextlib
+    import io
 
-    from topic_store_spark.operators.skew import salted_topk
-
-    df = spark.range(0, 20_000).select(
-        F.col("id"),
-        F.when(F.col("id") % 2 == 0, F.lit("hot"))
-        .otherwise(F.concat(F.lit("d"), (F.col("id") % 97).cast("string")))
-        .alias("key"),
-        (F.col("id") * 2654435761 % 1000003).alias("score"),
-    )
-    order = [F.col("score").desc(), F.col("id").asc()]
-    w = Window.partitionBy("key").orderBy(*order)
-    plain = df.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 7
-    )
-    salted = salted_topk(df, ["key"], order, 7, salt_buckets=8)
-    assert sorted(map(tuple, plain.collect())) == sorted(
-        map(tuple, salted.collect())
-    )
-
-
-def test_domain_topk_salted_equals_default(spark):
     from topic_store_spark.operators.corpus import domain_topk
 
     docs = spark.createDataFrame(
-        [
-            (i,
-             "hot" if i % 3 else f"s{i % 5}",
-             f"word{i % 11} " * (3 + i % 7))
-            for i in range(500)
-        ],
+        [(i, f"s{i % 5}", "w " * (3 + i % 7)) for i in range(50)],
         "doc_id long, source string, text string",
     )
-    a = sorted(map(tuple, domain_topk(docs, k=4).collect()))
-    b = sorted(map(tuple, domain_topk(docs, k=4, salt_buckets=8).collect()))
-    assert a == b
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        domain_topk(docs, k=4).explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

@@ -169,32 +169,31 @@ def domain_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
-    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Domain balancing: keep the top-``k`` documents per domain by
     quality score (deterministic tie-break on id).  The per-domain cap
     every web-scale corpus applies so no single crawl source dominates.
 
     One shuffle on the domain key; ranking is a window ``row_number``.
-    Skew note: a mega-domain (half the corpus from one host) serializes
-    its window partition — pass ``salt_buckets`` to switch to the
-    two-phase salted top-k (operators/skew.py ``salted_topk``:
-    identical rows, hot domain spread over ``salt_buckets`` tasks, one
-    extra small shuffle; measured receipts in SKEW.md).
+    Skew note (measured, SKEW.md): because the rank filter is visible
+    to Catalyst, Spark inserts map-side ``WindowGroupLimit`` partial
+    top-k nodes below the exchange — a mega-domain (half the corpus
+    from one host) reaches the window task already pruned to
+    ``<= map_partitions * k`` rows, so this plan is natively
+    skew-resistant (a hand-rolled salted top-k measured STRICTLY worse
+    on uniform data and no better under skew, and was removed).  The
+    window aggregates WITHOUT a pushable limit (``count over
+    (partition by key)``) are the ones that cliff — see SKEW.md and
+    the salient_terms agg+join plan note.
     """
     scored = ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(domain_col).alias("domain"),
         quality_score(F.col(text_col)).alias("quality"),
     )
-    order = [F.col("quality").desc(), F.col("doc_id").asc()]
-    if salt_buckets:
-        from topic_store_spark.operators.skew import salted_topk
-
-        return salted_topk(scored, ["domain"], order, k, salt_buckets).select(
-            "domain", "rank", "doc_id", "quality"
-        )
-    w = Window.partitionBy("domain").orderBy(*order)
+    w = Window.partitionBy("domain").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -86,44 +86,3 @@ def salted_join_left(
     )
     return lsalted.join(rsalted, [key, "_salt"]).drop("_salt")
 
-
-def salted_topk(
-    df: DataFrame,
-    keys: list[str],
-    order_by: list[Column],
-    k: int,
-    salt_buckets: int = 32,
-) -> DataFrame:
-    """Skew-resilient per-key top-``k``: the plain plan
-    (``row_number() over (partition by key order by ...) <= k``) puts
-    EVERY row of a hot key into one window task — a mega-key holding
-    half the corpus serializes half the data through one sort, with no
-    map-side reduction and no AQE skew splitting (windows get neither).
-
-    Two phases, both windows but neither unbounded: phase 1 ranks
-    within ``(keys, salt)`` — the hot key spreads over ``salt_buckets``
-    tasks and only ``k`` rows per (key, salt) survive; phase 2 re-ranks
-    the survivors within ``keys``, at most ``salt_buckets * k`` rows
-    per key.  Identical result to the direct window for any TOTAL
-    ordering (every global top-k row is in its salt bucket's top-k —
-    callers must include a unique tie-break in ``order_by``, same as
-    they must for the plain window to be deterministic).  Adds one
-    small shuffle; use when a hot key is expected (measured receipts:
-    SKEW.md).
-    """
-    from pyspark.sql import Window
-
-    salt = (
-        (F.spark_partition_id() + F.monotonically_increasing_id())
-        % salt_buckets
-    ).cast("int")
-    w1 = Window.partitionBy(*keys, "_tsalt").orderBy(*order_by)
-    w2 = Window.partitionBy(*keys).orderBy(*order_by)
-    return (
-        df.withColumn("_tsalt", salt)
-        .withColumn("_trank", F.row_number().over(w1))
-        .filter(F.col("_trank") <= k)
-        .drop("_tsalt", "_trank")
-        .withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-    )
