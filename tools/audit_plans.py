@@ -125,6 +125,36 @@ def audit_one(name: str, df) -> dict:
     n_rr = len(re.findall(
         r"Arguments: RoundRobinPartitioning\(\d+\), REPARTITION_BY_NUM", plan
     ))
+    # single-row scalar exchanges (r10): a lazy global aggregate
+    # (count/sum collapsed to ONE row per task by map-side partials,
+    # gathered to SinglePartition, then broadcast) moves
+    # O(map_partitions) rows at ANY data volume — the scale-safe
+    # replacement for the eager-.first() totals ADVICE r9 flagged, not
+    # a data shuffle.  Split it out like the rr column.  STRICT
+    # classification: the exchange's detail block must say
+    # SinglePartition AND its direct tree child must be a (partial)
+    # aggregate — a SinglePartition exchange over anything else moves
+    # raw rows to one task and stays in the at-scale count.
+    single_ids = {
+        m.group(1)
+        for block in plan.split("\n\n")
+        if (m := re.match(r"\((\d+)\) Exchange\b", block))
+        and "Arguments: SinglePartition" in block
+    }
+    tree_lines = plan.split("\n\n")[0].splitlines()
+    scalar_ids = set()
+    for i, line in enumerate(tree_lines):
+        m = re.search(r"Exchange \((\d+)\)", line)
+        if (
+            m
+            and m.group(1) in single_ids
+            and i + 1 < len(tree_lines)
+            and ("HashAggregate" in tree_lines[i + 1]
+                 or "SortAggregate" in tree_lines[i + 1]
+                 or "ObjectHashAggregate" in tree_lines[i + 1])
+        ):
+            scalar_ids.add(m.group(1))
+    n_scalar = len(scalar_ids)
     n_bcast = plan.count("BroadcastHashJoin")
     n_smj = plan.count("SortMergeJoin")
     n_arrow = plan.count("MapInPandas") + plan.count("ArrowEvalPython") + plan.count(
@@ -163,6 +193,7 @@ def audit_one(name: str, df) -> dict:
             "pushed_filters": has_pushed,
             "shuffles": n_exchange,
             "rr_local_only": n_rr,
+            "scalar_1row": n_scalar,
             "broadcast_joins": n_bcast,
             "sortmerge_joins": n_smj,
             "codegen_spans": n_codegen,
@@ -229,7 +260,8 @@ def main() -> int:
         flag = "VIOLATION " + "; ".join(r["hard"]) if r["hard"] else "ok"
         adv = (" | advisory: " + "; ".join(r["findings"])) if r["findings"] else ""
         print(f"{flag:>9}  {name}: shuffles={s.get('shuffles', '?')} "
-              f"(rr={s.get('rr_local_only', '?')}) "
+              f"(rr={s.get('rr_local_only', '?')} "
+              f"scalar={s.get('scalar_1row', '?')}) "
               f"bcast={s.get('broadcast_joins', '?')} smj={s.get('sortmerge_joins', '?')} "
               f"codegen={s.get('codegen_spans', '?')} arrow={s.get('arrow_stages', '?')} "
               f"pushed={s.get('pushed_filters', '?')} "
@@ -256,11 +288,15 @@ def _write_md(results: list[dict], sf_dir: str) -> None:
         "`rr local-only` is the subset that is a round-robin",
         "REPARTITION_BY_NUM from `ensure_parallelism`: an artifact of the",
         "SINGLE-FILE test parquet (the helper no-ops once the scan arrives in",
-        ">= defaultParallelism splits, i.e. at any real scale), so the",
-        "at-scale shuffle count is `shuffles - rr`.",
+        ">= defaultParallelism splits, i.e. at any real scale).",
+        "`scalar 1-row` (r10) is the subset that gathers a map-side-collapsed",
+        "global aggregate to SinglePartition before a broadcast — it moves",
+        "O(map_partitions) ROWS at any data volume (the lazy, scale-safe",
+        "replacement for the eager `.first()` totals ADVICE r9 flagged).",
+        "So the at-scale data-shuffle count is `shuffles - rr - scalar`.",
         "",
-        "| query | shuffles | rr local-only | broadcast | sort-merge | codegen spans | arrow stages | pushed filters | status |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | rr local-only | scalar 1-row | broadcast | sort-merge | codegen spans | arrow stages | pushed filters | status |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
         s = r["stats"]
@@ -268,6 +304,7 @@ def _write_md(results: list[dict], sf_dir: str) -> None:
             "; ".join(r["findings"]) if r["findings"] else "ok")
         out.append(
             f"| {r['name']} | {s.get('shuffles', '?')} | {s.get('rr_local_only', '?')} "
+            f"| {s.get('scalar_1row', '?')} "
             f"| {s.get('broadcast_joins', '?')} "
             f"| {s.get('sortmerge_joins', '?')} | {s.get('codegen_spans', '?')} "
             f"| {s.get('arrow_stages', '?')} | {s.get('pushed_filters', '?')} | {status} |")
