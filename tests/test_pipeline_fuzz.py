@@ -1436,9 +1436,13 @@ def _merge_update_stages(rng: random.Random) -> list[dict]:
     return [{"$unset": rng.sample(["x", "y", "z"], rng.randint(1, 2))}]
 
 
-def _ref_merge_val(e, doc: dict, new: dict):
-    if isinstance(e, str) and e.startswith("$$new."):
-        return new.get(e[len("$$new."):])
+def _ref_merge_val(e, doc: dict, env: dict):
+    if isinstance(e, str) and e.startswith("$$"):
+        name, _, rest = e[2:].partition(".")
+        v = env[name]
+        for part in rest.split(".") if rest else []:
+            v = v.get(part) if isinstance(v, dict) else None
+        return v
     if isinstance(e, str) and e.startswith("$"):
         return doc.get(e[1:])
     if isinstance(e, dict):
@@ -1446,9 +1450,9 @@ def _ref_merge_val(e, doc: dict, new: dict):
         if op == "$literal":
             return arg
         if op == "$ifNull":
-            v = _ref_merge_val(arg[0], doc, new)
-            return v if v is not None else _ref_merge_val(arg[1], doc, new)
-        vs = [_ref_merge_val(a, doc, new) for a in arg]
+            v = _ref_merge_val(arg[0], doc, env)
+            return v if v is not None else _ref_merge_val(arg[1], doc, env)
+        vs = [_ref_merge_val(a, doc, env) for a in arg]
         if any(v is None for v in vs):
             return None
         if op == "$add":
@@ -1462,13 +1466,19 @@ def _ref_merge_val(e, doc: dict, new: dict):
     return e
 
 
-def _ref_merge_update(d: dict, n: dict, stages: list) -> dict:
+def _ref_merge_update(d: dict, n: dict, stages: list, let=None) -> dict:
+    # let variables evaluate against the INCOMING doc ($$ROOT = n)
+    env = (
+        {"new": n}
+        if let is None
+        else {name: _ref_merge_val(e, n, {"ROOT": n}) for name, e in let.items()}
+    )
     doc = dict(d)
     for st in stages:
         op, spec = next(iter(st.items()))
         if op in ("$set", "$addFields"):
             # all RHS evaluate against the PRE-stage doc (Mongo + engine)
-            vals = {f: _ref_merge_val(e, doc, n) for f, e in spec.items()}
+            vals = {f: _ref_merge_val(e, doc, env) for f, e in spec.items()}
             doc.update(vals)
         elif op == "$unset":
             for f in spec if isinstance(spec, list) else [spec]:
@@ -1478,7 +1488,7 @@ def _ref_merge_update(d: dict, n: dict, stages: list) -> dict:
     return doc
 
 
-def _ref_merge(store_docs, inc_docs, on, wm, wnm):
+def _ref_merge(store_docs, inc_docs, on, wm, wnm, let=None):
     """Pure-Python $merge per the MongoDB manual (engine convention:
     null == missing).  Raises ValueError exactly where the engine must."""
     if not store_docs:
@@ -1509,7 +1519,7 @@ def _ref_merge(store_docs, inc_docs, on, wm, wnm):
         elif wm == "replace":
             out.append(dict(n))
         elif isinstance(wm, list):
-            out.append(_ref_merge_update(d, n, wm))
+            out.append(_ref_merge_update(d, n, wm, let))
         else:  # merge: incoming non-null fields override field-wise
             m = dict(d)
             for c, v in n.items():
@@ -1545,6 +1555,18 @@ def test_merge_matches_reference(spark):
              _merge_update_stages(rng), _merge_update_stages(rng)]
         )
         wnm = rng.choice(["insert", "insert", "discard", "fail"])
+        let = None
+        if isinstance(wm, list) and rng.random() < 0.4:
+            # r10: custom let — vars evaluate against the INCOMING doc;
+            # "new" present only sometimes (omitting it unbinds $$new)
+            let = {"b": {"$add": [{"$ifNull": ["$x", 0]},
+                                  rng.randint(1, 4)]}}
+            wm = [{"$set": {"x": {"$add": [{"$ifNull": ["$x", 0]},
+                                           "$$b"]}}}]
+            if rng.random() < 0.7:
+                let["new"] = "$$ROOT"
+                if rng.random() < 0.5:
+                    wm.append({"$set": {"y": "$$new.y"}})
 
         store_df = spark.createDataFrame(
             [tuple(d[c] for c in ["k1", "k2", "x", "y", "z"])
@@ -1560,6 +1582,8 @@ def test_merge_matches_reference(spark):
         spec = {"into": "mem",
                 "on": on[0] if len(on) == 1 else on,
                 "whenMatched": wm, "whenNotMatched": wnm}
+        if let is not None:
+            spec["let"] = let
         try:
             _merge_into(inc_df, spec, lambda path, sp: tgt)
             got = _canon_merge(
@@ -1570,7 +1594,7 @@ def test_merge_matches_reference(spark):
             engine_err = str(e)
         try:
             want = _canon_merge(
-                _ref_merge(store_docs, inc_docs, on, wm, wnm), on
+                _ref_merge(store_docs, inc_docs, on, wm, wnm, let), on
             )
             ref_err = None
         except ValueError as e:

@@ -2752,3 +2752,56 @@ def test_lookup_suffix_dotted_paths(spark):
     arr = out.collect()[0]["a"]
     assert [e["meta"].asDict() for e in arr] == [{"lvl": 12}, {"lvl": 15}]
     assert [e["oid"] for e in arr] == [1, 2]
+
+
+def test_merge_let_variables(spark, tmp_path):
+    """r10: $merge 'let' (Mongo 5.0) — variables evaluated against the
+    INCOMING document, usable from the whenMatched pipeline; a custom
+    let REPLACES the default {"new": "$$ROOT"} so $$new becomes unbound
+    (server parity); let with a non-pipeline whenMatched and unknown
+    $merge options refuse loudly."""
+    import topic_store_spark as ts
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    path = str(tmp_path / "let_store.parquet")
+    store = ts.load(path, spark)
+    store.write_df(
+        spark.createDataFrame([(1, 10), (2, 20)], "_id long, n long")
+    )
+    inc = spark.createDataFrame([(1, 5), (3, 7)], "_id long, n long")
+    apply_pipeline(
+        inc,
+        [{"$merge": {
+            "into": path,
+            "let": {"boost": {"$multiply": ["$n", 10]}, "whole": "$$ROOT"},
+            "whenMatched": [{"$set": {
+                "n": {"$add": ["$n", "$$boost"]},
+                "inc_n": "$$whole.n",
+            }}],
+        }}],
+    )
+    rows = {r["_id"]: (r["n"], r["inc_n"])
+            for r in ts.load(path, spark).to_df().collect()}
+    assert rows[1] == (60, 5)      # 10 + 5*10, $$whole.n carries 5
+    assert rows[2] == (20, None)   # untouched; new column null
+    assert rows[3] == (7, None)    # inserted as-is
+
+    # custom let omits "new" -> $$new unbound, loud
+    with pytest.raises(Exception, match="unbound.*new"):
+        apply_pipeline(
+            inc,
+            [{"$merge": {
+                "into": path, "let": {"x": 1},
+                "whenMatched": [{"$set": {"n": "$$new.n"}}],
+            }}],
+        )
+    # let without a whenMatched pipeline is a loud error (Mongo)
+    with pytest.raises(ValueError, match="requires a whenMatched pipeline"):
+        apply_pipeline(
+            inc,
+            [{"$merge": {"into": path, "let": {"x": 1},
+                         "whenMatched": "replace"}}],
+        )
+    # unknown options never silently change what gets written
+    with pytest.raises(ValueError, match="unsupported options"):
+        apply_pipeline(inc, [{"$merge": {"into": path, "bogus": 1}}])

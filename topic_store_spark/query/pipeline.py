@@ -2911,21 +2911,26 @@ def _graph_lookup(
     )
 
 
-def _rewrite_new_refs(obj: Any) -> Any:
-    """Rewrite ``$$new`` variable references in a ``whenMatched`` update
-    pipeline to field refs on the ``_m_new`` struct column the join
-    stages the incoming document under (``$$new`` alone is the whole
-    incoming doc; ``$$new.x`` a field of it)."""
+def _rewrite_var_refs(obj: Any, mapping: dict[str, str]) -> Any:
+    """Rewrite ``$$var`` references in a ``whenMatched`` update pipeline
+    to field refs on the staged columns the join carries for them
+    (``$$new`` alone is the whole incoming doc; ``$$new.x`` a field of
+    it; custom ``let`` variables likewise).  A ``$$var`` whose name is
+    not staged is left alone, so an undefined variable still fails
+    loudly in ``compile_value`` (Mongo: ``$$new`` is unbound when a
+    custom ``let`` omits it).  Caveat (same as Mongo's shadowing rules
+    are NOT reproduced): a HOF ``as``-variable with the same name as a
+    let variable would be rewritten too — pick distinct names."""
     if isinstance(obj, str):
-        if obj == "$$new":
-            return "$_m_new"
-        if obj.startswith("$$new."):
-            return "$_m_new." + obj[len("$$new."):]
+        if obj.startswith("$$"):
+            name, _, rest = obj[2:].partition(".")
+            if name in mapping:
+                return "$" + mapping[name] + ("." + rest if rest else "")
         return obj
     if isinstance(obj, dict):
-        return {k: _rewrite_new_refs(v) for k, v in obj.items()}
+        return {k: _rewrite_var_refs(v, mapping) for k, v in obj.items()}
     if isinstance(obj, list):
-        return [_rewrite_new_refs(v) for v in obj]
+        return [_rewrite_var_refs(v, mapping) for v in obj]
     return obj
 
 
@@ -2936,13 +2941,22 @@ _MERGE_PIPELINE_STAGES = {
 
 
 def _merge_update_pipeline(
-    existing: DataFrame, incoming: DataFrame, keys: list[str], stages: list
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    stages: list,
+    let: dict[str, Any] | None = None,
 ) -> DataFrame:
     """``whenMatched: [<custom update pipeline>]``: each matched pair
     runs the pipeline with the EXISTING document as input and ``$$new``
     bound to the incoming one (Mongo's counter-upsert idiom:
-    ``{"$set": {"n": {"$add": ["$n", "$$new.n"]}}}``).  Compiled as one
-    equi-join staging the incoming doc as a struct column, then the
+    ``{"$set": {"n": {"$add": ["$n", "$$new.n"]}}}``).  ``let``
+    (Mongo 5.0) replaces the default ``{"new": "$$ROOT"}`` binding:
+    each variable is an expression evaluated against the INCOMING
+    document (``$$ROOT`` = the whole incoming doc), staged as a join
+    column; when a custom ``let`` omits ``new``, ``$$new`` is unbound
+    and fails loudly, like the server.  Compiled as one equi-join
+    staging the incoming doc / let values as columns, then the
     ordinary row-local pipeline compiler over the rewritten stages —
     Mongo's own stage allowlist enforced."""
     for st in stages:
@@ -2952,38 +2966,58 @@ def _merge_update_pipeline(
                 f"$merge whenMatched pipeline: stage {op_name} not "
                 f"allowed (Mongo permits {sorted(_MERGE_PIPELINE_STAGES)})"
             )
-    inc = incoming.select(
-        *keys,
-        F.struct(
-            *[F.col(f"`{c}`").alias(c) for c in incoming.columns]
-        ).alias("_m_new"),
+    if let is None:
+        let = {"new": "$$ROOT"}
+    root = F.struct(
+        *[F.col(f"`{c}`").alias(c) for c in incoming.columns]
     )
+    staged: dict[str, str] = {}
+    cols = [F.col(f"`{k}`") for k in keys]
+    for name, expr in let.items():
+        col_name = f"_m_let_{name}"
+        staged[name] = col_name
+        cols.append(
+            compile_value(expr, vars_={"ROOT": root}).alias(col_name)
+        )
+    inc = incoming.select(*cols)
     joined = existing.join(inc, keys)
-    result = apply_pipeline(joined, _rewrite_new_refs(stages))
-    return result.drop("_m_new")
+    result = apply_pipeline(joined, _rewrite_var_refs(stages, staged))
+    return result.drop(*staged.values())
 
 
 def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> None:
     """``$merge`` with Mongo's mode matrix.
 
-    ``{"into": path, "on": key(s), "whenMatched": "merge"|"replace"|
-    "keepExisting"|"fail"|[custom update pipeline], "whenNotMatched":
-    "insert"|"discard"|"fail"}`` (defaults ``merge``/``insert``,
-    ``on: _id`` — Mongo's).  Matching is one equi-join on the ``on``
-    keys; ``merge`` coalesces incoming non-null fields over existing
-    ones field-wise; a LIST runs the custom update pipeline per matched
-    pair with ``$$new`` bound to the incoming doc
-    (`_merge_update_pipeline`).  Any mode that touches existing rows
+    ``{"into": path, "on": key(s), "let": {var: expr}, "whenMatched":
+    "merge"|"replace"|"keepExisting"|"fail"|[custom update pipeline],
+    "whenNotMatched": "insert"|"discard"|"fail"}`` (defaults
+    ``merge``/``insert``, ``on: _id``, ``let: {"new": "$$ROOT"}`` —
+    Mongo's).  Matching is one equi-join on the ``on`` keys; ``merge``
+    coalesces incoming non-null fields over existing ones field-wise; a
+    LIST runs the custom update pipeline per matched pair with the
+    ``let`` variables evaluated against the incoming doc
+    (`_merge_update_pipeline`; r10: custom ``let`` supported, unknown
+    options refuse loudly instead of silently changing what is
+    written).  Any mode that touches existing rows
     rewrites through the storage's atomic ``_overwrite`` swap; pure
     inserts stay on the append path.
     """
     if isinstance(spec, str):
         spec = {"into": spec}
+    unknown = set(spec) - {"into", "on", "let", "whenMatched", "whenNotMatched"}
+    if unknown:
+        # silent ignoring of an unknown option would silently change
+        # what gets written — refuse loudly
+        raise ValueError(f"$merge: unsupported options {sorted(unknown)}")
     target = load_storage(spec["into"], out.sparkSession)
     on = spec.get("on", "_id")
     keys = [on] if isinstance(on, str) else list(on)
     when_matched = spec.get("whenMatched", "merge")
     when_not_matched = spec.get("whenNotMatched", "insert")
+    let = spec.get("let")
+    if let is not None and not isinstance(when_matched, list):
+        # Mongo: let is only usable from a whenMatched update pipeline
+        raise ValueError("$merge: 'let' requires a whenMatched pipeline")
 
     existing = target.to_df()
     if not all(k in out.columns for k in keys):
@@ -3022,7 +3056,7 @@ def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> Non
     untouched = existing.join(in_keys, keys, "left_anti")
     if isinstance(when_matched, list):
         replaced = _merge_update_pipeline(
-            existing, incoming_matched, keys, when_matched
+            existing, incoming_matched, keys, when_matched, let
         )
     elif when_matched == "replace":
         replaced = incoming_matched
