@@ -2805,3 +2805,31 @@ def test_merge_let_variables(spark, tmp_path):
     # unknown options never silently change what gets written
     with pytest.raises(ValueError, match="unsupported options"):
         apply_pipeline(inc, [{"$merge": {"into": path, "bogus": 1}}])
+
+
+def test_merge_refuses_duplicate_on_keys(spark, tmp_path):
+    """r10: Mongo requires a unique index on the 'on' fields — a
+    set-oriented join over duplicate keys would silently DUPLICATE rows
+    into the store (incoming side: the server applies them
+    sequentially; target side: matching is ill-defined).  Both refuse
+    loudly before anything is written."""
+    import topic_store_spark as ts
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    path = str(tmp_path / "dup_store.parquet")
+    ts.load(path, spark).write_df(
+        spark.createDataFrame([(1, 10), (2, 20)], "_id long, n long")
+    )
+    dup_inc = spark.createDataFrame([(1, 5), (1, 6)], "_id long, n long")
+    with pytest.raises(ValueError, match="duplicate 'on' keys.*incoming"):
+        apply_pipeline(dup_inc, [{"$merge": {"into": path}}])
+    # nothing was written
+    assert ts.load(path, spark).to_df().count() == 2
+
+    dup_path = str(tmp_path / "dup_target.parquet")
+    ts.load(dup_path, spark).write_df(
+        spark.createDataFrame([(1, 10), (1, 11)], "_id long, n long")
+    )
+    inc = spark.createDataFrame([(1, 5)], "_id long, n long")
+    with pytest.raises(ValueError, match="duplicate 'on' keys.*target"):
+        apply_pipeline(inc, [{"$merge": {"into": dup_path}}])

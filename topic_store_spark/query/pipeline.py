@@ -3023,6 +3023,27 @@ def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> Non
     if not all(k in out.columns for k in keys):
         # Mongo errors when the "on" field is absent from an incoming doc
         raise ValueError(f"$merge: 'on' fields {keys} missing from incoming documents")
+
+    def _refuse_duplicate_keys(df_, side: str) -> None:
+        # Mongo requires a UNIQUE index on the "on" fields: duplicate
+        # keys in the target make matching ill-defined, and duplicate
+        # keys across incoming documents are applied sequentially by
+        # the server — a set-oriented join would instead silently
+        # DUPLICATE rows into the store (writer corruption beats a
+        # wrong query result, so this is worth one aggregate per
+        # side; partial aggregation keeps it one cheap pass).
+        dup = (
+            df_.groupBy(*[F.col(f"`{k}`") for k in keys])
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        if not dup.isEmpty():
+            raise ValueError(
+                f"$merge: duplicate 'on' keys {keys} in {side} — Mongo "
+                "requires a unique index on the 'on' fields"
+            )
+
+    _refuse_duplicate_keys(out, "the incoming documents")
     if existing.isEmpty():
         # empty target: every incoming doc is "not matched"
         if when_not_matched == "discard":
@@ -3036,6 +3057,7 @@ def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> Non
         # and Mongo's unique-index requirement on "on" cannot hold — error
         # instead of blind-appending
         raise ValueError(f"$merge: 'on' fields {keys} missing from target collection")
+    _refuse_duplicate_keys(existing, "the target collection")
 
     key_df = existing.select(*keys)
     incoming_matched = out.join(key_df, keys, "left_semi")
