@@ -2833,3 +2833,17 @@ def test_merge_refuses_duplicate_on_keys(spark, tmp_path):
     inc = spark.createDataFrame([(1, 5)], "_id long, n long")
     with pytest.raises(ValueError, match="duplicate 'on' keys.*target"):
         apply_pipeline(inc, [{"$merge": {"into": dup_path}}])
+
+
+def test_out_merge_db_coll_form_refuses(spark):
+    """r10: Mongo's {db, coll} target form has no storage-path analog —
+    loud NotImplementedError instead of api.load choking on a dict."""
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(1,)], "n long")
+    with pytest.raises(NotImplementedError, match="db, coll"):
+        apply_pipeline(df, [{"$out": {"db": "d", "coll": "c"}}])
+    with pytest.raises(NotImplementedError, match="db, coll"):
+        apply_pipeline(
+            df, [{"$merge": {"into": {"db": "d", "coll": "c"}}}]
+        )

@@ -3009,6 +3009,11 @@ def _merge_into(out: DataFrame, spec: dict[str, Any] | str, load_storage) -> Non
         # silent ignoring of an unknown option would silently change
         # what gets written — refuse loudly
         raise ValueError(f"$merge: unsupported options {sorted(unknown)}")
+    if isinstance(spec.get("into"), dict):
+        raise NotImplementedError(
+            "$merge: the {db, coll} 'into' form is not supported — "
+            "pass a storage path string"
+        )
     target = load_storage(spec["into"], out.sparkSession)
     on = spec.get("on", "_id")
     keys = [on] if isinstance(on, str) else list(on)
@@ -4182,6 +4187,14 @@ def apply_pipeline(
             from topic_store_spark.api import load as load_storage
 
             if op == "$out":
+                if isinstance(spec, dict):
+                    # Mongo's {db, coll} form has no storage-path analog
+                    # here — refuse loudly rather than let api.load choke
+                    # on a dict (the engine addresses stores by path)
+                    raise NotImplementedError(
+                        "$out: the {db, coll} document form is not "
+                        "supported — pass a storage path string"
+                    )
                 # Mongo $out replaces the target collection
                 target = load_storage(spec, out.sparkSession)
                 replace = getattr(target, "_overwrite", None)
