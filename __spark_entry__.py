@@ -1722,14 +1722,19 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     from topic_store_spark.functions.hashing import md5_fingerprint, rolling_fingerprint
     from topic_store_spark.functions.text import (
+        BULLET_LINE_PATTERN,
+        ELLIPSIS_LINE_PATTERN,
+        SYMBOL_PATTERN,
         language_id,
+        line_array,
         quality_features,
         quality_score,
+        shingles_from_tokens,
+        sorted_run_stats,
         tokens,
         bpe_token_count,
     )
     from topic_store_spark.operators.classify import hashed_linear_score
-    from topic_store_spark.operators.corpus import repetition_stats
     from topic_store_spark.operators.util import ensure_parallelism
 
     # the expression pipeline is CPU-bound per-row work; a single-file
@@ -1740,7 +1745,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select(
         "doc_id", "text", tokens(F.col("text")).alias("_tk")
     )
-    base = tk.select(
+    # repetition/line signals are intra-document -> pure row expressions:
+    # sort each derived array once, then one linear run-length pass
+    # (sorted_run_stats).  r10 replaced the former repetition_stats
+    # explode + 2 doc-keyed exchanges + join; the whole carrier is now
+    # ONE shuffle-free projection chain over the scan.
+    arrs = tk.select(
+        "doc_id",
+        "text",
+        "_tk",
+        F.array_sort(shingles_from_tokens(F.col("_tk"), 2)).alias("_s2"),
+        F.array_sort(shingles_from_tokens(F.col("_tk"), 5)).alias("_s5"),
+        line_array(F.col("text")).alias("_ln"),
+    )
+    mid = arrs.select(
         "doc_id",
         language_id(F.col("text")).alias("lang_guess"),
         feats["n_chars"].alias("n_chars"),
@@ -1754,11 +1772,55 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rolling_fingerprint(F.col("_tk")).alias("rolling_hash"),
         md5_fingerprint(F.col("text")).alias("fingerprint"),
         hashed_linear_score(F.col("_tk")).alias("clf_score"),
+        F.size("_s2").cast("long").alias("_ng2"),
+        sorted_run_stats(F.col("_s2")).alias("_r2"),
+        sorted_run_stats(F.col("_s5")).alias("_r5"),
+        F.size("_ln").cast("long").alias("n_lines"),
+        sorted_run_stats(F.array_sort("_ln")).alias("_rl"),
+        F.size(
+            F.filter("_ln", lambda l: l.rlike(BULLET_LINE_PATTERN))
+        ).cast("long").alias("_nbul"),
+        F.size(
+            F.filter("_ln", lambda l: l.rlike(ELLIPSIS_LINE_PATTERN))
+        ).cast("long").alias("_nell"),
+        F.regexp_count(F.col("text"), F.lit(SYMBOL_PATTERN))
+        .cast("long").alias("_nsym"),
     )
-    rep = repetition_stats(docs.select("doc_id", "text"), n=2).select(
-        F.col("doc").alias("doc_id"), "dup_frac", "top_frac"
+    zero = F.lit(0.0)
+    return mid.select(
+        "doc_id", "lang_guess", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "alpha_ratio", "stopword_ratio", "quality",
+        "n_tokens_bpe", "rolling_hash", "fingerprint", "clf_score",
+        # word-2-gram repetition (count-weighted, the r4 columns)
+        F.when(F.col("_ng2") == 0, zero)
+        .otherwise(1.0 - F.col("_r2")["n_distinct"] / F.col("_ng2"))
+        .alias("dup_frac"),
+        F.when(F.col("_ng2") == 0, zero)
+        .otherwise(F.col("_r2")["top_freq"] / F.col("_ng2")).alias("top_frac"),
+        # Gopher char-weighted: characters covered by the single most
+        # repeated 2-gram / by all duplicated 5-grams, over doc chars
+        # (occurrences overlap, so >1.0 is possible on degenerate docs)
+        F.when(F.col("n_chars") == 0, zero)
+        .otherwise(F.col("_r2")["top_chars"] / F.col("n_chars"))
+        .alias("top_gram_char_frac"),
+        F.when(F.col("n_chars") == 0, zero)
+        .otherwise(F.col("_r5")["dup_chars"] / F.col("n_chars"))
+        .alias("dup_gram_char_frac"),
+        # line-level repetition + layout signals
+        "n_lines",
+        F.when(F.col("n_lines") == 0, zero)
+        .otherwise(1.0 - F.col("_rl")["n_distinct"] / F.col("n_lines"))
+        .alias("dup_line_frac"),
+        F.when(F.col("_rl")["tot_chars"] == 0, zero)
+        .otherwise(F.col("_rl")["dup_chars"] / F.col("_rl")["tot_chars"])
+        .alias("dup_line_char_frac"),
+        F.when(F.col("n_lines") == 0, zero)
+        .otherwise(F.col("_nbul") / F.col("n_lines")).alias("bullet_line_frac"),
+        F.when(F.col("n_lines") == 0, zero)
+        .otherwise(F.col("_nell") / F.col("n_lines")).alias("ellipsis_line_frac"),
+        F.when(F.col("n_tokens") == 0, zero)
+        .otherwise(F.col("_nsym") / F.col("n_tokens")).alias("symbol_word_ratio"),
     )
-    return base.join(rep, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -3540,6 +3602,7 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                  len(regexp_extract_all(lower(text), '{en_pat}')) AS n_stop,
                  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
                    AS n_tokens_bpe,
+                 len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
                  list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                      list_transform({ntok},
@@ -3582,8 +3645,50 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
           SELECT doc_id,
                  CAST(sum(c) AS BIGINT) AS n_grams,
                  count(*) AS n_distinct,
-                 max(c) AS top_freq
+                 max(c) AS top_freq,
+                 max(c * length(gram)) AS top_chars
           FROM cnt GROUP BY 1
+        ),
+        g5 AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(tk) >= 5
+                             THEN [array_to_string(tk[i:i+4], ' ')
+                                   for i in range(1, len(tk) - 3)]
+                             ELSE [] END) AS gram
+          FROM tok
+        ),
+        per5 AS (
+          SELECT doc_id,
+                 sum(c * length(gram)) FILTER (WHERE c > 1) AS dup5_chars
+          FROM (SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2)
+          GROUP BY 1
+        ),
+        ln AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(regexp_split_to_array(text, '\r?\n'),
+                                  l -> trim(l)),
+                   l -> l <> '') AS lines
+          FROM documents
+        ),
+        lper AS (
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 len(list_distinct(lines)) AS nd_lines,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+                 len(list_filter(lines,
+                     l -> regexp_matches(l, '(\.\.\.|…)\z'))) AS n_ell
+          FROM ln
+        ),
+        ldup AS (
+          SELECT doc_id,
+                 sum(c * length(line)) FILTER (WHERE c > 1) AS dupl_chars,
+                 sum(c * length(line)) AS totl_chars
+          FROM (SELECT doc_id, line, count(*) AS c
+                FROM (SELECT doc_id, unnest(lines) AS line FROM ln)
+                GROUP BY 1, 2)
+          GROUP BY 1
         )
         SELECT f.doc_id,
                CASE WHEN greatest(en, es, de, fr, zh) = 0 THEN 'und'
@@ -3603,11 +3708,32 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
                     ELSE 1.0 - p.n_distinct / p.n_grams END AS dup_frac,
                CASE WHEN coalesce(p.n_grams, 0) = 0 THEN 0.0
                     ELSE p.top_freq / p.n_grams END AS top_frac,
+               CASE WHEN f.n_chars = 0 THEN 0.0
+                    ELSE coalesce(p.top_chars, 0) / f.n_chars
+                    END AS top_gram_char_frac,
+               CASE WHEN f.n_chars = 0 THEN 0.0
+                    ELSE coalesce(p5.dup5_chars, 0) / f.n_chars
+                    END AS dup_gram_char_frac,
+               CAST(lp.n_lines AS BIGINT) AS n_lines,
+               CASE WHEN lp.n_lines = 0 THEN 0.0
+                    ELSE 1.0 - lp.nd_lines / lp.n_lines END AS dup_line_frac,
+               CASE WHEN coalesce(ld.totl_chars, 0) = 0 THEN 0.0
+                    ELSE coalesce(ld.dupl_chars, 0) / ld.totl_chars
+                    END AS dup_line_char_frac,
+               CASE WHEN lp.n_lines = 0 THEN 0.0
+                    ELSE lp.n_bullet / lp.n_lines END AS bullet_line_frac,
+               CASE WHEN lp.n_lines = 0 THEN 0.0
+                    ELSE lp.n_ell / lp.n_lines END AS ellipsis_line_frac,
+               CASE WHEN f.n_tokens = 0 THEN 0.0
+                    ELSE n_sym / f.n_tokens END AS symbol_word_ratio,
                c.clf_score
         FROM f
         JOIN s ON s.doc_id = f.doc_id
         JOIN clf c ON c.doc_id = f.doc_id
         LEFT JOIN per p ON p.doc_id = f.doc_id
+        LEFT JOIN per5 p5 ON p5.doc_id = f.doc_id
+        JOIN lper lp ON lp.doc_id = f.doc_id
+        LEFT JOIN ldup ld ON ld.doc_id = f.doc_id
     """
     )
 

@@ -117,6 +117,30 @@ def test_repetition_known_answer(spark):
     assert rows[3]["dup_frac"] == 0.0 and rows[3]["top_frac"] == 0.5
 
 
+def test_line_and_run_stats_known_answer(spark):
+    """Gopher line/run signal primitives: line_array trims (spaces only)
+    and drops empties across LF/CRLF; sorted_run_stats counts runs,
+    distincts, and char coverage in one pass."""
+    from topic_store_spark.functions.text import line_array, sorted_run_stats
+
+    df = spark.createDataFrame(
+        [(1, "foo\r\n- bar\nfoo\n\n  baz...\nfoo"), (2, ""), (3, None)],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id", F.array_sort(line_array(F.col("t"))).alias("_l")
+    ).select("id", F.col("_l").alias("lines"), sorted_run_stats(F.col("_l")).alias("r"))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["lines"] == ["- bar", "baz...", "foo", "foo", "foo"]
+    r1 = rows[1]["r"]
+    # foo x3 -> top run 3, 9 duplicated chars; totals 3+3+3+5+6
+    assert (r1["n_distinct"], r1["top_freq"], r1["top_chars"]) == (3, 3, 9)
+    assert (r1["dup_chars"], r1["tot_chars"]) == (9, 20)
+    r2 = rows[2]["r"]
+    assert (r2["n_distinct"], r2["top_freq"], r2["tot_chars"]) == (0, 0, 0)
+    assert rows[3]["r"] is None  # null text propagates, never errors
+
+
 def test_mixture_sample_deterministic_and_weighted(docs):
     from topic_store_spark.operators.corpus import mixture_sample
 

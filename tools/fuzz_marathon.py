@@ -6,12 +6,13 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all fourteen harnesses (value expressions, long-tail
+Each round runs all fifteen harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
-sweep, projections, and the seven pipeline families incl. the r9
+sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
 whenMatched x whenNotMatched mode-matrix reference — the stateful
-writer surface); any divergence prints
+writer surface, and the r10 text repetition-signal reference driven
+through the text_profile carrier itself); any divergence prints
 the harness, round, and the failing case.  Finds from past runs (all
 fixed): last-ULP atan2 differences between JVM and Python libm (now
 quantized past in the comparator), a generator flaw where a bare
@@ -49,6 +50,7 @@ def main() -> int:
     import tests.test_find_fuzz as ff
     import tests.test_pipeline_fuzz as pf
     import tests.test_projection_fuzz as jf
+    import tests.test_text_fuzz as tf
     import tests.test_value_expr_fuzz as vf
 
     harnesses = [
@@ -67,6 +69,7 @@ def main() -> int:
         ("pipe_redact", pf.test_redact_descend_matches_reference),
         ("pipe_graphlookup", pf.test_graph_lookup_matches_reference),
         ("pipe_merge", pf.test_merge_matches_reference),
+        ("text", tf.test_text_profile_matches_reference),
     ]
 
     orig_random = _random.Random

@@ -129,19 +129,123 @@ def language_id(col: Column) -> Column:
 
 def quality_features(col: Column) -> dict[str, Column]:
     """Length/punctuation/stopword-ratio quality signals.  All ratios are
-    double divisions of exact integers — deterministic across engines."""
+    double divisions of exact integers — deterministic across engines.
+    ``try_divide``, not ``/``: an empty document makes the denominator 0,
+    which must be NULL (DuckDB's x/0), not a query-killing ANSI error —
+    one empty doc in a 100 TB corpus must not fail the scan."""
     n_chars = F.length(col)
     n_tok = token_count(col)
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tok.cast("long"),
-        "avg_token_len": (
-            F.length(F.regexp_replace(F.trim(col), r"\s+", "")) / n_tok
+        "avg_token_len": F.try_divide(
+            F.length(F.regexp_replace(F.trim(col), r"\s+", "")), n_tok
         ),
-        "punct_ratio": F.regexp_count(col, F.lit(r"[\.,;:!\?]")) / n_chars,
-        "alpha_ratio": F.regexp_count(col, F.lit("[a-zA-Z]")) / n_chars,
-        "stopword_ratio": _stopword_hits(col, LANG_STOPWORDS["en"]) / n_tok,
+        "punct_ratio": F.try_divide(
+            F.regexp_count(col, F.lit(r"[\.,;:!\?]")), n_chars
+        ),
+        "alpha_ratio": F.try_divide(
+            F.regexp_count(col, F.lit("[a-zA-Z]")), n_chars
+        ),
+        "stopword_ratio": F.try_divide(
+            _stopword_hits(col, LANG_STOPWORDS["en"]), n_tok
+        ),
     }
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (the Gopher-rules family: Rae et al. 2021,
+# "Scaling Language Models", appendix A1.1 — the same repetition filters
+# RefinedWeb/Dolma/DataTrove apply before pretraining).  Everything here
+# is MAP-SIDE: the statistics are per-document, so they compile to
+# array_sort + one linear aggregate pass per row — zero corpus shuffles.
+# The explode + doc-keyed groupBy formulation shuffles ~one row per
+# TOKEN of the corpus; at 100 TB that shuffle IS the query.
+# ---------------------------------------------------------------------------
+
+#: symbols whose density flags machine-generated / boilerplate text
+#: (Gopher's symbol-to-word ratio counts '#' and ellipses).  Alternatives
+#: start with distinct characters, so Java (leftmost-first) and RE2
+#: (leftmost-longest) pick identical non-overlapping matches.
+SYMBOL_PATTERN = r"#|\.\.\.|…"
+#: a trimmed line opening with a bullet glyph
+BULLET_LINE_PATTERN = r"^[-*•]"
+#: a trimmed line ending in an ASCII or Unicode ellipsis.  \z, not $:
+#: Java's bare $ also matches just before a FINAL line terminator
+#: (a trailing \r from a lone-CR document would slip through), RE2's
+#: does not; \z means end-of-input in both engines.
+ELLIPSIS_LINE_PATTERN = "(\\.\\.\\.|…)\\z"
+
+
+def line_array(col: Column) -> Column:
+    """Non-empty trimmed lines of a document (``\\r?\\n``-separated —
+    CRLF corpora split identically in Java and RE2).  The unit the
+    Gopher duplicate-line / bullet / ellipsis fractions are defined
+    over."""
+    # NB: the lambda must be explicitly unary — F.transform passes a
+    # second (index) argument to any callable that accepts one, and
+    # F.trim's optional second parameter silently absorbs it as the
+    # trim-character set (no trim happens at all)
+    return F.filter(
+        F.transform(F.split(col, r"\r?\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def sorted_run_stats(sorted_arr: Column) -> Column:
+    """Run-length statistics over a *pre-sorted, materialized* string
+    array column, in ONE linear aggregate pass:
+
+    - ``n_distinct``: number of distinct values (run starts — saves a
+      separate O(n) ``array_distinct`` traversal per consumer)
+    - ``top_freq``:  multiplicity of the most frequent value
+    - ``top_chars``: max over values of ``multiplicity * length(value)``
+      (characters covered by occurrences of a single repeated value)
+    - ``dup_chars``: sum over values with multiplicity > 1 of
+      ``multiplicity * length(value)`` (characters inside duplicates)
+    - ``tot_chars``: sum of ``length(value)`` over all elements
+
+    All longs; an empty array yields all zeros.  The caller sorts once
+    (``F.array_sort``) and stages both the sorted array and this struct
+    through ``select`` projections — the same attribute contract as
+    ``shingles_from_tokens`` (higher-order lambdas get no subexpression
+    elimination).  Equality grouping only needs *a* total order, so the
+    binary UTF8 sort is fine.
+    """
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("n_distinct"),
+        zero.alias("top_freq"),
+        zero.alias("top_chars"),
+        zero.alias("dup_chars"),
+        zero.alias("tot_chars"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        ln = F.length(x).cast("long")
+        run = (
+            F.when((acc["run"] > 0) & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        # when a run reaches 2 the FIRST occurrence retroactively counts
+        # as duplicated too, hence the 2*ln step
+        dup = acc["dup_chars"] + (
+            F.when(run == 2, ln * 2).when(run > 2, ln).otherwise(zero)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["n_distinct"] + F.when(run == 1, 1).otherwise(0))
+            .alias("n_distinct"),
+            F.greatest(acc["top_freq"], run).alias("top_freq"),
+            F.greatest(acc["top_chars"], run * ln).alias("top_chars"),
+            dup.alias("dup_chars"),
+            (acc["tot_chars"] + ln).alias("tot_chars"),
+        )
+
+    return F.aggregate(sorted_arr, init, merge)
 
 
 def quality_score(col: Column) -> Column:

@@ -43,6 +43,7 @@ from topic_store_spark.functions.text import (
     language_id,
     quality_score,
     shingles_from_tokens,
+    sorted_run_stats,
     token_count,
     tokens,
 )
@@ -231,44 +232,38 @@ def repetition_stats(
     fraction per document.  High values flag boilerplate / degenerate
     repetition that per-corpus dedup can't see.
 
-    Plan: explode grams WITH duplicates, count per (doc, gram), roll up
-    per doc — two keyed shuffles on the doc id, both with map-side
-    partials; the per-doc rollup input is already gram-deduplicated so
-    the second exchange moves at most |distinct grams| rows per doc.
-    Documents too short to have a gram come back with zeroed counts via
-    the final left join (broadcast decided by AQE; both sides are
-    doc-keyed).
+    Plan: ZERO shuffles.  The statistic is per-document, so it is a row
+    expression: sort the gram array once, then one linear run-length
+    aggregate pass (``sorted_run_stats``).  Until r10 this compiled to
+    explode + two doc-keyed exchanges + a join — shuffle volume of ~one
+    row per corpus TOKEN, which at 100 TB is the whole query; now the
+    cost is O(doc tokens · log) per row on the scan's own partitioning.
     """
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
-    grams = explode_nonempty(
-        tk.select("doc", shingles_from_tokens(F.col("_tk"), n).alias("_shs")),
-        "_shs",
-        "gram",
+    grams = tk.select(
+        "doc", shingles_from_tokens(F.col("_tk"), n).alias("_g")
+    )
+    srt = grams.select("doc", F.array_sort("_g").alias("_s"))
+    stats = srt.select(
         "doc",
+        F.coalesce(F.size("_s").cast("long"), F.lit(0)).alias("n_grams"),
+        sorted_run_stats(F.col("_s")).alias("_r"),
     )
-    per_gram = grams.groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = per_gram.groupBy("doc").agg(
-        F.sum("c").cast("long").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.max("c").alias("top_freq"),
-    )
-    base = df.select(F.col(id_col).alias("doc"))
-    return (
-        base.join(per_doc, "doc", "left")
-        .select(
-            "doc",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-            F.coalesce("top_freq", F.lit(0)).alias("top_freq"),
-            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
-            .otherwise(1.0 - F.col("n_distinct") / F.col("n_grams"))
-            .alias("dup_frac"),
-            F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0.0))
-            .otherwise(F.col("top_freq") / F.col("n_grams"))
-            .alias("top_frac"),
+    return stats.select(
+        "doc",
+        "n_grams",
+        F.coalesce(F.col("_r")["n_distinct"], F.lit(0)).alias("n_distinct"),
+        F.coalesce(F.col("_r")["top_freq"], F.lit(0)).alias("top_freq"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(
+            1.0 - F.coalesce(F.col("_r")["n_distinct"], F.lit(0)) / F.col("n_grams")
         )
+        .alias("dup_frac"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(F.coalesce(F.col("_r")["top_freq"], F.lit(0)) / F.col("n_grams"))
+        .alias("top_frac"),
     )
 
 
