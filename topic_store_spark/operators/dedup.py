@@ -329,15 +329,39 @@ def _jaccard_prefix_cands(
 ) -> DataFrame:
     """Candidate (a_doc, b_doc) pairs that can pass the Jaccard
     threshold: prefix x prefix self-join (both sides' bounds are valid
-    because J >= t lower-bounds the overlap by t*|X| for EACH side)."""
-    plen = _prefix_len(threshold_num, threshold_den)
+    because J >= t lower-bounds the overlap by t*|X| for EACH side),
+    tightened by the two sound PPJoin-paper cuts (Xiao et al. 2008)
+    applied as join-time predicates BEFORE the distinct + verify:
+
+    - size ratio: J >= t forces min*den >= num*max (else even a full
+      overlap of the smaller set cannot reach t);
+    - positional upper bound: a join on prefix position p can still
+      share at most ``1 + min(|A|-pa, |B|-pb)`` elements (the arrays
+      share one global order), which must reach the overlap floor
+      ``num*(|A|+|B|) / (num+den)``.
+
+    Both only REMOVE candidates that exact verification would reject,
+    so the output pair set is unchanged (equality-pinned in
+    test_dedup_similarity); at sf0.1 they cut candidates ~2x before
+    the expensive array-intersect verify."""
+    num, den = threshold_num, threshold_den
+    plen = _prefix_len(num, den)
     prefix = docs.select(
-        "doc", F.explode(F.slice(F.col("ss"), 1, plen)).alias("shingle")
+        "doc",
+        "sz",
+        F.posexplode(F.slice(F.col("ss"), 1, plen)).alias("pos", "shingle"),
+    )
+    ubound = 1 + F.least(
+        F.col("x.sz") - F.col("x.pos") - 1, F.col("y.sz") - F.col("y.pos") - 1
     )
     return (
         prefix.alias("x")
         .join(prefix.alias("y"), "shingle")
         .filter(F.col("x.doc") < F.col("y.doc"))
+        .filter(
+            F.least("x.sz", "y.sz") * den >= F.greatest("x.sz", "y.sz") * num
+        )
+        .filter(ubound * (num + den) >= (F.col("x.sz") + F.col("y.sz")) * num)
         .select(
             F.col("x.doc").alias("a_doc"), F.col("y.doc").alias("b_doc")
         )
@@ -355,14 +379,24 @@ def _containment_prefix_cands(
     (prefix x prefix would be unsound — the larger side's own-size
     prefix can legally miss the intersection).  Asymmetric-join cost:
     sum over shingles of prefix_df * df, still far below the full
-    self-join's df^2 and skewed toward rare shingles."""
-    plen = _prefix_len(threshold_num, threshold_den)
+    self-join's df^2 and skewed toward rare shingles.
+
+    Tightened by the PPJoin positional upper bound (sound — see
+    `_jaccard_prefix_cands`): a pair joined at positions (px, py) of
+    the globally-ordered arrays can still share at most
+    ``1 + min(|X|-px, |Y|-py)`` elements, which must reach the
+    containment floor ``num * |X| / den`` (X is the smaller side)."""
+    num, den = threshold_num, threshold_den
+    plen = _prefix_len(num, den)
     prefix = docs.select(
         "doc", "sz",
-        F.explode(F.slice(F.col("ss"), 1, plen)).alias("shingle"),
+        F.posexplode(F.slice(F.col("ss"), 1, plen)).alias("pos", "shingle"),
     )
     full = docs.select(
-        "doc", "sz", F.explode(F.col("ss")).alias("shingle")
+        "doc", "sz", F.posexplode(F.col("ss")).alias("pos", "shingle")
+    )
+    ubound = 1 + F.least(
+        F.col("x.sz") - F.col("x.pos") - 1, F.col("y.sz") - F.col("y.pos") - 1
     )
     return (
         prefix.alias("x")
@@ -371,6 +405,7 @@ def _containment_prefix_cands(
             (F.col("x.sz") < F.col("y.sz"))
             | ((F.col("x.sz") == F.col("y.sz")) & (F.col("x.doc") != F.col("y.doc")))
         )
+        .filter(ubound * den >= F.col("x.sz") * num)
         .select(
             F.least("x.doc", "y.doc").alias("a_doc"),
             F.greatest("x.doc", "y.doc").alias("b_doc"),
