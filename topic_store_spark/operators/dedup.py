@@ -285,21 +285,24 @@ def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     Tracked for :func:`release_pair_caches`."""
     from topic_store_spark.functions.hashing import shingle_key60
 
-    from pyspark.sql import Window as W
-
     flat = explode_nonempty(sh, "shs", "shingle", "doc").select(
         "doc", shingle_key60(F.col("shingle")).alias("shingle")
     )
-    # document frequency as a WINDOW count over the shingle partition:
-    # one shuffle on shingle, versus the groupBy-df + join-back
-    # formulation's two (agg input AND the corpus-sized probe side — the
-    # vocabulary is never broadcastable at scale).  Measured ~25% off
-    # the whole prefix plan at sf0.1.
-    surv = flat.withColumn(
-        "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    )
+    # document frequency as a keyed rollup + join-back, NOT a window
+    # count: shingle df is Zipf-distributed, and `count over (partition
+    # by shingle)` puts the hottest shingle's entire df in ONE window
+    # task (no map-side partials, no AQE splitting for windows) — the
+    # measured 3.81x skew cliff of SKEW.md, the same reason r10
+    # reverted salient_terms' window form.  The rollup gets partial
+    # aggregation; with the cap applied BEFORE the join-back, capped-out
+    # hot shingles never join at all, so per-key join fan-out is
+    # <= max_shingle_freq by construction (skew-safe even without AQE).
+    # Local cost of the second exchange at sf0.1: ~0.2s on this carrier
+    # — the scale story wins.
+    df_counts = flat.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_shingle_freq is not None:
-        surv = surv.filter(F.col("df") <= max_shingle_freq)
+        df_counts = df_counts.filter(F.col("df") <= max_shingle_freq)
+    surv = flat.join(df_counts, "shingle")
 
     # one doc-keyed rollup: globally-ordered shingle array per doc
     ordered = surv.groupBy("doc").agg(
