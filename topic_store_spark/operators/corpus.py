@@ -129,9 +129,17 @@ def quality_filter_funnel(
     fingerprint).  Stages nest (each counts docs that passed ALL
     previous stages), which is what makes the numbers read as a funnel.
 
-    One projection computes every per-doc flag; the only wide exchange
-    is the fingerprint window for the keeper flag (min over an unsorted
-    window — no sort, map-side partials).
+    One projection computes every per-doc flag.  The keeper (lowest id
+    per fingerprint) comes from a ``min(struct(doc, ...))`` ROLLUP on
+    the fingerprint, not `min over (partition by _fp)`: a boilerplate
+    page exact-duplicated millions of times at web scale would land its
+    whole group in one window task (windows get no partials and no AQE
+    skew splitting — SKEW.md), while the rollup partial-aggregates each
+    map partition down to one struct per fingerprint.  The totals
+    branch groups straight by language (partials collapse it to
+    |langs| rows per task), and Catalyst prunes the md5 off that
+    branch entirely — the price is one extra pass of the cheap flag
+    expressions, never a corpus-sized sort.
     """
     flagged = ensure_parallelism(df).select(
         F.col(lang_col).alias("lang"),
@@ -140,27 +148,32 @@ def quality_filter_funnel(
         (language_id(F.col(text_col)) == F.col(lang_col)).alias("_lang_ok"),
         (quality_score(F.col(text_col)) >= min_quality).alias("_q_ok"),
     )
-    keeper = F.col("_doc") == F.min("_doc").over(Window.partitionBy("_fp"))
-    staged = flagged.withColumn("_keep", keeper)
     n = F.lit(1)
-    return (
-        staged.groupBy("lang")
-        .agg(
-            F.count(n).alias("n_total"),
-            F.sum(F.when(F.col("_lang_ok"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_lang_ok"),
-            F.sum(F.when(F.col("_lang_ok") & F.col("_q_ok"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_quality_ok"),
-            F.sum(
-                F.when(
-                    F.col("_lang_ok") & F.col("_q_ok") & F.col("_keep"), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_survivors"),
-        )
+    totals = flagged.groupBy("lang").agg(
+        F.count(n).alias("n_total"),
+        F.sum(F.when(F.col("_lang_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lang_ok"),
+        F.sum(F.when(F.col("_lang_ok") & F.col("_q_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_ok"),
+    )
+    # one struct per fingerprint: doc id leads, so min() picks the
+    # lowest-id doc and carries ITS language and flags
+    keepers = flagged.groupBy("_fp").agg(
+        F.min(F.struct("_doc", "lang", "_lang_ok", "_q_ok")).alias("_k")
+    )
+    survivors = (
+        keepers.filter(F.col("_k._lang_ok") & F.col("_k._q_ok"))
+        .groupBy(F.col("_k.lang").alias("lang"))
+        .agg(F.count(n).cast("long").alias("n_survivors"))
+    )
+    return totals.join(survivors, "lang", "left").select(
+        "lang",
+        "n_total",
+        "n_lang_ok",
+        "n_quality_ok",
+        F.coalesce("n_survivors", F.lit(0).cast("long")).alias("n_survivors"),
     )
 
 
@@ -935,16 +948,23 @@ def bigram_logprob(
         )
         return explode_nonempty(bg, "_bg", "bg", *(["doc"] if with_id else []))
 
+    # first-word totals as a second partial-aggregated rollup + an
+    # AQE-splittable join, NOT `sum(c12) over (partition by first
+    # word)`: first words are maximally Zipf ("the ...") and windows
+    # get neither map-side partials nor AQE skew splitting — SKEW.md's
+    # 3.81x cliff.  Both rollups read the same exploded-bigram lineage
+    # (the carrier persists the token relation, so no extra corpus
+    # pass), and the join keys are vocabulary-sized on both sides.
+    bg_flat = _bigrams(lm_df, with_id=False)
+    c1s = bg_flat.groupBy(
+        F.split(F.col("bg"), " ").getItem(0).alias("_w1")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c1"))
     c12 = (
-        _bigrams(lm_df, with_id=False)
-        .groupBy("bg")
+        bg_flat.groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
-        .withColumn(
-            "c1",
-            F.sum("c12")
-            .over(W.partitionBy(F.split(F.col("bg"), " ").getItem(0)))
-            .cast("long"),
-        )
+        .withColumn("_w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(c1s, "_w1")
+        .drop("_w1")
     )
     lm_wide = ensure_parallelism(lm_df.select(F.col(text_col).alias("_txt")))
     lm_tk = lm_wide.select(_maybe_tokens(lm_wide, "_txt").alias("_tk"))
