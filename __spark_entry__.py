@@ -133,6 +133,13 @@ def q_mongo_find_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"properties": {"lang": {"enum": ["en"]}}},
                 {"properties": {"n_chars": {"maximum": 900}}},
             ],
+            # r10 keywords, all DuckDB-mirrored: presence-count floor,
+            # compile-time name-pattern schemas, presence-triggered deps
+            "minProperties": 4,
+            "patternProperties": {"^(lang|source)$": {"minLength": 2}},
+            "dependencies": {
+                "text": {"properties": {"n_chars": {"minimum": 100}}}
+            },
         }
     }
     dj = docs.filter(compile_query(js_query, docs.schema)).select(
@@ -2432,6 +2439,17 @@ def oracle_sql() -> dict[str, str]:
           AND (text IS NULL OR length(text) >= 50)
           AND ((lang IS NULL OR lang = 'en')
                OR (n_chars IS NULL OR n_chars <= 900))
+          -- r10: minProperties = presence count over the static field
+          -- set; patternProperties = name-matched property schemas;
+          -- dependencies = presence-triggered subschema
+          AND ((CASE WHEN doc_id IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN text IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN lang IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN source IS NULL THEN 0 ELSE 1 END)
+             + (CASE WHEN n_chars IS NULL THEN 0 ELSE 1 END)) >= 4
+          AND (lang IS NULL OR length(lang) >= 2)
+          AND (source IS NULL OR length(source) >= 2)
+          AND (text IS NULL OR (n_chars IS NULL OR n_chars >= 100))
     """
 
     sql["mongo_projection_flatten"] = """

@@ -472,6 +472,12 @@ def _js_prop(rng: random.Random, f: str) -> dict:
         {"items": [{"minimum": rng.randint(0, 5)}]},
         {"items": [{"maximum": rng.randint(0, 6)},
                    {"minimum": rng.randint(0, 4)}]},
+        # r10: additionalItems — false caps the length at the schema
+        # list, schema-form validates the suffix elements
+        {"items": [{"minimum": rng.randint(0, 4)}],
+         "additionalItems": False},
+        {"items": [{"maximum": rng.randint(0, 6)}],
+         "additionalItems": {"minimum": rng.randint(0, 4)}},
         {"bsonType": "array"},
     ])
 
@@ -501,6 +507,30 @@ def _js_schema(rng: random.Random, depth: int = 0) -> dict:
         spec["additionalProperties"] = False
         if rng.random() < 0.75:
             spec.setdefault("properties", {}).setdefault("_id", {})
+    # r10: the remaining draft-4 document keywords Mongo validates
+    if depth == 0 and rng.random() < 0.2:
+        spec["minProperties"] = rng.randint(0, 5)
+    if depth == 0 and rng.random() < 0.2:
+        spec["maxProperties"] = rng.randint(1, 5)
+    if depth == 0 and rng.random() < 0.25:
+        trig = rng.choice(list(FIELDS))
+        if rng.random() < 0.5:  # property dependency
+            spec["dependencies"] = {
+                trig: rng.sample(list(FIELDS), rng.randint(1, 2))
+            }
+        else:  # schema dependency
+            spec["dependencies"] = {
+                trig: {"required": [rng.choice(list(FIELDS))]}
+            }
+    if depth == 0 and rng.random() < 0.25:
+        pat = rng.choice(["^[ab]$", "a|c", "^d", "_id", "^c"])
+        sub = rng.choice([
+            {"bsonType": rng.choice(["long", "double", "string", "array"])},
+            {"minimum": rng.randint(-2, 6)},
+            {"minLength": rng.randint(0, 3)},
+            {"minItems": rng.randint(0, 2)},
+        ])
+        spec["patternProperties"] = {pat: sub}
     if not spec:
         spec["required"] = [rng.choice(list(FIELDS))]
     return spec
@@ -572,18 +602,56 @@ def _js_val_ok(v, sub: dict) -> bool:
                 e is None or _js_val_ok(e, arg) for e in v
             ):
                 return False
+        elif k == "additionalItems":
+            # applies only alongside the items schema LIST (draft-4:
+            # ignored otherwise); engine-convention null elements pass
+            items = sub.get("items")
+            if isinstance(items, list) and isinstance(v, list):
+                if arg is False:
+                    if len(v) > len(items):
+                        return False
+                elif isinstance(arg, dict):
+                    if not all(
+                        e is None or _js_val_ok(e, arg)
+                        for e in v[len(items):]
+                    ):
+                        return False
         else:
             raise ValueError(k)
     return True
 
 
 def _js_ok(doc: dict, spec: dict) -> bool:
+    import re as _re
+
+    pattern_matched = set()
+    for pat, sub in (spec.get("patternProperties") or {}).items():
+        for f in doc:
+            if _re.search(pat, f):
+                pattern_matched.add(f)
+                v = doc.get(f)
+                if v is not None and not _js_val_ok(v, sub):
+                    return False
     if spec.get("additionalProperties") is False:
-        # Mongo parity (r10): _id is NOT implicitly admitted
-        allowed = set(spec.get("properties") or {})
+        # Mongo parity (r10): _id is NOT implicitly admitted; draft-4:
+        # patternProperties-matched fields are not additional
+        allowed = set(spec.get("properties") or {}) | pattern_matched
         for f in doc:
             if f not in allowed and doc.get(f) is not None:
                 return False
+    n_present = sum(1 for v in doc.values() if v is not None)
+    if "minProperties" in spec and n_present < spec["minProperties"]:
+        return False
+    if "maxProperties" in spec and n_present > spec["maxProperties"]:
+        return False
+    for k, dep in (spec.get("dependencies") or {}).items():
+        if doc.get(k) is None:
+            continue
+        if isinstance(dep, dict):
+            if not _js_ok(doc, dep):
+                return False
+        elif not all(doc.get(d) is not None for d in dep):
+            return False
     for f in spec.get("required") or []:
         if doc.get(f) is None:
             return False

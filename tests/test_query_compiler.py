@@ -2537,6 +2537,33 @@ def test_json_schema_find_operator(spark):
                ) == [3, 4]
     assert ids({"properties": {"arr": {"items": [{"minimum": 1}]}}}
                ) == [1, 2, 3, 4]
+    # additionalItems (r10): false caps length at the schema list;
+    # schema-form validates the suffix elements
+    assert ids({"properties": {"arr": {"items": [{"minimum": 0}],
+                                       "additionalItems": False}}}
+               ) == [3, 4]
+    assert ids({"properties": {"arr": {"items": [{"minimum": 0}],
+                                       "additionalItems": {"maximum": 1}}}}
+               ) == [2, 3, 4]
+    # minProperties/maxProperties (r10): count of present (non-null)
+    # fields, document level and nested-struct level
+    assert ids({"minProperties": 3}) == [1, 2, 4]  # doc 3 has only i, d
+    assert ids({"maxProperties": 2}) == [3]
+    assert ids({"properties": {"st": {"minProperties": 1}}}) == [1, 3, 4]
+    # minProperties on a known non-object property: inapplicable -> pass
+    assert ids({"properties": {"d": {"minProperties": 3}}}) == [1, 2, 3, 4]
+    # dependencies (r10): presence-triggered; schema- and list-form;
+    # a statically-absent trigger is vacuous, an absent dep fails
+    assert ids({"dependencies": {"s": {"properties": {"d": {"minimum": 0}}}}}
+               ) == [1, 3, 4]
+    assert ids({"dependencies": {"ghost": ["s"]}}) == [1, 2, 3, 4]
+    assert ids({"dependencies": {"s": ["ghost"]}}) == [3]
+    # patternProperties (r10): compile-time name match; matched fields
+    # are not "additional" under a closed document
+    assert ids({"patternProperties": {"^d$": {"minimum": 0}}}) == [1, 3, 4]
+    assert ids({"additionalProperties": False,
+                "properties": {"i": {}, "d": {}, "arr": {}, "st": {}},
+                "patternProperties": {"^s$": {}}}) == [1, 2, 3, 4]
     # schema-form additionalProperties stays a loud refusal
     with pytest.raises(NotImplementedError, match="schema-form"):
         ids({"properties": {"st": {"additionalProperties": {"bsonType": "long"}}}})

@@ -396,8 +396,9 @@ _JS_KEYWORDS = {
     "bsonType", "type", "enum", "minimum", "maximum",
     "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
     "minLength", "maxLength", "pattern", "minItems", "maxItems",
-    "uniqueItems", "items", "properties", "required",
-    "additionalProperties",
+    "uniqueItems", "items", "additionalItems", "properties", "required",
+    "additionalProperties", "minProperties", "maxProperties",
+    "patternProperties", "dependencies",
     "allOf", "anyOf", "oneOf", "not", "description", "title",
 }
 
@@ -460,8 +461,16 @@ def _js_value_pred(
     # numeric keywords apply only when the value can be a number: with
     # a known non-numeric engine type they are statically inapplicable
     # (pass); under the ragged resolver (etype None) numbers surface as
-    # strings, so there the castability test IS the numeric test
-    numeric_applicable = etype is None or _is_numeric_type(etype)
+    # strings, so there the castability test IS the numeric test.
+    # Direct type check, NOT _is_numeric_type: that helper unwraps
+    # arrays (the $bits*/comparison element-match convention), but JSON
+    # Schema applies `minimum` to the VALUE — an array is inapplicable,
+    # and try_cast(array as double) would not even analyze.
+    from pyspark.sql import types as T
+
+    numeric_applicable = etype is None or isinstance(
+        etype, (T.NumericType, T.NullType)
+    )
 
     bt = spec.get("bsonType", spec.get("type"))
     if bt is not None:
@@ -513,28 +522,36 @@ def _js_value_pred(
                 )
             )
         )
+    # array keywords apply only when the value can be an array: with a
+    # known non-array engine type they are statically inapplicable
+    # (pass) — and the expressions (size/forall/get) would not even
+    # ANALYZE against a non-array column (same static gate as the
+    # numeric keywords)
+    from pyspark.sql import types as T
+
+    arr_applicable = etype is None or isinstance(etype, T.ArrayType)
     is_arr = _js_typeof_is(col, "array")
-    if "minItems" in spec:
+    if "minItems" in spec and arr_applicable:
         conds.append(safe(~is_arr | (F.size(col) >= spec["minItems"])))
-    if "maxItems" in spec:
+    if "maxItems" in spec and arr_applicable:
         conds.append(safe(~is_arr | (F.size(col) <= spec["maxItems"])))
-    if spec.get("uniqueItems"):
+    if spec.get("uniqueItems") and arr_applicable:
         conds.append(
             safe(~is_arr | (F.size(F.array_distinct(col)) == F.size(col)))
         )
-    if "items" in spec:
-        from pyspark.sql import types as T
-
+    if "items" in spec and arr_applicable:
         items = spec["items"]
         el_type = etype.elementType if isinstance(etype, T.ArrayType) else None
         if isinstance(items, list):
             # per-position schema array (draft-4, r9): element i
             # validates against schema i; arrays shorter than the list
-            # are valid (missing positions unconstrained), elements past
-            # the list are unconstrained (additionalItems absent); null
-            # elements pass (engine convention null == missing, same as
-            # the single-schema form).  F.get is 0-based and null (not
-            # an ANSI error) out of range.
+            # are valid (missing positions unconstrained); elements past
+            # the list are governed by additionalItems (r10): absent or
+            # true = unconstrained, false = array length capped at the
+            # schema list, schema-form = every extra element validates
+            # against it.  Null elements pass (engine convention null ==
+            # missing, same as the single-schema form).  F.get is
+            # 0-based and null (not an ANSI error) out of range.
             per = F.lit(True)
             for i, si in enumerate(items):
                 ei = F.get(col, i)
@@ -545,6 +562,28 @@ def _js_value_pred(
                         F.lit(True),
                     ),
                 ).otherwise(F.lit(True))
+            ai = spec.get("additionalItems", True)
+            npfx = len(items)
+            if ai is False:
+                per = per & (F.size(col) <= npfx)
+            elif isinstance(ai, dict):
+                per = per & F.when(
+                    F.size(col) > npfx,
+                    F.coalesce(
+                        F.forall(
+                            F.slice(col, npfx + 1, F.size(col) - npfx),
+                            lambda e: F.coalesce(
+                                e.isNull() | _js_value_pred(e, ai, el_type),
+                                F.lit(True),
+                            ),
+                        ),
+                        F.lit(True),
+                    ),
+                ).otherwise(F.lit(True))
+            elif ai is not True:
+                raise NotImplementedError(
+                    "$jsonSchema additionalItems: boolean or schema only"
+                )
             conds.append(safe(~is_arr | per))
         else:
             conds.append(
@@ -558,18 +597,79 @@ def _js_value_pred(
                     )
                 )
             )
+    # -- object keywords (apply to struct-typed values; a known
+    # non-object type makes them inapplicable -> pass; an unknown type
+    # where enumeration is required refuses loudly, same policy as the
+    # document level) --------------------------------------------------
+    from pyspark.sql import types as T
+
+    _obj_node = etype
+    while isinstance(_obj_node, T.ArrayType):
+        _obj_node = _obj_node.elementType
+
+    _OBJ_KEYWORDS = ("minProperties", "maxProperties", "patternProperties",
+                     "dependencies")
+    if _obj_node is None and any(k in spec for k in _OBJ_KEYWORDS):
+        raise NotImplementedError(
+            "$jsonSchema minProperties/maxProperties/patternProperties/"
+            "dependencies: need a statically-known document type (field "
+            "enumeration; unavailable under the ragged resolver)"
+        )
+    pattern_matched: set[str] = set()
+    if isinstance(_obj_node, T.StructType):
+        # object keywords constrain only object-typed values; on a
+        # known non-object type they are inapplicable -> pass
+        if "patternProperties" in spec:
+            import re as _re
+
+            # property NAMES are static under a schema, so the regex is
+            # evaluated at compile time (Python re over the struct's
+            # field list — names are plain identifiers, where PCRE/
+            # Java/RE2 agree)
+            for pat, sub in spec["patternProperties"].items():
+                for fld in _obj_node.fields:
+                    if _re.search(pat, fld.name):
+                        pattern_matched.add(fld.name)
+                        fc = col[fld.name]
+                        conds.append(
+                            F.coalesce(
+                                fc.isNull()
+                                | _js_value_pred(fc, sub, fld.dataType),
+                                F.lit(True),
+                            )
+                        )
+        if "minProperties" in spec or "maxProperties" in spec:
+            n_present = F.lit(0)
+            for fld in _obj_node.fields:
+                n_present = n_present + col[fld.name].isNotNull().cast("int")
+            if "minProperties" in spec:
+                conds.append(safe(n_present >= F.lit(spec["minProperties"])))
+            if "maxProperties" in spec:
+                conds.append(safe(n_present <= F.lit(spec["maxProperties"])))
+        if "dependencies" in spec:
+            for k, dep in spec["dependencies"].items():
+                if not any(f.name == k for f in _obj_node.fields):
+                    continue  # trigger can never be present -> vacuous
+                present = col[k].isNotNull()
+                if isinstance(dep, dict):
+                    req = _js_value_pred(col, dep, etype)
+                else:
+                    req = F.lit(True)
+                    for d in dep:
+                        if any(f.name == d for f in _obj_node.fields):
+                            req = req & col[d].isNotNull()
+                        else:
+                            req = F.lit(False)  # statically absent
+                conds.append(~present | F.coalesce(req, F.lit(True)))
+
     ap = spec.get("additionalProperties", True)
     if ap is not True:
-        from pyspark.sql import types as T
-
         if ap is not False:
             raise NotImplementedError(
                 "$jsonSchema additionalProperties: schema-form is not "
                 "supported (true/false only)"
             )
-        node = etype
-        while isinstance(node, T.ArrayType):
-            node = node.elementType
+        node = _obj_node
         if node is None:
             raise NotImplementedError(
                 "$jsonSchema additionalProperties: false needs a "
@@ -578,7 +678,10 @@ def _js_value_pred(
                 "ragged resolver)"
             )
         if isinstance(node, T.StructType):
-            allowed = set(spec.get("properties") or {}) | {"_id"}
+            # Mongo parity (r10, matching the document level): _id is
+            # NOT implicitly admitted — and draft-4 admits fields
+            # matched by patternProperties as non-additional
+            allowed = set(spec.get("properties") or {}) | pattern_matched
             for fld in node.fields:
                 if fld.name not in allowed:
                     # engine convention: null == missing, so "no
@@ -636,7 +739,9 @@ def _compile_json_schema(
     (reference database.py:193-204)."""
     spec = {k: v for k, v in spec.items() if k not in ("title", "description")}
     allowed = {"bsonType", "type", "properties", "required",
-               "allOf", "anyOf", "oneOf", "not", "additionalProperties"}
+               "allOf", "anyOf", "oneOf", "not", "additionalProperties",
+               "minProperties", "maxProperties", "patternProperties",
+               "dependencies"}
     extra = set(spec) - allowed
     if extra:
         raise NotImplementedError(
@@ -672,6 +777,59 @@ def _compile_json_schema(
         full = f"{prefix}.{path}" if prefix else path
         return _static_path_type(schema, full)
 
+    from pyspark.sql import types as T
+
+    def _doc_node(kw: str):
+        # the document's static struct node (field enumeration); the
+        # ragged resolver has no closed field set — refuse loudly
+        node = schema if not prefix else _static_path_type(schema, prefix)
+        if resolver is not None or not isinstance(node, T.StructType):
+            raise NotImplementedError(
+                f"$jsonSchema {kw}: needs a statically-known document "
+                "type (closed field set = struct field enumeration; "
+                "unavailable under the ragged resolver)"
+            )
+        return node
+
+    pattern_matched: set[str] = set()
+    if "patternProperties" in spec:
+        import re as _re
+
+        # field NAMES are static, so the regex runs at compile time
+        # (Python re over plain identifiers, where PCRE/Java/RE2 agree)
+        for pat, sub in spec["patternProperties"].items():
+            for fld in _doc_node("patternProperties").fields:
+                if _re.search(pat, fld.name):
+                    pattern_matched.add(fld.name)
+                    col = resolve(fld.name)
+                    conds.append(
+                        F.coalesce(
+                            col.isNull()
+                            | _js_value_pred(col, sub, static_type(fld.name)),
+                            F.lit(True),
+                        )
+                    )
+    if "minProperties" in spec or "maxProperties" in spec:
+        n_present = F.lit(0)
+        for fld in _doc_node("minProperties/maxProperties").fields:
+            n_present = n_present + resolve(fld.name).isNotNull().cast("int")
+        if "minProperties" in spec:
+            conds.append(n_present >= F.lit(spec["minProperties"]))
+        if "maxProperties" in spec:
+            conds.append(n_present <= F.lit(spec["maxProperties"]))
+    if "dependencies" in spec:
+        # presence-triggered constraints work under BOTH the static
+        # schema and the ragged resolver (presence is resolve().isNotNull)
+        for k, dep in spec["dependencies"].items():
+            present = resolve(k).isNotNull()
+            if isinstance(dep, dict):
+                req = _compile_json_schema(dep, schema, resolver, prefix)
+            else:
+                req = F.lit(True)
+                for d in dep:
+                    req = req & resolve(d).isNotNull()
+            conds.append(~present | F.coalesce(req, F.lit(True)))
+
     if ap is False:
         # closed document (r9, _id parity fixed r10): with a static
         # schema, "no additional properties" enumerates the struct's
@@ -682,20 +840,11 @@ def _compile_json_schema(
         # a property entry) or EVERY stored document fails validation —
         # a famous server footgun this compiler reproduces exactly, so
         # a spec that validates nothing here validates nothing there.
-        # The ragged resolver has no closed field enumeration — refuse
-        # loudly.
-        from pyspark.sql import types as T
-
-        node = schema if not prefix else _static_path_type(schema, prefix)
-        if resolver is not None or not isinstance(node, T.StructType):
-            raise NotImplementedError(
-                "$jsonSchema additionalProperties: false needs a "
-                "statically-known document type (closed field set = "
-                "struct field enumeration; unavailable under the "
-                "ragged resolver)"
-            )
-        allowed = set(spec.get("properties") or {})
-        for fld in node.fields:
+        # Draft-4: fields matched by patternProperties are NOT
+        # additional.  The ragged resolver has no closed field
+        # enumeration — refuse loudly.
+        allowed = set(spec.get("properties") or {}) | pattern_matched
+        for fld in _doc_node("additionalProperties: false").fields:
             if fld.name not in allowed:
                 conds.append(resolve(fld.name).isNull())
 
