@@ -6,20 +6,27 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all fifteen harnesses (value expressions, long-tail
+Each round runs all twenty-two harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
 whenMatched x whenNotMatched mode-matrix reference — the stateful
-writer surface, and the r10 text repetition-signal reference driven
-through the text_profile carrier itself); any divergence prints
-the harness, round, and the failing case.  Finds from past runs (all
-fixed): last-ULP atan2 differences between JVM and Python libm (now
-quantized past in the comparator), a generator flaw where a bare
-literal landed in $project's include/exclude flag position, and (r9,
-caught while WRITING the $redact reference) null array elements being
-cond-evaluated under $$DESCEND instead of passing through as
-non-documents.
+writer surface, the r10 text repetition-signal reference driven
+through the text_profile carrier itself, and the r10 OPERATOR
+references: the dedup family x4 — overlap pairs via BOTH physical
+plans, exact groups, substring spans, paragraph dedup — connected
+components via BOTH the driver fast path and star contraction, and
+the temporal joins x2); any divergence prints the harness, round, and
+the failing case.  Finds from past runs (all fixed): last-ULP atan2
+differences between JVM and Python libm (now quantized past in the
+comparator), a generator flaw where a bare literal landed in
+$project's include/exclude flag position, (r9, caught while WRITING
+the $redact reference) null array elements being cond-evaluated under
+$$DESCEND instead of passing through as non-documents, and (r10,
+caught by the as-of reference) per-column ignorenulls fills stitching
+an OLDER quote's payload onto the matched timestamp when the matched
+quote's value was null, plus null-ts quotes leaking payloads into
+null-ts probes.
 """
 from __future__ import annotations
 
@@ -47,9 +54,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import tests.test_dedup_fuzz as ddf
     import tests.test_find_fuzz as ff
     import tests.test_pipeline_fuzz as pf
     import tests.test_projection_fuzz as jf
+    import tests.test_temporal_fuzz as tpf
     import tests.test_text_fuzz as tf
     import tests.test_value_expr_fuzz as vf
 
@@ -70,6 +79,13 @@ def main() -> int:
         ("pipe_graphlookup", pf.test_graph_lookup_matches_reference),
         ("pipe_merge", pf.test_merge_matches_reference),
         ("text", tf.test_text_profile_matches_reference),
+        ("dedup_pairs", ddf.test_overlap_pairs_match_reference),
+        ("dedup_exact", ddf.test_exact_dedup_matches_reference),
+        ("dedup_spans", ddf.test_duplicated_spans_match_reference),
+        ("dedup_paragraph", ddf.test_paragraph_dedup_matches_reference),
+        ("components", ddf.test_connected_components_match_reference),
+        ("asof", tpf.test_asof_join_matches_reference),
+        ("interval", tpf.test_interval_join_matches_reference),
     ]
 
     orig_random = _random.Random

@@ -19,8 +19,12 @@ shape instead:
 2. tag-union both sides into one relation — quotes sort BEFORE probes
    at equal timestamps, giving inclusive ``>=`` semantics;
 3. one shuffle on the key, one sort, one running
-   ``last(value, ignorenulls=True)`` window pass carries the latest
-   quote forward into each probe row.
+   ``last(struct(ts, values...), ignorenulls=True)`` window pass
+   carries the latest quote forward into each probe row — the whole
+   quote as one struct, so a null VALUE on the matched quote stays
+   null instead of falling through to an older quote's payload
+   (matched-row semantics, the same rows DuckDB's native ASOF JOIN
+   produces; differentially fuzzed in tests/test_temporal_fuzz.py).
 
 Cost: a single exchange + sort over |left| + |right'| rows — no pair
 explosion, no driver loop.  Skew on the key column is the same
@@ -75,9 +79,13 @@ def asof_join(
         ]
     else:
         aggs = [F.max(F.col(v)).alias(v) for v in value_cols]
-    quotes = right.groupBy(
-        *keys, F.col(right_ts).alias("_asof_event_ts")
-    ).agg(*aggs)
+    # a null-ts quote is "at or before" nothing — drop before the union,
+    # or it would sort first and its payload would match null-ts probes
+    quotes = (
+        right.filter(F.col(right_ts).isNotNull())
+        .groupBy(*keys, F.col(right_ts).alias("_asof_event_ts"))
+        .agg(*aggs)
+    )
 
     # 2. tag-union: quotes carry the payload, probes carry the left row.
     #    _asof_side 0 sorts before 1 at equal ts -> inclusive ">=".
@@ -101,26 +109,36 @@ def asof_join(
     )
     unioned = probe.unionByName(quote)
 
-    # 3. one keyed window pass carries the latest quote forward
+    # 3. one keyed window pass carries the latest quote forward.  The
+    #    whole quote rides in ONE struct: `when(side == 0, struct(...))`
+    #    is non-null for every quote row even when every payload field
+    #    is null, so a probe always takes the MATCHED quote's values —
+    #    filling each value column independently with
+    #    `last(ignorenulls)` would skip a quote whose value is null and
+    #    stitch an older quote's payload onto the matched timestamp, an
+    #    inconsistent row no real quote stream contained (caught by
+    #    tests/test_temporal_fuzz.py against the brute-force reference).
     ts_out = f"{prefix}{right_ts}"
     w = (
         Window.partitionBy(*keys)
         .orderBy("_asof_event_ts", "_asof_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched_ts = F.last(
-        F.when(F.col("_asof_side") == 0, F.col("_asof_event_ts")),
+    matched = F.last(
+        F.when(
+            F.col("_asof_side") == 0,
+            F.struct(
+                F.col("_asof_event_ts").alias("_ts"),
+                *[F.col(f"_q_{v}").alias(f"_q_{v}") for v in value_cols],
+            ),
+        ),
         ignorenulls=True,
     ).over(w)
-    filled = unioned.withColumn(ts_out, matched_ts)
+    filled = unioned.withColumn("_asof_match", matched).withColumn(
+        ts_out, F.col("_asof_match._ts")
+    )
     for v in value_cols:
-        filled = filled.withColumn(
-            f"{prefix}{v}",
-            F.last(
-                F.when(F.col("_asof_side") == 0, F.col(f"_q_{v}")),
-                ignorenulls=True,
-            ).over(w),
-        )
+        filled = filled.withColumn(f"{prefix}{v}", F.col(f"_asof_match._q_{v}"))
 
     out = filled.filter(F.col("_asof_side") == 1)
     if tolerance is not None:
