@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all twenty-two harnesses (value expressions, long-tail
+Each round runs all twenty-five harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -15,8 +15,10 @@ writer surface, the r10 text repetition-signal reference driven
 through the text_profile carrier itself, and the r10 OPERATOR
 references: the dedup family x4 — overlap pairs via BOTH physical
 plans, exact groups, substring spans, paragraph dedup — connected
-components via BOTH the driver fast path and star contraction, and
-the temporal joins x2); any divergence prints the harness, round, and
+components via BOTH the driver fast path and star contraction, the
+temporal joins x2, and the hash-sketch family x3 — MinHash band keys,
+SimHash majority longs, and hyperplane buckets are all deterministic
+md5-derived values the references reproduce bit-for-bit); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -56,6 +58,7 @@ def main() -> int:
 
     import tests.test_dedup_fuzz as ddf
     import tests.test_find_fuzz as ff
+    import tests.test_hash_dedup_fuzz as hdf
     import tests.test_pipeline_fuzz as pf
     import tests.test_projection_fuzz as jf
     import tests.test_temporal_fuzz as tpf
@@ -86,6 +89,9 @@ def main() -> int:
         ("components", ddf.test_connected_components_match_reference),
         ("asof", tpf.test_asof_join_matches_reference),
         ("interval", tpf.test_interval_join_matches_reference),
+        ("minhash", hdf.test_minhash_lsh_matches_reference),
+        ("simhash", hdf.test_simhash_matches_reference),
+        ("embedding", hdf.test_embedding_dup_pairs_match_reference),
     ]
 
     orig_random = _random.Random
