@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all twenty-five harnesses (value expressions, long-tail
+Each round runs all twenty-six harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -16,9 +16,11 @@ through the text_profile carrier itself, and the r10 OPERATOR
 references: the dedup family x4 — overlap pairs via BOTH physical
 plans, exact groups, substring spans, paragraph dedup — connected
 components via BOTH the driver fast path and star contraction, the
-temporal joins x2, and the hash-sketch family x3 — MinHash band keys,
+temporal joins x2, the hash-sketch family x3 — MinHash band keys,
 SimHash majority longs, and hyperplane buckets are all deterministic
-md5-derived values the references reproduce bit-for-bit); any divergence prints the harness, round, and
+md5-derived values the references reproduce bit-for-bit — and the BPE
+trainer three-way: pure-Python loop vs sequential-distributed vs the
+batched `_select_merge_batch` path, plus apply vs segment_word); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -56,6 +58,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import tests.test_bpe_fuzz as bpf
     import tests.test_dedup_fuzz as ddf
     import tests.test_find_fuzz as ff
     import tests.test_hash_dedup_fuzz as hdf
@@ -92,6 +95,7 @@ def main() -> int:
         ("minhash", hdf.test_minhash_lsh_matches_reference),
         ("simhash", hdf.test_simhash_matches_reference),
         ("embedding", hdf.test_embedding_dup_pairs_match_reference),
+        ("bpe", bpf.test_bpe_trainer_paths_identical),
     ]
 
     orig_random = _random.Random
