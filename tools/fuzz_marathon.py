@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all twenty-six harnesses (value expressions, long-tail
+Each round runs all twenty-seven harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -20,7 +20,10 @@ temporal joins x2, the hash-sketch family x3 — MinHash band keys,
 SimHash majority longs, and hyperplane buckets are all deterministic
 md5-derived values the references reproduce bit-for-bit — and the BPE
 trainer three-way: pure-Python loop vs sequential-distributed vs the
-batched `_select_merge_batch` path, plus apply vs segment_word); any divergence prints the harness, round, and
+batched `_select_merge_batch` path, plus apply vs segment_word, and
+the .topic_store corrupt-frame resync: driver cursor vs distributed
+scan must recover the identical frame set under adversarial
+byte-level corruption); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -62,6 +65,7 @@ def main() -> int:
     import tests.test_dedup_fuzz as ddf
     import tests.test_find_fuzz as ff
     import tests.test_hash_dedup_fuzz as hdf
+    import tests.test_pickle_resync_fuzz as prf
     import tests.test_pipeline_fuzz as pf
     import tests.test_projection_fuzz as jf
     import tests.test_temporal_fuzz as tpf
@@ -96,6 +100,7 @@ def main() -> int:
         ("simhash", hdf.test_simhash_matches_reference),
         ("embedding", hdf.test_embedding_dup_pairs_match_reference),
         ("bpe", bpf.test_bpe_trainer_paths_identical),
+        ("resync", prf.test_pickle_resync_parity),
     ]
 
     orig_random = _random.Random
