@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all twenty-seven harnesses (value expressions, long-tail
+Each round runs all twenty-nine harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -23,7 +23,9 @@ trainer three-way: pure-Python loop vs sequential-distributed vs the
 batched `_select_merge_batch` path, plus apply vs segment_word, and
 the .topic_store corrupt-frame resync: driver cursor vs distributed
 scan must recover the identical frame set under adversarial
-byte-level corruption); any divergence prints the harness, round, and
+byte-level corruption, the Bloom filter: bit-for-bit blob parity with
+a Python builder + probe parity + the no-false-negative guarantee,
+and CMS heavy hitters: exact at adversarially tiny widths); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -66,6 +68,7 @@ def main() -> int:
     import tests.test_find_fuzz as ff
     import tests.test_hash_dedup_fuzz as hdf
     import tests.test_pickle_resync_fuzz as prf
+    import tests.test_sketch_fuzz as skf
     import tests.test_pipeline_fuzz as pf
     import tests.test_projection_fuzz as jf
     import tests.test_temporal_fuzz as tpf
@@ -101,6 +104,8 @@ def main() -> int:
         ("embedding", hdf.test_embedding_dup_pairs_match_reference),
         ("bpe", bpf.test_bpe_trainer_paths_identical),
         ("resync", prf.test_pickle_resync_parity),
+        ("bloom", skf.test_bloom_filter_matches_reference),
+        ("cms", skf.test_heavy_hitters_exact_at_any_width),
     ]
 
     orig_random = _random.Random
