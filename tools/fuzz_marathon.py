@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all twenty-nine harnesses (value expressions, long-tail
+Each round runs all thirty harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -25,7 +25,9 @@ the .topic_store corrupt-frame resync: driver cursor vs distributed
 scan must recover the identical frame set under adversarial
 byte-level corruption, the Bloom filter: bit-for-bit blob parity with
 a Python builder + probe parity + the no-false-negative guarantee,
-and CMS heavy hitters: exact at adversarially tiny widths); any divergence prints the harness, round, and
+CMS heavy hitters: exact at adversarially tiny widths, and the WARC
+reader: spec-serialized random records across plain / whole-gzip /
+per-member-gzip layouts round-trip through the distributed scan); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -74,6 +76,7 @@ def main() -> int:
     import tests.test_temporal_fuzz as tpf
     import tests.test_text_fuzz as tf
     import tests.test_value_expr_fuzz as vf
+    import tests.test_warc_fuzz as wf
 
     harnesses = [
         ("value", vf.test_value_expressions_match_reference_evaluator),
@@ -106,6 +109,7 @@ def main() -> int:
         ("resync", prf.test_pickle_resync_parity),
         ("bloom", skf.test_bloom_filter_matches_reference),
         ("cms", skf.test_heavy_hitters_exact_at_any_width),
+        ("warc", wf.test_warc_roundtrip_matches_reference),
     ]
 
     orig_random = _random.Random
