@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all thirty harnesses (value expressions, long-tail
+Each round runs all thirty-four harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -25,9 +25,12 @@ the .topic_store corrupt-frame resync: driver cursor vs distributed
 scan must recover the identical frame set under adversarial
 byte-level corruption, the Bloom filter: bit-for-bit blob parity with
 a Python builder + probe parity + the no-false-negative guarantee,
-CMS heavy hitters: exact at adversarially tiny widths, and the WARC
+CMS heavy hitters: exact at adversarially tiny widths, the WARC
 reader: spec-serialized random records across plain / whole-gzip /
-per-member-gzip layouts round-trip through the distributed scan); any divergence prints the harness, round, and
+per-member-gzip layouts round-trip through the distributed scan, the
+incremental dedup pair with the Bloom prefilter OFF and ON — which
+must be bit-identical end-to-end — and the salting helpers, which
+must never change results at any salt_buckets); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -69,6 +72,7 @@ def main() -> int:
     import tests.test_dedup_fuzz as ddf
     import tests.test_find_fuzz as ff
     import tests.test_hash_dedup_fuzz as hdf
+    import tests.test_incremental_skew_fuzz as isf
     import tests.test_pickle_resync_fuzz as prf
     import tests.test_sketch_fuzz as skf
     import tests.test_pipeline_fuzz as pf
@@ -110,6 +114,10 @@ def main() -> int:
         ("bloom", skf.test_bloom_filter_matches_reference),
         ("cms", skf.test_heavy_hitters_exact_at_any_width),
         ("warc", wf.test_warc_roundtrip_matches_reference),
+        ("inc_exact", isf.test_incremental_exact_matches_reference),
+        ("inc_minhash", isf.test_incremental_minhash_matches_reference),
+        ("salted_agg", isf.test_salted_aggregate_matches_reference),
+        ("salted_join", isf.test_salted_join_matches_reference),
     ]
 
     orig_random = _random.Random
