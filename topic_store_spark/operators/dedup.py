@@ -168,9 +168,10 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 
 
 def release_pair_caches() -> None:
-    """Unpersist every intermediate relation the overlap/prefix pair
-    plans persisted (``_cooccurring_pairs``' cap-filtered shingles,
-    ``_ordered_docs``' ordered arrays).  Call after the pair output is
+    """Unpersist every intermediate relation the dedup pair plans
+    persisted (``_cooccurring_pairs``' cap-filtered shingles,
+    ``_ordered_docs``' ordered arrays, MinHash shingle/band relations,
+    SimHash signature groups).  Call after the pair output is
     materialized; idempotent."""
     while _PAIR_CACHES:
         _PAIR_CACHES.pop().unpersist()
@@ -691,9 +692,7 @@ def minhash_lsh_pairs(
     """
     sh = _shingle_arrays(df, text_col, id_col, n)
     if persist:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist_tracked(sh)
     banded = _minhash_banded(sh, num_perm, bands)
     cands = (
         banded.alias("x")
@@ -729,10 +728,9 @@ def simhash_pairs(
     # Hamming filter runs BEFORE pairs expand back to documents.  A doc
     # pair appears exactly once: same sim -> intra group, else via its
     # unique (a_sim < b_sim) candidate pair.
-    groups = sigs.groupBy("sim").agg(F.collect_list("doc").alias("docs"))
-    from pyspark import StorageLevel
-
-    groups = groups.persist(StorageLevel.MEMORY_AND_DISK)
+    groups = _persist_tracked(
+        sigs.groupBy("sim").agg(F.collect_list("doc").alias("docs"))
+    )
     banded = explode_nonempty(
         groups.select(
             "sim",
@@ -1490,14 +1488,10 @@ def minhash_lsh_pairs_incremental(
     )
     sh = _shingle_arrays(all_df, text_col, id_col, n)
     if persist:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist_tracked(sh)
     banded_all = _minhash_banded(sh, num_perm, bands)
     if persist:
-        from pyspark import StorageLevel
-
-        banded_all = banded_all.persist(StorageLevel.MEMORY_AND_DISK)
+        banded_all = _persist_tracked(banded_all)
     new_ids = new_df.select(F.col(id_col).alias("doc"))
     banded_new = banded_all.join(new_ids, "doc", "left_semi")
     banded_rhs = banded_all
