@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all thirty-four harnesses (value expressions, long-tail
+Each round runs all thirty-five harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -29,8 +29,9 @@ CMS heavy hitters: exact at adversarially tiny widths, the WARC
 reader: spec-serialized random records across plain / whole-gzip /
 per-member-gzip layouts round-trip through the distributed scan, the
 incremental dedup pair with the Bloom prefilter OFF and ON — which
-must be bit-identical end-to-end — and the salting helpers, which
-must never change results at any salt_buckets); any divergence prints the harness, round, and
+must be bit-identical end-to-end — the salting helpers, which must
+never change results at any salt_buckets, and SemDeDup
+`semantic_cluster_dedup` in single-assignment AND multi-probe modes); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -74,6 +75,7 @@ def main() -> int:
     import tests.test_hash_dedup_fuzz as hdf
     import tests.test_incremental_skew_fuzz as isf
     import tests.test_pickle_resync_fuzz as prf
+    import tests.test_semantic_fuzz as smf
     import tests.test_sketch_fuzz as skf
     import tests.test_pipeline_fuzz as pf
     import tests.test_projection_fuzz as jf
@@ -118,6 +120,7 @@ def main() -> int:
         ("inc_minhash", isf.test_incremental_minhash_matches_reference),
         ("salted_agg", isf.test_salted_aggregate_matches_reference),
         ("salted_join", isf.test_salted_join_matches_reference),
+        ("semantic", smf.test_semantic_cluster_dedup_matches_reference),
     ]
 
     orig_random = _random.Random

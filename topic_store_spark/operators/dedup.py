@@ -1183,10 +1183,9 @@ def semantic_cluster_dedup(
             )
         )
     # both sides of the pair join consume the assignment — materialize it
-    # once (same pattern as minhash_lsh_pairs' two-consumer persist)
-    from pyspark import StorageLevel
-
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    # once (same tracked lifecycle as minhash_lsh_pairs' persist; see
+    # release_pair_caches)
+    assigned = _persist_tracked(assigned)
     left = assigned.select(
         F.col("c_id").alias("a_id"), F.col("c_qv").alias("a_qv"),
         F.col("c_n").alias("a_n"), "cluster_id",
