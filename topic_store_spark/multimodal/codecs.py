@@ -260,8 +260,13 @@ def decode_wav(data: bytes) -> np.ndarray:
 
 def encode_wav(arr: np.ndarray, sample_rate: int = 16_000) -> bytes:
     """``(frames, channels)`` array -> WAV bytes (dtype picks the format:
-    uint8/int16/int32 -> PCM, float32/float64 -> IEEE float)."""
-    arr = np.atleast_2d(np.asarray(arr))
+    uint8/int16/int32 -> PCM, float32/float64 -> IEEE float).  A 1-D
+    array is a MONO clip -> ``(n, 1)``: the previous ``atleast_2d``
+    coercion read it as ONE frame of n channels, silently writing an
+    n-channel file (caught by tests/test_codec_roundtrip_fuzz.py)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
     if arr.ndim != 2:
         raise ValueError("WAV encode: expected (frames, channels)")
     tag = {
