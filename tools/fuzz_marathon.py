@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all thirty-seven harnesses (value expressions, long-tail
+Each round runs all thirty-eight harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -35,8 +35,10 @@ never change results at any salt_buckets, SemDeDup
 the from-scratch CBOR codec: roundtrip, an independent serializer
 emitting non-canonical wire forms — oversized widths, indefinite
 lengths, half/single floats, RFC 8746 typed arrays — and
-truncation-always-raises, and randomized PNG/WAV lossless roundtrips
-across shapes, bit depths, and filters); any divergence prints the harness, round, and
+truncation-always-raises, randomized PNG/WAV lossless roundtrips
+across shapes, bit depths, and filters, and the out-of-row blob
+lifecycle: externalize/rehydrate byte-exact, pointer inventory and GC
+exact, lazy-skip untouched); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -74,6 +76,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import tests.test_blob_fuzz as blf
     import tests.test_bpe_fuzz as bpf
     import tests.test_cbor_fuzz as cbf
     import tests.test_codec_roundtrip_fuzz as crf
@@ -130,6 +133,7 @@ def main() -> int:
         ("semantic", smf.test_semantic_cluster_dedup_matches_reference),
         ("cbor", cbf.test_cbor_matches_reference),
         ("raster_audio", crf.test_png_wav_roundtrip_random),
+        ("blob", blf.test_blob_lifecycle_random),
     ]
 
     orig_random = _random.Random
