@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all thirty-eight harnesses (value expressions, long-tail
+Each round runs all thirty-nine harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -38,7 +38,8 @@ lengths, half/single floats, RFC 8746 typed arrays — and
 truncation-always-raises, randomized PNG/WAV lossless roundtrips
 across shapes, bit depths, and filters, and the out-of-row blob
 lifecycle: externalize/rehydrate byte-exact, pointer inventory and GC
-exact, lazy-skip untouched); any divergence prints the harness, round, and
+exact, lazy-skip untouched, and sequence packing at random
+(ctx, shards) configurations); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -84,6 +85,7 @@ def main() -> int:
     import tests.test_find_fuzz as ff
     import tests.test_hash_dedup_fuzz as hdf
     import tests.test_incremental_skew_fuzz as isf
+    import tests.test_pack_fuzz as pkf
     import tests.test_pickle_resync_fuzz as prf
     import tests.test_semantic_fuzz as smf
     import tests.test_sketch_fuzz as skf
@@ -134,6 +136,7 @@ def main() -> int:
         ("cbor", cbf.test_cbor_matches_reference),
         ("raster_audio", crf.test_png_wav_roundtrip_random),
         ("blob", blf.test_blob_lifecycle_random),
+        ("pack", pkf.test_pack_sequences_matches_reference),
     ]
 
     orig_random = _random.Random
