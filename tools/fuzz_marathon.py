@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all thirty-nine harnesses (value expressions, long-tail
+Each round runs all forty harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -38,8 +38,9 @@ lengths, half/single floats, RFC 8746 typed arrays — and
 truncation-always-raises, randomized PNG/WAV lossless roundtrips
 across shapes, bit depths, and filters, and the out-of-row blob
 lifecycle: externalize/rehydrate byte-exact, pointer inventory and GC
-exact, lazy-skip untouched, and sequence packing at random
-(ctx, shards) configurations); any divergence prints the harness, round, and
+exact, lazy-skip untouched, sequence packing at random (ctx, shards)
+configurations, and the hashed-linear classifier's trained-weights
+blob path — pack/lookup arithmetic and biasing bit-for-bit); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -80,6 +81,7 @@ def main() -> int:
     import tests.test_blob_fuzz as blf
     import tests.test_bpe_fuzz as bpf
     import tests.test_cbor_fuzz as cbf
+    import tests.test_classify_fuzz as clf
     import tests.test_codec_roundtrip_fuzz as crf
     import tests.test_dedup_fuzz as ddf
     import tests.test_find_fuzz as ff
@@ -137,6 +139,7 @@ def main() -> int:
         ("raster_audio", crf.test_png_wav_roundtrip_random),
         ("blob", blf.test_blob_lifecycle_random),
         ("pack", pkf.test_pack_sequences_matches_reference),
+        ("classify", clf.test_hashed_linear_score_weights_match_reference),
     ]
 
     orig_random = _random.Random
