@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all forty harnesses (value expressions, long-tail
+Each round runs all forty-one harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the seven pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -39,8 +39,9 @@ truncation-always-raises, randomized PNG/WAV lossless roundtrips
 across shapes, bit depths, and filters, and the out-of-row blob
 lifecycle: externalize/rehydrate byte-exact, pointer inventory and GC
 exact, lazy-skip untouched, sequence packing at random (ctx, shards)
-configurations, and the hashed-linear classifier's trained-weights
-blob path — pack/lookup arithmetic and biasing bit-for-bit); any divergence prints the harness, round, and
+configurations, the hashed-linear classifier's trained-weights
+blob path — pack/lookup arithmetic and biasing bit-for-bit — and
+ObjectId layout/roundtrip/determinism/uniqueness properties); any divergence prints the harness, round, and
 the failing case.  Finds from past runs (all fixed): last-ULP atan2
 differences between JVM and Python libm (now quantized past in the
 comparator), a generator flaw where a bare literal landed in
@@ -87,6 +88,7 @@ def main() -> int:
     import tests.test_find_fuzz as ff
     import tests.test_hash_dedup_fuzz as hdf
     import tests.test_incremental_skew_fuzz as isf
+    import tests.test_objectid_fuzz as oif
     import tests.test_pack_fuzz as pkf
     import tests.test_pickle_resync_fuzz as prf
     import tests.test_semantic_fuzz as smf
@@ -140,6 +142,7 @@ def main() -> int:
         ("blob", blf.test_blob_lifecycle_random),
         ("pack", pkf.test_pack_sequences_matches_reference),
         ("classify", clf.test_hashed_linear_score_weights_match_reference),
+        ("objectid", oif.test_objectid_properties),
     ]
 
     orig_random = _random.Random
