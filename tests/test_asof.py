@@ -61,6 +61,44 @@ def test_asof_join_tolerance(spark, sides):
     assert out[(1, 5)] is None          # quote at t=4 is stale too
 
 
+def test_asof_join_internal_name_collision(spark):
+    """r10 ADVICE: a left payload column named `_asof_match` (or any
+    other internal temp name) must survive untouched, not be replaced by
+    the internal match struct."""
+    from topic_store_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame(
+        [(1, 5, "keepme", 9, 8)],
+        "k long, t long, _asof_match string, _asof_side long, _asof_event_ts long",
+    )
+    quotes = spark.createDataFrame([(1, 4, 40.0)], "k long, t long, v double")
+    row = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="t", value_cols=["v"]
+    ).collect()[0]
+    assert row["_asof_match"] == "keepme"
+    assert row["_asof_side"] == 9
+    assert row["_asof_event_ts"] == 8
+    assert (row["asof_t"], row["asof_v"]) == (4, 40.0)
+
+
+def test_asof_join_dotted_value_col(spark):
+    """r10 ADVICE: value_cols containing dots must resolve as literal
+    column names (getField access), not as struct paths."""
+    from topic_store_spark.operators.asof import asof_join
+
+    probes = spark.createDataFrame([(1, 5)], "k long, t long")
+    quotes = (
+        spark.createDataFrame([(1, 4, 40.0)], "k long, t long, v double")
+        .withColumnRenamed("v", "px.mid")
+    )
+    row = asof_join(
+        probes, quotes, on="k", left_ts="t", right_ts="t",
+        value_cols=["px.mid"],
+    ).collect()[0]
+    assert row["asof_px.mid"] == 40.0
+    assert row["asof_t"] == 4
+
+
 def test_asof_join_matches_duckdb_asof(spark):
     """Cross-engine check on a bigger random-ish keyed series: Spark's
     union+window merge plan vs DuckDB's native partitioned-search ASOF."""

@@ -106,3 +106,14 @@ def test_empty_clip_yields_zero_struct(spark):
     }
     assert out[2]["duration_s"] == 0.0 and out[2]["zero_cross_rate"] == 0.0
     assert out[3]["n_frames"] > 50
+
+
+def test_encode_wav_scalar_is_single_mono_frame():
+    """r10 ADVICE: a 0-D scalar encodes as one mono frame (pre-r10
+    atleast_2d behavior), not a ValueError."""
+    from topic_store_spark.multimodal.codecs import decode_wav
+
+    buf = encode_wav(np.float32(0.5), SR)
+    arr = decode_wav(buf)
+    assert arr.shape == (1, 1)
+    assert arr[0, 0] == np.float32(0.5)

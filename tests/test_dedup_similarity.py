@@ -1009,3 +1009,23 @@ def test_variance_balanced_permutation_opq_lite(spark, embeddings):
     b = {key(r): r["neighbor_id"] for r in base.collect()}
     p = {key(r): r["neighbor_id"] for r in rot.collect()}
     assert b == p
+
+
+def test_pair_cache_scope_isolates_release(spark):
+    """r10 ADVICE: release_pair_caches() must not unpersist relations a
+    concurrent computation pinned — scoped pins belong to their scope."""
+    from topic_store_spark.operators.dedup import (
+        _persist_tracked,
+        pair_cache_scope,
+        release_pair_caches,
+    )
+
+    outer = _persist_tracked(spark.range(5))
+    with pair_cache_scope() as scope:
+        inner = _persist_tracked(spark.range(3))
+        assert inner.storageLevel.useMemory
+        release_pair_caches()  # drains ONLY the unscoped global list
+        assert inner.storageLevel.useMemory, "scoped pin must survive"
+        assert not outer.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory, "scope exit releases its pins"
+    assert scope._dfs == []

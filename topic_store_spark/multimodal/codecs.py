@@ -263,8 +263,12 @@ def encode_wav(arr: np.ndarray, sample_rate: int = 16_000) -> bytes:
     uint8/int16/int32 -> PCM, float32/float64 -> IEEE float).  A 1-D
     array is a MONO clip -> ``(n, 1)``: the previous ``atleast_2d``
     coercion read it as ONE frame of n channels, silently writing an
-    n-channel file (caught by tests/test_codec_roundtrip_fuzz.py)."""
+    n-channel file (caught by tests/test_codec_roundtrip_fuzz.py).
+    A 0-D scalar is a single mono frame -> ``(1, 1)`` (the pre-r10
+    ``atleast_2d`` behavior, restored per r10 ADVICE)."""
     arr = np.asarray(arr)
+    if arr.ndim == 0:
+        arr = arr.reshape(1, 1)
     if arr.ndim == 1:
         arr = arr.reshape(-1, 1)
     if arr.ndim != 2:

@@ -72,29 +72,47 @@ def asof_join(
             c for c in right.columns if c not in keys and c != right_ts
         ]
 
+    # internal column names must not shadow any caller column (r10
+    # ADVICE: a left payload column literally named "_asof_match" was
+    # silently overwritten and the final select emitted the internal
+    # struct in its place) — grow a suffix until every temp name is free
+    taken = set(left.columns) | set(right.columns)
+    sfx = ""
+    def _collides(s: str) -> bool:
+        return (
+            any(n + s in taken for n in ("_asof_event_ts", "_asof_side", "_asof_match"))
+            or any(f"_q_{v}{s}" in taken for v in value_cols)
+        )
+    while _collides(sfx):
+        sfx += "_"
+    ev_ts, side, match = f"_asof_event_ts{sfx}", f"_asof_side{sfx}", f"_asof_match{sfx}"
+    qcol = {v: f"_q_{v}{sfx}" for v in value_cols}
+
     # 1. unique quote per (key, ts), deterministic under duplicates
     if tie_col is not None:
         aggs = [
-            F.max_by(F.col(v), F.col(tie_col)).alias(v) for v in value_cols
+            F.max_by(F.col(f"`{v}`"), F.col(f"`{tie_col}`")).alias(v)
+            for v in value_cols
         ]
     else:
-        aggs = [F.max(F.col(v)).alias(v) for v in value_cols]
+        aggs = [F.max(F.col(f"`{v}`")).alias(v) for v in value_cols]
     # a null-ts quote is "at or before" nothing — drop before the union,
     # or it would sort first and its payload would match null-ts probes
     quotes = (
-        right.filter(F.col(right_ts).isNotNull())
-        .groupBy(*keys, F.col(right_ts).alias("_asof_event_ts"))
+        right.filter(F.col(f"`{right_ts}`").isNotNull())
+        .groupBy(*[F.col(f"`{k}`") for k in keys],
+                 F.col(f"`{right_ts}`").alias(ev_ts))
         .agg(*aggs)
     )
 
     # 2. tag-union: quotes carry the payload, probes carry the left row.
-    #    _asof_side 0 sorts before 1 at equal ts -> inclusive ">=".
+    #    side 0 sorts before 1 at equal ts -> inclusive ">=".
     left_payload = [c for c in left.columns]
     probe = left.select(
         *[F.col(f"`{c}`") for c in left_payload],
-        F.col(left_ts).alias("_asof_event_ts"),
-        F.lit(1).alias("_asof_side"),
-        *[F.lit(None).cast(quotes.schema[v].dataType).alias(f"_q_{v}")
+        F.col(f"`{left_ts}`").alias(ev_ts),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(quotes.schema[v].dataType).alias(qcol[v])
           for v in value_cols],
     )
     quote = quotes.select(
@@ -103,9 +121,9 @@ def asof_join(
             else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left_payload
         ],
-        F.col("_asof_event_ts"),
-        F.lit(0).alias("_asof_side"),
-        *[F.col(f"`{v}`").alias(f"_q_{v}") for v in value_cols],
+        F.col(ev_ts),
+        F.lit(0).alias(side),
+        *[F.col(f"`{v}`").alias(qcol[v]) for v in value_cols],
     )
     unioned = probe.unionByName(quote)
 
@@ -120,38 +138,40 @@ def asof_join(
     #    tests/test_temporal_fuzz.py against the brute-force reference).
     ts_out = f"{prefix}{right_ts}"
     w = (
-        Window.partitionBy(*keys)
-        .orderBy("_asof_event_ts", "_asof_side")
+        Window.partitionBy(*[F.col(f"`{k}`") for k in keys])
+        .orderBy(ev_ts, side)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(
         F.when(
-            F.col("_asof_side") == 0,
+            F.col(side) == 0,
             F.struct(
-                F.col("_asof_event_ts").alias("_ts"),
-                *[F.col(f"_q_{v}").alias(f"_q_{v}") for v in value_cols],
+                F.col(ev_ts).alias("_ts"),
+                # struct-field access below is getField (literal name),
+                # so dotted value_cols are safe end-to-end (r10 ADVICE)
+                *[F.col(f"`{qcol[v]}`").alias(qcol[v]) for v in value_cols],
             ),
         ),
         ignorenulls=True,
     ).over(w)
-    filled = unioned.withColumn("_asof_match", matched).withColumn(
-        ts_out, F.col("_asof_match._ts")
+    filled = unioned.withColumn(match, matched).withColumn(
+        ts_out, F.col(match)["_ts"]
     )
     for v in value_cols:
-        filled = filled.withColumn(f"{prefix}{v}", F.col(f"_asof_match._q_{v}"))
+        filled = filled.withColumn(f"{prefix}{v}", F.col(match)[qcol[v]])
 
-    out = filled.filter(F.col("_asof_side") == 1)
+    out = filled.filter(F.col(side) == 1)
     if tolerance is not None:
-        in_range = F.col(ts_out) >= F.col(left_ts) - tolerance
+        in_range = F.col(f"`{ts_out}`") >= F.col(f"`{left_ts}`") - tolerance
         for v in value_cols:
             out = out.withColumn(
-                f"{prefix}{v}", F.when(in_range, F.col(f"{prefix}{v}"))
+                f"{prefix}{v}", F.when(in_range, F.col(f"`{prefix}{v}`"))
             )
         out = out.withColumn(
-            ts_out, F.when(in_range, F.col(ts_out))
+            ts_out, F.when(in_range, F.col(f"`{ts_out}`"))
         )
     return out.select(
         *[F.col(f"`{c}`") for c in left_payload],
-        ts_out,
-        *[F.col(f"{prefix}{v}") for v in value_cols],
+        F.col(f"`{ts_out}`"),
+        *[F.col(f"`{prefix}{v}`") for v in value_cols],
     )

@@ -155,24 +155,62 @@ def _jaccard_out(pairs: DataFrame, threshold_num: int, threshold_den: int) -> Da
 #: inside a lazy plan, so long-lived sessions must manage these: call
 #: :func:`release_pair_caches` once the verified pairs are materialized
 #: (one-shot jobs and bench runs are covered by session exit /
-#: ``spark.catalog.clearCache()``).
+#: ``spark.catalog.clearCache()``).  NOTE (r11, per r10 ADVICE):
+#: ``spark.catalog.clearCache()`` does NOT drain this list — it leaves
+#: stale DataFrame references behind, and a later
+#: ``release_pair_caches()`` would unpersist relations that may belong
+#: to a different, still-running computation.  Long soaks interleaving
+#: independent computations should wrap each one in
+#: :func:`pair_cache_scope` instead, which tracks and releases ONLY the
+#: intermediates persisted inside it.
 _PAIR_CACHES: list = []
+
+#: active scopes; _persist_tracked routes to the innermost one when set
+_PAIR_SCOPES: list = []
+
+
+class pair_cache_scope:
+    """Context manager scoping the dedup pair plans' persisted
+    intermediates to one computation: everything ``_persist_tracked``
+    pins while the scope is active is released on exit (or via an
+    explicit ``.release()``), without touching relations tracked by
+    other scopes or the module-global list.  Re-entrant (scopes nest;
+    the innermost active scope owns new pins)."""
+
+    def __init__(self) -> None:
+        self._dfs: list = []
+
+    def release(self) -> None:
+        while self._dfs:
+            self._dfs.pop().unpersist()
+
+    def __enter__(self) -> "pair_cache_scope":
+        _PAIR_SCOPES.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self in _PAIR_SCOPES:
+            _PAIR_SCOPES.remove(self)
+        self.release()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PAIR_CACHES.append(out)
+    (_PAIR_SCOPES[-1]._dfs if _PAIR_SCOPES else _PAIR_CACHES).append(out)
     return out
 
 
 def release_pair_caches() -> None:
-    """Unpersist every intermediate relation the dedup pair plans
-    persisted (``_cooccurring_pairs``' cap-filtered shingles,
+    """Unpersist every UNSCOPED intermediate relation the dedup pair
+    plans persisted (``_cooccurring_pairs``' cap-filtered shingles,
     ``_ordered_docs``' ordered arrays, MinHash shingle/band relations,
     SimHash signature groups).  Call after the pair output is
-    materialized; idempotent."""
+    materialized; idempotent.  Relations pinned inside an active
+    :func:`pair_cache_scope` are owned by that scope and NOT touched
+    here (r11 — prevents one computation's cleanup from unpersisting
+    another's still-live caches)."""
     while _PAIR_CACHES:
         _PAIR_CACHES.pop().unpersist()
 

@@ -33,16 +33,20 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     spark = df.sparkSession
     try:
-        target = min_partitions or spark.sparkContext.defaultParallelism
+        # ``min_partitions`` is a FLOOR (r11): a caller-passed value raises
+        # the target above defaultParallelism, never caps it below — the
+        # old ``min_partitions or defaultParallelism`` silently did the
+        # latter, contradicting the parameter name.
+        target = max(min_partitions or 0, spark.sparkContext.defaultParallelism)
         current = df.rdd.getNumPartitions()
     except Exception:  # Spark Connect: no RDD / driver-context surface
-        if min_partitions:
-            target = min_partitions
-        else:
-            try:
-                target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            except (TypeError, ValueError):  # e.g. "auto" under managed AQE
-                return df
+        try:
+            conf_target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):  # e.g. "auto" under managed AQE
+            conf_target = 0
+        target = max(min_partitions or 0, conf_target)
+        if target == 0:
+            return df
         try:
             files = df.inputFiles()
         except Exception:
@@ -50,7 +54,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         if files and len(files) < target:
             return df.repartition(target)
         if not files and min_partitions:
-            return df.repartition(min_partitions)
+            return df.repartition(target)
         return df
     if current < target:
         return df.repartition(target)
