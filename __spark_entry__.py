@@ -2080,16 +2080,32 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own scan→tokenize chain in each union branch (and the bigram
     branch three more times for the LM-slice counts); at 100 TB those
     are whole extra corpus passes.  MEMORY_AND_DISK so a
-    corpus-sized token relation spills instead of evicting."""
+    corpus-sized token relation spills instead of evicting.
+
+    r11 Exchange diet: the persisted relation is HASH-PARTITIONED BY
+    doc_id (one compact corpus shuffle of (id, token-array) rows,
+    inside the shared cache so it happens once for both branches).
+    Every downstream doc-keyed aggregation then needs NO exchange:
+    hash(doc_id) satisfies the clustered distribution of the
+    (doc, term) / (doc, bg) tf rollups (subset key) AND of the final
+    per-doc NLL rollups that the broadcast LM joins preserve
+    partitioning into — so the four corpus-scale Exchanges the r10
+    plan moved (token-partials by (doc,term), bigram-partials by
+    (doc,bg), and two per-doc rollups) all collapse into the one
+    array-row shuffle.  doc_id is unique, so the hash partitioning
+    cannot skew beyond a single document's length.  The remaining
+    at-scale Exchanges are vocabulary-side only (term/bg/first-word
+    rollups derived from already-aggregated relations —
+    operators/corpus.py r11)."""
     from pyspark import StorageLevel
 
     from topic_store_spark.functions.text import tokens
     from topic_store_spark.operators.corpus import bigram_logprob, unigram_logprob
-    from topic_store_spark.operators.util import ensure_parallelism
+    from topic_store_spark.operators.util import hash_partition
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     tk = (
-        ensure_parallelism(docs)
+        hash_partition(docs, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -62,6 +62,8 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    from topic_store_spark.operators.util import cache_scope
+
     queries = entry_mod.queries()
     headline = HEADLINE if HEADLINE is not None else list(queries)
     samples: dict[str, list[float]] = {}
@@ -74,7 +76,10 @@ def main() -> None:
     # min-of-2 alone.  Every query is isolated in try/except so one
     # failure can never zero the whole bench (the r2 lesson): failures are
     # recorded per-query and the JSON line is always emitted.
-    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
+    # r11: 6 rounds (was 4) — the r10 closing band was 13.6% of total
+    # with 4; medians over 6 rounds are the committed per-query number a
+    # cross-round comparison should read (min stays the headline).
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "6"))
     # r10: one UNTIMED warmup execution per query before the timed
     # rounds.  r9's BENCH_detail showed first samples 2-3x steady state
     # (per-query codegen / shuffle-machinery warmup: unigram 6.48 vs
@@ -88,9 +93,14 @@ def main() -> None:
                 continue
             spark.catalog.clearCache()
             try:
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                # cache_scope: operators' tracked persists (dedup pair
+                # artifacts, corpus LM counts) release when the
+                # execution finishes instead of accumulating stale
+                # references across 50 queries x N rounds (r10 ADVICE)
+                with cache_scope():
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
             except Exception as exc:  # noqa: BLE001 - record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
@@ -104,10 +114,11 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.time()
             try:
-                df = fn(spark, sf_dir)
-                # Execute the full plan; count() alone can prune work, so
-                # write to a no-op sink.
-                df.write.format("noop").mode("overwrite").save()
+                with cache_scope():
+                    df = fn(spark, sf_dir)
+                    # Execute the full plan; count() alone can prune
+                    # work, so write to a no-op sink.
+                    df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 - record, keep going
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 samples.pop(name, None)
@@ -156,7 +167,10 @@ def main() -> None:
             f"{n_rounds} timed interleaved rounds (cache cleared before "
             "every execution); headline = per-query min over timed "
             "samples; noise band = per-query spread of the drop-max "
-            "trimmed timed samples, summed"
+            "trimmed timed samples, summed.  Cross-round per-query "
+            "comparisons should read the MEDIANS, and no A/B claim is "
+            "valid unless it comes from tools/ab_bench.py (interleaved "
+            "same-session, refuses to stamp when spread exceeds delta)."
         ),
         "queries": timings,
         "medians": medians,
@@ -166,6 +180,13 @@ def main() -> None:
         "warmup_rounds": warmup_rounds,
         "sf": out["sf"],
     }
+    # fold in the latest interleaved A/B receipt so it travels with the
+    # bench (tools/ab_bench.py writes it; absent file = no claim)
+    try:
+        with open(os.path.join(_REPO, "BENCH_AB.json")) as fh:
+            detail["ab"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
     try:
         with open(os.path.join(_REPO, "BENCH_detail.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

@@ -1029,3 +1029,41 @@ def test_pair_cache_scope_isolates_release(spark):
         assert not outer.storageLevel.useMemory
     assert not inner.storageLevel.useMemory, "scope exit releases its pins"
     assert scope._dfs == []
+
+
+def test_ppjoin_cuts_flag_output_equality(spark):
+    """r11 A/B knob: PPJOIN_CUTS=False (pre-0ea8df7 candidate join) must
+    produce the identical pair set — the cuts prune only candidates the
+    exact verify rejects."""
+    from topic_store_spark.operators import dedup
+    from topic_store_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_pair_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + k) % 23}" for k in range(12)))
+         for i in range(40)]
+        + [(100, "a b c d e f g h"), (101, "a b c d e f g x")],
+        "doc_id long, text string",
+    )
+
+    def pairs():
+        out = sorted(
+            (r["a_doc"], r["b_doc"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, n=2, threshold_num=1, threshold_den=3
+            ).collect()
+        )
+        release_pair_caches()
+        spark.catalog.clearCache()
+        return out
+
+    assert dedup.PPJOIN_CUTS is True  # production default
+    on = pairs()
+    dedup.PPJOIN_CUTS = False
+    try:
+        off = pairs()
+    finally:
+        dedup.PPJOIN_CUTS = True
+    assert on == off and len(on) > 0

@@ -1628,3 +1628,201 @@ def test_merge_matches_reference(spark):
             {"into": "mem"},
             lambda path, sp: _MemTarget(store_df.drop("_id")),
         )
+
+
+# -- $facet / $unionWith / $documents compositions (r11, harness 42) --------
+#
+# The r5-r10 marathons kept finding real bugs where SUB-pipelines meet
+# the outer one (redact descend, lookup sub-pipelines, merge pipelines);
+# this harness pins the three remaining sub-pipeline carriers: $facet
+# (N sub-pipelines over one input, arrays out), $unionWith (concat with
+# a collection or an inline $documents literal, null-filling missing
+# fields on either side), and $documents (literal source).  Writing it
+# caught a real bug immediately: $count on EMPTY input emitted {c: 0}
+# where Mongo (desugaring to $group{_id:null}) emits no document.
+
+
+def _ref_sort_by_count(docs, field):
+    counts: dict = {}
+    for d in docs:
+        k = d.get(field)
+        counts[k] = counts.get(k, 0) + 1
+    return [{"_id": k, "count": v} for k, v in counts.items()]
+
+
+def _sub_pipeline(rng: random.Random, docs: list[dict]):
+    """(stages, reference rows) for a facet-safe random sub-pipeline
+    over ``docs`` (documents may be union-padded: missing keys read as
+    None on both sides)."""
+    shape = rng.randrange(6)
+    if shape == 0:
+        q = _scalar_filter(rng)
+        return [{"$match": q}], _ref_match(docs, q)
+    if shape == 1:
+        q = _scalar_filter(rng)
+        key = rng.choice(["a", "c"])
+        return (
+            [{"$match": q}, _GROUP_SPEC(key, False)],
+            _ref_group(_ref_match(docs, q), key, False),
+        )
+    if shape == 2:
+        return (
+            [{"$unwind": "$d"}, {"$sortByCount": "$d"}],
+            _ref_sort_by_count(_ref_unwind(docs, "d"), "d"),
+        )
+    if shape == 3:  # unique sort key -> deterministic limit set
+        k = rng.randint(1, 8)
+        direction = rng.choice([1, -1])
+        ordered = sorted(docs, key=lambda d: d["n"], reverse=direction < 0)
+        return (
+            [{"$sort": {"n": direction}}, {"$limit": k}],
+            ordered[:k],
+        )
+    if shape == 4:  # $count — empty input must emit NO document
+        q = _scalar_filter(rng)
+        matched = _ref_match(docs, q)
+        return (
+            [{"$match": q}, {"$count": "ct"}],
+            [{"ct": len(matched)}] if matched else [],
+        )
+    q = _scalar_filter(rng)
+    thr = rng.randint(-2, 5)
+    return (
+        [{"$match": q}, {"$match": {"a": {"$lt": thr}}}],
+        [d for d in _ref_match(docs, q) if _m_query(d, {"a": {"$lt": thr}})],
+    )
+
+
+def _union_docs(rng: random.Random, n: int = 20) -> list[dict]:
+    """Second collection: overlapping keys (n unique vs the base ids,
+    a shared) plus an extra z so unionByName must null-fill BOTH ways
+    (base lacks z; these lack b/c/d)."""
+    return [
+        {
+            "n": 1000 + i,
+            "a": rng.choice([None, *range(-2, 5)]),
+            "z": rng.choice([None, 1, 4]),
+        }
+        for i in range(n)
+    ]
+
+
+def _pad(docs: list[dict], keys) -> list[dict]:
+    return [{k: d.get(k) for k in keys} for d in docs]
+
+
+def test_facet_union_documents_match_reference(spark):
+    rng = random.Random(0xFACE7)
+    docs = _docs(rng, 30)
+    df = spark.createDataFrame(
+        [tuple(d[k] for k in ["n", "a", "b", "c", "d"]) for d in docs],
+        SCHEMA,
+    )
+    udocs = _union_docs(rng)
+    udf = spark.createDataFrame(
+        [(d["n"], d["a"], d["z"]) for d in udocs], "n long, a long, z long"
+    )
+    tables = {"other": udf}
+    all_keys = ["n", "a", "b", "c", "d", "z"]
+
+    failures = []
+    for trial in range(60):
+        kind = rng.randrange(5)
+        if kind == 0:  # $facet over the base relation
+            spec, want = {}, {}
+            for name in ["f1", "f2", "f3"][: rng.randint(2, 3)]:
+                spec[name], want[name] = _sub_pipeline(rng, docs)
+            got_row = (
+                apply_pipeline(df, [{"$facet": spec}])
+                .collect()[0]
+                .asDict(recursive=True)
+            )
+            if set(got_row) != set(want) or any(
+                _canon(got_row[f]) != _canon(want[f]) for f in want
+            ):
+                failures.append((trial, {"$facet": spec}, got_row, want))
+            continue
+        if kind == 1:  # match -> unionWith(coll [, pipeline]) -> match
+            q = _scalar_filter(rng)
+            uspec: dict = {"coll": "other"}
+            uref = list(udocs)
+            if rng.random() < 0.6:
+                t = rng.randint(-2, 4)
+                uspec["pipeline"] = [{"$match": {"a": {"$gte": t}}}]
+                uref = [d for d in udocs if _m_query(d, {"a": {"$gte": t}})]
+            pipe = [{"$match": q}, {"$unionWith": uspec}]
+            want = _pad(_ref_match(docs, q), all_keys) + _pad(uref, all_keys)
+            if rng.random() < 0.5:
+                thr = rng.randint(-1, 4)
+                pipe.append({"$match": {"a": {"$gte": thr}}})
+                want = [d for d in want if _m_query(d, {"a": {"$gte": thr}})]
+        elif kind == 2:  # $documents literal source -> sub-pipeline
+            lit = [
+                {
+                    "n": i,
+                    "a": rng.randint(-2, 4),
+                    "c": rng.choice(["x", "y", "z"]),
+                }
+                for i in range(rng.randint(3, 12))
+            ]
+            sub, want = _sub_pipeline(
+                rng, [dict(d, b=None, d=None) for d in lit]
+            )
+            # shapes referencing b/d would read literal-absent columns
+            if any("$unwind" in s or "$group" in s for s in sub):
+                continue
+            pipe = [{"$documents": lit}, *sub]
+            want = [
+                {k: d.get(k) for k in ("n", "a", "c") if k in lit[0]}
+                for d in want
+            ] if sub and "$count" not in sub[-1] else want
+        elif kind == 3:  # coll-less unionWith: inline $documents branch
+            lit = [
+                {"n": 2000 + i, "a": rng.randint(-2, 4)}
+                for i in range(rng.randint(2, 8))
+            ]
+            q = _scalar_filter(rng)
+            pipe = [
+                {"$match": q},
+                {"$unionWith": {"pipeline": [{"$documents": lit}]}},
+                {"$sortByCount": "$a"},
+            ]
+            unioned = _pad(_ref_match(docs, q), all_keys) + _pad(
+                lit, all_keys
+            )
+            want = _ref_sort_by_count(unioned, "a")
+        else:  # unionWith -> $facet over the concatenated relation
+            q = _scalar_filter(rng)
+            unioned = _pad(_ref_match(docs, q), all_keys) + _pad(
+                udocs, all_keys
+            )
+            spec, want_f = {}, {}
+            for name in ["f1", "f2"]:
+                spec[name], want_f[name] = _sub_pipeline(rng, unioned)
+            got_row = (
+                apply_pipeline(
+                    df,
+                    [{"$match": q}, {"$unionWith": "other"},
+                     {"$facet": spec}],
+                    tables,
+                )
+                .collect()[0]
+                .asDict(recursive=True)
+            )
+            if set(got_row) != set(want_f) or any(
+                _canon(got_row[f]) != _canon(want_f[f]) for f in want_f
+            ):
+                failures.append((trial, spec, got_row, want_f))
+            continue
+
+        got = [
+            r.asDict(recursive=True)
+            for r in apply_pipeline(df, pipe, tables).collect()
+        ]
+        got = _pad(got, sorted(got[0])) if got else got
+        want = _pad(want, sorted(want[0])) if want else want
+        if _canon(got) != _canon(want):
+            failures.append((trial, pipe, got[:3], want[:3]))
+    assert not failures, (
+        f"{len(failures)}/60 compositions diverge; first: {failures[0]}"
+    )

@@ -1,0 +1,91 @@
+"""Plan-audit accounting: the executed-view stripper (r11).
+
+The audit's shuffle columns must count PHYSICAL exchanges, not printed
+ones: every AQE-planned cached relation prints its final AND its
+superseded initial plan, so each cached Exchange got two ids and was
+double-counted through r10.  These tests pin (a) the stripper's text
+surgery on a synthetic plan, and (b) the ground truth — for the
+perplexity carrier, the stripped static at-scale count equals the
+number of distinct runtime ShuffleQueryStages (minus scalar 1-row
+gathers) after actually executing the query.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from audit_plans import _executed_view  # noqa: E402
+
+SYNTH = """\
+AdaptiveSparkPlan (20)
++- HashAggregate (19)
+   +- Exchange (18)
+      +- InMemoryTableScan (1)
+            +- InMemoryRelation (2)
+                  +- AdaptiveSparkPlan (11)
+                     +- == Final Plan ==
+                        ResultQueryStage (8)
+                        +- Exchange (5)
+                           +- Scan parquet  (3)
+                     +- == Initial Plan ==
+                        Project (10)
+                        +- Exchange (9)
+                           +- Scan parquet  (3)
+
+
+(18) Exchange
+Arguments: hashpartitioning(k#1, 8), ENSURE_REQUIREMENTS
+
+(5) Exchange
+Arguments: hashpartitioning(doc#0L, 8), REPARTITION_BY_NUM
+
+(9) Exchange
+Arguments: hashpartitioning(doc#0L, 8), REPARTITION_BY_NUM
+
+(3) Scan parquet
+Arguments: x
+"""
+
+
+def test_executed_view_drops_initial_plan_copies():
+    out = _executed_view(SYNTH)
+    # the initial-plan copy (9) is gone from tree and detail blocks
+    assert "Exchange (9)" not in out
+    assert "(9) Exchange" not in out
+    # the executed exchanges and shared scan survive
+    assert "(18) Exchange" in out and "(5) Exchange" in out
+    assert "(3) Scan parquet" in out
+    # the outer tree after the cached section is intact
+    assert "HashAggregate (19)" in out
+    assert len(re.findall(r"\(\d+\) Exchange\b", out)) == 2
+
+
+def test_unigram_static_count_matches_runtime(spark):
+    """Ground truth for the r11 Exchange diet: stripped static count ==
+    distinct runtime shuffle stages, and the at-scale count (minus the
+    two scalar 1-row gathers) is <= 6."""
+    import __spark_entry__ as e
+
+    df = e.queries()["unigram_perplexity"](spark, "/root/testdata/sf0.001")
+    plan = _executed_view(
+        df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")))
+    static_ids = re.findall(r"\((\d+)\) Exchange\b", plan)
+    scalar = len([
+        b for b in plan.split("\n\n")
+        if re.match(r"\(\d+\) Exchange\b", b)
+        and "Arguments: SinglePartition" in b
+    ])
+    df.collect()
+    post = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    runtime = len(set(re.findall(r"ShuffleQueryStage (\d+)", post)))
+    assert len(static_ids) == runtime, (static_ids, runtime)
+    assert len(static_ids) - scalar <= 6, (static_ids, scalar)

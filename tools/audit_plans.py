@@ -89,8 +89,44 @@ def _plan_text(df) -> str:
     return buf.getvalue()
 
 
+def _executed_view(plan: str) -> str:
+    """Drop ``== Initial Plan ==`` sections and the detail blocks of
+    operators appearing only there (r11).
+
+    An AQE-planned subtree — every cached relation materialized under
+    ``AdaptiveSparkPlan`` — prints BOTH its final and its superseded
+    initial physical plan, so the same cached Exchange gets two ids and
+    was double-counted in every shuffle column through r10 (e.g. the
+    perplexity carrier's doc-hash repartition printed as Exchange (5)
+    final + Exchange (9) initial: one physical shuffle, two counted).
+    Only the final plan executes; counting the initial copy overstates
+    at-scale shuffles.  Verified against runtime truth: the stripped
+    count matches ``ShuffleQueryStage`` ids in the post-execution plan
+    (tests/test_plan_audit.py)."""
+    parts = plan.split("\n\n")
+    out_lines: list[str] = []
+    skip_indent: int | None = None
+    for line in parts[0].splitlines():
+        indent = len(line) - len(line.lstrip(" :+-"))
+        if skip_indent is not None:
+            if indent >= skip_indent and line.strip():
+                continue
+            skip_indent = None
+        if "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        out_lines.append(line)
+    tree = "\n".join(out_lines)
+    kept_ids = set(re.findall(r"\((\d+)\)", tree))
+    kept_blocks = [
+        b for b in parts[1:]
+        if not (m := re.match(r"\((\d+)\) ", b)) or m.group(1) in kept_ids
+    ]
+    return "\n\n".join([tree, *kept_blocks])
+
+
 def audit_one(name: str, df) -> dict:
-    plan = _plan_text(df)
+    plan = _executed_view(_plan_text(df))
     findings: list[str] = []
     hard: list[str] = []
 
@@ -294,6 +330,11 @@ def _write_md(results: list[dict], sf_dir: str) -> None:
         "O(map_partitions) ROWS at any data volume (the lazy, scale-safe",
         "replacement for the eager `.first()` totals ADVICE r9 flagged).",
         "So the at-scale data-shuffle count is `shuffles - rr - scalar`.",
+        "All columns count the EXECUTED view of the plan (r11): the",
+        "`== Initial Plan ==` sections AQE prints for cached relations are",
+        "superseded duplicates of the same physical exchange and are",
+        "stripped before counting — verified against runtime",
+        "`ShuffleQueryStage` ids in tests/test_plan_audit.py.",
         "",
         "| query | shuffles | rr local-only | scalar 1-row | broadcast | sort-merge | codegen spans | arrow stages | pushed filters | status |",
         "|---|---|---|---|---|---|---|---|---|---|",

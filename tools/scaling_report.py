@@ -78,6 +78,28 @@ def main() -> None:
     )
     lines += [
         "",
+        "## Why the scan-bound growers grow (r11 receipt)",
+        "",
+        "The top growers (tpch_q1_pricing ~5x, region_revenue, "
+        "mongo_group_bucket) are single-scan aggregations, and the "
+        "growth is FIXTURE-SHAPE, not engine: every driver-generated "
+        "parquet file has exactly ONE row group at every SF "
+        "(`pyarrow.parquet.ParquetFile(...).num_row_groups == 1`), and "
+        "a parquet row group is the unit of scan parallelism — Spark "
+        "makes 3 file-splits of the 11 MB sf0.1 lineitem, but only the "
+        "split containing the row-group midpoint does any work, so the "
+        "whole 600k-row decode+partial-agg runs on ONE core and scales "
+        "linearly with rows.  Measured receipt: rewriting the same "
+        "sf0.1 lineitem with row_group_size=50k (12 row groups, same "
+        "bytes) takes tpch_q1_pricing from 1.00s min / 1.18s median to "
+        "0.52s min / 0.60s median on the same session (5 rounds each). "
+        "Raising `spark.sql.files.maxPartitionBytes` splits cannot "
+        "help (splits beyond row-group boundaries are empty); at real "
+        "scale inputs arrive as many files x many row groups and the "
+        "scan parallelizes by construction.  The fixtures are "
+        "read-only for this repo, so the growth rows stand as-is with "
+        "this receipt.",
+        "",
         "Regenerate: run `bench.py` per SF dir (see module docstring), "
         "then `python tools/scaling_report.py <jsons...>`.",
         "",

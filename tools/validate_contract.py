@@ -162,18 +162,23 @@ def main() -> int:
     if unknown:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
         return 2
+    from topic_store_spark.operators.util import cache_scope
+
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            s_cols = list(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            s_n, s_h = _hash_rows(s_cols, s_rows)
-            s_pdf = sdf.toPandas()
-            s_hs = _hash_pdf_strict(s_pdf)
+            # scope tracked persists per query so 50 queries don't
+            # accumulate stale pinned relations in one session (r11)
+            with cache_scope():
+                sdf = fn(spark, sf_dir)
+                s_cols = list(sdf.columns)
+                s_rows = [tuple(r) for r in sdf.collect()]
+                s_n, s_h = _hash_rows(s_cols, s_rows)
+                s_pdf = sdf.toPandas()
+                s_hs = _hash_pdf_strict(s_pdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)

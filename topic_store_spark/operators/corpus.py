@@ -47,7 +47,11 @@ from topic_store_spark.functions.text import (
     token_count,
     tokens,
 )
-from topic_store_spark.operators.util import ensure_parallelism, explode_nonempty
+from topic_store_spark.operators.util import (
+    ensure_parallelism,
+    explode_nonempty,
+    persist_tracked,
+)
 
 
 def _doc_shingles(
@@ -761,12 +765,16 @@ def unigram_logprob(
     derive from the SAME logical scan relation inside ONE job, a
     source that gains shards between plan construction and execution
     can never yield ``cnt > n_total`` (positive log-probs) the way the
-    two-job eager variant could.  The vocabulary rollup runs DIRECTLY
-    off the token stream (map-side partials over the Zipf-hot terms);
-    then: (doc, term) tf rollup (one shuffle), a term-keyed join to
-    attach log-probs (AQE broadcasts a small vocab; a web-scale vocab
-    shuffle-joins with AQE skew splitting — correct either way), and a
-    per-doc rollup.  No Python anywhere.
+    two-job eager variant could.  The vocabulary rollup DERIVES from
+    the (doc, term) tf relation (r11 — sum(tf) == token count, so the
+    exploded token stream is aggregated once, not twice); then: a
+    term-keyed join to attach log-probs (AQE broadcasts a small vocab;
+    a web-scale vocab shuffle-joins with AQE skew splitting — correct
+    either way), and a per-doc rollup.  When the input arrives
+    hash-partitioned by the id column (see the perplexity carrier's
+    ``hash_partition``), the tf rollup and the per-doc rollup need NO
+    exchange at all — hash(doc) satisfies both clustered
+    distributions through the broadcast join.  No Python anywhere.
 
     ``text_col`` may already be ``array<string>`` (pre-tokenized) — a
     composite that scores the same corpus under several LMs should
@@ -794,9 +802,16 @@ def unigram_logprob(
         .cast("long")
         .alias("_n_total")
     )
-    vocab = terms.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    # vocabulary counts DERIVE from the tf relation (r11 — the r10 plan
+    # re-aggregated the exploded token stream a second time): sum(tf)
+    # over docs == count over tokens, so the term rollup shuffles
+    # (term, partial) rows aggregated off tf instead of token-scale
+    # partials.  When tf itself needs a shuffle (input not already
+    # doc-clustered), its exchange subtree is identical in both
+    # consumers and AQE reuses the stage; when the input arrives
+    # hash-partitioned by doc (the perplexity carrier), tf needs NO
+    # exchange at all and this rollup is the branch's only shuffle.
+    vocab = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
     lp = vocab.crossJoin(F.broadcast(total)).select(
         "term",
         F.round(F.log(F.col("cnt") / F.col("_n_total")) * precision)
@@ -915,13 +930,12 @@ def bigram_logprob(
     ``c2 > n_total``).  ``text_col`` may be pre-tokenized
     ``array<string>`` (see ``unigram_logprob``) so a perplexity
     composite shares one persisted token relation across both LM
-    branches.  The prefix counts ``c1`` attach
-    to the bigram-count relation via a WINDOW over the AGGREGATED c12
-    rows (``sum(c12) over (partition by w1)`` — c1 is only ever read
-    where c12 matched, and the window's worst partition is bounded by
-    the distinct bigrams sharing one prefix, vocabulary- not
-    corpus-sized), which folds the old separate c1 rollup over the full
-    bigram stream into one exchange on the small aggregate.  The scored
+    branches.  The prefix counts ``c1`` DERIVE from the aggregated
+    ``c12`` relation (r11: ``sum(c12) group by first word`` — a
+    vocabulary-sized AQE-splittable rollup+join, never a window on the
+    maximally-Zipf first word, SKEW.md's 3.81x cliff; and never a
+    second rollup over the exploded bigram stream — the bg Exchange is
+    reused, so the LM slice is exploded exactly once).  The scored
     side rolls up per-doc bigram tf once and attaches counts via two
     keyed left joins (AQE broadcasts small LMs); per-doc rollup.
 
@@ -929,8 +943,6 @@ def bigram_logprob(
     ppl_bucket)``; documents with fewer than two tokens have no bigram
     events and are absent.
     """
-    from pyspark.sql import Window as W
-
     if lm_df is None:
         lm_df = df
     alpha = alpha_num / alpha_den
@@ -948,24 +960,27 @@ def bigram_logprob(
         )
         return explode_nonempty(bg, "_bg", "bg", *(["doc"] if with_id else []))
 
-    # first-word totals as a second partial-aggregated rollup + an
-    # AQE-splittable join, NOT `sum(c12) over (partition by first
-    # word)`: first words are maximally Zipf ("the ...") and windows
-    # get neither map-side partials nor AQE skew splitting — SKEW.md's
-    # 3.81x cliff.  Both rollups read the same exploded-bigram lineage
-    # (the carrier persists the token relation, so no extra corpus
-    # pass), and the join keys are vocabulary-sized on both sides.
     bg_flat = _bigrams(lm_df, with_id=False)
-    c1s = bg_flat.groupBy(
-        F.split(F.col("bg"), " ").getItem(0).alias("_w1")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    c12 = (
+    # first-word totals DERIVE from the aggregated bigram counts (r11 —
+    # the r10 plan re-aggregated the exploded bigram stream a second
+    # time): sum(c12) grouped by first word == count of bigram events
+    # by first word, so the _w1 rollup shuffles vocabulary-sized
+    # aggregate rows instead of token-scale partials.  The shared
+    # aggregate is persist_tracked: its two consumers (the c1 rollup
+    # and the join-back) would otherwise each re-explode the LM slice —
+    # AQE exchange reuse does NOT fire across cached-relation scans
+    # (canonicalization), so the pin is the only way the LM corpus is
+    # exploded and bg-shuffled exactly once.  Release via
+    # operators.util.release_tracked_caches / cache_scope.
+    c12_counts = persist_tracked(
         bg_flat.groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
         .withColumn("_w1", F.split(F.col("bg"), " ").getItem(0))
-        .join(c1s, "_w1")
-        .drop("_w1")
     )
+    c1s = c12_counts.groupBy("_w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    c12 = c12_counts.join(c1s, "_w1").drop("_w1")
     lm_wide = ensure_parallelism(lm_df.select(F.col(text_col).alias("_txt")))
     lm_tk = lm_wide.select(_maybe_tokens(lm_wide, "_txt").alias("_tk"))
     uni = (

@@ -54,7 +54,13 @@ from topic_store_spark.functions.text import (
     tokens,
 )
 from topic_store_spark.functions.vectors import int_self_dot, quantize_vector
-from topic_store_spark.operators.util import ensure_parallelism, explode_nonempty
+from topic_store_spark.operators.util import (
+    cache_scope as pair_cache_scope,
+    ensure_parallelism,
+    explode_nonempty,
+    persist_tracked as _persist_tracked,
+    release_tracked_caches as release_pair_caches,
+)
 
 
 def exact_duplicates(
@@ -150,69 +156,16 @@ def _jaccard_out(pairs: DataFrame, threshold_num: int, threshold_den: int) -> Da
     )
 
 
-#: intermediate relations persisted by the overlap-pair plans below.
-#: Spark gives no hook to unpersist "after the downstream action" from
-#: inside a lazy plan, so long-lived sessions must manage these: call
-#: :func:`release_pair_caches` once the verified pairs are materialized
-#: (one-shot jobs and bench runs are covered by session exit /
-#: ``spark.catalog.clearCache()``).  NOTE (r11, per r10 ADVICE):
-#: ``spark.catalog.clearCache()`` does NOT drain this list — it leaves
-#: stale DataFrame references behind, and a later
-#: ``release_pair_caches()`` would unpersist relations that may belong
-#: to a different, still-running computation.  Long soaks interleaving
-#: independent computations should wrap each one in
-#: :func:`pair_cache_scope` instead, which tracks and releases ONLY the
-#: intermediates persisted inside it.
-_PAIR_CACHES: list = []
-
-#: active scopes; _persist_tracked routes to the innermost one when set
-_PAIR_SCOPES: list = []
-
-
-class pair_cache_scope:
-    """Context manager scoping the dedup pair plans' persisted
-    intermediates to one computation: everything ``_persist_tracked``
-    pins while the scope is active is released on exit (or via an
-    explicit ``.release()``), without touching relations tracked by
-    other scopes or the module-global list.  Re-entrant (scopes nest;
-    the innermost active scope owns new pins)."""
-
-    def __init__(self) -> None:
-        self._dfs: list = []
-
-    def release(self) -> None:
-        while self._dfs:
-            self._dfs.pop().unpersist()
-
-    def __enter__(self) -> "pair_cache_scope":
-        _PAIR_SCOPES.append(self)
-        return self
-
-    def __exit__(self, *exc) -> None:
-        if self in _PAIR_SCOPES:
-            _PAIR_SCOPES.remove(self)
-        self.release()
-
-
-def _persist_tracked(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    (_PAIR_SCOPES[-1]._dfs if _PAIR_SCOPES else _PAIR_CACHES).append(out)
-    return out
-
-
-def release_pair_caches() -> None:
-    """Unpersist every UNSCOPED intermediate relation the dedup pair
-    plans persisted (``_cooccurring_pairs``' cap-filtered shingles,
-    ``_ordered_docs``' ordered arrays, MinHash shingle/band relations,
-    SimHash signature groups).  Call after the pair output is
-    materialized; idempotent.  Relations pinned inside an active
-    :func:`pair_cache_scope` are owned by that scope and NOT touched
-    here (r11 — prevents one computation's cleanup from unpersisting
-    another's still-live caches)."""
-    while _PAIR_CACHES:
-        _PAIR_CACHES.pop().unpersist()
+# tracked persists (r11: shared machinery in operators/util.py, aliased
+# at the top of this module — the same scope/release contract now also
+# covers corpus.py's LM caches): `release_pair_caches()` drains every
+# unscoped tracked intermediate (the overlap plans' cap-filtered
+# shingles, ordered arrays, MinHash shingle/band relations, SimHash
+# signature groups) once the pair output is materialized;
+# `pair_cache_scope` scopes one computation's pins so concurrent
+# computations can't release each other's caches (r10 ADVICE).  NOTE:
+# `spark.catalog.clearCache()` does NOT drain the tracked list — use
+# the scope/release API.
 
 
 def _cooccurring_pairs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
@@ -357,6 +310,15 @@ def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
     return _persist_tracked(docs)
 
 
+#: A/B instrumentation knob (r11): when False, the prefix candidate
+#: joins skip the PPJoin positional/size-ratio join-time cuts (revert to
+#: the pre-0ea8df7 shape) WITHOUT changing the output pair set — the
+#: exact verify rejects everything the cuts would have pruned.  Flipped
+#: only by tools/ab_bench.py to measure the cuts' real effect
+#: interleaved in one session; production default is True.
+PPJOIN_CUTS = True
+
+
 def _prefix_len(threshold_num: int, threshold_den: int):
     """Prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)."""
     return (
@@ -396,15 +358,17 @@ def _jaccard_prefix_cands(
     ubound = 1 + F.least(
         F.col("x.sz") - F.col("x.pos") - 1, F.col("y.sz") - F.col("y.pos") - 1
     )
-    return (
+    out = (
         prefix.alias("x")
         .join(prefix.alias("y"), "shingle")
         .filter(F.col("x.doc") < F.col("y.doc"))
-        .filter(
+    )
+    if PPJOIN_CUTS:
+        out = out.filter(
             F.least("x.sz", "y.sz") * den >= F.greatest("x.sz", "y.sz") * num
-        )
-        .filter(ubound * (num + den) >= (F.col("x.sz") + F.col("y.sz")) * num)
-        .select(
+        ).filter(ubound * (num + den) >= (F.col("x.sz") + F.col("y.sz")) * num)
+    return (
+        out.select(
             F.col("x.doc").alias("a_doc"), F.col("y.doc").alias("b_doc")
         )
         .distinct()
@@ -440,15 +404,18 @@ def _containment_prefix_cands(
     ubound = 1 + F.least(
         F.col("x.sz") - F.col("x.pos") - 1, F.col("y.sz") - F.col("y.pos") - 1
     )
-    return (
+    out = (
         prefix.alias("x")
         .join(full.alias("y"), "shingle")
         .filter(
             (F.col("x.sz") < F.col("y.sz"))
             | ((F.col("x.sz") == F.col("y.sz")) & (F.col("x.doc") != F.col("y.doc")))
         )
-        .filter(ubound * den >= F.col("x.sz") * num)
-        .select(
+    )
+    if PPJOIN_CUTS:
+        out = out.filter(ubound * den >= F.col("x.sz") * num)
+    return (
+        out.select(
             F.least("x.doc", "y.doc").alias("a_doc"),
             F.greatest("x.doc", "y.doc").alias("b_doc"),
         )

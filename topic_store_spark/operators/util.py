@@ -61,6 +61,104 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def hash_partition(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition by ``cols`` to an EXPLICIT partition count (the
+    session's parallelism target), pinning the count so AQE cannot
+    coalesce the shuffle below the core count.
+
+    Use when the partitioning is the POINT of the shuffle — every
+    downstream doc-keyed aggregation inherits it and needs no further
+    exchange — and the heavy per-row work (tokenize/explode/aggregate)
+    runs AFTER it: a plain ``repartition(col)`` is REPARTITION_BY_COL,
+    which AQE freely coalesces to however few partitions the byte size
+    suggests (1-2 at test SFs), serializing every downstream stage.
+    Pinned-count hash partitioning keeps the CPU spread; at real scale
+    the target (max of defaultParallelism and shuffle.partitions) is
+    the cluster's own sizing.  Spark Connect: the driver-context probe
+    falls back to ``spark.sql.shuffle.partitions``; if that is
+    non-numeric ("auto"), degrade to the coalescible column form
+    rather than guessing a count."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_n = 0
+    try:
+        n = max(spark.sparkContext.defaultParallelism, conf_n)
+    except Exception:  # Spark Connect: no sparkContext
+        n = conf_n
+    if n <= 0:
+        return df.repartition(*[F.col(c) for c in cols])
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+#: DataFrames persisted by operators that pin an intermediate relation
+#: for multiple consumers.  Spark gives no hook to unpersist "after the
+#: downstream action" from inside a lazy plan, so long-lived sessions
+#: manage these explicitly: wrap one computation in :class:`cache_scope`
+#: (releases ONLY its own pins on exit), or call
+#: :func:`release_tracked_caches` once results are materialized.
+#: ``spark.catalog.clearCache()`` does NOT drain this list — it leaves
+#: stale references behind, and a later global release would unpersist
+#: relations belonging to a different, possibly still-running
+#: computation; scopes are the isolation mechanism.
+_TRACKED_CACHES: list = []
+
+#: active scopes; persist_tracked routes to the innermost one when set
+_CACHE_SCOPES: list = []
+
+
+class cache_scope:
+    """Context manager scoping operators' persisted intermediates to one
+    computation: everything :func:`persist_tracked` pins while the scope
+    is active is released on exit (or via an explicit ``.release()``),
+    without touching relations tracked by other scopes or the
+    module-global list.  Re-entrant (scopes nest; the innermost active
+    scope owns new pins)."""
+
+    def __init__(self) -> None:
+        self._dfs: list = []
+
+    def release(self) -> None:
+        while self._dfs:
+            self._dfs.pop().unpersist()
+
+    def __enter__(self) -> "cache_scope":
+        _CACHE_SCOPES.append(self)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self in _CACHE_SCOPES:
+            _CACHE_SCOPES.remove(self)
+        self.release()
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist an intermediate relation consumed by
+    multiple downstream plans, registering it for release (innermost
+    active :class:`cache_scope`, else the global list drained by
+    :func:`release_tracked_caches`).  Persisting is the only way to make
+    N consumers of one DataFrame compute it ONCE: self-join/self-union
+    plans duplicate the subtree, and AQE's exchange reuse does not fire
+    across cached-relation scans (canonicalization), so without the pin
+    the shared stage runs N times."""
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    (_CACHE_SCOPES[-1]._dfs if _CACHE_SCOPES else _TRACKED_CACHES).append(out)
+    return out
+
+
+def release_tracked_caches() -> None:
+    """Unpersist every UNSCOPED tracked intermediate.  Idempotent;
+    relations pinned inside an active :class:`cache_scope` are owned by
+    that scope and not touched here."""
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+
+
 def materialize_iter(df: DataFrame) -> DataFrame:
     """Materialize one step of an iterative algorithm, truncating lineage:
     reliable ``checkpoint`` when the app configured a checkpoint dir (the

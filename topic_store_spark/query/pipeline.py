@@ -4156,7 +4156,13 @@ def apply_pipeline(
                     raise ValueError(f"unsupported $bucket accumulator: {acc_op}")
             out = grouped.agg(*aggs).withColumnRenamed("_id__group", "_id")
         elif op == "$count":
-            out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+            # Mongo desugars $count to $group{_id:null}+$project, so an
+            # EMPTY input yields NO document, not {count: 0} — a bare
+            # agg() always returns one row, hence the >0 filter (r11,
+            # caught writing the $facet/$unionWith composition fuzzer)
+            out = out.agg(F.count(F.lit(1)).alias(str(spec))).filter(
+                F.col(f"`{spec}`") > 0
+            )
         elif op == "$unionWith":
             # {"$unionWith": "coll"} or {"coll": ..., "pipeline": [...]}
             # or (Mongo 6) the coll-LESS form whose pipeline starts with
