@@ -351,11 +351,20 @@ class MinHashIndex:
         #: ``_dp = xxhash64(doc) mod partitions``, so a query scans only
         #: the directories the batch's band set / candidate doc set
         #: touches (parquet partition pruning — the directory-level
-        #: sibling of the Bloom row filter).  0 keeps the flat layout.
-        #: The win is proportional to corpus/batch size ratio: a batch
-        #: whose band set hashes into few of the partitions skips the
-        #: rest entirely; corpus-sized batches touch everything and pay
-        #: only layout overhead.
+        #: sibling of the Bloom row filter).  0 (the DEFAULT, and the
+        #: measured-faster configuration at every locally reachable
+        #: scale — STREAMBENCH.md) keeps the flat layout.  Gate on
+        #: per-directory DATA size, not corpus size alone: partition
+        #: only when index_bytes/partitions reaches O(100 MB)+ of data
+        #: pages, so the bytes pruning skips dominate per-directory
+        #: footer/listing overhead.  Partition count must also be >>
+        #: the per-batch band-key count (batch_docs x bands), or every
+        #: query touches nearly every directory and pruning is
+        #: structurally dead (r11 measurement: at partitions=64 a
+        #: 64-doc x 4-band batch touched 63/64 band dirs and lost to
+        #: flat 5.0-5.4 vs 6.3-7.6 rows/s despite a 4.3x byte cut;
+        #: r10's partitions=512 pruned 9.9x by bytes and still lost
+        #: wall-clock to footers at local directory sizes).
         self.partitions = partitions
         #: store shingles as 60-bit integer KEYS (hashing.shingle_key60)
         #: instead of gram strings: ~3x less verify-side IO and integer

@@ -45,6 +45,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r11: AQE's coalescing floor is BYTE-based (default 1MB/
+        # partition) and badly underestimates CPU-dense work — a
+        # few-MB candidate-pair shuffle feeding array_intersect
+        # verification coalesced to 2 tasks and serialized the most
+        # expensive stage of the dedup carriers (measured: the whole
+        # dedup_word_overlap query 5.1-6.9s -> ~3.3s from this floor
+        # alone, both PPJoin variants).  64k keeps small CPU-heavy
+        # stages parallel; at real scale post-shuffle partitions are
+        # far above any floor, so this only affects the regime where
+        # coalescing was hurting.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
