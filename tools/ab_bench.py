@@ -20,7 +20,14 @@ equal across variants (the cuts are candidate-pruning only).
 Writes BENCH_AB.json at the repo root; bench.py folds it into
 BENCH_detail.json under "ab" so the receipt travels with the bench.
 
-Usage: python tools/ab_bench.py [sf_dir] [rounds_per_variant]
+Usage: python tools/ab_bench.py [sf_dir] [rounds_per_variant] [experiment]
+
+Experiments: ``ppjoin`` (default — PPJOIN_CUTS on/off) and ``aqefloor``
+(``spark.sql.adaptive.coalescePartitions.minPartitionSize`` 64k vs the
+1m default, flipped per execution via runtime conf — the r11 session
+fix's own receipt).  ``ppjoin`` writes BENCH_AB.json (folded into
+BENCH_detail.json by bench.py); other experiments write
+BENCH_AB_<name>.json.
 """
 
 from __future__ import annotations
@@ -41,6 +48,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    experiment = sys.argv[3] if len(sys.argv) > 3 else "ppjoin"
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from pyspark.sql import SparkSession
@@ -65,10 +73,25 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     fn = entry_mod.queries()[QUERY]
 
-    variants = {
-        "ppjoin_on": lambda: setattr(dedup, "PPJOIN_CUTS", True),
-        "ppjoin_off": lambda: setattr(dedup, "PPJOIN_CUTS", False),
+    _FLOOR = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    experiments = {
+        "ppjoin": {
+            "label": "PPJoin join-time cuts (0ea8df7) on/off",
+            "variants": {
+                "ppjoin_on": lambda: setattr(dedup, "PPJOIN_CUTS", True),
+                "ppjoin_off": lambda: setattr(dedup, "PPJOIN_CUTS", False),
+            },
+        },
+        "aqefloor": {
+            "label": f"{_FLOOR} 64k (r11 session default) vs 1m (Spark default)",
+            "variants": {
+                "floor_64k": lambda: spark.conf.set(_FLOOR, "64k"),
+                "floor_1m": lambda: spark.conf.set(_FLOOR, "1m"),
+            },
+        },
     }
+    exp = experiments[experiment]
+    variants = exp["variants"]
 
     def run_once(setup) -> tuple[float, int]:
         setup()
@@ -98,8 +121,9 @@ def main() -> int:
             assert n == rows[name]
             samples[name].append(round(sec, 3))
             print(f"# {name}: {sec:.2f}s", file=sys.stderr)
-    # restore production default no matter what was last
+    # restore production defaults no matter which variant ran last
     dedup.PPJOIN_CUTS = True
+    spark.conf.set(_FLOOR, "64k")
 
     def stats(s: list[float]) -> dict:
         steady = sorted(s)[:-1] if len(s) > 2 else sorted(s)
@@ -111,8 +135,8 @@ def main() -> int:
         }
 
     st = {n: stats(s) for n, s in samples.items()}
-    a, b = "ppjoin_on", "ppjoin_off"
-    delta = round(st[b]["median"] - st[a]["median"], 3)  # >0: ON faster
+    a, b = names[0], names[1]
+    delta = round(st[b]["median"] - st[a]["median"], 3)  # >0: A faster
     bar = max(st[a]["spread_steady"], st[b]["spread_steady"])
     if abs(delta) <= bar:
         verdict = "unresolved"
@@ -124,20 +148,23 @@ def main() -> int:
                 f"{bar}s")
     out = {
         "query": QUERY,
-        "experiment": "PPJoin join-time cuts (0ea8df7) on/off",
+        "experiment": exp["label"],
         "protocol": (
             f"interleaved same-session, 1 untimed warmup + {n_rounds} "
-            "timed rounds per variant, cache cleared per execution, "
-            "output row counts asserted equal"
+            "timed rounds per variant, per-round order alternation, "
+            "cache cleared per execution, output row counts asserted "
+            "equal"
         ),
         "sf_dir": sf_dir,
         "rows": rows[a],
         "variants": st,
-        "median_delta_sec_on_minus_off": -delta,
+        f"median_delta_sec_{a}_minus_{b}": -delta,
         "verdict": verdict,
         "note": note,
     }
-    with open(os.path.join(_REPO, "BENCH_AB.json"), "w") as fh:
+    fname = ("BENCH_AB.json" if experiment == "ppjoin"
+             else f"BENCH_AB_{experiment}.json")
+    with open(os.path.join(_REPO, fname), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({k: out[k] for k in
                       ("query", "verdict", "note", "rows")}))
