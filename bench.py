@@ -87,7 +87,15 @@ def main() -> None:
     # 2.47) — the min-of-N headline absorbed it but the noise band
     # (~7%) didn't, so sub-0.4s perf claims were unprovable.  With
     # every query pre-warmed, ALL timed samples are steady-state.
-    warmup_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    # r11: TWO warmup passes — with one, timed samples still declined
+    # across rounds (C2 JIT keeps compiling through the first timed
+    # pass over 50 queries); measured same-day at sf0.1: band 12.62s
+    # (23.9%) at warmup=1 vs 8.56s (15.8%) at warmup=2, and the worst
+    # query's spread fell 1.96s -> 0.35s.  The remaining band is
+    # multi-tenant host variance (~0.2-0.6s on every 0.3-3s query) —
+    # per-query A/B claims go through tools/ab_bench.py, which carries
+    # its own spread and refuses to stamp verdicts inside it.
+    warmup_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "2"))
     for _ in range(warmup_rounds):
         for name in headline:
             if name in errors:
