@@ -2138,12 +2138,28 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus; per-doc importance weight = exact integer sum of fixed-point
     per-bucket log-ratios; acceptance by deterministic md5-thresholded
     resampling.  Both feature tables collapse to 64 rows and broadcast —
-    nothing large joins anything large."""
+    nothing large joins anything large.
+
+    r11 Exchange diet (same pattern as the perplexity carrier): the
+    corpus is tokenized ONCE into a persisted relation hash-partitioned
+    by doc_id; the target slice is a filter of the same cache, so the
+    corpus is scanned/tokenized once instead of three times, and the
+    (doc, bucket) tf rollup + per-doc weight rollup inherit hash(doc)
+    and need no exchange."""
+    from pyspark import StorageLevel
+
+    from topic_store_spark.functions.text import tokens
     from topic_store_spark.operators.corpus import importance_resample
+    from topic_store_spark.operators.util import hash_partition
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    target = docs.filter(F.col("doc_id") % 10 == 1)
-    return importance_resample(docs, target)
+    tk = (
+        hash_partition(docs, "doc_id")
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    target = tk.filter(F.col("doc_id") % 10 == 1)
+    return importance_resample(tk, target, text_col="toks")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

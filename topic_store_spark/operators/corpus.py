@@ -1093,14 +1093,22 @@ def importance_resample(
     decision is a map-side expression.  Nothing large ever joins
     anything large.
 
+    ``text_col`` may already be ``array<string>`` (pre-tokenized — see
+    ``_maybe_tokens``): the carrier tokenizes ONCE into a persisted
+    relation hash-partitioned by doc id (r11), which both collapses the
+    raw-corpus scan+tokenize passes (bucket counts + scored side) into
+    one and makes hash(doc) satisfy the (doc, bucket) and per-doc
+    rollups' distributions — neither needs an exchange.
+
     Returns (doc, n_tokens, weight_milli, avg_ratio_milli, accept).
     """
     from pyspark.sql import Window as W
 
     def _bucket_counts(frame: DataFrame, out: str) -> DataFrame:
-        tk = ensure_parallelism(
+        wide = ensure_parallelism(
             frame.select(F.col(text_col).alias("_txt"))
-        ).select(tokens(F.col("_txt")).alias("_tk"))
+        )
+        tk = wide.select(_maybe_tokens(wide, "_txt").alias("_tk"))
         terms = explode_nonempty(tk, "_tk", "term")
         return terms.groupBy(
             _md5_bucket(F.col("term"), n_buckets).alias("bucket")
@@ -1140,9 +1148,10 @@ def importance_resample(
         .cast("long")
         .alias("ratio_milli"),
     )
-    tk = ensure_parallelism(
+    src = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
-    ).select("doc", tokens(F.col("_txt")).alias("_tk"))
+    )
+    tk = src.select("doc", _maybe_tokens(src, "_txt").alias("_tk"))
     terms = explode_nonempty(tk, "_tk", "term", "doc")
     raw_tf = (
         terms.select(
