@@ -132,3 +132,25 @@ def test_asof_join_matches_duckdb_asof(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_asof_join_output_name_collision_raises(spark):
+    """r11 ADVICE: prefix-derived OUTPUT names colliding with left
+    columns must raise (not silently shadow the caller's data)."""
+    import pytest
+
+    from topic_store_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 99.0)], "k long, ts long, asof_price double"
+    )
+    right = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, price double")
+    with pytest.raises(ValueError, match="asof_price.*prefix"):
+        asof_join(left, right, on="k", value_cols=["price"])
+    # the matched-ts output name collides too
+    left2 = spark.createDataFrame([(1, 10, 3)], "k long, ts long, asof_ts long")
+    with pytest.raises(ValueError, match="asof_ts"):
+        asof_join(left2, right, on="k", value_cols=["price"])
+    # a different prefix resolves it
+    out = asof_join(left, right, on="k", value_cols=["price"], prefix="q_")
+    assert set(out.columns) == {"k", "ts", "asof_price", "q_ts", "q_price"}

@@ -1031,6 +1031,49 @@ def test_pair_cache_scope_isolates_release(spark):
     assert scope._dfs == []
 
 
+def test_pair_cache_scope_thread_isolated(spark):
+    """r11 ADVICE (medium): the scope stack must be thread-local — a
+    scope entered on thread A must never capture (and later release)
+    pins made by a concurrent computation on thread B.  Two threads
+    each enter a scope, pin a relation, rendezvous while BOTH scopes
+    are active, then exit; each relation must survive the OTHER
+    thread's scope exit and die only with its own."""
+    import threading
+
+    from topic_store_spark.operators.dedup import (
+        _persist_tracked,
+        pair_cache_scope,
+    )
+
+    pinned = {}
+    inside = threading.Barrier(2, timeout=30)
+    hold = threading.Barrier(2, timeout=30)
+    errors = []
+
+    def worker(name, rng):
+        try:
+            with pair_cache_scope() as scope:
+                pinned[name] = _persist_tracked(spark.range(rng))
+                inside.wait()  # both scopes active, both pins made
+                assert pinned[name] in scope._dfs, "pin routed cross-thread"
+                hold.wait()
+            # own scope exited: own pin released
+            assert not pinned[name].storageLevel.useMemory
+        except Exception as exc:  # noqa: BLE001 - surface in main thread
+            errors.append((name, exc))
+
+    threads = [
+        threading.Thread(target=worker, args=("a", 7)),
+        threading.Thread(target=worker, args=("b", 11)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    assert set(pinned) == {"a", "b"}
+
+
 def test_ppjoin_cuts_flag_output_equality(spark):
     """r11 A/B knob: PPJOIN_CUTS=False (pre-0ea8df7 candidate join) must
     produce the identical pair set — the cuts prune only candidates the

@@ -72,6 +72,25 @@ def asof_join(
             c for c in right.columns if c not in keys and c != right_ts
         ]
 
+    # OUTPUT names are part of the caller's schema contract, so a
+    # collision with an existing left column cannot be auto-renamed
+    # away (r11 ADVICE: withColumn would silently overwrite the left
+    # payload and the final select would emit the name twice).  Refuse
+    # loudly; the caller picks a different ``prefix``.
+    out_names = [f"{prefix}{right_ts}"] + [f"{prefix}{v}" for v in value_cols]
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output column(s) {clash} collide with left "
+            f"columns; pass a different prefix= (current: {prefix!r})"
+        )
+    dup = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dup:
+        raise ValueError(
+            f"asof_join output column(s) {dup} generated more than once "
+            f"(value_cols + right_ts overlap under prefix {prefix!r})"
+        )
+
     # internal column names must not shadow any caller column (r10
     # ADVICE: a left payload column literally named "_asof_match" was
     # silently overwritten and the final select emitted the internal

@@ -106,32 +106,59 @@ def hash_partition(df: DataFrame, *cols: str) -> DataFrame:
 #: computation; scopes are the isolation mechanism.
 _TRACKED_CACHES: list = []
 
-#: active scopes; persist_tracked routes to the innermost one when set
-_CACHE_SCOPES: list = []
+#: active scopes, PER DRIVER THREAD; persist_tracked routes to the
+#: innermost scope of the CALLING thread when one is set.  Thread-local
+#: (r12): concurrent driver-thread computations each see only their own
+#: scope stack, so one thread's scope exit can never unpersist a
+#: relation a computation on another thread is still using — the
+#: process-global stack made the innermost scope of WHICHEVER thread
+#: claim every pin.  A scope is therefore only visible to the thread
+#: that entered it; cross-thread sharing needs the scope object passed
+#: explicitly (call ``scope._track(df)`` or pin outside any scope).
+import threading as _threading
+
+_SCOPE_TLS = _threading.local()
+
+
+def _scope_stack() -> list:
+    stack = getattr(_SCOPE_TLS, "scopes", None)
+    if stack is None:
+        stack = _SCOPE_TLS.scopes = []
+    return stack
 
 
 class cache_scope:
     """Context manager scoping operators' persisted intermediates to one
     computation: everything :func:`persist_tracked` pins while the scope
-    is active is released on exit (or via an explicit ``.release()``),
-    without touching relations tracked by other scopes or the
-    module-global list.  Re-entrant (scopes nest; the innermost active
-    scope owns new pins)."""
+    is active ON THIS THREAD is released on exit (or via an explicit
+    ``.release()``), without touching relations tracked by other scopes,
+    other threads, or the module-global list.  Re-entrant (scopes nest;
+    the innermost active scope owns new pins) and thread-isolated (the
+    stack is ``threading.local``, so a scope never captures pins made by
+    concurrent driver threads)."""
 
     def __init__(self) -> None:
         self._dfs: list = []
+        self._lock = _threading.Lock()
+
+    def _track(self, df) -> None:
+        with self._lock:
+            self._dfs.append(df)
 
     def release(self) -> None:
-        while self._dfs:
-            self._dfs.pop().unpersist()
+        with self._lock:
+            dfs, self._dfs = self._dfs, []
+        while dfs:
+            dfs.pop().unpersist()
 
     def __enter__(self) -> "cache_scope":
-        _CACHE_SCOPES.append(self)
+        _scope_stack().append(self)
         return self
 
     def __exit__(self, *exc) -> None:
-        if self in _CACHE_SCOPES:
-            _CACHE_SCOPES.remove(self)
+        stack = _scope_stack()
+        if self in stack:
+            stack.remove(self)
         self.release()
 
 
@@ -147,7 +174,11 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    (_CACHE_SCOPES[-1]._dfs if _CACHE_SCOPES else _TRACKED_CACHES).append(out)
+    stack = _scope_stack()
+    if stack:
+        stack[-1]._track(out)
+    else:
+        _TRACKED_CACHES.append(out)
     return out
 
 
