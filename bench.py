@@ -190,10 +190,31 @@ def main() -> None:
         "sf": out["sf"],
     }
     # fold in the latest interleaved A/B receipt so it travels with the
-    # bench (tools/ab_bench.py writes it; absent file = no claim)
+    # bench (tools/ab_bench.py writes it; absent file = no claim).
+    # r11 ADVICE: a receipt produced under OLDER code must not travel
+    # with a new bench as if it validated HEAD — ab_bench stamps
+    # git_rev, and a mismatch against the rev bench.py runs at is
+    # marked stale in place (kept for provenance, flagged for readers).
     try:
         with open(os.path.join(_REPO, "BENCH_AB.json")) as fh:
-            detail["ab"] = json.load(fh)
+            ab = json.load(fh)
+        try:
+            import subprocess
+
+            head = subprocess.run(
+                ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            head = ""
+        if head and ab.get("git_rev") != head:
+            ab["stale"] = True
+            ab["stale_note"] = (
+                f"receipt stamped at rev {ab.get('git_rev', 'unstamped')} "
+                f"but this bench ran at {head}; re-run tools/ab_bench.py "
+                "before citing it for HEAD"
+            )
+        detail["ab"] = ab
     except (OSError, ValueError):
         pass
     try:

@@ -99,3 +99,89 @@ def test_static_count_matches_runtime(spark, query, at_scale_bar):
     runtime = len(set(re.findall(r"ShuffleQueryStage (\d+)", post)))
     assert len(static_ids) == runtime, (static_ids, runtime)
     assert len(static_ids) - scalar <= at_scale_bar, (static_ids, scalar)
+
+
+SYNTH_SIBLING = """\
+AdaptiveSparkPlan (40)
++- Union (39)
+   :- Project (38)
+   :  +- InMemoryTableScan (1)
+   :        +- InMemoryRelation (2)
+   :              +- AdaptiveSparkPlan (11)
+   :                 +- == Final Plan ==
+   :                    ResultQueryStage (8)
+   :                    +- Exchange (5)
+   :                       +- Scan parquet  (3)
+   :                 +- == Initial Plan ==
+   :                    Project (10)
+   :                    +- Exchange (9)
+   :                       +- Scan parquet  (3)
+   +- Exchange (31)
+      +- Scan parquet  (30)
+
+
+(5) Exchange
+Arguments: hashpartitioning(doc#0L, 8), REPARTITION_BY_NUM
+
+(9) Exchange
+Arguments: hashpartitioning(doc#0L, 8), REPARTITION_BY_NUM
+
+(31) Exchange
+Arguments: hashpartitioning(k#1, 8), ENSURE_REQUIREMENTS
+"""
+
+
+def test_executed_view_keeps_same_indent_siblings():
+    """r11 ADVICE: a final-plan line printed AFTER an Initial Plan
+    section at the same lstrip(' :+-') indent as the marker (here
+    `+- Exchange (31)`, whose lstripped indent equals the marker's)
+    must survive the strip — the old raw-indent heuristic swallowed
+    it, silently undercounting executed exchanges."""
+    out = _executed_view(SYNTH_SIBLING)
+    assert "Exchange (31)" in out and "(31) Exchange" in out
+    assert "Scan parquet  (30)" in out
+    assert "Exchange (9)" not in out and "(9) Exchange" not in out
+    assert "Exchange (5)" in out
+    assert len(re.findall(r"\(\d+\) Exchange\b", out)) == 2
+
+
+def test_executed_view_nested_sections_inside_initial_stay_stripped():
+    """A nested adaptive subtree INSIDE a superseded initial plan
+    carries its own deeper == ... == headers; they must not terminate
+    the outer skip (the whole initial subtree never executes)."""
+    plan = """\
+AdaptiveSparkPlan (50)
++- InMemoryTableScan (1)
+      +- InMemoryRelation (2)
+            +- AdaptiveSparkPlan (20)
+               +- == Final Plan ==
+                  ResultQueryStage (8)
+                  +- Exchange (5)
+               +- == Initial Plan ==
+                  Project (10)
+                  +- InMemoryRelation (12)
+                        +- AdaptiveSparkPlan (13)
+                           +- == Final Plan ==
+                              Exchange (14)
+                           +- == Initial Plan ==
+                              Exchange (15)
+                  +- Exchange (9)
+
+
+(5) Exchange
+Arguments: a
+
+(9) Exchange
+Arguments: b
+
+(14) Exchange
+Arguments: c
+
+(15) Exchange
+Arguments: d
+"""
+    out = _executed_view(plan)
+    assert "(5) Exchange" in out
+    for dead in ("Exchange (9)", "Exchange (14)", "Exchange (15)"):
+        assert dead not in out
+    assert len(re.findall(r"\(\d+\) Exchange\b", out)) == 1

@@ -11,37 +11,97 @@ the median delta exceeds the larger variant's steady-state spread;
 otherwise the result is "unresolved" and the JSON says so — prose must
 not claim a win the error bar cannot support.
 
-Default experiment: dedup_word_overlap with the PPJoin join-time cuts
-ON (HEAD) vs OFF (pre-0ea8df7 candidate join), which the r10 review
-flagged as unreconciled (commit claimed 6.1-6.3s -> 4.2-4.4s; every
-committed HEAD sample was >= 6.87s).  Output row counts are asserted
-equal across variants (the cuts are candidate-pruning only).
+r12 protocol fixes (both from r11 ADVICE):
 
-Writes BENCH_AB.json at the repo root; bench.py folds it into
-BENCH_detail.json under "ab" so the receipt travels with the bench.
+* timed executions run the SAME ``df.write.format("noop")`` action as
+  bench.py — ``count()`` let Catalyst prune columns/subtrees the
+  headline bench executes, so a variant whose savings lived in a pruned
+  projection could show no delta (or vice versa).  Row counts come from
+  a separate untimed assertion-only pass per variant.
+* every receipt carries ``git_rev`` + ``stamped_utc`` so bench.py can
+  refuse to fold a stale receipt (produced under older code) into a new
+  BENCH_detail.json as if it validated HEAD.
+
+Experiments:
+
+* ``ppjoin`` (default) — PPJOIN_CUTS on/off on the registry's
+  dedup_word_overlap carrier (sf documents fixture).
+* ``ppjoin_neardup`` — same toggle, but on a near-dup-RICH corpus built
+  replica-style from the sf documents table (each replica doc gets a
+  near-dup partner differing by a 2-word suffix), the candidate-density
+  regime where prefix filtering is supposed to pay (r11 VERDICT #2).
+  Size via SPARK_GRAFT_AB_REPLICAS (default 8 ≈ 8k docs + 8k partners
+  at sf0.01-shaped input; the bench reads $SPARK_GRAFT_SF_DIR).
+* ``aqefloor`` — ``spark.sql.adaptive.coalescePartitions
+  .minPartitionSize`` 64k (r11 session default) vs 1m (Spark default).
+* ``null:<query>`` — BOTH variants are HEAD with no toggle at all: the
+  measured "delta" is pure host/JVM noise, and the stamped spread is
+  the definitive floor under which any future cross-round claim on that
+  query is noise, not code (r11 VERDICT #4).
+
+``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
+bench.py); other experiments write BENCH_AB_<name>.json
+(``null:q`` -> BENCH_AB_null_<q>.json).
 
 Usage: python tools/ab_bench.py [sf_dir] [rounds_per_variant] [experiment]
-
-Experiments: ``ppjoin`` (default — PPJOIN_CUTS on/off) and ``aqefloor``
-(``spark.sql.adaptive.coalescePartitions.minPartitionSize`` 64k vs the
-1m default, flipped per execution via runtime conf — the r11 session
-fix's own receipt).  ``ppjoin`` writes BENCH_AB.json (folded into
-BENCH_detail.json by bench.py); other experiments write
-BENCH_AB_<name>.json.
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import statistics
+import subprocess
 import sys
+import tempfile
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
 QUERY = "dedup_word_overlap"
+
+
+def _git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 - receipt still useful without rev
+        return "unknown"
+
+
+def _neardup_corpus(spark, sf_dir: str, replicas: int):
+    """Near-dup-RICH corpus: ``replicas`` word-suffixed (shingle-
+    disjoint) copies of the sf documents table, UNIONed with one
+    near-dup partner per replica doc (same text + a 2-word suffix, so
+    word-3-gram Jaccard stays >= ~0.9 for typical doc lengths).  Every
+    doc has >= 1 true near-dup -> candidate density is high everywhere,
+    the regime where PPJoin prefix cuts should prune least wastefully.
+    Materialized to parquet so both variants scan identical files."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rids = spark.range(replicas).select(F.col("id").cast("int").alias("rid"))
+    base = docs.crossJoin(F.broadcast(rids)).select(
+        (F.col("doc_id") + F.col("rid") * 1000000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(w, F.lit("~"), F.col("rid").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    partners = base.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy")).alias("text"),
+    )
+    return base.unionByName(partners)
 
 
 def main() -> int:
@@ -71,41 +131,102 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    fn = entry_mod.queries()[QUERY]
 
     _FLOOR = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    experiments = {
-        "ppjoin": {
+    query_name = QUERY
+    fixture_note = f"registry fixture at {sf_dir}"
+    if experiment.startswith("null:"):
+        query_name = experiment.split(":", 1)[1]
+        exp = {
+            "label": (f"NULL experiment on {query_name}: both variants are "
+                      "HEAD, no toggle — measured delta/spread is the host "
+                      "noise floor for cross-round claims"),
+            "variants": {
+                "head_a": lambda: None,
+                "head_b": lambda: None,
+            },
+        }
+        fn = entry_mod.queries()[query_name]
+    elif experiment == "ppjoin_neardup":
+        replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
+        work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
+        fixture = os.path.join(work, "neardup.parquet")
+        _neardup_corpus(spark, sf_dir, replicas).repartition(
+            int(cpus)
+        ).write.mode("overwrite").parquet(fixture)
+        fixture_note = (
+            f"near-dup-rich corpus: {replicas} shingle-disjoint replicas "
+            f"of {sf_dir}/documents, each doc + one >=0.9-Jaccard partner "
+            f"({fixture})"
+        )
+
+        def fn(spark, _sf_dir):
+            from topic_store_spark.operators.dedup import word_overlap_pairs
+
+            corpus = spark.read.parquet(fixture)
+            return word_overlap_pairs(
+                corpus, n=3, jaccard_num=8, jaccard_den=10,
+                containment_num=9, containment_den=10,
+                max_shingle_freq=int(
+                    os.environ.get("SPARK_GRAFT_AB_FREQ_CAP", "1000")),
+                prefix_filter=True,
+            )
+
+        exp = {
+            "label": ("PPJoin join-time cuts (0ea8df7) on/off, near-dup-"
+                      "rich fixture (high candidate density)"),
+            "variants": {
+                "ppjoin_on": lambda: setattr(dedup, "PPJOIN_CUTS", True),
+                "ppjoin_off": lambda: setattr(dedup, "PPJOIN_CUTS", False),
+            },
+        }
+    elif experiment == "ppjoin":
+        exp = {
             "label": "PPJoin join-time cuts (0ea8df7) on/off",
             "variants": {
                 "ppjoin_on": lambda: setattr(dedup, "PPJOIN_CUTS", True),
                 "ppjoin_off": lambda: setattr(dedup, "PPJOIN_CUTS", False),
             },
-        },
-        "aqefloor": {
+        }
+        fn = entry_mod.queries()[QUERY]
+    elif experiment == "aqefloor":
+        exp = {
             "label": f"{_FLOOR} 64k (r11 session default) vs 1m (Spark default)",
             "variants": {
                 "floor_64k": lambda: spark.conf.set(_FLOOR, "64k"),
                 "floor_1m": lambda: spark.conf.set(_FLOOR, "1m"),
             },
-        },
-    }
-    exp = experiments[experiment]
+        }
+        fn = entry_mod.queries()[QUERY]
+    else:
+        raise SystemExit(f"unknown experiment: {experiment}")
     variants = exp["variants"]
 
-    def run_once(setup) -> tuple[float, int]:
+    def run_timed(setup) -> float:
+        """One timed execution — the SAME noop-write action bench.py
+        times, so the measured plan is the headline bench's plan
+        (count() lets Spark prune columns/subtrees the write executes
+        — r11 ADVICE)."""
         setup()
         spark.catalog.clearCache()
         with cache_scope():
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            return time.time() - t0, n
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
 
-    # one untimed warmup per variant (codegen/shuffle machinery)
+    def count_rows(setup) -> int:
+        """Separate untimed assertion-only pass."""
+        setup()
+        spark.catalog.clearCache()
+        with cache_scope():
+            return fn(spark, sf_dir).count()
+
+    # untimed per-variant: row-count assertion pass + one noop-write
+    # warmup (codegen/shuffle machinery for the exact timed plan)
     rows = {}
     for name, setup in variants.items():
-        _, rows[name] = run_once(setup)
+        rows[name] = count_rows(setup)
+        run_timed(setup)
     assert len(set(rows.values())) == 1, f"variant outputs differ: {rows}"
 
     # alternate the within-round order (A,B then B,A ...): with a fixed
@@ -117,8 +238,7 @@ def main() -> int:
     for round_idx in range(n_rounds):
         order = names if round_idx % 2 == 0 else names[::-1]
         for name in order:
-            sec, n = run_once(variants[name])
-            assert n == rows[name]
+            sec = run_timed(variants[name])
             samples[name].append(round(sec, 3))
             print(f"# {name}: {sec:.2f}s", file=sys.stderr)
     # restore production defaults no matter which variant ran last
@@ -138,7 +258,11 @@ def main() -> int:
     a, b = names[0], names[1]
     delta = round(st[b]["median"] - st[a]["median"], 3)  # >0: A faster
     bar = max(st[a]["spread_steady"], st[b]["spread_steady"])
-    if abs(delta) <= bar:
+    if n_rounds < 3:
+        verdict = "unresolved"
+        note = (f"only {n_rounds} timed round(s) — the steady-state spread "
+                "is undefined below 3, so no verdict can be stamped")
+    elif abs(delta) <= bar:
         verdict = "unresolved"
         note = (f"median delta {delta}s is within the steady-state spread "
                 f"{bar}s — no claim stamped")
@@ -147,27 +271,33 @@ def main() -> int:
         note = (f"median delta {delta}s exceeds the steady-state spread "
                 f"{bar}s")
     out = {
-        "query": QUERY,
+        "query": query_name,
         "experiment": exp["label"],
         "protocol": (
-            f"interleaved same-session, 1 untimed warmup + {n_rounds} "
-            "timed rounds per variant, per-round order alternation, "
-            "cache cleared per execution, output row counts asserted "
-            "equal"
+            "interleaved same-session, per-variant untimed row-count "
+            f"assertion pass + 1 untimed noop-write warmup, {n_rounds} "
+            "timed noop-write rounds per variant (same action bench.py "
+            "times), per-round order alternation, cache cleared per "
+            "execution"
         ),
+        "fixture": fixture_note,
         "sf_dir": sf_dir,
         "rows": rows[a],
         "variants": st,
         f"median_delta_sec_{a}_minus_{b}": -delta,
         "verdict": verdict,
         "note": note,
+        "git_rev": _git_rev(),
+        "stamped_utc": datetime.datetime.now(
+            datetime.timezone.utc
+        ).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
     fname = ("BENCH_AB.json" if experiment == "ppjoin"
-             else f"BENCH_AB_{experiment}.json")
+             else f"BENCH_AB_{experiment.replace(':', '_')}.json")
     with open(os.path.join(_REPO, fname), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print(json.dumps({k: out[k] for k in
-                      ("query", "verdict", "note", "rows")}))
+                      ("query", "verdict", "note", "rows", "git_rev")}))
     return 0
 
 

@@ -102,18 +102,36 @@ def _executed_view(plan: str) -> str:
     Only the final plan executes; counting the initial copy overstates
     at-scale shuffles.  Verified against runtime truth: the stripped
     count matches ``ShuffleQueryStage`` ids in the post-execution plan
-    (tests/test_plan_audit.py)."""
+    (tests/test_plan_audit.py, and ``--runtime-check`` in this tool).
+
+    Section termination is structural, not lstripped-indent (r11
+    ADVICE): a skipped section ends at the next ``== ... ==`` header at
+    the marker's own connector column or shallower, or at any line
+    whose connector column sits at or left of the marker's.  The
+    connector column strips only spaces and the ``:`` vertical bars of
+    OUTER branches, not the node's own ``+-``: the section's content
+    always renders strictly right of the marker's ``+-`` (content
+    starts at marker column + 3), while an outer-tree sibling printed
+    after the section lands at or left of it — including one at the
+    same LSTRIPPED-``' :+-'`` indent, the case the old heuristic
+    silently swallowed.  Headers DEEPER than the marker belong to
+    nested adaptive subtrees inside the superseded initial plan and
+    stay skipped with it."""
     parts = plan.split("\n\n")
     out_lines: list[str] = []
-    skip_indent: int | None = None
+    skip_col: int | None = None
     for line in parts[0].splitlines():
-        indent = len(line) - len(line.lstrip(" :+-"))
-        if skip_indent is not None:
-            if indent >= skip_indent and line.strip():
+        col = len(line) - len(line.lstrip(" :"))
+        is_header = "== Initial Plan ==" in line or "== Final Plan ==" in line
+        if skip_col is not None:
+            if is_header and col <= skip_col:
+                skip_col = None  # fall through: header re-evaluated below
+            elif line.strip() and col > skip_col:
                 continue
-            skip_indent = None
+            else:
+                skip_col = None
         if "== Initial Plan ==" in line:
-            skip_indent = indent
+            skip_col = col
             continue
         out_lines.append(line)
     tree = "\n".join(out_lines)
@@ -239,9 +257,30 @@ def audit_one(name: str, df) -> dict:
     }
 
 
+def _runtime_crosscheck(df, plan: str) -> tuple[int, int]:
+    """Execute ``df`` and compare the stripped static Exchange count
+    against the number of distinct runtime ``ShuffleQueryStage`` ids —
+    the ground truth the stripper approximates (r11 ADVICE: the tool
+    itself must carry the cross-check, not just the two carriers pinned
+    in tests/test_plan_audit.py).  A mismatch is a WARNING, not a hard
+    violation: AQE may legitimately remove a planned exchange at
+    runtime (sort-merge -> broadcast conversion), but an UNDERCOUNT
+    means the stripper swallowed executed-plan lines and every shuffle
+    column in PLANS.md is suspect."""
+    static = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    spark = df.sparkSession
+    df.collect()
+    post = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    runtime = len(set(re.findall(r"ShuffleQueryStage (\d+)", post)))
+    return static, runtime
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     write_md = "--write-md" in sys.argv
+    runtime_check = "--runtime-check" in sys.argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     extra = args[1:]
 
@@ -283,10 +322,26 @@ def main() -> int:
     names.append("dedup_minhash_lsh(build)")
     results = []
     n_hard = 0
+    n_mismatch = 0
     for name in names:
         try:
             df = queries[name](spark, sf_dir)
             r = audit_one(name, df)
+            if runtime_check and r["plan"]:
+                from topic_store_spark.operators.util import cache_scope
+
+                try:
+                    with cache_scope():
+                        static, runtime = _runtime_crosscheck(
+                            queries[name](spark, sf_dir), r["plan"])
+                    if static != runtime:
+                        n_mismatch += 1
+                        r["findings"].append(
+                            f"RUNTIME-CHECK: stripped static Exchange "
+                            f"count {static} != runtime "
+                            f"ShuffleQueryStage count {runtime}")
+                except Exception as e:  # noqa: BLE001 - check is advisory
+                    r["findings"].append(f"runtime-check error: {e}")
         except Exception as e:  # noqa: BLE001
             r = {"name": name, "plan": "", "hard": [f"build error: {e}"],
                  "findings": [], "stats": {}}
@@ -306,6 +361,9 @@ def main() -> int:
     if write_md:
         _write_md(results, sf_dir)
         print("wrote PLANS.md")
+    if runtime_check:
+        print(f"{n_mismatch} static!=runtime shuffle-count mismatches "
+              "(see RUNTIME-CHECK advisories above)")
     print(f"{n_hard} hard violations")
     return min(n_hard, 125)
 
