@@ -1920,28 +1920,32 @@ def q_corpus_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("v"),
     )
     pct = length_percentiles(docs, percentiles=(50, 90, 99))
-    parts = [hist]
-    for p in (50, 90, 99):
-        parts.append(
-            pct.select(
-                F.lit(f"p{p}").alias("kind"),
-                F.col("strata"),
-                F.lit(p).cast("long").alias("k"),
-                F.col(f"p{p}").cast("long").alias("v"),
+    # ONE pass over pct (r12 Exchange diet): the old 4-way union of
+    # per-percentile selects duplicated the window+rollup subtree four
+    # times in the plan — Catalyst does not share non-cached subtrees
+    # across union branches, so the strata exchange executed 4x.  The
+    # same four output rows per stratum come from one explode over an
+    # inline struct array: 5 at-scale exchanges -> 2 (histogram rollup
+    # + one percentile window), oracle rows unchanged.
+    def _row(kind: str, k, v):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            F.col("strata").alias("strata"),
+            F.lit(k).cast("long").alias("k"),
+            v.cast("long").alias("v"),
+        )
+
+    pct_rows = pct.select(
+        F.explode(
+            F.array(
+                _row("p50", 50, F.col("p50")),
+                _row("p90", 90, F.col("p90")),
+                _row("p99", 99, F.col("p99")),
+                _row("n_docs", 0, F.col("n_docs")),
             )
-        )
-    parts.append(
-        pct.select(
-            F.lit("n_docs").alias("kind"),
-            F.col("strata"),
-            F.lit(0).cast("long").alias("k"),
-            F.col("n_docs").cast("long").alias("v"),
-        )
-    )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        ).alias("_r")
+    ).select("_r.kind", "_r.strata", "_r.k", "_r.v")
+    return hist.unionByName(pct_rows)
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -185,3 +185,48 @@ Arguments: d
     for dead in ("Exchange (9)", "Exchange (14)", "Exchange (15)"):
         assert dead not in out
     assert len(re.findall(r"\(\d+\) Exchange\b", out)) == 1
+
+
+@pytest.mark.parametrize(
+    "query,at_scale_bar",
+    [
+        ("dedup_paragraph", 3),   # fp rollup, doc reassembly, totals join
+        ("corpus_lengths", 2),    # histogram rollup + one percentile window
+        ("salient_terms", 3),     # (doc,term) rollup, term pin, doc window
+    ],
+)
+def test_r12_diet_carriers_static_bounds_runtime(spark, query, at_scale_bar):
+    """r12 Exchange-diet carriers: the stripped static count must BOUND
+    the runtime ShuffleQueryStage count from above (static < runtime
+    would mean the stripper swallowed executed-plan lines — the r11
+    ADVICE failure mode) and the at-scale count (static minus scalar
+    1-row gathers minus local-fixture round-robin repartitions) holds
+    the carrier's documented bar.  Strict equality is not asserted
+    here: on these plans AQE legitimately elides planned exchanges at
+    runtime (broadcast conversions / scalar gathers folded into
+    broadcast stages), unlike the two r11 carriers above whose plans
+    AQE executes verbatim."""
+    import __spark_entry__ as e
+    from topic_store_spark.operators.util import cache_scope
+
+    with cache_scope():
+        df = e.queries()[query](spark, "/root/testdata/sf0.001")
+        plan = _executed_view(
+            df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")))
+        static_ids = re.findall(r"\((\d+)\) Exchange\b", plan)
+        blocks = [b for b in plan.split("\n\n")
+                  if re.match(r"\(\d+\) Exchange\b", b)]
+        scalar = len([b for b in blocks
+                      if "Arguments: SinglePartition" in b])
+        rr = len([b for b in blocks if "RoundRobinPartitioning" in b])
+        df.collect()
+        post = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("simple"))
+        runtime = len(set(re.findall(r"ShuffleQueryStage (\d+)", post)))
+    spark.catalog.clearCache()
+    assert runtime <= len(static_ids), (static_ids, runtime)
+    assert len(static_ids) - scalar - rr <= at_scale_bar, (
+        static_ids, scalar, rr)

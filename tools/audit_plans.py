@@ -170,8 +170,12 @@ def audit_one(name: str, df) -> dict:
             and "AdaptiveSparkPlan" not in plan:
         findings.append("no WholeStageCodegen span")
 
-    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan)) + len(
-        re.findall(r"\(\d+\) AQEShuffleRead\b", plan))
+    # count Exchange operators only: an AQEShuffleRead is a (possibly
+    # coalesced) READ of an Exchange that is itself in the plan, so
+    # counting it double-counted every finalized cached subtree (r12 —
+    # finalized caches started appearing in static explains once
+    # expose_cached_partitioning landed)
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
     # round-robin repartitions are ensure_parallelism artifacts of the
     # SINGLE-FILE test parquet (the helper is a no-op once the scan
     # arrives in >= defaultParallelism splits, i.e. at any real scale)

@@ -50,6 +50,7 @@ from topic_store_spark.functions.text import (
 from topic_store_spark.operators.util import (
     ensure_parallelism,
     explode_nonempty,
+    hash_partition,
     persist_tracked,
 )
 
@@ -468,18 +469,32 @@ def salient_terms(
     documents, so that task held ~n_docs rows with no map-side
     partials and no AQE skew splitting (windows get neither) — a
     scalability cliff at 100 TB.  The aggregate has map-side partials
-    (the hot term collapses per-partition before the shuffle) and the
-    join back onto tf is AQE-skew-splittable; the price is the tf
-    lineage appearing in two plan branches, which the DF branch prunes
-    to its term column (cheap relative to the cliff).  Then a per-doc
-    window top-k.  The corpus-size scalar rides a broadcast cross join
-    of a 1-row source count (metadata-cheap, no tokenize).
+    (the hot term collapses per-partition before the shuffle).  Then a
+    per-doc window top-k.  The corpus-size scalar rides a broadcast
+    cross join of a 1-row source count (metadata-cheap, no tokenize).
+
+    r12 Exchange diet: the tf relation is PINNED (persist_tracked)
+    hash-partitioned on the TERM after its (doc, term) rollup, and the
+    pin's AQE plan is finalized (``expose_cached_partitioning``) so
+    the partitioning is visible to planning.  In the r10 plan tf
+    appeared in two un-shared branches (tokenize + explode + rollup
+    ran twice) and the DF attach-join re-shuffled the tf side on the
+    term a second time; with the pinned term-partitioned cache, the DF
+    rollup AND both join sides inherit the same partitioning — the
+    tokenize pass runs once and at-scale exchanges fall to three
+    ((doc, term) rollup, term repartition of the collapsed tf rows,
+    per-doc window), pinned static==runtime in tests/test_plan_audit.
     """
+    from .util import expose_cached_partitioning
+
     tk = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_tk")
     )
     terms = explode_nonempty(tk, "_tk", "term", "doc")
-    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = expose_cached_partitioning(persist_tracked(hash_partition(
+        terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")),
+        "term",
+    )))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     tf = tf.join(dfreq, "term")
     total = df.select(F.count(F.lit(1)).alias("n_total"))
@@ -528,10 +543,14 @@ def bm25_scores(
     array (no explode, no (doc, term) shuffle), and the corpus stats
     the scoring needs — per-term document frequencies, doc count, token
     total — collapse into ONE 1-row aggregate that broadcasts back via
-    cross join.  The tokenize pass runs twice (stats + scoring — the
-    two stages overlap inside one job), with one single-row exchange
-    and a map-side scoring expression; the old plan tokenized and
-    exploded four times across its join branches.  Duplicate entries
+    cross join.  The per-doc term-frequency relation is PINNED
+    (persist_tracked, r12) so the tokenize pass runs ONCE and both its
+    consumers — the stats aggregate and the scoring projection — read
+    the cache; the pinned relation is one narrow row per document
+    (id, length, |query| tf columns), not the corpus text.  The old
+    r9 plan ran the tokenize lineage twice (and the pre-r9 plan
+    exploded it four times across join branches).  One single-row
+    exchange; scoring stays a map-side expression.  Duplicate entries
     in ``query_terms`` are deduplicated (order-preserving) — the old
     explode+isin plan did this implicitly, and a repeated term must
     not double-count in ``n_terms_matched``/``bm25_milli`` (r10,
@@ -546,11 +565,11 @@ def bm25_scores(
     def term_tf(t: str):
         return F.size(F.filter(F.col("_tk"), lambda e: e == F.lit(t)))
 
-    tfs = tk.select(
+    tfs = persist_tracked(tk.select(
         "doc",
         F.size("_tk").alias("dl"),
         *[term_tf(t).alias(f"_tf_{i}") for i, t in enumerate(qts)],
-    )
+    ))
     stats = tfs.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").cast("long").alias("tok_total"),

@@ -1392,17 +1392,21 @@ def paragraph_dedup(
     input document, ``clean_text`` empty when every paragraph was seen
     earlier elsewhere.
 
-    Scale shape: one shuffle groups paragraph fingerprints (the keeper
-    is a ``min(struct(doc, pos))`` partial aggregate — no window sort
-    over the paragraph relation, so a crawl-wide footer cannot
-    serialize one task); keepers attach back by fingerprint with
-    fan-out 1 (a footer shared by the whole crawl is ONE group row
-    joined against its occurrences — never a self-join); reassembly is
-    one shuffle on the document id with a bounded per-doc sort.  The
-    per-doc paragraph TOTALS come map-side from the source's split
-    array (r9: ``size(filter(split(...)))`` — one row per doc already,
-    no aggregation), so the explode+md5 lineage runs twice (keepers +
-    attach), not three times.
+    Scale shape (r12 — one join and one exchange fewer): the keeper's
+    TEXT rides inside the fingerprint aggregate itself —
+    ``min(struct(doc, pos, para))`` picks the first-occurrence row AND
+    carries its paragraph, because (doc, pos) is unique per occurrence
+    so the struct order never reaches the third field.  That deletes
+    the r11 attach-join (keepers back onto the paragraph relation),
+    whose LEFT side re-shuffled the full paragraph relation on the
+    fingerprint a second time, and with it the second run of the
+    explode+md5 lineage.  The aggregate has map-side partials, so a
+    crawl-wide boilerplate footer collapses to one row per map
+    partition before the shuffle — no window sort, no hot task.
+    Reassembly is one shuffle on the document id with a bounded
+    per-doc sort; per-doc paragraph TOTALS come map-side from the
+    source's split array (r9: ``size(filter(split(...)))``).  At-scale
+    exchanges: fingerprint rollup, doc reassembly, totals join — three.
     """
     src = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
@@ -1418,13 +1422,14 @@ def paragraph_dedup(
         .select("doc", F.col("pos").cast("long").alias("pos"), "para")
     )
     paras = paras.withColumn("fp", F.md5(normalize_text(F.col("para"))))
-    keepers = paras.groupBy("fp").agg(
-        F.min(F.struct("doc", "pos")).alias("_k")
-    ).select("fp", F.col("_k.doc").alias("k_doc"), F.col("_k.pos").alias("k_pos"))
     kept = (
-        paras.join(keepers, "fp")
-        .filter((F.col("doc") == F.col("k_doc")) & (F.col("pos") == F.col("k_pos")))
-        .select("doc", "pos", "para")
+        paras.groupBy("fp")
+        .agg(F.min(F.struct("doc", "pos", "para")).alias("_k"))
+        .select(
+            F.col("_k.doc").alias("doc"),
+            F.col("_k.pos").alias("pos"),
+            F.col("_k.para").alias("para"),
+        )
     )
     # same doc set as the old paras.groupBy(doc): docs whose text is
     # null or splits to no non-empty paragraph contribute no rows

@@ -182,6 +182,37 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return out
 
 
+def expose_cached_partitioning(df: DataFrame) -> DataFrame:
+    """Finalize a PERSISTED relation's AQE plan so its output
+    partitioning becomes visible to downstream planning, and return it.
+
+    Under Spark 4 a cached plan is wrapped in its own
+    ``AdaptiveSparkPlan``; until that plan finalizes, the cache reports
+    UNKNOWN partitioning, so every downstream consumer plans its own
+    Exchange even when the cache was explicitly ``hash_partition``-ed
+    on the consumer's key (measured r12: a term-pinned tf relation
+    still drew an ENSURE_REQUIREMENTS term exchange from its own
+    aggregate).  A partition-count probe (``.rdd.getNumPartitions()``)
+    forces ``getFinalPhysicalPlan`` — the cache's shuffle map stage
+    runs EAGERLY as its own job, after which ``isFinalPlan=true`` and
+    hash(key) satisfies downstream clustered distributions with no
+    further exchange (the mechanism the unigram carrier has leaned on
+    via ``ensure_parallelism``'s probe since r11).
+
+    The trade is explicit: call this ONLY when (a) the relation is
+    persisted (the eager stage's output is what later consumers read —
+    nothing is computed twice) and (b) at least two downstream
+    consumers key on the pinned columns (one consumer can just wear
+    its own exchange).  On Spark Connect there is no ``.rdd``; the
+    probe degrades to a no-op and consumers plan their own exchanges —
+    correct, one exchange heavier."""
+    try:
+        df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect / exotic plans: no RDD surface
+        pass
+    return df
+
+
 def release_tracked_caches() -> None:
     """Unpersist every UNSCOPED tracked intermediate.  Idempotent;
     relations pinned inside an active :class:`cache_scope` are owned by
