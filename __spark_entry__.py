@@ -2014,58 +2014,18 @@ def q_sampling_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (alpha=1/2) mixture flattening — per-stratum ``sqrt(n_min/n_s)``
     keep rates evaluated in SQUARED integer form (decimal(38), no float
     pow/sqrt) so the kept set is engine-exact.  All three decisions are
-    RNG-free: re-runs and late shards make identical choices."""
-    from topic_store_spark.operators.corpus import (
-        mixture_sample,
-        stratified_split,
-        temperature_sample,
-    )
+    RNG-free: re-runs and late shards make identical choices.
+
+    r12: runs through the FUSED ``sampling_report`` operator — all
+    three decisions are map-side predicates on the same row, so one
+    tagged explode + ONE rollup replaces the three-branch union (two
+    corpus scans and two data exchanges instead of four and four);
+    row-identical to the composed form (pinned by test)."""
+    from topic_store_spark.operators.corpus import sampling_report
 
     docs = _t(spark, sf_dir, "documents")
     weights = {"src0": 1.0, "src1": 0.25, "src2": 0.5, "src3": 0.75}
-    mix = (
-        mixture_sample(docs, weights)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        .select(
-            F.lit("mixture").alias("kind"),
-            F.col("source").alias("strata"),
-            F.lit("kept").alias("subkey"),
-            "n_docs",
-            "min_doc",
-            "max_doc",
-        )
-    )
-    split = stratified_split(docs, val_permille=100, test_permille=100).select(
-        F.lit("split").alias("kind"),
-        "strata",
-        F.col("split").alias("subkey"),
-        "n_docs",
-        "min_doc",
-        "max_doc",
-    )
-    temp = (
-        temperature_sample(docs, strata_col="source")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
-        )
-        .select(
-            F.lit("temperature").alias("kind"),
-            F.col("source").alias("strata"),
-            F.lit("kept").alias("subkey"),
-            "n_docs",
-            "min_doc",
-            "max_doc",
-        )
-    )
-    return mix.unionByName(split).unionByName(temp)
+    return sampling_report(docs, weights, val_permille=100, test_permille=100)
 
 
 def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:

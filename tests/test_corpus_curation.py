@@ -568,3 +568,59 @@ def test_lm_logprob_pretokenized_matches_text_input(spark):
 
     assert rows(unigram_logprob(docs)) == rows(unigram_logprob(tk))
     assert rows(bigram_logprob(docs, lm)) == rows(bigram_logprob(tk, lm_tk))
+
+
+def test_sampling_report_matches_composed_operators(spark):
+    """r12 fused sampling_report == the union of mixture_sample,
+    stratified_split, temperature_sample rollups, row for row —
+    including a null-source row (mixture/temperature drop it, split
+    keeps it under its own stratum) and a null-lang stratum."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.corpus import (
+        mixture_sample,
+        sampling_report,
+        stratified_split,
+        temperature_sample,
+    )
+
+    rows = [
+        (i, ["a", "b", None][i % 3], ["en", "de", None, "fr"][i % 4])
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+    weights = {"a": 0.8, "b": 0.3}
+
+    fused = sampling_report(docs, weights, val_permille=150, test_permille=50)
+
+    def rollup(kind, df_in, strata_col):
+        return (
+            df_in.groupBy(F.col(strata_col).alias("strata"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(
+                F.lit(kind).alias("kind"), "strata",
+                F.lit("kept").alias("subkey"), "n_docs", "min_doc", "max_doc",
+            )
+        )
+
+    composed = (
+        rollup("mixture", mixture_sample(docs, weights), "source")
+        .unionByName(
+            stratified_split(docs, val_permille=150, test_permille=50).select(
+                F.lit("split").alias("kind"), "strata",
+                F.col("split").alias("subkey"), "n_docs", "min_doc", "max_doc",
+            )
+        )
+        .unionByName(
+            rollup("temperature", temperature_sample(docs, strata_col="source"),
+                   "source")
+        )
+    )
+    key = lambda r: (r["kind"], r["strata"], r["subkey"])  # noqa: E731
+    a = sorted((tuple(r) for r in fused.collect()), key=str)
+    b = sorted((tuple(r) for r in composed.collect()), key=str)
+    assert a == b and len(a) > 5

@@ -2738,7 +2738,9 @@ def test_no_unguarded_classic_only_surface():
         # guarded probes (Connect fallback): ensure_parallelism,
         # materialize_iter, and r11's hash_partition
         ("util.py", "sparkContext"): 3,
-        ("util.py", "rdd"): 1,  # guarded probe (Connect fallback)
+        # guarded probes (Connect fallback): ensure_parallelism +
+        # expose_cached_partitioning's plan-finalization probe (r12)
+        ("util.py", "rdd"): 2,
         ("ingest.py", "sparkContext"): 1,  # _respread_target (no-op fallback)
         ("ingest.py", "rdd"): 1,  # _respread_target (no-op fallback)
     }

@@ -403,6 +403,94 @@ def temperature_sample(
     )
 
 
+def sampling_report(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    split_strata_col: str = "lang",
+    id_col: str = "doc_id",
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """The full deterministic-sampling audit table in MINIMAL passes:
+    the union of :func:`mixture_sample`'s per-domain kept-rollup,
+    :func:`stratified_split`'s (strata, split) audit, and
+    :func:`temperature_sample`'s per-stratum kept-rollup — row-for-row
+    identical to composing the three operators and unioning their
+    rollups, which is exactly how the driver oracle states it.
+
+    Scale shape (r12 Exchange diet): composing the three operators
+    scans the corpus FOUR times (mixture, split, temperature's stratum
+    counts, temperature's filter) and shuffles four rollups; all three
+    decisions are map-side hash predicates on the same row, so one
+    pass computes them together.  Pass 1 is temperature's stratum
+    count rollup (the only decision with a data dependency) broadcast
+    back via ``with_global_agg``; pass 2 tags each row with up to
+    three (kind, strata, subkey) memberships via an inline
+    struct-array filter+explode and feeds ONE rollup keyed on the tag.
+    Two corpus scans, two data exchanges (stratum counts + final
+    rollup) and one bounded scalar window — down from four and four.
+    Per-branch semantics are pinned term-for-term to the three source
+    operators (same md5 prefixes, same decimal(38,0) squared-rate
+    temperature predicate); equality is asserted against the composed
+    form in tests/test_corpus_curation.py.
+    """
+    from topic_store_spark.operators.util import with_global_agg
+
+    id_str = F.col(id_col).cast("string")
+    b10000 = F.conv(F.substring(F.md5(id_str), 1, 8), 16, 10).cast("long") % 10000
+    rate = F.lit(0.0)
+    for domain, w in sorted(weights.items()):
+        rate = F.when(F.col(domain_col) == domain, F.lit(float(w))).otherwise(rate)
+    mix_keep = b10000 < rate * 10000
+
+    b1000 = b10000 % 1000  # same md5 8-hex prefix, mod 1000 == stratified_split
+    split = (
+        F.when(b1000 < val_permille, F.lit("val"))
+        .when(b1000 < val_permille + test_permille, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+    h = F.conv(F.substring(F.md5(id_str), 1, 7), 16, 10).cast("long")
+    counts = df.groupBy(F.col(domain_col).alias("_ts_strata")).agg(
+        F.count(F.lit(1)).alias("_ts_n")
+    )
+    rates = F.broadcast(with_global_agg(counts, _ts_nmin=F.min("_ts_n")))
+    dec = "decimal(38,0)"
+    temp_keep = (
+        h.cast(dec) * h.cast(dec) * F.col("_ts_n").cast(dec)
+        < F.lit(1 << 56).cast(dec) * F.col("_ts_nmin").cast(dec)
+    )
+
+    def _tag(kind: str, strata, subkey):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            strata.cast("string").alias("strata"),
+            subkey.cast("string").alias("subkey"),
+        )
+
+    tags = F.filter(
+        F.array(
+            F.when(mix_keep, _tag("mixture", F.col(domain_col), F.lit("kept"))),
+            _tag("split", F.col(split_strata_col), split),
+            F.when(
+                temp_keep, _tag("temperature", F.col(domain_col), F.lit("kept"))
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    tagged = (
+        df.join(rates, F.col(domain_col) == F.col("_ts_strata"), "left")
+        .select(F.col(id_col).alias("_doc"), F.explode(tags).alias("_t"))
+        .select("_doc", "_t.kind", "_t.strata", "_t.subkey")
+    )
+    return tagged.groupBy("kind", "strata", "subkey").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("_doc").alias("min_doc"),
+        F.max("_doc").alias("max_doc"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

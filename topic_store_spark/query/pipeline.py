@@ -3212,6 +3212,38 @@ def _facet_final_order(sub: list[dict[str, Any]]) -> list[tuple[str, int]] | Non
     return order
 
 
+#: tail stages after which a preceding physical sort is dead weight:
+#: they neither consume row order ($limit/$skip do) nor reset it
+_ORDER_INSENSITIVE_TAIL = _ORDER_PRESERVING_STAGES - {"$limit", "$skip"}
+
+
+def _strip_physical_sort(sub: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """Drop the terminal PHYSICAL sort of a $facet / uncorrelated
+    $lookup sub-pipeline (r12 Exchange diet): the sub-result is
+    gathered by ``collect_list`` — which discards row order — and
+    re-ordered by the post-collect ``array_sort`` comparator built
+    from ``_facet_final_order``, so a trailing ``$sort`` costs a
+    range-partition Exchange + Sort whose output order is thrown away.
+    ``$sortByCount`` keeps its grouping half via the internal
+    ``$_countByValue`` stage.  The sort is KEPT when a later
+    ``$limit``/``$skip`` consumes it, or any non-order-insensitive
+    stage follows.  Callers must verify the final ordering's keys
+    survive to the compiled output (else recompile unstripped) —
+    the array_sort fallback on missing keys is whole-struct order,
+    not the requested one."""
+    out = list(sub)
+    for i in range(len(out) - 1, -1, -1):
+        op = next(iter(out[i]))
+        if op in _ORDER_INSENSITIVE_TAIL:
+            continue
+        if op == "$sort":
+            return out[:i] + out[i + 1:]
+        if op == "$sortByCount":
+            return out[:i] + [{"$_countByValue": out[i][op]}] + out[i + 1:]
+        break
+    return out
+
+
 def _struct_comparator(order: list[tuple[str, int]]):
     """array_sort comparator over struct elements for a (key, direction)
     chain — restores the sub-pipeline's logical order after the
@@ -3770,10 +3802,14 @@ def _lookup_pipeline(
 
     corr_idx = [i for i, st in enumerate(sub) if _contains_var(st)]
     if not corr_idx:
-        # uncorrelated sub-pipeline: one shared array for every row
-        sub_df = apply_pipeline(foreign, sub, tables)
-        fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in sub_df.columns])
+        # uncorrelated sub-pipeline: one shared array for every row.
+        # r12: terminal physical sort stripped when the post-collect
+        # array_sort reimposes it (same rule as $facet)
         order = _facet_final_order(sub)
+        sub_df = apply_pipeline(foreign, _strip_physical_sort(sub), tables)
+        if order and not all(k in sub_df.columns for k, _ in order):
+            sub_df = apply_pipeline(foreign, sub, tables)
+        fstruct = F.struct(*[F.col(f"`{c}`").alias(c) for c in sub_df.columns])
         collected = F.collect_list(fstruct)
         if order and all(k in sub_df.columns for k, _ in order):
             arr = F.array_sort(collected, _struct_comparator(order))
@@ -4078,11 +4114,17 @@ def apply_pipeline(
             # facet row stays deterministic.
             parts = []
             for name, sub in spec.items():
-                sub_df = apply_pipeline(out, sub, tables)
+                order = _facet_final_order(sub)
+                # r12: the physical sort is dead weight under the
+                # collect + array_sort, but only when the ordering keys
+                # survive to the output — otherwise the comparator
+                # can't reimpose it and the sort must stay
+                sub_df = apply_pipeline(out, _strip_physical_sort(sub), tables)
+                if order and not all(k in sub_df.columns for k, _ in order):
+                    sub_df = apply_pipeline(out, sub, tables)
                 sstruct = F.struct(
                     *[F.col(f"`{c}`").alias(c) for c in sub_df.columns]
                 )
-                order = _facet_final_order(sub)
                 collected = F.collect_list(sstruct)
                 if order and all(k in sub_df.columns for k, _ in order):
                     arr = F.array_sort(collected, _struct_comparator(order))
@@ -4109,13 +4151,17 @@ def apply_pipeline(
             out = out.offset(int(spec))
         elif op == "$unwind":
             out = _compile_unwind(out, spec)
-        elif op == "$sortByCount":
+        elif op in ("$sortByCount", "$_countByValue"):
+            # $_countByValue is INTERNAL: $sortByCount minus the
+            # physical sort, substituted by _strip_physical_sort inside
+            # $facet / uncorrelated $lookup sub-pipelines where the
+            # post-collect array_sort reimposes the order anyway
             field = spec[1:] if isinstance(spec, str) and spec.startswith("$") else spec
-            out = (
-                out.groupBy(path_col(field).alias("_id"))
-                .agg(F.count(F.lit(1)).alias("count"))
-                .orderBy(F.col("count").desc(), F.col("_id").asc())
+            out = out.groupBy(path_col(field).alias("_id")).agg(
+                F.count(F.lit(1)).alias("count")
             )
+            if op == "$sortByCount":
+                out = out.orderBy(F.col("count").desc(), F.col("_id").asc())
         elif op == "$bucket":
             group_by = compile_value(spec["groupBy"])
             bounds = spec["boundaries"]
