@@ -179,7 +179,12 @@ def main() -> None:
             "trimmed timed samples, summed.  Cross-round per-query "
             "comparisons should read the MEDIANS, and no A/B claim is "
             "valid unless it comes from tools/ab_bench.py (interleaved "
-            "same-session, refuses to stamp when spread exceeds delta)."
+            "same-session, refuses to stamp when spread exceeds delta). "
+            "The measured NULL floors (BENCH_AB_null_*.json — two "
+            "identical HEAD variants interleaved) put pure host/JVM "
+            "noise at ~0.4-0.6s steady-state spread on 2.9s queries; "
+            "any cross-round per-query delta inside that band is host, "
+            "not code."
         ),
         "queries": timings,
         "medians": medians,

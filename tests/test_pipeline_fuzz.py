@@ -1826,3 +1826,105 @@ def test_facet_union_documents_match_reference(spark):
     assert not failures, (
         f"{len(failures)}/60 compositions diverge; first: {failures[0]}"
     )
+
+
+# -- full find dialect INSIDE $facet / $lookup sub-pipelines (r12, 43) -------
+#
+# The find dialect and the pipeline compiler are each fuzzed to death
+# separately (harnesses 3-6 and the pipeline families), and harness 42
+# covers sub-pipeline COMPOSITIONS — but its sub-pipeline $matches are
+# simple scalar filters.  The one untested joint surface was a $match
+# carrying the FULL find dialect ($elemMatch/$all/$size/$type/$regex/
+# $mod/$exists/nested $nor...) compiled INSIDE a $facet or $lookup
+# sub-pipeline, where the compiler stack (tables/var scoping, the r12
+# physical-sort strip, collect+array_sort reassembly) wraps it.
+
+
+def test_find_dialect_in_subpipelines_matches_reference(spark):
+    from tests.test_find_fuzz import _docs as _dialect_docs
+
+    rng = random.Random(0xF1D43)
+    docs = _dialect_docs(rng, 40)
+    FSCHEMA = "_id long, a long, b double, c string, d array<long>"
+    cols = ["_id", "a", "b", "c", "d"]
+    df = spark.createDataFrame([tuple(d[k] for k in cols) for d in docs],
+                               FSCHEMA)
+    fdocs = [dict(d, _id=d["_id"] + 1000) for d in _dialect_docs(rng, 25)]
+    fdf = spark.createDataFrame([tuple(f[k] for k in cols) for f in fdocs],
+                                FSCHEMA)
+    tables = {"other": fdf}
+
+    def doc_key(d):
+        return d["_id"]
+
+    def canon_docs(rows):
+        return _canon([{k: r.get(k) for k in cols} for r in rows])
+
+    failures = []
+    for trial in range(40):
+        q = _filter(rng)
+        kind = trial % 4
+        if kind == 0:
+            # $facet: one dialect-matched branch (unordered), one
+            # dialect-matched + $count branch (empty -> NO document)
+            q2 = _filter(rng)
+            spec = {"f1": [{"$match": q}],
+                    "f2": [{"$match": q2}, {"$count": "ct"}]}
+            got = (apply_pipeline(df, [{"$facet": spec}], tables)
+                   .collect()[0].asDict(recursive=True))
+            w1 = [d for d in docs if _m_query(d, q)]
+            m2 = [d for d in docs if _m_query(d, q2)]
+            w2 = [{"ct": len(m2)}] if m2 else []
+            if canon_docs(got["f1"]) != canon_docs(w1) or list(
+                    map(dict, got["f2"])) != w2:
+                failures.append((trial, spec, got, (w1, w2)))
+        elif kind == 1:
+            # $facet branch with dialect match + terminal $sort: the
+            # r12 physical-sort strip must hand back the EXACT order
+            sub = [{"$match": q}, {"$sort": {"a": 1, "_id": 1}}]
+            got = (apply_pipeline(df, [{"$facet": {"f": sub}}], tables)
+                   .collect()[0].asDict(recursive=True))
+            def cmp(x, y):
+                c = _m_cmp(x.get("a"), y.get("a"))
+                return c if c else _m_cmp(x["_id"], y["_id"])
+            want = sorted((d for d in docs if _m_query(d, q)),
+                          key=cmp_to_key(cmp))
+            got_ids = [r["_id"] for r in got["f"]]
+            if got_ids != [d["_id"] for d in want]:
+                failures.append((trial, sub, got_ids,
+                                 [d["_id"] for d in want]))
+        elif kind == 2:
+            # uncorrelated $lookup sub-pipeline: every outer row gets
+            # the same dialect-matched foreign array
+            pipe = [{"$lookup": {"from": "other",
+                                 "pipeline": [{"$match": q}], "as": "m"}}]
+            rows = apply_pipeline(df, pipe, tables).collect()
+            want_arr = canon_docs([f for f in fdocs if _m_query(f, q)])
+            for r in rows[:3]:
+                got_arr = canon_docs(
+                    [m.asDict(recursive=True) for m in (r["m"] or [])])
+                if got_arr != want_arr:
+                    failures.append((trial, q, got_arr, want_arr))
+                    break
+        else:
+            # correlated $lookup: dialect prefix + $expr equality
+            # residual ($eq is null-safe aggregation equality)
+            pipe = [{"$lookup": {
+                "from": "other", "let": {"la": "$a"},
+                "pipeline": [{"$match": q},
+                             {"$match": {"$expr": {"$eq": ["$a", "$$la"]}}}],
+                "as": "m",
+            }}]
+            rows = sorted(
+                (r.asDict(recursive=True)
+                 for r in apply_pipeline(df, pipe, tables).collect()),
+                key=doc_key)
+            for d, r in zip(sorted(docs, key=doc_key), rows):
+                want_arr = canon_docs([
+                    f for f in fdocs
+                    if _m_query(f, q) and f.get("a") == d.get("a")])
+                got_arr = canon_docs(r["m"] or [])
+                if got_arr != want_arr:
+                    failures.append((trial, q, d["_id"], got_arr, want_arr))
+                    break
+    assert not failures, failures[:3]
