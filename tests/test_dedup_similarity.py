@@ -1110,3 +1110,46 @@ def test_ppjoin_cuts_flag_output_equality(spark):
     finally:
         dedup.PPJOIN_CUTS = True
     assert on == off and len(on) > 0
+
+
+def test_semantic_dedup_max_cluster_size_valve(spark):
+    """r12 scale valve: sub-splitting oversized clusters must (a) be a
+    no-op when the cap is >= every cluster, (b) under a tight cap emit
+    a SUBSET of the uncapped pairs (never a new pair), deterministically
+    across runs."""
+    from topic_store_spark.operators.dedup import (
+        release_pair_caches,
+        semantic_cluster_dedup,
+    )
+
+    # 3 tight groups of 6 near-identical vectors each -> every
+    # within-group pair passes 0.95 cosine
+    rows = []
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    vid = 0
+    for g, b in enumerate(base):
+        for j in range(6):
+            v = [x + (0.001 * j if i == 3 else 0.0) for i, x in enumerate(b)]
+            rows.append((vid, v))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cen = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def pairs(**kw):
+        out = sorted(
+            (r["a_id"], r["b_id"])
+            for r in semantic_cluster_dedup(emb, cen, **kw).collect()
+        )
+        release_pair_caches()
+        spark.catalog.clearCache()
+        return out
+
+    full = pairs()
+    assert len(full) == 3 * 15  # C(6,2) per group
+    assert pairs(max_cluster_size=100) == full  # cap above sizes: no-op
+    capped = pairs(max_cluster_size=2)
+    assert set(capped) <= set(full) and 0 < len(capped) < len(full)
+    assert pairs(max_cluster_size=2) == capped  # deterministic re-run

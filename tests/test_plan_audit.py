@@ -230,3 +230,40 @@ def test_r12_diet_carriers_static_bounds_runtime(spark, query, at_scale_bar):
     assert runtime <= len(static_ids), (static_ids, runtime)
     assert len(static_ids) - scalar - rr <= at_scale_bar, (
         static_ids, scalar, rr)
+
+
+def test_expose_cached_partitioning_removes_downstream_exchange(spark):
+    """r12: a hash_partition-pinned cache must, after the finalization
+    probe, satisfy downstream clustered distributions with NO new
+    exchange — including a SUPERSET group-by (hash(k) clusters
+    (k, t)).  Without the probe Spark 4 reports the cached plan's
+    partitioning as unknown and plans an ENSURE_REQUIREMENTS exchange
+    (the r12 measurement that motivated the util)."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.util import (
+        expose_cached_partitioning,
+        hash_partition,
+        persist_tracked,
+        release_tracked_caches,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 13).alias("t"), "id"
+    )
+    pinned = persist_tracked(hash_partition(df, "k"))
+    try:
+        before = pinned.groupBy("k", "t").agg(F.sum("id"))._jdf \
+            .queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+        assert "ENSURE_REQUIREMENTS" in before, "probe-free baseline moved"
+        expose_cached_partitioning(pinned)
+        after = pinned.groupBy("k", "t").agg(F.sum("id"))._jdf \
+            .queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("simple"))
+        assert "ENSURE_REQUIREMENTS" not in after, after
+    finally:
+        release_tracked_caches()
+        spark.catalog.clearCache()

@@ -1090,6 +1090,7 @@ def semantic_cluster_dedup(
     threshold_den: int = 100,
     n_probe: int = 1,
     probe_eps: float = 0.05,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: broadcast centroid
     assignment partitions the corpus into clusters, near-dup pairs are
@@ -1100,6 +1101,23 @@ def semantic_cluster_dedup(
     The 100 TB shape of semantic dedup: pair space falls from n^2 to
     sum(|cluster|^2), assignment is one broadcast pass (centroid count is
     small by construction), and the only shuffle keys on cluster id.
+
+    That pair space is quadratic IN THE CLUSTER SIZE, so the centroid
+    count must grow with the corpus (SemDeDup's own regime: k ~ n /
+    target_cluster_size).  Measured on the r12 sf1 fixture: holding
+    k=8 fixed while the corpus grew 10x took the carrier from 1.5s to
+    56s — the sum(|c|^2) blowup, not an engine defect.  When the
+    centroid set CANNOT scale (it is often a fixed model artifact),
+    ``max_cluster_size`` is the safety valve: clusters above the cap
+    are deterministically sub-split by a content hash of the quantized
+    vector into ceil(|c|/cap) buckets and pairs generate within a
+    (cluster, bucket) — per-bucket pair space is bounded by ~cap^2 and
+    the job degrades gracefully instead of melting.  The trade is
+    recall (a near-dup pair split across sub-buckets is missed —
+    P(miss) ~ 1 - 1/n_sub for a random pair in an oversized cluster),
+    the same honest knob as the text family's ``max_shingle_freq``:
+    correctness-exact runs leave it None, web-scale runs with frozen
+    centroids set it to the largest size one task's pair scan absorbs.
 
     Recall caveat of ``n_probe=1`` (any single-assignment scheme): a
     near-dup pair split across two clusters is missed — near-identical
@@ -1197,13 +1215,34 @@ def semantic_cluster_dedup(
     # once (same tracked lifecycle as minhash_lsh_pairs' persist; see
     # release_pair_caches)
     assigned = _persist_tracked(assigned)
+    join_keys = ["cluster_id"]
+    if max_cluster_size is not None:
+        # sub-split oversized clusters: bucket count from the cluster's
+        # own size (a tiny per-centroid rollup off the pinned
+        # assignment, broadcast back), bucket id a deterministic
+        # content hash of the quantized vector — same vector, same
+        # bucket on every run/engine, so capped runs are reproducible
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("_csize")
+        )
+        assigned = assigned.join(F.broadcast(sizes), "cluster_id").withColumn(
+            "_sub",
+            F.pmod(
+                F.hash(F.col("c_qv")),
+                F.greatest(
+                    F.ceil(F.col("_csize") / max_cluster_size).cast("int"),
+                    F.lit(1),
+                ),
+            ),
+        )
+        join_keys = ["cluster_id", "_sub"]
     left = assigned.select(
         F.col("c_id").alias("a_id"), F.col("c_qv").alias("a_qv"),
-        F.col("c_n").alias("a_n"), "cluster_id",
+        F.col("c_n").alias("a_n"), *join_keys,
     )
     right = assigned.select(
         F.col("c_id").alias("b_id"), F.col("c_qv").alias("b_qv"),
-        F.col("c_n").alias("b_n"), "cluster_id",
+        F.col("c_n").alias("b_n"), *join_keys,
     )
     dot = F.aggregate(
         F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
@@ -1212,7 +1251,7 @@ def semantic_cluster_dedup(
     )
     dec = "decimal(38,0)"
     pairs = (
-        left.join(right, "cluster_id")
+        left.join(right, join_keys)
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("dot", dot)
         .filter(
