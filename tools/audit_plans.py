@@ -396,7 +396,13 @@ def _write_md(results: list[dict], sf_dir: str) -> None:
         "`== Initial Plan ==` sections AQE prints for cached relations are",
         "superseded duplicates of the same physical exchange and are",
         "stripped before counting — verified against runtime",
-        "`ShuffleQueryStage` ids in tests/test_plan_audit.py.",
+        "`ShuffleQueryStage` ids in tests/test_plan_audit.py, and",
+        "registry-wide by `--runtime-check` (r12 receipt: 6/51 queries",
+        "show static > runtime — AQE broadcast-converting planned",
+        "sort-merge joins at this small SF — and ZERO show static <",
+        "runtime, the direction that would mean the stripper swallowed",
+        "executed exchanges; the static counts are the at-scale-honest",
+        "ones since broadcast conversion won't fire on big sides).",
         "",
         "| query | shuffles | rr local-only | scalar 1-row | broadcast | sort-merge | codegen spans | arrow stages | pushed filters | status |",
         "|---|---|---|---|---|---|---|---|---|---|",
