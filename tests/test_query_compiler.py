@@ -2897,3 +2897,31 @@ def test_count_on_empty_input_emits_no_document(spark):
     assert out == []
     out = apply_pipeline(df, [{"$count": "c"}]).collect()
     assert len(out) == 1 and out[0]["c"] == 1
+
+
+def test_strip_physical_sort_edges():
+    """r12 _strip_physical_sort: terminal sorts die (the facet/lookup
+    collect+array_sort reimposes order), order-CONSUMING tails keep
+    them, $sortByCount keeps its grouping half, and non-tail stages
+    block the walk."""
+    from topic_store_spark.query.pipeline import _strip_physical_sort
+
+    m = {"$match": {"a": 1}}
+    srt = {"$sort": {"n": 1}}
+    # terminal sort stripped
+    assert _strip_physical_sort([m, srt]) == [m]
+    # sort followed by order-insensitive stages stripped too
+    assert _strip_physical_sort([m, srt, {"$project": {"n": 1}}]) == [
+        m, {"$project": {"n": 1}}]
+    # $limit / $skip consume the order: kept
+    for consumer in ({"$limit": 3}, {"$skip": 2}):
+        sub = [m, srt, consumer]
+        assert _strip_physical_sort(sub) == sub
+    # $sortByCount -> internal grouping-only stage
+    assert _strip_physical_sort([m, {"$sortByCount": "$a"}]) == [
+        m, {"$_countByValue": "$a"}]
+    # a grouping stage after the sort blocks the walk (sort feeds it)
+    sub = [srt, {"$group": {"_id": "$a"}}]
+    assert _strip_physical_sort(sub) == sub
+    # no sort at all: unchanged
+    assert _strip_physical_sort([m]) == [m]
