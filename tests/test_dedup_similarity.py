@@ -1113,29 +1113,43 @@ def test_ppjoin_cuts_flag_output_equality(spark):
 
 
 def test_semantic_dedup_max_cluster_size_valve(spark):
-    """r12 scale valve: sub-splitting oversized clusters must (a) be a
-    no-op when the cap is >= every cluster, (b) under a tight cap emit
-    a SUBSET of the uncapped pairs (never a new pair), deterministically
-    across runs."""
+    """r12 scale valve (LSH-sign sub-buckets): (a) no-op when the cap
+    covers every cluster, (b) under a tight cap the output is a SUBSET
+    of the uncapped pairs, deterministic across runs, (c) a near-dup
+    pair constructed to STRADDLE hyperplane 0 is dropped while a
+    co-bucketed pair survives — the exact recall trade the docstring
+    states."""
+    import hashlib
+
+    import numpy as np
+
     from topic_store_spark.operators.dedup import (
         release_pair_caches,
         semantic_cluster_dedup,
     )
 
-    # 3 tight groups of 6 near-identical vectors each -> every
-    # within-group pair passes 0.95 cosine
-    rows = []
-    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
-    vid = 0
-    for g, b in enumerate(base):
-        for j in range(6):
-            v = [x + (0.001 * j if i == 3 else 0.0) for i, x in enumerate(b)]
-            rows.append((vid, v))
-            vid += 1
+    dim = 8
+    w0 = np.array([
+        int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:4], 16) / 65536.0 - 0.5
+        for i in range(dim)
+    ])
+    w0n = w0 / np.linalg.norm(w0)
+    z = np.ones(dim)
+    u = z - (z @ w0n) * w0n
+    u = u / np.linalg.norm(u)
+    eps = 0.15
+    v_plus = u + eps * w0n   # proj onto w0 > 0
+    v_minus = u - eps * w0n  # proj onto w0 < 0
+    # cosine(v_plus, v_minus) = (1 - eps^2)/(1 + eps^2) ~= 0.956 >= 0.95
+    rows = [(0, [float(x) for x in v_plus]),
+            (1, [float(x) for x in v_minus])]
+    # fillers: same side of plane 0 as v_plus, mutually near-identical
+    for j in range(6):
+        f = v_plus + 1e-3 * j * u
+        rows.append((10 + j, [float(x) for x in f]))
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cen = spark.createDataFrame(
-        [(i, b) for i, b in enumerate(base)],
-        "vec_id long, embedding array<float>",
+        [(0, [float(x) for x in u])], "vec_id long, embedding array<float>"
     )
 
     def pairs(**kw):
@@ -1148,8 +1162,12 @@ def test_semantic_dedup_max_cluster_size_valve(spark):
         return out
 
     full = pairs()
-    assert len(full) == 3 * 15  # C(6,2) per group
+    assert (0, 1) in full                      # the straddling pair is real
+    assert (10, 11) in full                    # filler pairs are real
     assert pairs(max_cluster_size=100) == full  # cap above sizes: no-op
-    capped = pairs(max_cluster_size=2)
-    assert set(capped) <= set(full) and 0 < len(capped) < len(full)
-    assert pairs(max_cluster_size=2) == capped  # deterministic re-run
+    # 8 vectors, cap 4 -> n_sub=2 -> b=1 bit: plane-0 sign splits 0 from 1
+    capped = pairs(max_cluster_size=4)
+    assert set(capped) <= set(full)
+    assert (0, 1) not in capped, "straddling pair must be the recall cost"
+    assert (10, 11) in capped, "co-bucketed pair must survive"
+    assert pairs(max_cluster_size=4) == capped  # deterministic re-run

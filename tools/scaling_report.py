@@ -89,9 +89,11 @@ def main() -> None:
         "target_cluster_size (cluster sizes constant, pair space "
         "linear).  For frozen centroid sets the operator now carries a "
         "`max_cluster_size` valve (r12): oversized clusters sub-split "
-        "deterministically by a content hash, bounding per-bucket pair "
-        "space at ~cap^2 with a documented recall trade — the same "
-        "honesty knob as the text family's max_shingle_freq.  The "
+        "deterministically by hyperplane-sign LSH prefixes (a near-dup "
+        "pair co-buckets with ~0.9 per bit instead of a content hash's "
+        "1/n_sub), shrinking per-bucket pair space ~quadratically with "
+        "a documented probabilistic recall trade — the same honesty "
+        "knob as the text family's max_shingle_freq.  The "
         "carrier keeps the valve OFF so the oracle stays exact; this "
         "row is the standing receipt for why the knob exists.",
         "",

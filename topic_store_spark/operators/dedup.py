@@ -1109,15 +1109,26 @@ def semantic_cluster_dedup(
     56s — the sum(|c|^2) blowup, not an engine defect.  When the
     centroid set CANNOT scale (it is often a fixed model artifact),
     ``max_cluster_size`` is the safety valve: clusters above the cap
-    are deterministically sub-split by a content hash of the quantized
-    vector into ceil(|c|/cap) buckets and pairs generate within a
-    (cluster, bucket) — per-bucket pair space is bounded by ~cap^2 and
-    the job degrades gracefully instead of melting.  The trade is
-    recall (a near-dup pair split across sub-buckets is missed —
-    P(miss) ~ 1 - 1/n_sub for a random pair in an oversized cluster),
-    the same honest knob as the text family's ``max_shingle_freq``:
+    are deterministically sub-split into ~ceil(|c|/cap) buckets (next
+    power of two) and pairs generate within a (cluster, bucket), so
+    per-bucket pair space shrinks ~quadratically and the job degrades
+    gracefully instead of melting.  The bucket key is NOT a content
+    hash — a hash sends a 0.95-cosine pair to the same bucket with
+    probability only 1/n_sub — but the first ``b = ceil(log2(n_sub))``
+    sign bits of the deterministic hyperplane projections shared with
+    ``lsh_ann_neighbors``: near-parallel vectors agree per plane with
+    p ~= 1 - theta/pi (~0.90 at the 0.95 threshold), so a true
+    near-dup pair lands together with ~0.9^b instead of 1/2^b — the
+    standard cosine-LSH argument.  Trades, stated honestly: recall is
+    probabilistic (P(miss) ~= 1 - 0.9^b per near-dup pair in an
+    oversized cluster), and the bound is expected-case (sign buckets
+    are uneven; a cluster of IDENTICAL vectors stays one bucket — run
+    exact dedup first, its pairs are inherently quadratic).  The same
+    honest knob as the text family's ``max_shingle_freq``:
     correctness-exact runs leave it None, web-scale runs with frozen
     centroids set it to the largest size one task's pair scan absorbs.
+    Setting it runs one eager driver probe of the SMALL centroid
+    relation (vector dimension for the plane weights).
 
     Recall caveat of ``n_probe=1`` (any single-assignment scheme): a
     near-dup pair split across two clusters is missed — near-identical
@@ -1219,21 +1230,27 @@ def semantic_cluster_dedup(
     if max_cluster_size is not None:
         # sub-split oversized clusters: bucket count from the cluster's
         # own size (a tiny per-centroid rollup off the pinned
-        # assignment, broadcast back), bucket id a deterministic
-        # content hash of the quantized vector — same vector, same
-        # bucket on every run/engine, so capped runs are reproducible
+        # assignment, broadcast back); bucket id = the first
+        # ceil(log2(n_sub)) SIGN BITS of the deterministic hyperplane
+        # projections (near-parallel pairs co-bucket with ~0.9/bit,
+        # see docstring) — same vector, same bucket on every
+        # run/engine, so capped runs are reproducible.  16 planes cap
+        # the split at 65536 buckets per cluster.
+        from topic_store_spark.operators.similarity import lsh_bucket_key
+
+        dim = len(centroids.select(vec_col).first()[0])
         sizes = assigned.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("_csize")
         )
-        assigned = assigned.join(F.broadcast(sizes), "cluster_id").withColumn(
-            "_sub",
-            F.pmod(
-                F.hash(F.col("c_qv")),
-                F.greatest(
-                    F.ceil(F.col("_csize") / max_cluster_size).cast("int"),
-                    F.lit(1),
-                ),
-            ),
+        n_sub = F.greatest(
+            F.ceil(F.col("_csize") / max_cluster_size), F.lit(1)
+        ).cast("double")
+        b_bits = F.ceil(F.log2(n_sub)).cast("int")
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster_id")
+            .withColumn("_bits", lsh_bucket_key(F.col("c_qv"), 16, dim))
+            .withColumn("_sub", F.substring("_bits", F.lit(1), b_bits))
+            .drop("_bits", "_csize")
         )
         join_keys = ["cluster_id", "_sub"]
     left = assigned.select(
