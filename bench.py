@@ -51,6 +51,7 @@ def main() -> None:
         # was host noise, so the 64m setting (which broadcast-protects
         # larger dims at bigger SFs) stays.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -184,7 +185,12 @@ def main() -> None:
             "identical HEAD variants interleaved) put pure host/JVM "
             "noise at ~0.4-0.6s steady-state spread on 2.9s queries; "
             "any cross-round per-query delta inside that band is host, "
-            "not code."
+            "not code.  Per-query numbers also carry SHARED-SESSION "
+            "JVM context (heap/GC/code-cache load of the other 49 "
+            "queries): r12 receipt — dedup_word_overlap min 2.88s in a "
+            "solo session under this exact protocol vs 4.4-4.5s "
+            "in-suite.  Compare numbers only within the same protocol "
+            "and suite composition."
         ),
         "queries": timings,
         "medians": medians,

@@ -127,6 +127,7 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

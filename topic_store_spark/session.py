@@ -62,6 +62,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # r12: the default 100-entry whole-stage-codegen class cache
+        # thrashes under any multi-query workload — 50 distinct queries
+        # generate far more codegen units, so every execution re-ran
+        # janino compilation for every stage.  Measured: the word-overlap
+        # carrier 5.72s -> 2.76s min in a 14-query session from this
+        # alone (matching its solo-session 2.88s).  5000 cached classes
+        # is a few hundred MB of driver/executor metaspace at worst —
+        # nothing against a 100 TB workload's compile churn.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
     )
