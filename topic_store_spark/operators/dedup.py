@@ -316,12 +316,14 @@ def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
 #: exact verify rejects everything the cuts would have pruned.  Flipped
 #: only by tools/ab_bench.py to measure the cuts' real effect
 #: interleaved in one session.  Production default True is EVIDENCED
-#: (r12): on the near-dup-rich replica corpus — high candidate density,
-#: where prefix filtering is supposed to pay — the interleaved A/B
-#: stamped ppjoin_on_faster (median 8.92s vs 9.87s, delta 0.96s above
-#: the 0.89s steady spread; BENCH_AB_ppjoin_neardup.json).  On the
-#: sparse registry fixture the delta stays inside noise
-#: (BENCH_AB.json: unresolved), i.e. the cuts cost nothing there.
+#: (r12, re-stamped under the codegen-cache-fixed protocol): on the
+#: near-dup-rich replica corpus — high candidate density, where prefix
+#: filtering is supposed to pay — the interleaved A/B stamped
+#: ppjoin_on_faster (median 10.13s vs 11.27s, delta 1.14s above the
+#: 1.08s steady spread; BENCH_AB_ppjoin_neardup.json; the pre-fix run
+#: stamped the same verdict at 8.92 vs 9.87).  On the sparse registry
+#: fixture the delta stays inside noise (BENCH_AB.json: unresolved),
+#: i.e. the cuts cost nothing there.
 PPJOIN_CUTS = True
 
 
