@@ -80,8 +80,10 @@ def main() -> None:
         "",
         "## The sf1 outlier: dedup_semantic (expected, and now valved)",
         "",
-        "dedup_semantic's growth dominates the table (r12 measurement: "
-        "1.5s at sf0.1 -> 56s at sf1, ~37x on 10x data) and is the "
+        "dedup_semantic's growth dominates the table (r12 measurement "
+        "under the codegen-cache-fixed protocol: 1.5s at sf0.1 -> 76s "
+        "at sf1, ~50x on 10x data; the pre-fix sweep measured 56s) and "
+        "is the "
         "SemDeDup pair-space law, not an engine defect: within-cluster "
         "pairs are quadratic in cluster size, and the carrier holds the "
         "centroid count FIXED at 8 while the corpus grows — so "
