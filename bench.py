@@ -204,26 +204,44 @@ def main() -> None:
     # bench (tools/ab_bench.py writes it; absent file = no claim).
     # r11 ADVICE: a receipt produced under OLDER code must not travel
     # with a new bench as if it validated HEAD — ab_bench stamps
-    # git_rev, and a mismatch against the rev bench.py runs at is
-    # marked stale in place (kept for provenance, flagged for readers).
+    # git_rev, and the receipt is marked stale when any MEASURED
+    # surface (package, entry, bench harnesses) changed between that
+    # rev and the rev this bench runs at.  Doc/artifact-only commits
+    # do not invalidate a timing receipt (r12: strict rev equality
+    # false-alarmed on every post-stamp docs commit); an unknown rev
+    # or a failed diff still marks stale — fail toward honesty.
     try:
         with open(os.path.join(_REPO, "BENCH_AB.json")) as fh:
             ab = json.load(fh)
-        try:
-            import subprocess
+        import subprocess
 
-            head = subprocess.run(
-                ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+        def _git(*args):
+            return subprocess.run(
+                ["git", "-C", _REPO, *args],
                 capture_output=True, text=True, timeout=10,
             ).stdout.strip()
-        except Exception:  # noqa: BLE001
-            head = ""
-        if head and ab.get("git_rev") != head:
+
+        try:
+            head = _git("rev-parse", "--short", "HEAD")
+            rev = ab.get("git_rev", "")
+            changed: str | None = None
+            if head and rev and rev != "unknown":
+                changed = _git(
+                    "diff", "--name-only", f"{rev}..HEAD", "--",
+                    "topic_store_spark", "__spark_entry__.py",
+                    "bench.py", "tools/ab_bench.py",
+                )
+        except Exception:  # noqa: BLE001 - diff failure -> stale
+            head, rev, changed = "", "", None
+        if not (head and rev and rev != "unknown" and (
+                rev == head or changed == "")):
             ab["stale"] = True
             ab["stale_note"] = (
-                f"receipt stamped at rev {ab.get('git_rev', 'unstamped')} "
-                f"but this bench ran at {head}; re-run tools/ab_bench.py "
-                "before citing it for HEAD"
+                f"receipt stamped at rev {ab.get('git_rev', 'unstamped')}; "
+                f"this bench ran at {head or 'unknown'} and a measured "
+                "surface changed in between (or the diff could not be "
+                "checked); re-run tools/ab_bench.py before citing it "
+                "for HEAD"
             )
         detail["ab"] = ab
     except (OSError, ValueError):
