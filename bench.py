@@ -16,6 +16,61 @@ import sys
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Files whose change invalidates an A/B timing receipt.  Doc/artifact
+# commits do not (r12: strict rev equality false-alarmed on every
+# post-stamp docs commit).
+_MEASURED_SURFACE = (
+    "topic_store_spark", "__spark_entry__.py", "bench.py",
+    "tools/ab_bench.py",
+)
+
+
+def mark_receipt_stale_if_surface_changed(ab: dict, repo: str) -> None:
+    """Mark an ab_bench receipt stale unless it provably validates HEAD.
+
+    r11 ADVICE: a receipt produced under OLDER code must not travel with
+    a new bench as if it validated HEAD — ab_bench stamps git_rev, and
+    the receipt is marked stale when any MEASURED surface (package,
+    entry, bench harnesses) changed between that rev and the tree this
+    bench runs in.  r12 ADVICE hardening: a failed git command (unknown
+    rev -> exit 128, empty stdout) must NOT read as "no change", and the
+    diff runs against the WORKING TREE so uncommitted edits to a
+    measured surface invalidate a receipt exactly like committed ones.
+    Any ambiguity fails toward stale.
+    """
+    import subprocess
+
+    def _git(*args):
+        proc = subprocess.run(
+            ["git", "-C", repo, *args],
+            capture_output=True, text=True, timeout=10,
+        )
+        if proc.returncode != 0:
+            return None
+        return proc.stdout.strip()
+
+    try:
+        head = _git("rev-parse", "--short", "HEAD")
+        rev = ab.get("git_rev", "")
+        changed: str | None = None
+        if head and rev and rev != "unknown":
+            # diff REV against the WORKING TREE (not rev..HEAD):
+            # uncommitted edits count too.
+            changed = _git(
+                "diff", "--name-only", rev, "--", *_MEASURED_SURFACE,
+            )
+    except Exception:  # noqa: BLE001 - diff failure -> stale
+        head, rev, changed = "", "", None
+    if not (head and rev and rev != "unknown" and changed == ""):
+        ab["stale"] = True
+        ab["stale_note"] = (
+            f"receipt stamped at rev {ab.get('git_rev', 'unstamped')}; "
+            f"this bench ran at {head or 'unknown'} and a measured "
+            "surface changed in between (or the diff could not be "
+            "checked); re-run tools/ab_bench.py before citing it "
+            "for HEAD"
+        )
 sys.path.insert(0, _REPO)
 
 # Since round 4 the bench covers EVERY registered query — the registry is
@@ -202,47 +257,10 @@ def main() -> None:
     }
     # fold in the latest interleaved A/B receipt so it travels with the
     # bench (tools/ab_bench.py writes it; absent file = no claim).
-    # r11 ADVICE: a receipt produced under OLDER code must not travel
-    # with a new bench as if it validated HEAD — ab_bench stamps
-    # git_rev, and the receipt is marked stale when any MEASURED
-    # surface (package, entry, bench harnesses) changed between that
-    # rev and the rev this bench runs at.  Doc/artifact-only commits
-    # do not invalidate a timing receipt (r12: strict rev equality
-    # false-alarmed on every post-stamp docs commit); an unknown rev
-    # or a failed diff still marks stale — fail toward honesty.
     try:
         with open(os.path.join(_REPO, "BENCH_AB.json")) as fh:
             ab = json.load(fh)
-        import subprocess
-
-        def _git(*args):
-            return subprocess.run(
-                ["git", "-C", _REPO, *args],
-                capture_output=True, text=True, timeout=10,
-            ).stdout.strip()
-
-        try:
-            head = _git("rev-parse", "--short", "HEAD")
-            rev = ab.get("git_rev", "")
-            changed: str | None = None
-            if head and rev and rev != "unknown":
-                changed = _git(
-                    "diff", "--name-only", f"{rev}..HEAD", "--",
-                    "topic_store_spark", "__spark_entry__.py",
-                    "bench.py", "tools/ab_bench.py",
-                )
-        except Exception:  # noqa: BLE001 - diff failure -> stale
-            head, rev, changed = "", "", None
-        if not (head and rev and rev != "unknown" and (
-                rev == head or changed == "")):
-            ab["stale"] = True
-            ab["stale_note"] = (
-                f"receipt stamped at rev {ab.get('git_rev', 'unstamped')}; "
-                f"this bench ran at {head or 'unknown'} and a measured "
-                "surface changed in between (or the diff could not be "
-                "checked); re-run tools/ab_bench.py before citing it "
-                "for HEAD"
-            )
+        mark_receipt_stale_if_surface_changed(ab, _REPO)
         detail["ab"] = ab
     except (OSError, ValueError):
         pass
