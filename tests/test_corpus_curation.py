@@ -624,3 +624,58 @@ def test_sampling_report_matches_composed_operators(spark):
     a = sorted((tuple(r) for r in fused.collect()), key=str)
     b = sorted((tuple(r) for r in composed.collect()), key=str)
     assert a == b and len(a) > 5
+
+
+def test_sampling_report_integer_strata_canonicalized_to_string(spark):
+    """r12 ADVICE: the report canonicalizes strata/subkey to string;
+    composing the operators on a NON-STRING strata column must match
+    after the documented cast-to-string on each rollup's strata key."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.corpus import (
+        mixture_sample,
+        sampling_report,
+        stratified_split,
+        temperature_sample,
+    )
+
+    rows = [(i, [10, 20, 30][i % 3], i % 4) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, src_id int, lang_id int")
+    weights = {10: 0.9, 30: 0.4}  # weights key on the NATIVE domain values
+    fused = sampling_report(
+        docs, weights, domain_col="src_id", split_strata_col="lang_id")
+    assert dict(fused.dtypes)["strata"] == "string"
+    assert dict(fused.dtypes)["subkey"] == "string"
+
+    def rollup(kind, df_in, strata_col):
+        return (
+            df_in.groupBy(F.col(strata_col).cast("string").alias("strata"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .select(
+                F.lit(kind).alias("kind"), "strata",
+                F.lit("kept").alias("subkey"), "n_docs", "min_doc", "max_doc",
+            )
+        )
+
+    composed = (
+        rollup("mixture", mixture_sample(docs, weights, domain_col="src_id"),
+               "src_id")
+        .unionByName(
+            stratified_split(docs, strata_col="lang_id").select(
+                F.lit("split").alias("kind"),
+                F.col("strata").cast("string").alias("strata"),
+                F.col("split").alias("subkey"), "n_docs", "min_doc", "max_doc",
+            )
+        )
+        .unionByName(
+            rollup("temperature",
+                   temperature_sample(docs, strata_col="src_id"), "src_id")
+        )
+    )
+    a = sorted((tuple(r) for r in fused.collect()), key=str)
+    b = sorted((tuple(r) for r in composed.collect()), key=str)
+    assert a == b and len(a) > 5

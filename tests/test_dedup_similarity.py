@@ -1171,3 +1171,26 @@ def test_semantic_dedup_max_cluster_size_valve(spark):
     assert (0, 1) not in capped, "straddling pair must be the recall cost"
     assert (10, 11) in capped, "co-bucketed pair must survive"
     assert pairs(max_cluster_size=4) == capped  # deterministic re-run
+
+
+def test_semantic_dedup_valve_empty_centroids(spark):
+    """r12 ADVICE: with max_cluster_size set, an EMPTY centroid
+    relation must degrade to the same empty pair set as the uncapped
+    path — not TypeError on the first()->None dim probe."""
+    from topic_store_spark.operators.dedup import (
+        release_pair_caches,
+        semantic_cluster_dedup,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cen = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    try:
+        uncapped = semantic_cluster_dedup(emb, cen).collect()
+        capped = semantic_cluster_dedup(emb, cen, max_cluster_size=4).collect()
+    finally:
+        release_pair_caches()
+        spark.catalog.clearCache()
+    assert uncapped == [] and capped == []

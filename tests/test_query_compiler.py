@@ -2917,11 +2917,33 @@ def test_strip_physical_sort_edges():
     for consumer in ({"$limit": 3}, {"$skip": 2}):
         sub = [m, srt, consumer]
         assert _strip_physical_sort(sub) == sub
-    # $sortByCount -> internal grouping-only stage
-    assert _strip_physical_sort([m, {"$sortByCount": "$a"}]) == [
-        m, {"$_countByValue": "$a"}]
+    # $sortByCount -> internal grouping-only stage, spec wrapped in the
+    # compiler-private marker (r12 ADVICE: the bare stage name must not
+    # be constructible from user JSON)
+    from topic_store_spark.query.pipeline import _InternalSpec
+
+    stripped = _strip_physical_sort([m, {"$sortByCount": "$a"}])
+    assert stripped[0] == m and list(stripped[1]) == ["$_countByValue"]
+    assert isinstance(stripped[1]["$_countByValue"], _InternalSpec)
+    assert stripped[1]["$_countByValue"].spec == "$a"
     # a grouping stage after the sort blocks the walk (sort feeds it)
     sub = [srt, {"$group": {"_id": "$a"}}]
     assert _strip_physical_sort(sub) == sub
     # no sort at all: unchanged
     assert _strip_physical_sort([m]) == [m]
+
+
+def test_user_supplied_countbyvalue_rejected(spark):
+    """r12 ADVICE: $_countByValue is compiler-internal; a user pipeline
+    containing the bare name must error like any unknown stage, not
+    silently compile as an unsorted $sortByCount."""
+    import pytest as _pytest
+
+    from topic_store_spark.query.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], "a int")
+    with _pytest.raises(ValueError, match=r"unsupported pipeline stage"):
+        apply_pipeline(df, [{"$_countByValue": "$a"}])
+    # the public stage still works, sorted
+    out = apply_pipeline(df, [{"$sortByCount": "$a"}]).collect()
+    assert [(r["_id"], r["count"]) for r in out] == [(1, 2), (2, 1)]

@@ -419,6 +419,17 @@ def sampling_report(
     identical to composing the three operators and unioning their
     rollups, which is exactly how the driver oracle states it.
 
+    ``strata`` and ``subkey`` are canonicalized to STRING in the output
+    (r12 ADVICE): the report mixes ``domain_col`` and
+    ``split_strata_col`` strata in one column, so a single common type
+    is required — and string is the only one that is well-defined for
+    every input pairing.  When composing the three operators yourself
+    for comparison, cast each rollup's strata key to string before the
+    union (a non-string strata, e.g. an integer lang id, otherwise
+    yields a long column where this operator yields its string form).
+    Pinned for an integer strata column in
+    tests/test_corpus_curation.py.
+
     Scale shape (r12 Exchange diet): composing the three operators
     scans the corpus FOUR times (mixture, split, temperature's stratum
     counts, temperature's filter) and shuffles four rollups; all three

@@ -1240,21 +1240,27 @@ def semantic_cluster_dedup(
         # the split at 65536 buckets per cluster.
         from topic_store_spark.operators.similarity import lsh_bucket_key
 
-        dim = len(centroids.select(vec_col).first()[0])
-        sizes = assigned.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("_csize")
-        )
-        n_sub = F.greatest(
-            F.ceil(F.col("_csize") / max_cluster_size), F.lit(1)
-        ).cast("double")
-        b_bits = F.ceil(F.log2(n_sub)).cast("int")
-        assigned = (
-            assigned.join(F.broadcast(sizes), "cluster_id")
-            .withColumn("_bits", lsh_bucket_key(F.col("c_qv"), 16, dim))
-            .withColumn("_sub", F.substring("_bits", F.lit(1), b_bits))
-            .drop("_bits", "_csize")
-        )
-        join_keys = ["cluster_id", "_sub"]
+        # r12 ADVICE: an empty centroid relation means an empty
+        # assignment — skip the sub-split (the dim probe would be
+        # first() -> None) so the capped path degrades to the same
+        # empty pair set the uncapped path returns.
+        dim_row = centroids.select(vec_col).first()
+        dim = len(dim_row[0]) if dim_row and dim_row[0] is not None else 0
+        if dim > 0:
+            sizes = assigned.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("_csize")
+            )
+            n_sub = F.greatest(
+                F.ceil(F.col("_csize") / max_cluster_size), F.lit(1)
+            ).cast("double")
+            b_bits = F.ceil(F.log2(n_sub)).cast("int")
+            assigned = (
+                assigned.join(F.broadcast(sizes), "cluster_id")
+                .withColumn("_bits", lsh_bucket_key(F.col("c_qv"), 16, dim))
+                .withColumn("_sub", F.substring("_bits", F.lit(1), b_bits))
+                .drop("_bits", "_csize")
+            )
+            join_keys = ["cluster_id", "_sub"]
     left = assigned.select(
         F.col("c_id").alias("a_id"), F.col("c_qv").alias("a_qv"),
         F.col("c_n").alias("a_n"), *join_keys,

@@ -3239,9 +3239,26 @@ def _strip_physical_sort(sub: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if op == "$sort":
             return out[:i] + out[i + 1:]
         if op == "$sortByCount":
-            return out[:i] + [{"$_countByValue": out[i][op]}] + out[i + 1:]
+            return (
+                out[:i]
+                + [{"$_countByValue": _InternalSpec(out[i][op])}]
+                + out[i + 1:]
+            )
         break
     return out
+
+
+class _InternalSpec:
+    """Marker wrapper for compiler-injected stage specs (r12 ADVICE):
+    ``$_countByValue`` is private to :func:`_strip_physical_sort`, and a
+    user-supplied JSON pipeline can never construct this Python object —
+    so the dispatch can tell an injected stage from a leaked stage name
+    and reject the latter like any other unknown stage."""
+
+    __slots__ = ("spec",)
+
+    def __init__(self, spec: Any) -> None:
+        self.spec = spec
 
 
 def _struct_comparator(order: list[tuple[str, int]]):
@@ -4155,7 +4172,15 @@ def apply_pipeline(
             # $_countByValue is INTERNAL: $sortByCount minus the
             # physical sort, substituted by _strip_physical_sort inside
             # $facet / uncorrelated $lookup sub-pipelines where the
-            # post-collect array_sort reimposes the order anyway
+            # post-collect array_sort reimposes the order anyway.
+            # It is only accepted via the _InternalSpec marker the
+            # compiler injects — the bare name in a user pipeline is an
+            # unknown stage (r12 ADVICE: it silently compiled as an
+            # unsorted $sortByCount).
+            if op == "$_countByValue":
+                if not isinstance(spec, _InternalSpec):
+                    raise ValueError(f"unsupported pipeline stage: {op}")
+                spec = spec.spec
             field = spec[1:] if isinstance(spec, str) and spec.startswith("$") else spec
             out = out.groupBy(path_col(field).alias("_id")).agg(
                 F.count(F.lit(1)).alias("count")
