@@ -40,3 +40,22 @@ def test_measurement_docs_pin_their_regeneration_tools():
         assert os.path.basename(tool) in text, (
             f"{doc} does not name its regeneration tool {tool}"
         )
+
+
+def test_ppjoin_prose_quotes_the_on_disk_receipt():
+    """r13 rule (VERDICT r12 #4): perf prose quotes RECEIPTS, never run
+    logs.  COVERAGE.md's PPJoin bullet must carry the medians from the
+    committed BENCH_AB_ppjoin_neardup.json — a re-stamp without a
+    re-quote is exactly the drift r12 shipped."""
+    import json
+
+    with open(os.path.join(REPO, "BENCH_AB_ppjoin_neardup.json")) as fh:
+        ab = json.load(fh)
+    on = ab["variants"]["ppjoin_on"]["median"]
+    off = ab["variants"]["ppjoin_off"]["median"]
+    text = open(os.path.join(REPO, "COVERAGE.md")).read()
+    want = f"median {on:.2f}s vs {off:.2f}s"
+    assert want in text, (
+        f"COVERAGE.md PPJoin prose does not quote the receipt ({want!r});"
+        " re-quote BENCH_AB_ppjoin_neardup.json after re-stamping"
+    )
