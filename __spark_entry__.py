@@ -1949,17 +1949,44 @@ def q_corpus_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-shaped semantic dedup: broadcast centroid assignment
-    into 8 clusters, then within-cluster quantized-cosine pairs >= 0.95
-    (cluster-keyed join — pair space sum(|cluster|^2), not n^2)."""
-    from topic_store_spark.operators.dedup import semantic_cluster_dedup
+    """SemDeDup-shaped semantic dedup, one tagged union (r13 carries the
+    scale valve into the oracle): (a) ``uncapped`` — broadcast centroid
+    assignment into 8 clusters, then within-cluster quantized-cosine
+    pairs >= 0.95 (cluster-keyed join — pair space sum(|cluster|^2),
+    not n^2); (b) ``capped`` — the same relation under
+    ``max_cluster_size=32``: clusters above the cap are
+    deterministically sub-split on the first ceil(log2(|c|/32))
+    hyperplane SIGN BITS of the quantized vector, so pairs generate
+    within a (cluster, sub-bucket) and per-bucket pair space shrinks
+    ~quadratically.  This is the fixed-centroid-set regime's safety
+    valve: SCALING.md r12 measured the UNCAPPED fixed-k=8 law at 50x
+    work on 10x data (sum(|c|^2) blowup); the capped branch is the
+    configuration a 100 TB run with a frozen centroid artifact would
+    carry.  The sub-split is hash-free and deterministic (md5-derived
+    hyperplane weights), hence DuckDB-expressible — the recall trade
+    (a near-dup pair straddling a chosen plane is dropped, P(miss)
+    ~= 1 - 0.9^bits) is pinned by
+    tests/test_dedup_similarity.py::test_semantic_dedup_max_cluster_size_valve;
+    (c) ``bucket_audit`` — the capped assignment's per-(cluster,
+    sub-bucket) occupancy histogram (operators/dedup.py
+    semantic_bucket_audit).  The surviving 0.95-pairs here are all
+    exact clones, which co-bucket under ANY sign function — the audit
+    branch is what actually certifies the hyperplane sub-bucket keys
+    cross-engine (one wrong sign bit on any vector shifts two
+    counts).
+
+    Runs through the FUSED ``semantic_dedup_report`` (r13): all three
+    branches read ONE persisted assignment, so the corpus is assigned
+    and shuffled once instead of once per branch; row-identical to
+    the composed three-operator form (pinned by test), which is how
+    the oracle states it."""
+    from topic_store_spark.operators.dedup import semantic_dedup_report
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     clone = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     both = emb.unionByName(clone)
-    return semantic_cluster_dedup(
-        both, centroids=emb.filter(F.col("vec_id") < 8)
-    )
+    cen = emb.filter(F.col("vec_id") < 8)
+    return semantic_dedup_report(both, centroids=cen, max_cluster_size=32)
 
 
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,15 +2087,27 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot skew beyond a single document's length.  The remaining
     at-scale Exchanges are vocabulary-side only (term/bg/first-word
     rollups derived from already-aggregated relations —
-    operators/corpus.py r11)."""
+    operators/corpus.py r11).
+
+    r13 Exchange diet: the r11 design assumed the cache's hash(doc_id)
+    partitioning was visible downstream, but under Spark 4 a cached
+    plan reports UNKNOWN partitioning until its own AQE plan finalizes
+    (the r12 discovery), so both branches' per-doc NLL rollups were
+    still drawing their own doc exchanges at runtime.
+    ``expose_cached_partitioning`` on the pinned relation finalizes it
+    once; the per-doc rollups then inherit hash(doc) exchange-free —
+    pinned static==runtime in tests/test_plan_audit.py."""
     from pyspark import StorageLevel
 
     from topic_store_spark.functions.text import tokens
     from topic_store_spark.operators.corpus import bigram_logprob, unigram_logprob
-    from topic_store_spark.operators.util import hash_partition
+    from topic_store_spark.operators.util import (
+        expose_cached_partitioning,
+        hash_partition,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tk = (
+    tk = expose_cached_partitioning(
         hash_partition(docs, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2109,15 +2148,21 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id; the target slice is a filter of the same cache, so the
     corpus is scanned/tokenized once instead of three times, and the
     (doc, bucket) tf rollup + per-doc weight rollup inherit hash(doc)
-    and need no exchange."""
+    and need no exchange — which requires the cache's partitioning to
+    be VISIBLE (r13: ``expose_cached_partitioning``; see the
+    perplexity carrier's docstring for the Spark 4 cached-plan
+    rationale)."""
     from pyspark import StorageLevel
 
     from topic_store_spark.functions.text import tokens
     from topic_store_spark.operators.corpus import importance_resample
-    from topic_store_spark.operators.util import hash_partition
+    from topic_store_spark.operators.util import (
+        expose_cached_partitioning,
+        hash_partition,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    tk = (
+    tk = expose_cached_partitioning(
         hash_partition(docs, "doc_id")
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -2341,8 +2386,8 @@ sig AS (
 )"""
 
 
-def _hyperplane_proj_sql(p: int) -> str:
-    """Hyperplane projection for plane ``p`` over ``embedding`` —
+def _hyperplane_proj_sql(p: int, col: str = "embedding") -> str:
+    """Hyperplane projection for plane ``p`` over ``col`` —
     weight_i = hexint(md5('p:i')[0:4])/65536 - 0.5, folding left over
     index order (same operand order as Spark's F.aggregate => identical
     IEEE doubles)."""
@@ -2352,15 +2397,15 @@ def _hyperplane_proj_sql(p: int) -> str:
     )
     return (
         "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(0, 64), i -> CAST(embedding[i + 1] AS DOUBLE) * {w})), "
+        f"list_transform(range(0, 64), i -> CAST({col}[i + 1] AS DOUBLE) * {w})), "
         "(a, b) -> a + b)"
     )
 
 
-def _hyperplane_sign_sql(p: int) -> str:
+def _hyperplane_sign_sql(p: int, col: str = "embedding") -> str:
     """Sign bit of the plane-``p`` projection (identical doubles =>
     identical sign bits cross-engine)."""
-    return f"CASE WHEN {_hyperplane_proj_sql(p)} >= 0 THEN '1' ELSE '0' END"
+    return f"CASE WHEN {_hyperplane_proj_sql(p, col)} >= 0 THEN '1' ELSE '0' END"
 
 _INT_DOT = (
     "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
@@ -3905,6 +3950,12 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         SELECT 'n_docs', strata, 0, CAST(n_docs AS BIGINT) FROM pct
     """
 
+    # the valve's sub-bucket key: first b_bits chars of the 16-plane
+    # sign pattern over the QUANTIZED vector (operators/dedup.py
+    # semantic_cluster_dedup max_cluster_size path)
+    _bits16 = "concat(" + ", ".join(
+        _hyperplane_sign_sql(p, "a.c_qv") for p in range(16)
+    ) + ")"
     sql["dedup_semantic"] = (
         """
         WITH corpus AS (
@@ -3936,6 +3987,19 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
             FROM n0 c CROSS JOIN cen
           ) WHERE rn = 1
         ),
+        sizes AS (
+          SELECT cluster_id,
+                 CAST(ceil(log2(greatest(ceil(count(*) / 32), 1)))
+                      AS INT) AS b_bits
+          FROM assigned GROUP BY cluster_id
+        ),
+        subbed AS (
+          SELECT a.c_id, a.c_qv, a.c_n, a.cluster_id,
+                 substr("""
+        + _bits16
+        + """, 1, s.b_bits) AS sub
+          FROM assigned a JOIN sizes s USING (cluster_id)
+        ),
         pairs AS (
           SELECT a.cluster_id, a.c_id AS a_id, b.c_id AS b_id,
                  """
@@ -3943,13 +4007,37 @@ WHERE len([i for i in range(1, 33) if a_sim[i] <> b_sim[i]]) <= 3
         + """ AS dot, a.c_n AS a_n, b.c_n AS b_n
           FROM assigned a JOIN assigned b
             ON a.cluster_id = b.cluster_id AND a.c_id < b.c_id
+        ),
+        pairs_c AS (
+          SELECT a.cluster_id, a.c_id AS a_id, b.c_id AS b_id,
+                 """
+        + _INT_DOT.format(a="a.c_qv", b="b.c_qv")
+        + """ AS dot, a.c_n AS a_n, b.c_n AS b_n
+          FROM subbed a JOIN subbed b
+            ON a.cluster_id = b.cluster_id AND a.sub = b.sub
+               AND a.c_id < b.c_id
         )
-        SELECT cluster_id, a_id, b_id,
-               dot / sqrt(CAST(a_n * b_n AS DOUBLE)) AS cosine_q
+        SELECT 'uncapped' AS variant, cluster_id, a_id, b_id,
+               dot / sqrt(CAST(a_n * b_n AS DOUBLE)) AS cosine_q,
+               CAST(NULL AS VARCHAR) AS sub, CAST(NULL AS BIGINT) AS n_vec
         FROM pairs
         WHERE dot > 0
           AND CAST(dot AS HUGEINT) * dot * 10000
               >= CAST(a_n AS HUGEINT) * b_n * 9025
+        UNION ALL
+        SELECT 'capped' AS variant, cluster_id, a_id, b_id,
+               dot / sqrt(CAST(a_n * b_n AS DOUBLE)) AS cosine_q,
+               CAST(NULL AS VARCHAR) AS sub, CAST(NULL AS BIGINT) AS n_vec
+        FROM pairs_c
+        WHERE dot > 0
+          AND CAST(dot AS HUGEINT) * dot * 10000
+              >= CAST(a_n AS HUGEINT) * b_n * 9025
+        UNION ALL
+        SELECT 'bucket_audit' AS variant, cluster_id,
+               CAST(NULL AS BIGINT) AS a_id, CAST(NULL AS BIGINT) AS b_id,
+               CAST(NULL AS DOUBLE) AS cosine_q,
+               sub, count(*) AS n_vec
+        FROM subbed GROUP BY cluster_id, sub
     """
     )
 

@@ -1173,6 +1173,70 @@ def test_semantic_dedup_max_cluster_size_valve(spark):
     assert pairs(max_cluster_size=4) == capped  # deterministic re-run
 
 
+def test_semantic_dedup_report_matches_composed(spark):
+    """r13 fused semantic_dedup_report == union of
+    semantic_cluster_dedup (uncapped), semantic_cluster_dedup (capped)
+    and semantic_bucket_audit, row for row — one assignment pass
+    instead of three."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.dedup import (
+        release_pair_caches,
+        semantic_bucket_audit,
+        semantic_cluster_dedup,
+        semantic_dedup_report,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(60):
+        base = rng.randn(8)
+        rows.append((i, [float(x) for x in base]))
+        if i % 3 == 0:  # a close partner => real near-dup pairs
+            rows.append((1000 + i, [float(x) for x in base + 1e-3]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cen = emb.filter(F.col("vec_id") < 3)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    try:
+        fused = canon(
+            semantic_dedup_report(emb, cen, max_cluster_size=8)
+        )
+        nul = [
+            F.lit(None).cast("string").alias("sub"),
+            F.lit(None).cast("long").alias("n_vec"),
+        ]
+        full = semantic_cluster_dedup(emb, cen)
+        capped = semantic_cluster_dedup(emb, cen, max_cluster_size=8)
+        audit = semantic_bucket_audit(emb, cen, max_cluster_size=8)
+        composed = canon(
+            full.select(F.lit("uncapped").alias("variant"), "*", *nul)
+            .unionByName(
+                capped.select(F.lit("capped").alias("variant"), "*", *nul)
+            )
+            .unionByName(
+                audit.select(
+                    F.lit("bucket_audit").alias("variant"),
+                    "cluster_id",
+                    F.lit(None).cast("long").alias("a_id"),
+                    F.lit(None).cast("long").alias("b_id"),
+                    F.lit(None).cast("double").alias("cosine_q"),
+                    "sub",
+                    F.col("n_vec").cast("long").alias("n_vec"),
+                )
+            )
+        )
+    finally:
+        release_pair_caches()
+        spark.catalog.clearCache()
+    assert fused == composed and len(fused) > 20
+
+
 def test_semantic_dedup_valve_empty_centroids(spark):
     """r12 ADVICE: with max_cluster_size set, an EMPTY centroid
     relation must degrade to the same empty pair set as the uncapped

@@ -1928,3 +1928,150 @@ def test_find_dialect_in_subpipelines_matches_reference(spark):
                     failures.append((trial, q, d["_id"], got_arr, want_arr))
                     break
     assert not failures, failures[:3]
+
+
+# -- harness 44 (r13, VERDICT r12 #5): $jsonSchema and $expr compiled
+# INSIDE $facet / $lookup sub-pipelines BELOW a $project/$addFields that
+# reshapes the struct.  The jsonSchema compiler's static struct-field
+# reasoning (additionalProperties:false enumerates the struct; missing
+# paths resolve to typed NULL) must reason over the RESHAPED schema the
+# sub-pipeline stage produced, not the source table's.
+
+
+def _reshape(rng):
+    """One struct-reshaping stage + its dict-level reference apply +
+    the post-reshape field->fuzztype map (for schema generation)."""
+    from tests.test_value_expr_fuzz import _m_eval
+
+    base = {"a": "int", "b": "float", "c": "str", "d": "arr"}
+    kind = rng.randrange(4)
+    if kind == 0:
+        # new computed field (long-typed)
+        e = rng.choice(["$a", {"$add": ["$a", 1]}, {"$multiply": ["$a", "$a"]}])
+        stage = {"$addFields": {"e": e}}
+
+        def apply(d, _e=e):
+            d2 = dict(d)
+            d2["e"] = _m_eval(d, _e)
+            return d2
+
+        return stage, apply, {**base, "e": "int"}
+    if kind == 1:
+        # overwrite: a becomes b's DOUBLE (type change under same name)
+        stage = {"$addFields": {"a": "$b"}}
+
+        def apply(d):
+            d2 = dict(d)
+            d2["a"] = d.get("b")
+            return d2
+
+        return stage, apply, {**base, "a": "float"}
+    if kind == 2:
+        # inclusion projection: struct narrows to _id + a subset —
+        # additionalProperties:false must enumerate ONLY the survivors
+        keep = rng.sample(list(base), rng.randint(1, 3))
+        stage = {"$project": {"_id": 1, **{f: 1 for f in keep}}}
+
+        def apply(d, _keep=tuple(keep)):
+            return {"_id": d["_id"], **{f: d.get(f) for f in _keep}}
+
+        return stage, apply, {f: base[f] for f in keep}
+    # exclusion projection: drop 1-2 fields, keep the rest
+    drop = rng.sample(list(base), rng.randint(1, 2))
+    stage = {"$project": {f: 0 for f in drop}}
+
+    def apply(d, _drop=tuple(drop)):
+        return {k: v for k, v in d.items() if k not in _drop}
+
+    return stage, apply, {f: t for f, t in base.items() if f not in drop}
+
+
+def _reshaped_js_schema(rng, fields):
+    """_js_schema over the post-reshape field set (the generator reads
+    the module-global FIELDS; scope it)."""
+    import tests.test_find_fuzz as ffz
+
+    old = ffz.FIELDS
+    ffz.FIELDS = fields
+    try:
+        return ffz._js_schema(rng)
+    finally:
+        ffz.FIELDS = old
+
+
+def _expr_over(rng, fields):
+    """Comparison $expr over the reshaped NUMERIC fields (falls back to
+    _id, which every reshape keeps)."""
+    nums = [f for f, t in fields.items() if t in ("int", "float")] or ["_id"]
+
+    def operand():
+        r = rng.random()
+        if r < 0.5:
+            return "$" + rng.choice(nums)
+        if r < 0.75:
+            return rng.randint(-3, 8)
+        return {"$add": ["$" + rng.choice(nums), rng.randint(-2, 2)]}
+
+    op = rng.choice(["$gt", "$lt", "$gte", "$lte", "$eq", "$ne"])
+    return {op: [operand(), operand()]}
+
+
+def test_jsonschema_expr_after_subpipeline_reshape_matches_reference(spark):
+    from tests.test_find_fuzz import _docs as _dialect_docs
+    from tests.test_find_fuzz import _js_ok
+    from tests.test_value_expr_fuzz import _m_eval, _truthy
+
+    rng = random.Random(0x44E5A9E)
+    docs = _dialect_docs(rng, 40)
+    FSCHEMA = "_id long, a long, b double, c string, d array<long>"
+    cols = ["_id", "a", "b", "c", "d"]
+    df = spark.createDataFrame([tuple(d[k] for k in cols) for d in docs],
+                               FSCHEMA)
+    fdocs = [dict(d, _id=d["_id"] + 1000) for d in _dialect_docs(rng, 25)]
+    fdf = spark.createDataFrame([tuple(f[k] for k in cols) for f in fdocs],
+                                FSCHEMA)
+    tables = {"other": fdf}
+
+    def canon_rows(rows, fields):
+        keys = ["_id", *fields]
+        return _canon([{k: r.get(k) for k in keys} for r in rows])
+
+    failures = []
+    for trial in range(40):
+        stage, apply_ref, fields = _reshape(rng)
+        if trial % 2 == 0:
+            match = {"$jsonSchema": _reshaped_js_schema(rng, fields)}
+
+            def keeps(d2, _m=match):
+                return _js_ok(d2, _m["$jsonSchema"])
+        else:
+            match = {"$expr": _expr_over(rng, fields)}
+
+            def keeps(d2, _m=match):
+                return _truthy(_m_eval(d2, _m["$expr"]))
+        sub = [stage, {"$match": match}]
+        if trial % 4 < 2:
+            # $facet branch
+            got = (apply_pipeline(df, [{"$facet": {"f": sub}}], tables)
+                   .collect()[0].asDict(recursive=True))
+            want = [apply_ref(d) for d in docs]
+            want = [d2 for d2 in want if keeps(d2)]
+            g = canon_rows(got["f"], fields)
+            w = canon_rows(want, fields)
+            if g != w:
+                failures.append((trial, sub, g[:3], w[:3]))
+        else:
+            # uncorrelated $lookup sub-pipeline
+            pipe = [{"$lookup": {"from": "other", "pipeline": sub,
+                                 "as": "m"}}]
+            rows = apply_pipeline(df, pipe, tables).collect()
+            want = [apply_ref(f) for f in fdocs]
+            want_arr = canon_rows([d2 for d2 in want if keeps(d2)], fields)
+            for r in rows[:3]:
+                got_arr = canon_rows(
+                    [m.asDict(recursive=True) for m in (r["m"] or [])],
+                    fields)
+                if got_arr != want_arr:
+                    failures.append((trial, sub, got_arr[:3], want_arr[:3]))
+                    break
+    assert not failures, failures[:3]

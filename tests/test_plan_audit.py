@@ -71,7 +71,9 @@ import pytest
 @pytest.mark.parametrize(
     "query,at_scale_bar",
     [
-        ("unigram_perplexity", 6),   # r10 VERDICT #3 bar
+        ("unigram_perplexity", 5),   # r13: explicit vocab broadcast
+        #  keeps the streamed tf side hash(doc) -> the per-doc
+        #  rollup exchange died (was 6 since r10)
         ("importance_resample", 4),  # r11 doc-partitioned tokenize pass
     ],
 )
@@ -193,6 +195,9 @@ Arguments: d
         ("dedup_paragraph", 3),   # fp rollup, doc reassembly, totals join
         ("corpus_lengths", 2),    # histogram rollup + one percentile window
         ("salient_terms", 3),     # (doc,term) rollup, term pin, doc window
+        ("dedup_semantic", 2),    # r13 fused report: assignment rollup +
+        #  cluster-pinned repartition; pair joins and bucket audit all
+        #  inherit hash(cluster) (was 7 at-scale in the unfused form)
     ],
 )
 def test_r12_diet_carriers_static_bounds_runtime(spark, query, at_scale_bar):

@@ -6,7 +6,7 @@ this tool is the soak that walks new ones.
 
     python tools/fuzz_marathon.py [rounds] [start]   # defaults 10, 1
 
-Each round runs all forty-three harnesses (value expressions, long-tail
+Each round runs all forty-four harnesses (value expressions, long-tail
 ops, find dialect x4 incl. the ragged resolver and the $jsonSchema
 sweep, projections, the nine pipeline families incl. the r9
 $redact-$$DESCEND / $graphLookup references and the r10 $merge
@@ -15,7 +15,10 @@ writer surface, the r11 $facet/$unionWith/$documents sub-pipeline
 compositions — whose construction immediately caught the $count
 empty-input bug — and the r12 full-find-dialect-inside-$facet/$lookup
 joint harness (dialect $matches compiled under sub-pipeline scoping,
-the physical-sort strip, and collect+array_sort reassembly) — the r10 text repetition-signal reference driven
+the physical-sort strip, and collect+array_sort reassembly), plus the
+r13 $jsonSchema/$expr-below-reshape harness ($project/$addFields
+reshapes the struct ABOVE the schema predicate, exercising the static
+closed-document enumeration against the reshaped field set) — the r10 text repetition-signal reference driven
 through the text_profile carrier itself, and the r10 OPERATOR
 references: the dedup family x4 — overlap pairs via BOTH physical
 plans, exact groups, substring spans, paragraph dedup — connected
@@ -123,6 +126,8 @@ def main() -> int:
         ("pipe_subpipes", pf.test_facet_union_documents_match_reference),
         ("pipe_find_in_subpipes",
          pf.test_find_dialect_in_subpipelines_matches_reference),
+        ("pipe_schema_reshape",
+         pf.test_jsonschema_expr_after_subpipeline_reshape_matches_reference),
         ("text", tf.test_text_profile_matches_reference),
         ("dedup_pairs", ddf.test_overlap_pairs_match_reference),
         ("dedup_exact", ddf.test_exact_dedup_matches_reference),

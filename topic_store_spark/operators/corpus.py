@@ -936,8 +936,18 @@ def unigram_logprob(
         .cast("long")
         .alias("lp_milli"),
     )
+    # EXPLICIT broadcast of the vocabulary side (r13): left to its own
+    # stats the static planner picked BuildLeft — broadcasting the
+    # CORPUS-SIZED (doc, term) tf relation and streaming the vocab —
+    # which is backwards at any real scale AND makes the streamed
+    # side's hash(term) partitioning reach the per-doc rollup, costing
+    # a doc exchange the cached hash(doc) input had already paid for.
+    # lp is bounded by the vocabulary; if a web-scale vocabulary
+    # outgrows broadcast, drop the hint and accept the term-keyed
+    # shuffle join plus the per-doc exchange — that regime pays two
+    # exchanges no matter the build side.
     return (
-        tf.join(lp, "term")
+        tf.join(F.broadcast(lp), "term")
         .groupBy("doc")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),

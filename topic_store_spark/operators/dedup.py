@@ -58,6 +58,8 @@ from topic_store_spark.operators.util import (
     cache_scope as pair_cache_scope,
     ensure_parallelism,
     explode_nonempty,
+    expose_cached_partitioning,
+    hash_partition,
     persist_tracked as _persist_tracked,
     release_tracked_caches as release_pair_caches,
 )
@@ -1083,72 +1085,25 @@ def connected_components(
     ).select("node", F.coalesce("root", "node").alias("component"))
 
 
-def semantic_cluster_dedup(
+def _semantic_assignment(
     df: DataFrame,
     centroids: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    threshold_num: int = 95,
-    threshold_den: int = 100,
-    n_probe: int = 1,
-    probe_eps: float = 0.05,
-    max_cluster_size: int | None = None,
-) -> DataFrame:
-    """SemDeDup-shaped semantic deduplication: broadcast centroid
-    assignment partitions the corpus into clusters, near-dup pairs are
-    generated ONLY within a cluster (cluster-keyed equi-join), and each
-    candidate is verified with the exact cross-multiplied
-    quantized-cosine threshold.
-
-    The 100 TB shape of semantic dedup: pair space falls from n^2 to
-    sum(|cluster|^2), assignment is one broadcast pass (centroid count is
-    small by construction), and the only shuffle keys on cluster id.
-
-    That pair space is quadratic IN THE CLUSTER SIZE, so the centroid
-    count must grow with the corpus (SemDeDup's own regime: k ~ n /
-    target_cluster_size).  Measured on the r12 sf1 fixture: holding
-    k=8 fixed while the corpus grew 10x took the carrier from 1.5s to
-    56s — the sum(|c|^2) blowup, not an engine defect.  When the
-    centroid set CANNOT scale (it is often a fixed model artifact),
-    ``max_cluster_size`` is the safety valve: clusters above the cap
-    are deterministically sub-split into ~ceil(|c|/cap) buckets (next
-    power of two) and pairs generate within a (cluster, bucket), so
-    per-bucket pair space shrinks ~quadratically and the job degrades
-    gracefully instead of melting.  The bucket key is NOT a content
-    hash — a hash sends a 0.95-cosine pair to the same bucket with
-    probability only 1/n_sub — but the first ``b = ceil(log2(n_sub))``
-    sign bits of the deterministic hyperplane projections shared with
-    ``lsh_ann_neighbors``: near-parallel vectors agree per plane with
-    p ~= 1 - theta/pi (~0.90 at the 0.95 threshold), so a true
-    near-dup pair lands together with ~0.9^b instead of 1/2^b — the
-    standard cosine-LSH argument.  Trades, stated honestly: recall is
-    probabilistic (P(miss) ~= 1 - 0.9^b per near-dup pair in an
-    oversized cluster), and the bound is expected-case (sign buckets
-    are uneven; a cluster of IDENTICAL vectors stays one bucket — run
-    exact dedup first, its pairs are inherently quadratic).  The same
-    honest knob as the text family's ``max_shingle_freq``:
-    correctness-exact runs leave it None, web-scale runs with frozen
-    centroids set it to the largest size one task's pair scan absorbs.
-    Setting it runs one eager driver probe of the SMALL centroid
-    relation (vector dimension for the plane weights).
-
-    Recall caveat of ``n_probe=1`` (any single-assignment scheme): a
-    near-dup pair split across two clusters is missed — near-identical
-    vectors have near-identical centroid affinities, so the failure mode
-    is an affinity near-tie at a cluster boundary.  ``n_probe=2`` is the
-    standard fix: a vector is ALSO assigned to its runner-up centroid
-    when that affinity is within ``probe_eps`` (relative) of the best,
-    and the pair set is deduplicated (a pair found in two shared
-    clusters reports its smallest discovering cluster).  Cost: the
-    assignment aggregate carries the per-vector centroid list through
-    the shuffle (n x |centroids| rows instead of n) plus boundary
-    vectors joining in two clusters — pay it when boundary recall
-    matters more than the pair-space saving.
-
-    Deterministic end-to-end (md5-free: affinity ranking uses exact
-    integer dots with ``cen_id`` tie-break), so the SQL oracle reproduces
-    the exact pair set.
-    """
+    vec_col: str,
+    id_col: str,
+    n_probe: int,
+    probe_eps: float,
+    max_cluster_size: int | None,
+):
+    """Shared centroid-assignment relation for the semantic-dedup
+    family: quantize, broadcast-assign each vector to its best centroid
+    (or ``n_probe`` near-tie centroids), persist, and — when the
+    ``max_cluster_size`` valve is on — attach the deterministic
+    hyperplane-sign sub-bucket key.  Returns ``(assigned, join_keys)``
+    where ``assigned`` has columns ``c_id, c_qv, c_n, cluster_id``
+    (plus ``_sub`` when sub-split) and ``join_keys`` is the pair-join
+    key list.  Factored out of :func:`semantic_cluster_dedup` (r13) so
+    :func:`semantic_bucket_audit` exposes the exact same sub-bucket
+    assignment the pair join uses."""
     from topic_store_spark.operators.similarity import _quantized
 
     cen = _quantized(centroids, id_col, vec_col, "cen")
@@ -1224,12 +1179,13 @@ def semantic_cluster_dedup(
                 F.col("p.cen_id").alias("cluster_id"),
             )
         )
-    # both sides of the pair join consume the assignment — materialize it
-    # once (same tracked lifecycle as minhash_lsh_pairs' persist; see
-    # release_pair_caches)
-    assigned = _persist_tracked(assigned)
     join_keys = ["cluster_id"]
     if max_cluster_size is not None:
+        # the size rollup and the dim probe both read the raw
+        # assignment before the sub-split reshapes it — pin it (same
+        # tracked lifecycle as minhash_lsh_pairs' persist; see
+        # release_pair_caches)
+        assigned = _persist_tracked(assigned)
         # sub-split oversized clusters: bucket count from the cluster's
         # own size (a tiny per-centroid rollup off the pinned
         # assignment, broadcast back); bucket id = the first
@@ -1250,17 +1206,144 @@ def semantic_cluster_dedup(
             sizes = assigned.groupBy("cluster_id").agg(
                 F.count(F.lit(1)).alias("_csize")
             )
-            n_sub = F.greatest(
-                F.ceil(F.col("_csize") / max_cluster_size), F.lit(1)
-            ).cast("double")
-            b_bits = F.ceil(F.log2(n_sub)).cast("int")
-            assigned = (
-                assigned.join(F.broadcast(sizes), "cluster_id")
-                .withColumn("_bits", lsh_bucket_key(F.col("c_qv"), 16, dim))
-                .withColumn("_sub", F.substring("_bits", F.lit(1), b_bits))
-                .drop("_bits", "_csize")
+            # r13: each sign bit is a 16-fold higher-order projection
+            # PER ROW — compute only the planes any cluster can use.
+            # The size rollup is bounded by the centroid count (same
+            # budget as the centroid collects), so the driver reads it
+            # once off the pinned assignment: max_bits =
+            # ceil(log2(ceil(max|c|/cap))), clamped to the 16-plane /
+            # 65536-bucket ceiling.  Prefixes are unchanged (plane p's
+            # bit never depends on the plane count), so capped outputs
+            # are identical to the all-16-planes form — measured r13:
+            # the capped sf0.1 carrier branch 3.7s -> ~2s.
+            size_rows = sizes.collect()
+            max_sub = max(
+                (
+                    max(-(-r["_csize"] // max_cluster_size), 1)
+                    for r in size_rows
+                ),
+                default=1,
             )
-            join_keys = ["cluster_id", "_sub"]
+            max_bits = min((max_sub - 1).bit_length(), 16)
+            if max_bits > 0:
+                n_sub = F.greatest(
+                    F.ceil(F.col("_csize") / max_cluster_size), F.lit(1)
+                ).cast("double")
+                b_bits = F.least(
+                    F.ceil(F.log2(n_sub)).cast("int"), F.lit(16)
+                )
+                assigned = (
+                    assigned.join(F.broadcast(sizes), "cluster_id")
+                    .withColumn(
+                        "_bits", lsh_bucket_key(F.col("c_qv"), max_bits, dim)
+                    )
+                    .withColumn("_sub", F.substring("_bits", F.lit(1), b_bits))
+                    .drop("_bits", "_csize")
+                )
+                join_keys = ["cluster_id", "_sub"]
+    # r13: the FINAL assignment (post-sub-split) is pinned
+    # HASH-PARTITIONED BY CLUSTER with its AQE plan finalized — both
+    # sides of every pair self-join (hash(cluster) is a subset of the
+    # (cluster, _sub) join keys, the same rule doc-keyed rollups ride)
+    # and the bucket-audit rollup then inherit the partitioning with
+    # NO further exchange.  One corpus-scale repartition buys every
+    # downstream consumer; without it each pair join shuffled BOTH
+    # sides per branch (measured in the r13 fused-report plan: 7
+    # at-scale exchanges -> 3).  Sign bits are computed once into the
+    # cache, not once per consumer.
+    assigned = expose_cached_partitioning(
+        _persist_tracked(hash_partition(assigned, "cluster_id"))
+    )
+    return assigned, join_keys
+
+
+def semantic_cluster_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+    n_probe: int = 1,
+    probe_eps: float = 0.05,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: broadcast centroid
+    assignment partitions the corpus into clusters, near-dup pairs are
+    generated ONLY within a cluster (cluster-keyed equi-join), and each
+    candidate is verified with the exact cross-multiplied
+    quantized-cosine threshold.
+
+    The 100 TB shape of semantic dedup: pair space falls from n^2 to
+    sum(|cluster|^2), assignment is one broadcast pass (centroid count is
+    small by construction), and the only shuffle keys on cluster id.
+
+    That pair space is quadratic IN THE CLUSTER SIZE, so the centroid
+    count must grow with the corpus (SemDeDup's own regime: k ~ n /
+    target_cluster_size).  Measured on the r12 sf1 fixture: holding
+    k=8 fixed while the corpus grew 10x took the carrier from 1.5s to
+    56s — the sum(|c|^2) blowup, not an engine defect.  When the
+    centroid set CANNOT scale (it is often a fixed model artifact),
+    ``max_cluster_size`` is the safety valve: clusters above the cap
+    are deterministically sub-split into ~ceil(|c|/cap) buckets (next
+    power of two) and pairs generate within a (cluster, bucket), so
+    per-bucket pair space shrinks ~quadratically and the job degrades
+    gracefully instead of melting.  The bucket key is NOT a content
+    hash — a hash sends a 0.95-cosine pair to the same bucket with
+    probability only 1/n_sub — but the first ``b = ceil(log2(n_sub))``
+    sign bits of the deterministic hyperplane projections shared with
+    ``lsh_ann_neighbors``: near-parallel vectors agree per plane with
+    p ~= 1 - theta/pi (~0.90 at the 0.95 threshold), so a true
+    near-dup pair lands together with ~0.9^b instead of 1/2^b — the
+    standard cosine-LSH argument.  Trades, stated honestly: recall is
+    probabilistic (P(miss) ~= 1 - 0.9^b per near-dup pair in an
+    oversized cluster), and the bound is expected-case (sign buckets
+    are uneven; a cluster of IDENTICAL vectors stays one bucket — run
+    exact dedup first, its pairs are inherently quadratic).  The same
+    honest knob as the text family's ``max_shingle_freq``:
+    correctness-exact runs leave it None, web-scale runs with frozen
+    centroids set it to the largest size one task's pair scan absorbs.
+    Setting it runs one eager driver probe of the SMALL centroid
+    relation (vector dimension for the plane weights).
+
+    Recall caveat of ``n_probe=1`` (any single-assignment scheme): a
+    near-dup pair split across two clusters is missed — near-identical
+    vectors have near-identical centroid affinities, so the failure mode
+    is an affinity near-tie at a cluster boundary.  ``n_probe=2`` is the
+    standard fix: a vector is ALSO assigned to its runner-up centroid
+    when that affinity is within ``probe_eps`` (relative) of the best,
+    and the pair set is deduplicated (a pair found in two shared
+    clusters reports its smallest discovering cluster).  Cost: the
+    assignment aggregate carries the per-vector centroid list through
+    the shuffle (n x |centroids| rows instead of n) plus boundary
+    vectors joining in two clusters — pay it when boundary recall
+    matters more than the pair-space saving.
+
+    Deterministic end-to-end (md5-free: affinity ranking uses exact
+    integer dots with ``cen_id`` tie-break), so the SQL oracle reproduces
+    the exact pair set.
+    """
+    assigned, join_keys = _semantic_assignment(
+        df, centroids, vec_col, id_col, n_probe, probe_eps, max_cluster_size
+    )
+    return _pairs_within(
+        assigned, join_keys, threshold_num, threshold_den, n_probe
+    )
+
+
+def _pairs_within(
+    assigned: DataFrame,
+    join_keys: list[str],
+    threshold_num: int,
+    threshold_den: int,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Within-group near-dup pairs off a (persisted) assignment
+    relation: self-join on ``join_keys``, exact cross-multiplied
+    quantized-cosine threshold.  Factored out of
+    :func:`semantic_cluster_dedup` (r13) so
+    :func:`semantic_dedup_report` generates both the capped and the
+    uncapped pair sets from ONE assignment pass."""
     left = assigned.select(
         F.col("c_id").alias("a_id"), F.col("c_qv").alias("a_qv"),
         F.col("c_n").alias("a_n"), *join_keys,
@@ -1304,6 +1387,99 @@ def semantic_cluster_dedup(
             F.first("cosine_q").alias("cosine_q"),
         ).select("cluster_id", "a_id", "b_id", "cosine_q")
     return pairs
+
+
+def semantic_dedup_report(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold_num: int = 95,
+    threshold_den: int = 100,
+    max_cluster_size: int = 32,
+) -> DataFrame:
+    """Fused semantic-dedup audit: ONE centroid assignment pass feeds
+    (a) the exact ``uncapped`` within-cluster pair set, (b) the
+    ``capped`` pair set under the ``max_cluster_size`` hyperplane
+    sub-split valve, and (c) the ``bucket_audit`` per-(cluster, sub)
+    occupancy histogram — row-identical to composing
+    :func:`semantic_cluster_dedup` (with and without the cap) and
+    :func:`semantic_bucket_audit`, which is how the driver oracle
+    states it (equality pinned in tests/test_dedup_similarity.py).
+
+    Scale shape (r13): the composed form pays THREE corpus-scale
+    assignment aggregations (one per operator call — each is a
+    map-collapsed n-row exchange); all three branches here read the
+    SAME persisted, sub-bucketed assignment, so the corpus is
+    assigned and shuffled once.  The uncapped branch simply ignores
+    the ``_sub`` key.  Sub-bucket prefix semantics and the recall
+    trade are documented on :func:`semantic_cluster_dedup`.
+    """
+    assigned, join_keys = _semantic_assignment(
+        df, centroids, vec_col, id_col, 1, 0.05, max_cluster_size
+    )
+    full = _pairs_within(assigned, ["cluster_id"], threshold_num, threshold_den)
+    capped = _pairs_within(assigned, join_keys, threshold_num, threshold_den)
+    sub = F.col("_sub") if "_sub" in assigned.columns else F.lit("")
+    audit = (
+        assigned.groupBy("cluster_id", sub.alias("sub"))
+        .agg(F.count(F.lit(1)).alias("n_vec"))
+    )
+    nul = [
+        F.lit(None).cast("string").alias("sub"),
+        F.lit(None).cast("long").alias("n_vec"),
+    ]
+    return (
+        full.select(F.lit("uncapped").alias("variant"), "*", *nul)
+        .unionByName(
+            capped.select(F.lit("capped").alias("variant"), "*", *nul)
+        )
+        .unionByName(
+            audit.select(
+                F.lit("bucket_audit").alias("variant"),
+                "cluster_id",
+                F.lit(None).cast("long").alias("a_id"),
+                F.lit(None).cast("long").alias("b_id"),
+                F.lit(None).cast("double").alias("cosine_q"),
+                "sub",
+                F.col("n_vec").cast("long").alias("n_vec"),
+            )
+        )
+    )
+
+
+def semantic_bucket_audit(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+    probe_eps: float = 0.05,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Per-(cluster, sub-bucket) occupancy rollup of the EXACT
+    assignment relation :func:`semantic_cluster_dedup` joins pairs on —
+    same :func:`_semantic_assignment`, same persisted relation shape.
+
+    Why it exists (r13): the ``max_cluster_size`` sub-split is
+    deterministic (hyperplane sign bits over the quantized vector), so
+    an external engine can recompute every vector's bucket — but the
+    pair output alone cannot certify the bucket keys when the only
+    surviving near-dup pairs are identical vectors (identical vectors
+    co-bucket under ANY sign function).  This audit exposes the full
+    occupancy histogram: one wrong sign bit anywhere moves a vector
+    between buckets and shifts two counts.  Returns
+    ``(cluster_id, sub, n_vec)`` with ``sub = ''`` when the valve is
+    off or no cluster exceeds the cap.
+    """
+    assigned, join_keys = _semantic_assignment(
+        df, centroids, vec_col, id_col, n_probe, probe_eps, max_cluster_size
+    )
+    sub = F.col("_sub") if "_sub" in assigned.columns else F.lit("")
+    return (
+        assigned.groupBy("cluster_id", sub.alias("sub"))
+        .agg(F.count(F.lit(1)).alias("n_vec"))
+    )
 
 
 def exact_duplicates_incremental(
