@@ -1986,7 +1986,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     both = emb.unionByName(clone)
     cen = emb.filter(F.col("vec_id") < 8)
-    return semantic_dedup_report(both, centroids=cen, max_cluster_size=32)
+    return semantic_dedup_report(
+        both, centroids=cen, max_cluster_size=32, dim=64
+    )
 
 
 def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

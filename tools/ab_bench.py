@@ -38,6 +38,12 @@ Experiments:
   measured "delta" is pure host/JVM noise, and the stamped spread is
   the definitive floor under which any future cross-round claim on that
   query is noise, not code (r11 VERDICT #4).
+* ``fastexpr:<query>`` — r13 unrolled codegen vector expressions
+  (similarity.FAST_EXPR) on/off on any registry query.
+* ``pairbarrier:<query>`` — r13 pair-verify evaluate-once Generate
+  barrier (operators.util.PROJECT_ONCE_BARRIER) on/off: OFF restores
+  the r12 plans whose join conditions re-evaluate the verify
+  expression per reference.
 
 ``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
 bench.py); other experiments write BENCH_AB_<name>.json
@@ -148,6 +154,36 @@ def main() -> int:
             },
         }
         fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("fastexpr:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import similarity
+
+        exp = {
+            "label": ("r13 unrolled codegen vector expressions "
+                      "(similarity.FAST_EXPR) on vs off (r12 "
+                      "higher-order-function forms)"),
+            "variants": {
+                "fast_on": lambda: setattr(similarity, "FAST_EXPR", True),
+                "fast_off": lambda: setattr(similarity, "FAST_EXPR", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("pairbarrier:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import util as op_util
+
+        exp = {
+            "label": ("r13 pair-verify evaluate-once Generate barrier "
+                      "(util.PROJECT_ONCE_BARRIER) on vs off (r12 "
+                      "join-condition-inlined plans)"),
+            "variants": {
+                "barrier_on": lambda: setattr(
+                    op_util, "PROJECT_ONCE_BARRIER", True),
+                "barrier_off": lambda: setattr(
+                    op_util, "PROJECT_ONCE_BARRIER", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
     elif experiment == "ppjoin_neardup":
         replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
         work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
@@ -243,7 +279,12 @@ def main() -> int:
             samples[name].append(round(sec, 3))
             print(f"# {name}: {sec:.2f}s", file=sys.stderr)
     # restore production defaults no matter which variant ran last
+    from topic_store_spark.operators import similarity as _sim
+    from topic_store_spark.operators import util as _op_util
+
     dedup.PPJOIN_CUTS = True
+    _sim.FAST_EXPR = True
+    _op_util.PROJECT_ONCE_BARRIER = True
     spark.conf.set(_FLOOR, "64k")
 
     def stats(s: list[float]) -> dict:

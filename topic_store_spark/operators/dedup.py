@@ -61,6 +61,7 @@ from topic_store_spark.operators.util import (
     expose_cached_partitioning,
     hash_partition,
     persist_tracked as _persist_tracked,
+    project_once,
     release_tracked_caches as release_pair_caches,
 )
 
@@ -138,12 +139,13 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame) -> DataFrame:
         F.col("shs").alias("b_shs"),
         F.size("shs").alias("b_sz"),
     )
-    return (
-        candidates.join(a, "a_doc")
-        .join(b, "b_doc")
-        .withColumn("common", F.size(F.array_intersect("a_shs", "b_shs")))
-        .withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
-    )
+    joined = candidates.join(a, "a_doc").join(b, "b_doc")
+    # project_once: the threshold filter downstream would otherwise be
+    # pushed into the join condition with the array_intersect inlined
+    # 3x per candidate pair (r13 plan audit)
+    return project_once(
+        joined, common=F.size(F.array_intersect("a_shs", "b_shs"))
+    ).withColumn("union_sz", F.col("a_sz") + F.col("b_sz") - F.col("common"))
 
 
 def _jaccard_out(pairs: DataFrame, threshold_num: int, threshold_den: int) -> DataFrame:
@@ -446,12 +448,12 @@ def _verify_candidates(docs: DataFrame, cands: DataFrame) -> DataFrame:
         F.col("ss").alias("b_ss"),
         F.col("sz").alias("b_sz"),
     )
-    return (
-        cands.join(a, "a_doc")
-        .join(b, "b_doc")
-        .withColumn("common", F.size(F.array_intersect("a_ss", "b_ss")))
-        .select("a_doc", "b_doc", "common", "a_sz", "b_sz")
-    )
+    joined = cands.join(a, "a_doc").join(b, "b_doc")
+    # project_once: keep the downstream threshold filter from inlining
+    # the intersection into the join condition (3x per pair otherwise)
+    return project_once(
+        joined, common=F.size(F.array_intersect("a_ss", "b_ss"))
+    ).select("a_doc", "b_doc", "common", "a_sz", "b_sz")
 
 
 def ngram_jaccard_pairs(
@@ -813,13 +815,42 @@ def embedding_dup_pairs_lsh(
     (call with different plane seeds and union).  Everything is
     deterministic md5-derived, so the SQL oracle reproduces the exact
     pair set."""
-    from topic_store_spark.operators.similarity import lsh_bucket_key
+    from topic_store_spark.operators.similarity import (
+        FAST_EXPR,
+        lsh_bucket_key,
+        lsh_bucket_key_sql,
+    )
 
-    q = ensure_parallelism(df).select(
-        F.col(id_col).alias("vid"),
-        quantize_vector(F.col(vec_col)).alias("qv"),
-        lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
-    ).withColumn("nrm", int_self_dot(F.col("qv")))
+    if FAST_EXPR:
+        # r13: single-SQL-string builds of quantize / self-dot /
+        # sign pattern (the identical HOF folds — see
+        # functions/vectors.py); qv staged once instead of the inline
+        # form's three quantize evaluations per row
+        from topic_store_spark.functions.vectors import (
+            int_dot_sql,
+            int_self_dot_sql,
+            quantize_sql,
+        )
+
+        q = ensure_parallelism(df).select(
+            F.col(id_col).alias("vid"),
+            F.expr(quantize_sql(f"`{vec_col}`")).alias("qv"),
+            F.expr(lsh_bucket_key_sql(f"`{vec_col}`", planes, dim)).alias(
+                "bucket"
+            ),
+        ).withColumn("nrm", F.expr(int_self_dot_sql("`qv`")))
+        dot = F.expr(int_dot_sql("`a_qv`", "`b_qv`"))
+    else:
+        q = ensure_parallelism(df).select(
+            F.col(id_col).alias("vid"),
+            quantize_vector(F.col(vec_col)).alias("qv"),
+            lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
+        ).withColumn("nrm", int_self_dot(F.col("qv")))
+        dot = F.aggregate(
+            F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
     left = q.select(
         F.col("vid").alias("a_id"), F.col("qv").alias("a_qv"),
         F.col("nrm").alias("a_n"), "bucket",
@@ -828,16 +859,12 @@ def embedding_dup_pairs_lsh(
         F.col("vid").alias("b_id"), F.col("qv").alias("b_qv"),
         F.col("nrm").alias("b_n"), "bucket",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     dec = "decimal(38,0)"
     return (
-        left.join(right, "bucket")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
+        project_once(
+            left.join(right, "bucket").filter(F.col("a_id") < F.col("b_id")),
+            dot=dot,
+        )
         .filter(
             (F.col("dot") > 0)
             & (
@@ -907,9 +934,10 @@ def embedding_dup_pairs(
     )
     dec = "decimal(38,0)"
     pairs = (
-        left.crossJoin(right)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
+        project_once(
+            left.crossJoin(right).filter(F.col("a_id") < F.col("b_id")),
+            dot=dot,
+        )
         .filter(
             (F.col("dot") > 0)
             & (
@@ -1093,6 +1121,7 @@ def _semantic_assignment(
     n_probe: int,
     probe_eps: float,
     max_cluster_size: int | None,
+    dim: int | None = None,
 ):
     """Shared centroid-assignment relation for the semantic-dedup
     family: quantize, broadcast-assign each vector to its best centroid
@@ -1104,19 +1133,12 @@ def _semantic_assignment(
     key list.  Factored out of :func:`semantic_cluster_dedup` (r13) so
     :func:`semantic_bucket_audit` exposes the exact same sub-bucket
     assignment the pair join uses."""
-    from topic_store_spark.operators.similarity import _quantized
+    from topic_store_spark.operators.similarity import _int_dot, _quantized
 
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(ensure_parallelism(df), id_col, vec_col, "c")
 
-    def _dot(a: str, b: str):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    aff = _dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+    aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     scored = c.crossJoin(F.broadcast(cen)).withColumn("aff", aff)
     if n_probe <= 1:
         # argmax via max(struct) instead of a row_number window: the
@@ -1199,10 +1221,16 @@ def _semantic_assignment(
         # r12 ADVICE: an empty centroid relation means an empty
         # assignment — skip the sub-split (the dim probe would be
         # first() -> None) so the capped path degrades to the same
-        # empty pair set the uncapped path returns.
-        dim_row = centroids.select(vec_col).first()
-        dim = len(dim_row[0]) if dim_row and dim_row[0] is not None else 0
-        if dim > 0:
+        # empty pair set the uncapped path returns.  r13: a caller-pinned
+        # ``dim`` skips the eager first() probe outright (one less
+        # driver job in the build path); empty centroids then degrade
+        # through the size rollup instead (no cluster -> no sub-split).
+        if dim is not None:
+            vdim = dim
+        else:
+            dim_row = centroids.select(vec_col).first()
+            vdim = len(dim_row[0]) if dim_row and dim_row[0] is not None else 0
+        if vdim > 0:
             sizes = assigned.groupBy("cluster_id").agg(
                 F.count(F.lit(1)).alias("_csize")
             )
@@ -1235,7 +1263,9 @@ def _semantic_assignment(
                 assigned = (
                     assigned.join(F.broadcast(sizes), "cluster_id")
                     .withColumn(
-                        "_bits", lsh_bucket_key(F.col("c_qv"), max_bits, dim)
+                        # string-form column ref -> the unrolled codegen
+                        # sign-pattern under FAST_EXPR (same bits)
+                        "_bits", lsh_bucket_key("c_qv", max_bits, vdim)
                     )
                     .withColumn("_sub", F.substring("_bits", F.lit(1), b_bits))
                     .drop("_bits", "_csize")
@@ -1267,6 +1297,7 @@ def semantic_cluster_dedup(
     n_probe: int = 1,
     probe_eps: float = 0.05,
     max_cluster_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: broadcast centroid
     assignment partitions the corpus into clusters, near-dup pairs are
@@ -1324,7 +1355,8 @@ def semantic_cluster_dedup(
     the exact pair set.
     """
     assigned, join_keys = _semantic_assignment(
-        df, centroids, vec_col, id_col, n_probe, probe_eps, max_cluster_size
+        df, centroids, vec_col, id_col, n_probe, probe_eps, max_cluster_size,
+        dim,
     )
     return _pairs_within(
         assigned, join_keys, threshold_num, threshold_den, n_probe
@@ -1352,16 +1384,19 @@ def _pairs_within(
         F.col("c_id").alias("b_id"), F.col("c_qv").alias("b_qv"),
         F.col("c_n").alias("b_n"), *join_keys,
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a_qv"), F.col("b_qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    # the pair-verify dot runs once per CANDIDATE PAIR — the hottest
+    # expression in the semantic family; staged through project_once so
+    # the threshold filter cannot inline it into the join condition
+    # (the before-plan evaluated the fold 4x per pair)
+    from topic_store_spark.operators.similarity import _int_dot
+
+    dot = _int_dot("a_qv", "b_qv")
     dec = "decimal(38,0)"
     pairs = (
-        left.join(right, join_keys)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
+        project_once(
+            left.join(right, join_keys).filter(F.col("a_id") < F.col("b_id")),
+            dot=dot,
+        )
         .filter(
             (F.col("dot") > 0)
             & (
@@ -1397,6 +1432,7 @@ def semantic_dedup_report(
     threshold_num: int = 95,
     threshold_den: int = 100,
     max_cluster_size: int = 32,
+    dim: int | None = None,
 ) -> DataFrame:
     """Fused semantic-dedup audit: ONE centroid assignment pass feeds
     (a) the exact ``uncapped`` within-cluster pair set, (b) the
@@ -1416,7 +1452,7 @@ def semantic_dedup_report(
     trade are documented on :func:`semantic_cluster_dedup`.
     """
     assigned, join_keys = _semantic_assignment(
-        df, centroids, vec_col, id_col, 1, 0.05, max_cluster_size
+        df, centroids, vec_col, id_col, 1, 0.05, max_cluster_size, dim
     )
     full = _pairs_within(assigned, ["cluster_id"], threshold_num, threshold_den)
     capped = _pairs_within(assigned, join_keys, threshold_num, threshold_den)
@@ -1456,6 +1492,7 @@ def semantic_bucket_audit(
     n_probe: int = 1,
     probe_eps: float = 0.05,
     max_cluster_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-(cluster, sub-bucket) occupancy rollup of the EXACT
     assignment relation :func:`semantic_cluster_dedup` joins pairs on —
@@ -1473,7 +1510,8 @@ def semantic_bucket_audit(
     off or no cluster exceeds the cap.
     """
     assigned, join_keys = _semantic_assignment(
-        df, centroids, vec_col, id_col, n_probe, probe_eps, max_cluster_size
+        df, centroids, vec_col, id_col, n_probe, probe_eps, max_cluster_size,
+        dim,
     )
     sub = F.col("_sub") if "_sub" in assigned.columns else F.lit("")
     return (

@@ -20,17 +20,61 @@
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from topic_store_spark.functions.vectors import int_self_dot, quantize_vector
+from topic_store_spark.functions.vectors import (
+    int_dot_sql,
+    int_self_dot_sql,
+    int_self_dot,
+    quantize_sql,
+    quantize_vector,
+)
+
+#: r13 optimization-round switch for the SQL-string expression builds
+#: (one F.expr/py4j round trip per composite vector expression instead
+#: of dozens of Column calls — build-time only, the parsed tree is the
+#: identical HOF fold) and the staged evaluate-once projections that
+#: ride them (quantize computed 1x per row instead of 3x).  OFF
+#: restores the r12 inline-Column plans — the toggle exists for
+#: `tools/ab_bench.py` interleaved A/B receipts (the PPJOIN_CUTS
+#: pattern).  Results are identical either way (same expressions;
+#: oracle-checked).
+FAST_EXPR = True
 
 
-def _quantized(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return df.select(
+def _q(name: str) -> str:
+    """Backtick-quote a column name for the SQL-string builders."""
+    return f"`{name}`"
+
+
+def _quantized(
+    df: DataFrame, id_col: str, vec_col: str, prefix: str
+) -> DataFrame:
+    """``(id, qv, n)`` quantized view.  With FAST_EXPR the quantized
+    array is STAGED in its own projection and the self-dot reads the
+    staged column — the inline form re-evaluates the quantize transform
+    three times per row (once for qv, twice inside the self-dot fold)
+    because higher-order functions get no subexpression elimination and
+    CollapseProject happily inlines the alias.  (Staging holds: the
+    alias is referenced 3x and the transform is non-cheap, so the two
+    Projects do NOT collapse.)"""
+    if not FAST_EXPR:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            quantize_vector(F.col(vec_col)).alias(f"{prefix}_qv"),
+            int_self_dot(quantize_vector(F.col(vec_col))).alias(f"{prefix}_n"),
+        )
+    staged = df.select(
         F.col(id_col).alias(f"{prefix}_id"),
-        quantize_vector(F.col(vec_col)).alias(f"{prefix}_qv"),
-        int_self_dot(quantize_vector(F.col(vec_col))).alias(f"{prefix}_n"),
+        F.expr(quantize_sql(_q(vec_col))).alias(f"{prefix}_qv"),
+    )
+    return staged.select(
+        f"{prefix}_id",
+        f"{prefix}_qv",
+        F.expr(int_self_dot_sql(_q(f"{prefix}_qv"))).alias(f"{prefix}_n"),
     )
 
 
@@ -47,11 +91,7 @@ def topk_neighbors(
     per-query TopK, which survives any corpus size."""
     q = _quantized(queries, id_col, vec_col, "q")
     c = _quantized(corpus, id_col, vec_col, "c")
-    dot = F.aggregate(
-        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = _int_dot("q_qv", "c_qv")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
@@ -97,11 +137,7 @@ def topk_neighbors_partial(
     """
     q = _quantized(queries, id_col, vec_col, "q")
     c = _quantized(corpus, id_col, vec_col, "c")
-    dot = F.aggregate(
-        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = _int_dot("q_qv", "c_qv")
     cand = F.struct(
         F.col("dot"),
         (-F.col("c_id")).alias("neg_id"),
@@ -142,6 +178,8 @@ def topk_neighbors_partial(
 
 
 def _int_dot(a: str, b: str):
+    if FAST_EXPR:
+        return F.expr(int_dot_sql(_q(a), _q(b)))
     return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -206,11 +244,10 @@ def search_lists(
     half of ``ivf_ann_neighbors``."""
     cen = _quantized(centroids, id_col, vec_col, "cen")
     q = _quantized(queries, id_col, vec_col, "q")
-    _dot = _int_dot
 
     # probe side is query-count-sized — the window is over Q x |centroids|
     # rows, never corpus-scale
-    q_aff = _dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
+    q_aff = _int_dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.col("aff").desc(), F.col("cen_id").asc()
     )
@@ -225,7 +262,7 @@ def search_lists(
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("dot", _dot("q_qv", "c_qv"))
+        .withColumn("dot", _int_dot("q_qv", "c_qv"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
     return (
@@ -271,6 +308,48 @@ def ivf_ann_neighbors(
     )
 
 
+@_functools.lru_cache(maxsize=4096)
+def _plane_weights(plane: int, dim: int) -> tuple[float, ...]:
+    """Deterministic hyperplane weights, cached: weight_i =
+    hexint(md5("p:i")[0:4])/65536 - 0.5 — exact binary fractions, so the
+    doubles match the SQL oracle bit-for-bit."""
+    import hashlib
+
+    return tuple(
+        int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:4], 16) / 65536.0
+        - 0.5
+        for i in range(dim)
+    )
+
+
+def _proj_sql(vec_sql: str, plane: int, dim: int) -> str:
+    """<v, h_plane> as one Spark-SQL string: the identical
+    ``aggregate(zip_with(...))`` left-fold as :func:`_hyperplane_proj`
+    (same weights as ``D``-suffixed double literals, same operand
+    order, bit-identical doubles), built in ONE py4j round trip
+    instead of O(dim) Column calls.  See functions/vectors.py for the
+    r13 build-vs-exec rationale."""
+    weights = ", ".join(
+        f"{w!r}D" for w in _plane_weights(plane, dim)
+    )
+    return (
+        f"aggregate(zip_with({vec_sql}, array({weights}), "
+        "(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sign_sql(vec_sql: str, plane: int, dim: int) -> str:
+    """'1'/'0' sign bit of the plane projection, as Spark SQL."""
+    return f"(CASE WHEN {_proj_sql(vec_sql, plane, dim)} >= 0.0D THEN '1' ELSE '0' END)"
+
+
+def lsh_bucket_key_sql(vec_sql: str, planes: int = 8, dim: int = 64) -> str:
+    """`planes`-bit sign-pattern bucket id, as one Spark-SQL string."""
+    return "concat(" + ", ".join(
+        _sign_sql(vec_sql, p, dim) for p in range(planes)
+    ) + ")"
+
+
 def _hyperplane_proj(vec_col, plane: int, dim: int):
     """<v, h_plane> where h_plane[i] is a deterministic pseudo-random in
     [-0.5, 0.5): (md5("p:i") first 4 hex as int)/65536 - 0.5.
@@ -281,14 +360,11 @@ def _hyperplane_proj(vec_col, plane: int, dim: int):
     computed driver-side with the byte-identical formula (hashlib md5;
     /65536 and -0.5 are exact binary ops, so the doubles match the SQL
     oracle bit-for-bit) and emitted as a literal array; the projection
-    stays the same left-fold over the same operand order."""
-    import hashlib
+    stays the same left-fold over the same operand order.
 
-    ws = [
-        int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:4], 16) / 65536.0
-        - 0.5
-        for i in range(dim)
-    ]
+    Column-input compatibility form; the hot paths use
+    :func:`_proj_sql` (identical operand order, codegen-able)."""
+    ws = _plane_weights(plane, dim)
     weights = F.array(*[F.lit(w) for w in ws])
     return F.aggregate(
         F.zip_with(vec_col, weights, lambda x, w: x.cast("double") * w),
@@ -304,7 +380,15 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
 
 
 def lsh_bucket_key(vec_col, planes: int = 8, dim: int = 64):
-    """Random-hyperplane LSH bucket id: `planes`-bit sign pattern."""
+    """Random-hyperplane LSH bucket id: `planes`-bit sign pattern.
+
+    ``vec_col`` may be a Column (r12 HOF form) or a column-NAME string —
+    the string form (with FAST_EXPR) emits the unrolled codegen SQL,
+    identical doubles and sign bits (same operand order)."""
+    if isinstance(vec_col, str):
+        if FAST_EXPR:
+            return F.expr(lsh_bucket_key_sql(_q(vec_col), planes, dim))
+        vec_col = F.col(vec_col)
     return F.concat(*[_hyperplane_sign(vec_col, p, dim) for p in range(planes)])
 
 
@@ -332,32 +416,66 @@ def lsh_ann_neighbors(
     recovers most of what each added plane halves — the standard way to
     keep buckets small (cheap joins) without the recall cliff.  Only the
     probe-side fan-out changes; the corpus is still bucketed once."""
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        quantize_vector(F.col(vec_col)).alias("c_qv"),
-        int_self_dot(quantize_vector(F.col(vec_col))).alias("c_n"),
-        lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
-    )
-    if probes <= 1:
-        q_bucketed = queries.select(
-            F.col(id_col).alias("q_id"),
-            quantize_vector(F.col(vec_col)).alias("q_qv"),
-            int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
+
+    def _bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        # (id, qv, n, bucket); with FAST_EXPR the quantize / self-dot /
+        # sign-pattern arithmetic is the unrolled codegen form — same
+        # operand order, identical values (see functions/vectors.py)
+        if FAST_EXPR:
+            staged = df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.expr(quantize_sql(_q(vec_col))).alias(f"{prefix}_qv"),
+                F.expr(lsh_bucket_key_sql(_q(vec_col), planes, dim)).alias(
+                    "bucket"
+                ),
+            )
+            return staged.select(
+                f"{prefix}_id",
+                f"{prefix}_qv",
+                F.expr(int_self_dot_sql(_q(f"{prefix}_qv"))).alias(
+                    f"{prefix}_n"
+                ),
+                "bucket",
+            )
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            quantize_vector(F.col(vec_col)).alias(f"{prefix}_qv"),
+            int_self_dot(quantize_vector(F.col(vec_col))).alias(f"{prefix}_n"),
             lsh_bucket_key(F.col(vec_col), planes, dim).alias("bucket"),
         )
+
+    c = _bucketed(corpus, "c")
+    if probes <= 1:
+        q_bucketed = _bucketed(queries, "q")
     else:
         # stage the per-plane projections ONCE (HOF folds get no CSE),
         # then derive signs, the margin order, and every probe key from
         # the staged columns
-        staged = queries.select(
-            F.col(id_col).alias("q_id"),
-            quantize_vector(F.col(vec_col)).alias("q_qv"),
-            int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
-            *[
-                _hyperplane_proj(F.col(vec_col), p, dim).alias(f"_pr{p}")
-                for p in range(planes)
-            ],
-        )
+        if FAST_EXPR:
+            staged0 = queries.select(
+                F.col(id_col).alias("q_id"),
+                F.expr(quantize_sql(_q(vec_col))).alias("q_qv"),
+                *[
+                    F.expr(_proj_sql(_q(vec_col), p, dim)).alias(f"_pr{p}")
+                    for p in range(planes)
+                ],
+            )
+            staged = staged0.select(
+                "q_id",
+                "q_qv",
+                F.expr(int_self_dot_sql(_q("q_qv"))).alias("q_n"),
+                *[f"_pr{p}" for p in range(planes)],
+            )
+        else:
+            staged = queries.select(
+                F.col(id_col).alias("q_id"),
+                quantize_vector(F.col(vec_col)).alias("q_qv"),
+                int_self_dot(quantize_vector(F.col(vec_col))).alias("q_n"),
+                *[
+                    _hyperplane_proj(F.col(vec_col), p, dim).alias(f"_pr{p}")
+                    for p in range(planes)
+                ],
+            )
         signs = F.array(
             *[
                 F.when(F.col(f"_pr{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -395,11 +513,7 @@ def lsh_ann_neighbors(
             "q_id", "q_qv", "q_n",
             F.explode(F.array(*keys)).alias("bucket"),
         )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_qv"), F.col("c_qv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = _int_dot("q_qv", "c_qv")
     scored = c.join(F.broadcast(q_bucketed), "bucket").filter(
         F.col("q_id") != F.col("c_id")
     )
@@ -555,6 +669,17 @@ class PQCoder:
             ],
         )
 
+    def _staged(self, df: DataFrame, vec_name: str, keep: list[str]) -> DataFrame:
+        """The ``keep + (_d0 .. _dm-1)`` relation both outputs read.
+
+        Always the staged slice + transform-over-codebook SQL form: an
+        r13 draft unrolled the per-code distance folds into flat
+        ``try_element_at`` arithmetic instead, and execution regressed
+        ~20x (janino 64 KB blowouts + per-plan compile churn — see
+        functions/vectors.py); the staged HOF form is the measured
+        winner."""
+        return self._stage_dists(self._stage_subs(df, vec_name, keep), keep)
+
     @property
     def codes_sql(self) -> str:
         return (
@@ -569,16 +694,14 @@ class PQCoder:
     def encode(self, df: DataFrame, vec_name: str, keep: list[str]) -> DataFrame:
         """``keep + (codes array<int>)``: per-subspace integer argmin
         (ties to the lower code id — array_position's first minimum)."""
-        return self._stage_dists(
-            self._stage_subs(df, vec_name, keep), keep
-        ).select(*keep, F.expr(self.codes_sql).alias("codes"))
+        return self._staged(df, vec_name, keep).select(
+            *keep, F.expr(self.codes_sql).alias("codes")
+        )
 
     def luts(self, df: DataFrame, vec_name: str, keep: list[str]) -> DataFrame:
         """``keep + (lut array<array<bigint>>)``: the ADC lookup table —
         exact integer L2^2 from the vector's sub-slices to every code."""
-        return self._stage_dists(
-            self._stage_subs(df, vec_name, keep), keep
-        ).select(
+        return self._staged(df, vec_name, keep).select(
             *keep,
             F.array(*[F.col(f"_d{s}") for s in range(self.m)]).alias("lut"),
         )
@@ -679,7 +802,7 @@ def ivf_pq_ann_neighbors(
 
 
 def _pq_encode_corpus(
-    c: DataFrame, cen: DataFrame, coder: PQCoder, residual: bool
+    c: DataFrame, cen: DataFrame, coder: PQCoder, residual: bool,
 ) -> DataFrame:
     """``(c_id, list_id, codes)``: coarse-assign every corpus vector
     (broadcast-assign, argmax via max(struct) partial aggregate — n-row
@@ -716,12 +839,13 @@ def _pq_encode_corpus(
 
 
 def _pq_query_luts(
-    q: DataFrame, cen: DataFrame, coder: PQCoder, nprobe: int, residual: bool
+    q: DataFrame, cen: DataFrame, coder: PQCoder, nprobe: int, residual: bool,
 ) -> DataFrame:
     """``(q_id, list_id, lut)``: the nprobe nearest lists per query with
     the ADC lookup table for each probe.  No-residual LUTs depend on the
     query alone; residual LUTs on the (query, probed list) pair — either
-    way this side is probe-sized."""
+    way this side is probe-sized (the residual zip_with stays the HOF
+    form deliberately: probe-count rows, never corpus-scale)."""
     q_aff = _int_dot("q_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     w_probe = Window.partitionBy("q_id").orderBy(
         F.col("aff").desc(), F.col("cen_id").asc()
@@ -741,16 +865,26 @@ def _pq_query_luts(
     return coder.luts(probes, "q_ev", ["q_id", "list_id"])
 
 
-def _pq_adc_rank(encoded: DataFrame, luts: DataFrame, k: int) -> DataFrame:
+def _pq_adc_rank(
+    encoded: DataFrame, luts: DataFrame, k: int
+) -> DataFrame:
     """Score every (probe, same-list code row) pair by integer ADC and
     keep each query's top-k (smallest distance, ties to lower id)."""
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("lut"), lambda cd, l: F.element_at(l, cd + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    if FAST_EXPR:
+        # same fold as the Column form below, one py4j round trip
+        adc = F.expr(
+            "aggregate(zip_with(codes, lut, "
+            "(cd, l) -> element_at(l, cd + 1)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    else:
+        adc = F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("lut"), lambda cd, l: F.element_at(l, cd + 1)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
     scored = (
         encoded.join(F.broadcast(luts), "list_id")
         .filter(F.col("q_id") != F.col("c_id"))

@@ -259,6 +259,52 @@ def explode_nonempty(df: DataFrame, arr_col: str, out_name: str, *keep: str) -> 
     return out.filter(F.col(out_name).isNotNull())
 
 
+#: r13 A/B toggle (`tools/ab_bench.py pairbarrier:<query>`): False
+#: restores the r12 plain-withColumn plans (threshold predicates inlined
+#: into join conditions, expressions re-evaluated per reference).
+#: Results are identical either way — only the physical plan moves.
+PROJECT_ONCE_BARRIER = True
+
+
+def project_once(df: DataFrame, **cols) -> DataFrame:
+    """Attach computed columns so each evaluates EXACTLY ONCE per row,
+    behind a Generate-based optimizer barrier.
+
+    The trap this exists for (r13, measured on every pair-verify plan):
+    ``join(...).withColumn("dot", expensive).filter(f(dot))`` lets
+    ``PushPredicateThroughNonJoin`` substitute the alias into the
+    filter and then push the whole predicate INTO THE JOIN CONDITION —
+    the ``dedup_semantic`` before-plan evaluates the 64-element dot
+    fold 3x in the join condition plus once in the output projection
+    (4x per candidate pair), and the overlap family evaluates
+    ``array_intersect`` 3x.  Inlining the r13 unrolled expressions the
+    same way additionally blows the JVM's 64 KB method limit and kicks
+    the whole stage out of codegen.
+
+    Mechanism: the computed columns ride a single-element
+    ``explode_outer(array(struct(...)))``.  ``explode_outer`` infers no
+    ``size(...) > 0`` predicate (the `explode_nonempty` lesson), and a
+    filter referencing generator OUTPUT can never be pushed below its
+    Generate — so every downstream reference resolves to a struct-field
+    read of the once-computed value.  Predicates on the INPUT columns
+    still push below the Generate into joins/scans as usual.  Row count
+    and values are unchanged (the array is literally one non-null
+    element); only the plan moves.
+    """
+    from pyspark.sql import functions as F
+
+    if not PROJECT_ONCE_BARRIER:
+        out = df
+        for n, c in cols.items():
+            out = out.withColumn(n, c)
+        return out
+    struct = F.struct(*[c.alias(n) for n, c in cols.items()])
+    gen = df.select("*", F.explode_outer(F.array(struct)).alias("_once"))
+    return gen.select(
+        *df.columns, *[F.col(f"_once.`{n}`").alias(n) for n in cols]
+    )
+
+
 def with_global_agg(df: DataFrame, **aggs) -> DataFrame:
     """Attach global-aggregate columns to every row of a SMALL relation
     via one unpartitioned window: ``with_global_agg(counts,

@@ -2869,12 +2869,16 @@ def _graph_lookup(
             "_gl_start", "_gl_doc", F.lit(depth).alias("_gl_depth"), "_gl_next"
         )
         levels.append(matched.select("_gl_start", "_gl_doc", "_gl_depth"))
-        expanded = expanded.union(frontier).distinct()
+        # r13 exchange diet: ``subtract`` is EXCEPT DISTINCT — its output
+        # is deduped and its right side is a membership set, so the
+        # former ``.distinct()`` on the new frontier and on ``expanded``
+        # were two redundant shuffles PER LEVEL (results identical by
+        # EXCEPT semantics; oracle + $graphLookup fuzz re-checked r13)
+        expanded = expanded.union(frontier)
         if depth == max_depth:
             break
         frontier = _materialize(
             matched.select("_gl_start", F.col("_gl_next").alias("_gl_key"))
-            .distinct()
             .subtract(expanded)
         )
         n_frontier = frontier.count()
