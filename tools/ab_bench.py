@@ -258,13 +258,22 @@ def main() -> int:
         with cache_scope():
             return fn(spark, sf_dir).count()
 
-    # untimed per-variant: row-count assertion pass + one noop-write
-    # warmup (codegen/shuffle machinery for the exact timed plan)
+    # untimed per-variant: row-count assertion pass + noop-write
+    # warmups (codegen/shuffle machinery for the exact timed plan).
+    # r13: TWO warmups per variant — with one, the first 1-2 timed
+    # rounds still carried a monotone JIT/codegen decay (measured on
+    # fastexpr:ann_lsh: fast_off samples 8.75, 7.99 then steady ~4.3),
+    # which inflates spread_steady and can only ever WIDEN the no-claim
+    # band, never fake a win; two warmups start the timed rounds on the
+    # plateau.  Warmups interleave A,B,A,B like the timed rounds so
+    # neither variant gets more cache/JIT priming than the other.
     rows = {}
     for name, setup in variants.items():
         rows[name] = count_rows(setup)
-        run_timed(setup)
     assert len(set(rows.values())) == 1, f"variant outputs differ: {rows}"
+    for _ in range(2):
+        for name, setup in variants.items():
+            run_timed(setup)
 
     # alternate the within-round order (A,B then B,A ...): with a fixed
     # order, any monotone host drift (JIT/page-cache warming, load decay)
@@ -317,7 +326,7 @@ def main() -> int:
         "experiment": exp["label"],
         "protocol": (
             "interleaved same-session, per-variant untimed row-count "
-            f"assertion pass + 1 untimed noop-write warmup, {n_rounds} "
+            f"assertion pass + 2 untimed noop-write warmups, {n_rounds} "
             "timed noop-write rounds per variant (same action bench.py "
             "times), per-round order alternation, cache cleared per "
             "execution"
