@@ -1626,9 +1626,8 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from topic_store_spark.operators.similarity import (
         ivf_pq_ann_neighbors,
         ivf_residual_vectors,
+        opq_permuted_codebooks,
         permute_vectors,
-        pq_codebooks,
-        variance_balanced_permutation,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1639,12 +1638,32 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB where the float Procrustes rotation could not).  IVF
     # assignment is permutation-invariant; only the subspace split (and
     # hence codebooks/codes/ADC) changes — the OPQ effect.
+    # r13: ONE bounded collect derives both the permutation and the
+    # permuted-residual codebooks (opq_permuted_codebooks) — the
+    # composed variance_balanced_permutation + pq_codebooks form ran
+    # TWO eager residual-pipeline driver jobs per DataFrame build.
+    # Exactly equal by the permutation-commutes argument pinned in
+    # tests/test_dedup_similarity.py::test_opq_fused_codebooks_equal_composed.
+    # similarity.FUSED_OPQ=False restores the composed build for
+    # `ab_bench.py opqfuse:ann_pq` interleaved receipts.
+    import topic_store_spark.operators.similarity as _sim
+
     src = ivf_residual_vectors(emb.filter(F.col("vec_id") < 16), cen)
-    perm = variance_balanced_permutation(src)
-    emb_p = permute_vectors(emb, perm)
-    cen_p = emb_p.filter(F.col("vec_id") < 8)
-    src_p = ivf_residual_vectors(emb_p.filter(F.col("vec_id") < 16), cen_p)
-    books = pq_codebooks(src_p, m=32)
+    if _sim.FUSED_OPQ:
+        perm, books = opq_permuted_codebooks(src, m=32)
+        emb_p = permute_vectors(emb, perm)
+        cen_p = emb_p.filter(F.col("vec_id") < 8)
+    else:
+        from topic_store_spark.operators.similarity import (
+            pq_codebooks,
+            variance_balanced_permutation,
+        )
+
+        perm = variance_balanced_permutation(src)
+        emb_p = permute_vectors(emb, perm)
+        cen_p = emb_p.filter(F.col("vec_id") < 8)
+        src_p = ivf_residual_vectors(emb_p.filter(F.col("vec_id") < 16), cen_p)
+        books = pq_codebooks(src_p, m=32)
     return ivf_pq_ann_neighbors(
         emb_p,
         queries=emb_p.filter(F.col("vec_id") < 10),

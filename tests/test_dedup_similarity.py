@@ -1258,3 +1258,37 @@ def test_semantic_dedup_valve_empty_centroids(spark):
         release_pair_caches()
         spark.catalog.clearCache()
     assert uncapped == [] and capped == []
+
+
+def test_opq_fused_codebooks_equal_composed(spark, embeddings):
+    """r13 fused OPQ derivation (`opq_permuted_codebooks`, ONE bounded
+    collect) must reproduce the composed pipeline it replaced EXACTLY:
+    variance_balanced_permutation -> permute_vectors -> re-derived
+    residuals -> pq_codebooks.  This is the equality q_ann_pq's oracle
+    identity rides on (the permutation commutes with per-element
+    quantization and integer-exact IVF assignment)."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators.similarity import (
+        ivf_residual_vectors,
+        opq_permuted_codebooks,
+        permute_vectors,
+        pq_codebooks,
+        variance_balanced_permutation,
+    )
+
+    emb = embeddings
+    cen = emb.filter(F.col("vec_id") < 8)
+    src = ivf_residual_vectors(emb.filter(F.col("vec_id") < 16), cen)
+
+    # composed (the pre-r13 q_ann_pq build path)
+    perm_c = variance_balanced_permutation(src)
+    emb_p = permute_vectors(emb, perm_c)
+    cen_p = emb_p.filter(F.col("vec_id") < 8)
+    src_p = ivf_residual_vectors(emb_p.filter(F.col("vec_id") < 16), cen_p)
+    books_c = pq_codebooks(src_p, m=32)
+
+    perm_f, books_f = opq_permuted_codebooks(src, m=32)
+
+    assert perm_f == perm_c
+    assert books_f == books_c

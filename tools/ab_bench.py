@@ -44,6 +44,10 @@ Experiments:
   barrier (operators.util.PROJECT_ONCE_BARRIER) on/off: OFF restores
   the r12 plans whose join conditions re-evaluate the verify
   expression per reference.
+* ``opqfuse:<query>`` — r13 fused one-collect OPQ derivation
+  (similarity.FUSED_OPQ) on/off (off = r12 composed two-collect build).
+* ``reportfuse:<query>`` — r13 fused semantic-report pair derivation
+  (dedup.FUSED_REPORT_PAIRS) on/off (off = r12 two self-joins).
 
 ``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
 bench.py); other experiments write BENCH_AB_<name>.json
@@ -184,6 +188,36 @@ def main() -> int:
             },
         }
         fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("opqfuse:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import similarity
+
+        exp = {
+            "label": ("r13 fused OPQ permutation+codebook derivation "
+                      "(similarity.FUSED_OPQ, one bounded collect) on vs "
+                      "off (r12 composed two-collect build)"),
+            "variants": {
+                "fuse_on": lambda: setattr(similarity, "FUSED_OPQ", True),
+                "fuse_off": lambda: setattr(similarity, "FUSED_OPQ", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("reportfuse:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import dedup as dedup_mod
+
+        exp = {
+            "label": ("r13 fused semantic-report pair derivation "
+                      "(dedup.FUSED_REPORT_PAIRS: capped = filter of the "
+                      "uncapped self-join) on vs off (r12 two-join shape)"),
+            "variants": {
+                "fuse_on": lambda: setattr(
+                    dedup_mod, "FUSED_REPORT_PAIRS", True),
+                "fuse_off": lambda: setattr(
+                    dedup_mod, "FUSED_REPORT_PAIRS", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
     elif experiment == "ppjoin_neardup":
         replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
         work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
@@ -292,7 +326,9 @@ def main() -> int:
     from topic_store_spark.operators import util as _op_util
 
     dedup.PPJOIN_CUTS = True
+    dedup.FUSED_REPORT_PAIRS = True
     _sim.FAST_EXPR = True
+    _sim.FUSED_OPQ = True
     _op_util.PROJECT_ONCE_BARRIER = True
     spark.conf.set(_FLOOR, "64k")
 

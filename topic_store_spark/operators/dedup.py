@@ -330,6 +330,16 @@ def _ordered_docs(sh: DataFrame, max_shingle_freq: int | None) -> DataFrame:
 #: i.e. the cuts cost nothing there.
 PPJOIN_CUTS = True
 
+#: r13 optimization-round toggle (`tools/ab_bench.py
+#: reportfuse:dedup_semantic`): True derives the fused report's capped
+#: pair set by FILTERING the uncapped self-join's output on matching
+#: sub-bucket keys (one corpus-scale pair join, pinned pair-sized);
+#: False restores the r12 two-join shape whose capped join re-evaluated
+#: the per-pair dot fold over its whole candidate subset.  Outputs are
+#: identical (same-cluster AND same-sub == the capped join keys;
+#: threshold predicate unchanged) — oracle-checked.
+FUSED_REPORT_PAIRS = True
+
 
 def _prefix_len(threshold_num: int, threshold_den: int):
     """Prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)."""
@@ -1369,20 +1379,35 @@ def _pairs_within(
     threshold_num: int,
     threshold_den: int,
     n_probe: int = 1,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Within-group near-dup pairs off a (persisted) assignment
     relation: self-join on ``join_keys``, exact cross-multiplied
     quantized-cosine threshold.  Factored out of
     :func:`semantic_cluster_dedup` (r13) so
     :func:`semantic_dedup_report` generates both the capped and the
-    uncapped pair sets from ONE assignment pass."""
+    uncapped pair sets from ONE assignment pass.
+
+    ``carry`` (r13 optimization round): extra assignment columns
+    carried through BOTH sides of the join as ``a<col>``/``b<col>``
+    output columns (e.g. ``carry=["_sub"]`` -> ``a_sub``/``b_sub``) —
+    this is how the fused report derives the CAPPED pair set from the
+    uncapped join with a filter instead of a second corpus-scale
+    self-join (a pair is within the same (cluster, sub-bucket) iff it
+    is within the same cluster AND both ends carry the same sub key).
+    Only meaningful for single-assignment relations (n_probe == 1)."""
+    if carry and n_probe > 1:
+        raise ValueError("_pairs_within: carry requires n_probe == 1")
+    carry = carry or []
     left = assigned.select(
         F.col("c_id").alias("a_id"), F.col("c_qv").alias("a_qv"),
         F.col("c_n").alias("a_n"), *join_keys,
+        *[F.col(k).alias(f"a{k}") for k in carry],
     )
     right = assigned.select(
         F.col("c_id").alias("b_id"), F.col("c_qv").alias("b_qv"),
         F.col("c_n").alias("b_n"), *join_keys,
+        *[F.col(k).alias(f"b{k}") for k in carry],
     )
     # the pair-verify dot runs once per CANDIDATE PAIR — the hottest
     # expression in the semantic family; staged through project_once so
@@ -1412,6 +1437,8 @@ def _pairs_within(
                 F.col("dot")
                 / F.sqrt((F.col("a_n") * F.col("b_n")).cast("double"))
             ).alias("cosine_q"),
+            *[F.col(f"a{k}") for k in carry],
+            *[F.col(f"b{k}") for k in carry],
         )
     )
     if n_probe > 1:
@@ -1454,8 +1481,41 @@ def semantic_dedup_report(
     assigned, join_keys = _semantic_assignment(
         df, centroids, vec_col, id_col, 1, 0.05, max_cluster_size, dim
     )
-    full = _pairs_within(assigned, ["cluster_id"], threshold_num, threshold_den)
-    capped = _pairs_within(assigned, join_keys, threshold_num, threshold_den)
+    out_cols = ["cluster_id", "a_id", "b_id", "cosine_q"]
+    if not FUSED_REPORT_PAIRS:
+        # r12 shape, kept for `ab_bench.py reportfuse:dedup_semantic`
+        # interleaved receipts: two independent self-joins (the capped
+        # one re-evaluating the pair dot over its whole candidate set)
+        full = _pairs_within(
+            assigned, ["cluster_id"], threshold_num, threshold_den
+        )
+        capped = _pairs_within(assigned, join_keys, threshold_num, threshold_den)
+    elif "_sub" in assigned.columns:
+        # r13: ONE corpus-scale pair self-join serves both branches —
+        # a pair is within the same (cluster, sub-bucket) iff it is
+        # within the same cluster AND both ends carry the same sub key,
+        # so the capped set is a FILTER of the uncapped join (the
+        # capped candidates are a subset; the threshold predicate is
+        # identical).  The former second self-join re-ran the per-pair
+        # dot fold over that whole subset.  The shared pair relation is
+        # pair-count-sized (post-threshold), so pinning it costs
+        # nothing next to re-running the join per branch.
+        both = _persist_tracked(
+            _pairs_within(
+                assigned, ["cluster_id"], threshold_num, threshold_den,
+                carry=["_sub"],
+            )
+        )
+        full = both.select(*out_cols)
+        capped = both.filter(F.col("a_sub") == F.col("b_sub")).select(*out_cols)
+    else:
+        # valve idle: the capped join keys degenerate to ["cluster_id"]
+        # — both branches ARE the same relation; compute it once.
+        both = _persist_tracked(
+            _pairs_within(assigned, ["cluster_id"], threshold_num, threshold_den)
+        )
+        full = both.select(*out_cols)
+        capped = both.select(*out_cols)
     sub = F.col("_sub") if "_sub" in assigned.columns else F.lit("")
     audit = (
         assigned.groupBy("cluster_id", sub.alias("sub"))

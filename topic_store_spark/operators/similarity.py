@@ -44,6 +44,16 @@ from topic_store_spark.functions.vectors import (
 #: oracle-checked).
 FAST_EXPR = True
 
+#: r13 optimization-round toggle (`tools/ab_bench.py opqfuse:ann_pq`):
+#: True lets q_ann_pq derive the OPQ permutation AND the PQ codebooks
+#: from ONE bounded collect (:func:`opq_permuted_codebooks`); False
+#: restores the r12 composed build (variance_balanced_permutation +
+#: a second residual pipeline + pq_codebooks = two eager driver jobs
+#: per DataFrame build).  Same permutation, same codebooks, bit-equal
+#: results (pinned by tests/test_dedup_similarity.py
+#: ::test_opq_fused_codebooks_equal_composed).
+FUSED_OPQ = True
+
 
 def _q(name: str) -> str:
     """Backtick-quote a column name for the SQL-string builders."""
@@ -1019,6 +1029,89 @@ def kmeans_centroids(
 # OPQ: optimized product quantization (learned rotation)
 # ---------------------------------------------------------------------------
 
+def _variance_balanced_perm_of(vecs: list[list[int]]) -> list[int]:
+    """The allocation rule of :func:`variance_balanced_permutation`,
+    over already-quantized integer vectors (shared by the fused
+    :func:`opq_permuted_codebooks` so both paths use ONE formula)."""
+    dims = len(vecs[0])
+    if dims % 2:
+        raise ValueError("variance_balanced_permutation: even dim count only")
+    n = len(vecs)
+    varnum = [
+        n * sum(v[d] * v[d] for v in vecs) - sum(v[d] for v in vecs) ** 2
+        for d in range(dims)
+    ]
+    order = sorted(range(dims), key=lambda d: (-varnum[d], d))
+    perm: list[int] = []
+    for s in range(dims // 2):
+        perm += [order[s], order[dims - 1 - s]]
+    return perm
+
+
+def opq_permuted_codebooks(
+    residuals: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[list[list[int]]]]:
+    """Fused OPQ-permutation + PQ-codebook derivation from ONE bounded
+    collect of the residual training sample (r13 optimization round).
+
+    Exactly equal to the composed pipeline it replaces —
+    ``perm = variance_balanced_permutation(residuals)`` followed by
+    ``pq_codebooks(ivf_residual_vectors(permute_vectors(corpus, perm),
+    permuted_centroids), m)`` — because every step commutes with the
+    permutation EXACTLY (pinned by tests/test_dedup_similarity.py
+    ::test_opq_fused_codebooks_equal_composed):
+
+    - ``quantize_vector`` is per-element, so quantize∘permute =
+      permute∘quantize bit-for-bit;
+    - IVF assignment is permutation-invariant: the integer dot/self-dot
+      sums are the same multiset of ``long`` addends (exact regardless
+      of order), so every affinity double — and hence every
+      argmax/tie-break on ``(aff, -cen_id)`` — is IDENTICAL;
+    - the residual is an element-wise integer subtract, so the permuted
+      pipeline's residual ints are the permutation of the unpermuted
+      residual ints;
+    - ``pq_codebooks`` would re-quantize the residual floats
+      (``ints/1000.0``), which recovers the ints exactly (the
+      established grid contract ``round((i/1000.0)*1000.0) == i``).
+
+    The composed form costs TWO eager driver jobs on every DataFrame
+    build (the permutation's collect + the codebook collect, each a
+    crossJoin/groupBy residual computation); this costs one.  The
+    Python-side int conversion is shared with
+    :func:`variance_balanced_permutation` so the allocation rule cannot
+    drift between the two paths.
+
+    Returns ``(perm, codebooks)`` with ``codebooks[s][j]`` the ``s``-th
+    sub-slice of the ``j``-th PERMUTED residual (ordered by id, exactly
+    :func:`pq_codebooks`' layout).
+    """
+    if FAST_EXPR:
+        qv = F.expr(quantize_sql(_q(vec_col))).alias("_qv")
+    else:
+        qv = quantize_vector(F.col(vec_col)).alias("_qv")
+    rows = (
+        residuals.select(F.col(id_col).alias("_id"), qv)
+        .orderBy("_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("opq_permuted_codebooks: empty source table")
+    vecs = [list(r["_qv"]) for r in rows]
+    dims = len(vecs[0])
+    if dims % m != 0:
+        raise ValueError(f"opq_permuted_codebooks: dim {dims} not divisible by m={m}")
+    perm = _variance_balanced_perm_of(vecs)
+    sub = dims // m
+    permuted = [[v[p] for p in perm] for v in vecs]
+    books = [
+        [v[s * sub : (s + 1) * sub] for v in permuted] for s in range(m)
+    ]
+    return perm, books
+
+
 def variance_balanced_permutation(
     residuals: DataFrame, vec_col: str = "embedding"
 ) -> list[int]:
@@ -1046,19 +1139,7 @@ def variance_balanced_permutation(
     vecs = [
         [int(round(x * 1000.0)) for x in r[0]] for r in rows
     ]  # back to the exact integer grid
-    dims = len(vecs[0])
-    if dims % 2:
-        raise ValueError("variance_balanced_permutation: even dim count only")
-    n = len(vecs)
-    varnum = [
-        n * sum(v[d] * v[d] for v in vecs) - sum(v[d] for v in vecs) ** 2
-        for d in range(dims)
-    ]
-    order = sorted(range(dims), key=lambda d: (-varnum[d], d))
-    perm: list[int] = []
-    for s in range(dims // 2):
-        perm += [order[s], order[dims - 1 - s]]
-    return perm
+    return _variance_balanced_perm_of(vecs)
 
 
 def permute_vectors(
