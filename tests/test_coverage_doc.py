@@ -59,3 +59,24 @@ def test_ppjoin_prose_quotes_the_on_disk_receipt():
         f"COVERAGE.md PPJoin prose does not quote the receipt ({want!r});"
         " re-quote BENCH_AB_ppjoin_neardup.json after re-stamping"
     )
+
+
+def test_valve_prose_quotes_the_on_disk_receipt():
+    """Same rule for the semantic-valve sweep: SCALING.md's outlier
+    section must carry the medians from the committed
+    BENCH_valve_semantic.json (r13 sf1 re-measure, VERDICT r12 #1)."""
+    import json
+
+    with open(os.path.join(REPO, "BENCH_valve_semantic.json")) as fh:
+        sweep = json.load(fh)["sweep"]
+    text = open(os.path.join(REPO, "SCALING.md")).read()
+    for shape in ("uncapped", "capped"):
+        want = (
+            f"{shape} median {sweep['sf0.1'][shape]['median']:.2f}s "
+            f"→ {sweep['sf1'][shape]['median']:.2f}s"
+        )
+        assert want in text, (
+            f"SCALING.md valve prose does not quote the receipt"
+            f" ({want!r}); re-quote BENCH_valve_semantic.json after"
+            " re-stamping"
+        )
