@@ -311,6 +311,37 @@ def test_connected_components_long_chain(spark, dme):
     assert (agg["n"], agg["n_comp"], agg["max_comp"]) == (n, 1, 0)
 
 
+def test_connected_components_probe_gate_parity_and_boundary(spark):
+    """r13 optimization: the single-probe driver gate (CC_PROBE_GATE)
+    must label identically to the r12 three-job gate, on BOTH sides of
+    the ``driver_max_edges`` boundary (probe == K rows -> fast path;
+    probe == K+1 rows -> distributed rounds), including exactly-at-K."""
+    from topic_store_spark.operators import dedup as dedup_mod
+    from topic_store_spark.operators.dedup import connected_components
+
+    # 5 distinct canonical edges: chain 1-2-3 + pair (10,11) + (20,21),
+    # with a duplicate and a self-loop that must not count toward K
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20), (9, 9)],
+        "a_doc long, b_doc long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 9: 9}
+    orig = dedup_mod.CC_PROBE_GATE
+    try:
+        for gate in (True, False):
+            dedup_mod.CC_PROBE_GATE = gate
+            for dme in (4, 5, 6):  # K < edges, K == edges, K > edges
+                got = {
+                    r["node"]: r["component"]
+                    for r in connected_components(
+                        pairs, driver_max_edges=dme
+                    ).collect()
+                }
+                assert got == want, (gate, dme)
+    finally:
+        dedup_mod.CC_PROBE_GATE = orig
+
+
 def test_connected_components_giant_star_and_selfloop(spark):
     """A giant star (hub = max id, the shape label propagation handles
     worst when the hub is NOT the min) plus a self-loop-only node."""

@@ -48,6 +48,9 @@ Experiments:
   (similarity.FUSED_OPQ) on/off (off = r12 composed two-collect build).
 * ``reportfuse:<query>`` — r13 fused semantic-report pair derivation
   (dedup.FUSED_REPORT_PAIRS) on/off (off = r12 two self-joins).
+* ``ccprobe:<query>`` — r13 connected-components single-probe driver
+  gate (dedup.CC_PROBE_GATE) on/off (off = r12 checkpoint + count +
+  collect three-eager-job gate).
 
 ``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
 bench.py); other experiments write BENCH_AB_<name>.json
@@ -218,6 +221,22 @@ def main() -> int:
             },
         }
         fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("ccprobe:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import dedup as dedup_mod
+
+        exp = {
+            "label": ("r13 connected-components single-probe driver gate "
+                      "(dedup.CC_PROBE_GATE: one limit(K+1) collect) on vs "
+                      "off (r12 checkpoint+count+collect three-job gate)"),
+            "variants": {
+                "probe_on": lambda: setattr(
+                    dedup_mod, "CC_PROBE_GATE", True),
+                "probe_off": lambda: setattr(
+                    dedup_mod, "CC_PROBE_GATE", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
     elif experiment == "ppjoin_neardup":
         replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
         work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
@@ -327,6 +346,7 @@ def main() -> int:
 
     dedup.PPJOIN_CUTS = True
     dedup.FUSED_REPORT_PAIRS = True
+    dedup.CC_PROBE_GATE = True
     _sim.FAST_EXPR = True
     _sim.FUSED_OPQ = True
     _op_util.PROJECT_ONCE_BARRIER = True

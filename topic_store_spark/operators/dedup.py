@@ -340,6 +340,18 @@ PPJOIN_CUTS = True
 #: threshold predicate unchanged) — oracle-checked.
 FUSED_REPORT_PAIRS = True
 
+#: r13 optimization-round toggle (`tools/ab_bench.py ccprobe:<query>`):
+#: True gates :func:`connected_components`' driver fast path with ONE
+#: eager ``limit(driver_max_edges+1)`` collect off the e-checkpoint —
+#: when the edge set fits, the probe IS the complete edge set, so the
+#: reference shape's three eager jobs (checkpoint(edges) + count() +
+#: collect()) and the checkpoint write collapse into one job.  False
+#: restores the r12 materialize+count+collect gate.  Outputs identical:
+#: union-find labels are order-independent (min reachable id), and the
+#: distributed path is byte-identical either way — oracle-checked
+#: (dedup_clusters).
+CC_PROBE_GATE = True
+
 
 def _prefix_len(threshold_num: int, threshold_den: int):
     """Prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)."""
@@ -1028,16 +1040,36 @@ def connected_components(
     )
     # canonical undirected edge: (bigger, smaller); self-loops carry no
     # connectivity (their nodes still label themselves via ``nodes``)
-    edges = materialize_iter(
+    edges_df = (
         e.filter(F.col("u") != F.col("v"))
         .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
     )
-    n_edges = edges.count()
+
+    if CC_PROBE_GATE:
+        # One eager job gates the fast path AND fetches its input: a
+        # ``limit(K+1)`` collect off the e-checkpoint.  When the edge
+        # set fits the driver budget the probe IS the complete edge set
+        # (limit below the bound returns every row of the distinct;
+        # row order is irrelevant to union-find — labels are min
+        # reachable id under any union order), so the old shape's
+        # [checkpoint(edges), count(), collect()] three eager jobs —
+        # plus the checkpoint write — collapse into this one.  Past the
+        # bound the probe rows are discarded and the distributed path
+        # pays one (cheap, same-shuffle-class-as-the-old-count) gate
+        # job before materializing exactly as before.
+        probe = edges_df.limit(driver_max_edges + 1).collect()
+        n_edges = len(probe)
+    else:
+        # r13 A/B reference shape: materialize + count + (maybe) collect
+        edges = materialize_iter(edges_df)
+        n_edges = edges.count()
+        probe = None
     if n_edges == 0:
         return nodes.select("node", F.col("node").alias("component"))
 
     if n_edges <= driver_max_edges:
+        collected = probe if probe is not None else edges.collect()
         parent: dict = {}
 
         def find(x):
@@ -1048,7 +1080,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in collected:
             ru, rv = find(row[0]), find(row[1])
             if ru != rv:
                 # union by value: the smaller id becomes the root, which
@@ -1058,7 +1090,7 @@ def connected_components(
                 parent[rv] = ru
         labels = [(x, find(x)) for x in parent]
         spark = pairs.sparkSession
-        node_type = edges.schema["u"].dataType
+        node_type = edges_df.schema["u"].dataType
         lab_schema = StructType(
             [
                 StructField("node", node_type, False),
@@ -1069,6 +1101,14 @@ def connected_components(
         return nodes.join(lab, "node", "left").select(
             "node", F.coalesce("component", "node").alias("component")
         )
+
+    if probe is not None:
+        # probe overflowed the driver budget: materialize the edge
+        # relation for the iterative rounds exactly as the reference
+        # shape does (the K+1 probe rows are discarded — they are an
+        # arbitrary subset, never used as the edge set)
+        edges = materialize_iter(edges_df)
+        n_edges = edges.count()
 
     for _ in range(max_iter):
         # -- large-star: group the symmetrized graph by u; neighbors v > u
