@@ -43,6 +43,19 @@ def test_bloom_pruning_identical(spark, corpus, batch, tmp_path):
     )
 
 
+def test_batch_docs_hint_identical(spark, corpus, batch, tmp_path):
+    """r13 optimization: a caller-supplied ``batch_docs`` hint sizes the
+    Bloom from batch_docs * bands instead of running a count() job; the
+    filter size only moves the false-positive rate, so the verified
+    pair set must be identical with the hint, without it, and with a
+    deliberately WRONG (too-small -> overfull filter) hint."""
+    idx = MinHashIndex.build(corpus, str(tmp_path / "idx_hint"))
+    n = batch.count()
+    want = _rows(idx.query(batch, bloom_prefilter=True))
+    assert _rows(idx.query(batch, batch_docs=n, bloom_prefilter=True)) == want
+    assert _rows(idx.query(batch, batch_docs=1, bloom_prefilter=True)) == want
+
+
 def test_partitioned_layout_identical_and_release(spark, corpus, batch, tmp_path):
     """The hash-partitioned layout (bands by band hash, shingles by doc
     hash — directory pruning for micro-batch queries) must return the

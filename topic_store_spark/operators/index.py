@@ -617,7 +617,21 @@ class MinHashIndex:
                 bloom_contains,
             )
 
-            bf = bloom_build(banded_new, "band")
+            # size from the caller's batch hint when it has one: each
+            # doc contributes exactly ``self.bands`` band keys, so
+            # batch_docs * bands upper-bounds the distinct keys and the
+            # count() sizing job is skipped — one less eager job per
+            # micro-batch (guide §1.2: don't run two jobs where one
+            # suffices).  An over-sized filter only LOWERS the false-
+            # positive rate; candidates only ever shrink toward the
+            # same exact-verified output either way.
+            bf = bloom_build(
+                banded_new,
+                "band",
+                expected_items=(
+                    batch_docs * self.bands if batch_docs else None
+                ),
+            )
             banded_idx = banded_idx.filter(bloom_contains(bf, F.col("band")))
         banded_all = banded_idx.unionByName(banded_new)
 
