@@ -327,19 +327,27 @@ def test_connected_components_probe_gate_parity_and_boundary(spark):
     )
     want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 9: 9}
     orig = dedup_mod.CC_PROBE_GATE
+    orig_local = dedup_mod.CC_LOCAL_RESULT
     try:
-        for gate in (True, False):
-            dedup_mod.CC_PROBE_GATE = gate
-            for dme in (4, 5, 6):  # K < edges, K == edges, K > edges
-                got = {
-                    r["node"]: r["component"]
-                    for r in connected_components(
-                        pairs, driver_max_edges=dme
-                    ).collect()
-                }
-                assert got == want, (gate, dme)
+        for local in (True, False):
+            dedup_mod.CC_LOCAL_RESULT = local
+            for gate in (True, False):
+                dedup_mod.CC_PROBE_GATE = gate
+                # dme 4/5/6 straddle the 5 distinct canonical edges
+                # (r13 probe tier); 6/7/8 straddle the 7 RAW pair rows
+                # (r14 local tier — dup + self-loop DO count toward its
+                # bound, so dme=6 overflows it into the r13 tiers)
+                for dme in (4, 5, 6, 7, 8):
+                    got = {
+                        r["node"]: r["component"]
+                        for r in connected_components(
+                            pairs, driver_max_edges=dme
+                        ).collect()
+                    }
+                    assert got == want, (local, gate, dme)
     finally:
         dedup_mod.CC_PROBE_GATE = orig
+        dedup_mod.CC_LOCAL_RESULT = orig_local
 
 
 def test_connected_components_giant_star_and_selfloop(spark):
@@ -1266,6 +1274,144 @@ def test_semantic_dedup_report_matches_composed(spark):
         release_pair_caches()
         spark.catalog.clearCache()
     assert fused == composed and len(fused) > 20
+
+
+def test_semantic_argmax_assignment_parity(spark):
+    """r14: the per-row argmax assignment (ARGMAX_ASSIGN: map-side
+    expression over collected centroid literals) must produce the
+    row-identical report to the r13 crossJoin+groupBy shape — the
+    affinity arithmetic and (aff desc, cen_id asc) tie-break are the
+    same ops, so every pair, cosine and audit count matches bit for
+    bit.  Covers the valve-on sub-split (whose sign-bit inputs ride
+    the assignment's c_qv) and the empty-centroid degenerate path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators import dedup as dedup_mod
+    from topic_store_spark.operators.dedup import (
+        release_pair_caches,
+        semantic_dedup_report,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        base = rng.randn(8)
+        rows.append((i, [float(x) for x in base]))
+        if i % 3 == 0:
+            rows.append((1000 + i, [float(x) for x in base + 1e-3]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cen = emb.filter(F.col("vec_id") < 3)
+    empty_cen = emb.filter(F.lit(False))
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    orig = dedup_mod.ARGMAX_ASSIGN
+    got = {}
+    try:
+        for mode in (True, False):
+            dedup_mod.ARGMAX_ASSIGN = mode
+            got[mode] = canon(
+                semantic_dedup_report(emb, cen, max_cluster_size=8)
+            )
+            release_pair_caches()
+            spark.catalog.clearCache()
+            assert (
+                semantic_dedup_report(
+                    emb, empty_cen, max_cluster_size=8
+                ).count()
+                == 0
+            ), mode
+            release_pair_caches()
+            spark.catalog.clearCache()
+    finally:
+        dedup_mod.ARGMAX_ASSIGN = orig
+        release_pair_caches()
+        spark.catalog.clearCache()
+    assert got[True] == got[False] and len(got[True]) > 20
+
+
+def test_arrow_pair_dot_parity(spark, embeddings):
+    """r14 VERDICT item 1: the Arrow-vectorized pair-verify dot
+    (ARROW_PAIR_DOT pandas UDF, numpy int64) must be bit-identical to
+    the interpreted aggregate(zip_with) fold on both pair-verify
+    carriers (semantic report + embedding LSH pairs) — int64 dot of
+    quantized components never leaves the exact range."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators import dedup as dedup_mod
+    from topic_store_spark.operators.dedup import (
+        embedding_dup_pairs_lsh,
+        release_pair_caches,
+        semantic_dedup_report,
+    )
+
+    emb = embeddings.select("vec_id", "embedding")
+    clone = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(clone)
+    cen = emb.filter(F.col("vec_id") < 8)
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    orig = dedup_mod.ARROW_PAIR_DOT
+    got = {}
+    try:
+        for mode in (True, False):
+            dedup_mod.ARROW_PAIR_DOT = mode
+            got[mode] = (
+                canon(semantic_dedup_report(both, cen, max_cluster_size=32)),
+                canon(embedding_dup_pairs_lsh(both)),
+            )
+            release_pair_caches()
+            spark.catalog.clearCache()
+    finally:
+        dedup_mod.ARROW_PAIR_DOT = orig
+        release_pair_caches()
+        spark.catalog.clearCache()
+    assert got[True][0] == got[False][0] and len(got[True][0]) > 0
+    assert got[True][1] == got[False][1] and len(got[True][1]) > 0
+
+
+def test_ivf_argmax_assignment_parity(spark, embeddings):
+    """r14: ARGMAX_ASSIGN's per-row argmax must reproduce the r13
+    crossJoin+groupBy shape row for row on BOTH IVF primitives —
+    assign_to_lists (assignment relation) and ivf_residual_vectors
+    (residual floats, whose winning-centroid vector rides the struct)
+    — including empty-centroid degenerate output."""
+    from pyspark.sql import functions as F
+
+    from topic_store_spark.operators import similarity as sim_mod
+    from topic_store_spark.operators.similarity import (
+        assign_to_lists,
+        ivf_residual_vectors,
+    )
+
+    cen = embeddings.filter(F.col("vec_id") < 8)
+    empty_cen = embeddings.filter(F.lit(False))
+
+    def canon(df):
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        )
+
+    orig = sim_mod.ARGMAX_ASSIGN
+    got_a, got_r = {}, {}
+    try:
+        for mode in (True, False):
+            sim_mod.ARGMAX_ASSIGN = mode
+            got_a[mode] = canon(assign_to_lists(embeddings, cen))
+            got_r[mode] = canon(ivf_residual_vectors(embeddings, cen))
+            assert assign_to_lists(embeddings, empty_cen).count() == 0
+            assert ivf_residual_vectors(embeddings, empty_cen).count() == 0
+    finally:
+        sim_mod.ARGMAX_ASSIGN = orig
+    assert got_a[True] == got_a[False] and len(got_a[True]) > 0
+    assert got_r[True] == got_r[False] and len(got_r[True]) > 0
 
 
 def test_semantic_dedup_valve_empty_centroids(spark):

@@ -51,6 +51,18 @@ Experiments:
 * ``ccprobe:<query>`` — r13 connected-components single-probe driver
   gate (dedup.CC_PROBE_GATE) on/off (off = r12 checkpoint + count +
   collect three-eager-job gate).
+* ``cclocal:<query>`` — r14 connected-components fully-local fast path
+  (dedup.CC_LOCAL_RESULT: one raw-pair probe collect, labels returned
+  as a local relation — no checkpoint, no distributed node join) on/off
+  (off = r13 checkpoint + distinct-edge probe shape).
+* ``argmax:<query>`` — r14 per-row argmax centroid assignment
+  (dedup/similarity ARGMAX_ASSIGN: map-side expression over collected
+  centroid literals, no corpus-scale exchange) on/off (off = r13
+  crossJoin(broadcast) + groupBy(c_id) argmax shape).
+* ``arrowdot:<query>`` — r14 Arrow-vectorized pair-verify dot
+  (dedup.ARROW_PAIR_DOT: pandas UDF + numpy int64 einsum, exact) on/off
+  (off = interpreted aggregate(zip_with) HOF fold; VERDICT r13 item 1
+  — the receipt decides the default either way).
 
 ``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
 bench.py); other experiments write BENCH_AB_<name>.json
@@ -237,6 +249,62 @@ def main() -> int:
             },
         }
         fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("cclocal:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import dedup as dedup_mod
+
+        exp = {
+            "label": ("r14 connected-components fully-local fast path "
+                      "(dedup.CC_LOCAL_RESULT: one raw-pair probe, labels "
+                      "returned as a local relation) on vs off (r13 "
+                      "e-checkpoint + distinct-edge probe + distributed "
+                      "node join)"),
+            "variants": {
+                "local_on": lambda: setattr(
+                    dedup_mod, "CC_LOCAL_RESULT", True),
+                "local_off": lambda: setattr(
+                    dedup_mod, "CC_LOCAL_RESULT", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("argmax:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import dedup as dedup_mod
+        from topic_store_spark.operators import similarity as sim_mod
+
+        def _set_argmax(v):
+            dedup_mod.ARGMAX_ASSIGN = v
+            sim_mod.ARGMAX_ASSIGN = v
+
+        exp = {
+            "label": ("r14 per-row argmax centroid assignment over "
+                      "collected centroid literals (dedup/similarity "
+                      "ARGMAX_ASSIGN: map-side, no corpus-scale "
+                      "exchange) on vs off (r13 crossJoin(broadcast)+"
+                      "groupBy argmax)"),
+            "variants": {
+                "argmax_on": lambda: _set_argmax(True),
+                "argmax_off": lambda: _set_argmax(False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("arrowdot:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.operators import dedup as dedup_mod
+
+        exp = {
+            "label": ("r14 Arrow-vectorized pair-verify dot "
+                      "(dedup.ARROW_PAIR_DOT: pandas UDF + numpy int64 "
+                      "einsum, exact) on vs off (interpreted "
+                      "aggregate(zip_with) HOF fold)"),
+            "variants": {
+                "arrow_on": lambda: setattr(
+                    dedup_mod, "ARROW_PAIR_DOT", True),
+                "arrow_off": lambda: setattr(
+                    dedup_mod, "ARROW_PAIR_DOT", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
     elif experiment == "ppjoin_neardup":
         replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
         work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
@@ -347,6 +415,10 @@ def main() -> int:
     dedup.PPJOIN_CUTS = True
     dedup.FUSED_REPORT_PAIRS = True
     dedup.CC_PROBE_GATE = True
+    dedup.CC_LOCAL_RESULT = True
+    dedup.ARGMAX_ASSIGN = True
+    dedup.ARROW_PAIR_DOT = False
+    _sim.ARGMAX_ASSIGN = True
     _sim.FAST_EXPR = True
     _sim.FUSED_OPQ = True
     _op_util.PROJECT_ONCE_BARRIER = True

@@ -352,6 +352,83 @@ FUSED_REPORT_PAIRS = True
 #: (dedup_clusters).
 CC_PROBE_GATE = True
 
+#: r14 optimization-round toggle (`tools/ab_bench.py cclocal:<query>`):
+#: True probes the RAW pair projection with ONE ``limit(K+1)`` collect
+#: BEFORE any checkpoint — when the raw pair multiset fits the driver
+#: budget it contains the complete edge AND node sets, so the label
+#: relation is computed entirely on the driver and returned as a local
+#: relation: one eager job total, no checkpoint write, and the returned
+#: plan does no distributed work beyond scanning the local rows (the
+#: r13 shape still paid an e-checkpoint materialization per execution
+#: plus a distributed node-set distinct + label join in the returned
+#: plan).  On overflow (raw pairs > K, which also covers every case the
+#: r13 distinct-edge probe would overflow, plus the rare raw>K>distinct
+#: band) it falls through to the r13/r12 checkpointed tiers unchanged.
+#: False restores the r13 shape.  Outputs identical: same union-find,
+#: same label fixpoint, self-loop/null handling matched to the
+#: distributed path's semantics — oracle-checked (dedup_clusters).
+CC_LOCAL_RESULT = True
+
+#: r14 optimization-round toggle (`tools/ab_bench.py argmax:<query>`):
+#: True computes the single-probe centroid assignment as a PER-ROW
+#: argmax expression over the (bounded, centroid-count-sized) collected
+#: quantized centroid literals — ``array_max(array(struct(aff, -cen_id,
+#: cen_id), ...))`` — so the assignment is MAP-SIDE: the r13 shape's
+#: corpus-scale ``crossJoin(broadcast(cen)) + groupBy(c_id).agg(max(
+#: struct(...)))`` exchange (which carried the full 64-long quantized
+#: vector payload per row, ~550 B) disappears from the plan (guide
+#: §2.3/§2.4: shuffle fewer bytes / remove shuffles outright).  The
+#: struct comparison fields and every arithmetic op are identical —
+#: same fold dots over the same quantized longs, same
+#: ``dot / SQRT(CAST(n AS DOUBLE))`` affinity, same (aff desc, cen_id
+#: asc) tie-break — so the assignment, and every downstream pair/audit
+#: row, is bit-identical (oracle-checked: dedup_semantic).  False
+#: restores the r13 crossJoin+groupBy shape.
+ARGMAX_ASSIGN = True
+
+#: r14 experiment toggle (`tools/ab_bench.py arrowdot:<query>`): True
+#: computes the pair-verify integer dot through a VECTORIZED Arrow
+#: pandas UDF (numpy int64 row-wise dot — exact: every product/sum of
+#: quantized components is far inside int64, so the longs are
+#: bit-identical to the JVM fold's) instead of the interpreted
+#: ``aggregate(zip_with(...))`` higher-order fold, which is
+#: CodegenFallback (one lambda frame per element per candidate pair).
+#: The r13 alternatives to the fold (full unroll, sequence-fold) were
+#: measured dead ends; this is guide §4.2's sanctioned boundary — hand
+#: whole Arrow batches to numpy.  The UDF is marked non-deterministic
+#: so the threshold filter cannot duplicate it (guide §4.4).  Default
+#: decided by the interleaved A/B receipt
+#: (BENCH_AB_arrowdot_dedup_semantic.json).
+ARROW_PAIR_DOT = False
+
+
+def _arrow_pair_dot(a: str, b: str):
+    """Row-wise integer dot of two array<bigint> columns as a
+    vectorized Arrow pandas UDF: batches cross the boundary columnar,
+    numpy does one int64 einsum per batch.  Exact (int64 throughout,
+    no float round-trip), so results are bit-identical to
+    :func:`similarity._int_dot`'s fold."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # `from __future__ import annotations` stringifies the hints below;
+    # pandas_udf resolves them against THIS module's globals, so the
+    # lazily-imported pd must be visible there (module-level pandas
+    # import deliberately avoided — only this experiment needs it)
+    globals().setdefault("pd", pd)
+
+    @pandas_udf("long")
+    def _dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(xa) == 0:
+            return pd.Series([], dtype="int64")
+        va = np.vstack(xa.to_numpy()).astype(np.int64, copy=False)
+        vb = np.vstack(xb.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", va, vb))
+
+    return _dot.asNondeterministic()(F.col(a), F.col(b))
+
 
 def _prefix_len(threshold_num: int, threshold_den: int):
     """Prefix length |X| - ceil(t*|X|) + 1 (integer ceil via div)."""
@@ -363,7 +440,8 @@ def _prefix_len(threshold_num: int, threshold_den: int):
 
 
 def _jaccard_prefix_cands(
-    docs: DataFrame, threshold_num: int, threshold_den: int
+    docs: DataFrame, threshold_num: int, threshold_den: int,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate (a_doc, b_doc) pairs that can pass the Jaccard
     threshold: prefix x prefix self-join (both sides' bounds are valid
@@ -401,16 +479,20 @@ def _jaccard_prefix_cands(
         out = out.filter(
             F.least("x.sz", "y.sz") * den >= F.greatest("x.sz", "y.sz") * num
         ).filter(ubound * (num + den) >= (F.col("x.sz") + F.col("y.sz")) * num)
-    return (
-        out.select(
-            F.col("x.doc").alias("a_doc"), F.col("y.doc").alias("b_doc")
-        )
-        .distinct()
+    out = out.select(
+        F.col("x.doc").alias("a_doc"), F.col("y.doc").alias("b_doc")
     )
+    # ``distinct=False`` (r14): a caller that UNIONs several candidate
+    # sources and dedups ONCE after the union skips this source-local
+    # exchange — the union-level distinct's map-side partial aggregate
+    # collapses the duplicates anyway, so one shuffle replaces two
+    # (guide §2.4); the pair set is unchanged.
+    return out.distinct() if distinct else out
 
 
 def _containment_prefix_cands(
-    docs: DataFrame, threshold_num: int, threshold_den: int
+    docs: DataFrame, threshold_num: int, threshold_den: int,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate pairs that can pass the containment threshold
     ``common >= t * min(|A|, |B|)``.  The overlap bound is relative to
@@ -448,13 +530,12 @@ def _containment_prefix_cands(
     )
     if PPJOIN_CUTS:
         out = out.filter(ubound * den >= F.col("x.sz") * num)
-    return (
-        out.select(
-            F.least("x.doc", "y.doc").alias("a_doc"),
-            F.greatest("x.doc", "y.doc").alias("b_doc"),
-        )
-        .distinct()
+    out = out.select(
+        F.least("x.doc", "y.doc").alias("a_doc"),
+        F.greatest("x.doc", "y.doc").alias("b_doc"),
     )
+    # see _jaccard_prefix_cands: union-level dedup skips this exchange
+    return out.distinct() if distinct else out
 
 
 def _verify_candidates(docs: DataFrame, cands: DataFrame) -> DataFrame:
@@ -585,11 +666,20 @@ def word_overlap_pairs(
     sh = _shingle_arrays(df, text_col, id_col, n)
     if prefix_filter:
         docs = _ordered_docs(sh, max_shingle_freq)
+        # r14: dedup the candidate union ONCE — the source-local
+        # distincts were redundant under the union-level distinct (their
+        # duplicates collapse in its map-side partial aggregate), so the
+        # three candidate exchanges become one (guide §2.4); the pair
+        # set is unchanged (equality-pinned vs the plain self-join in
+        # test_dedup_similarity).
         cands = (
-            _jaccard_prefix_cands(docs, jaccard_num, jaccard_den)
+            _jaccard_prefix_cands(
+                docs, jaccard_num, jaccard_den, distinct=False
+            )
             .unionByName(
                 _containment_prefix_cands(
-                    docs, containment_num, containment_den
+                    docs, containment_num, containment_den,
+                    distinct=False,
                 )
             )
             .distinct()
@@ -882,11 +972,13 @@ def embedding_dup_pairs_lsh(
         F.col("nrm").alias("b_n"), "bucket",
     )
     dec = "decimal(38,0)"
+    joined = left.join(right, "bucket").filter(F.col("a_id") < F.col("b_id"))
+    if ARROW_PAIR_DOT:
+        staged = joined.withColumn("dot", _arrow_pair_dot("a_qv", "b_qv"))
+    else:
+        staged = project_once(joined, dot=dot)
     return (
-        project_once(
-            left.join(right, "bucket").filter(F.col("a_id") < F.col("b_id")),
-            dot=dot,
-        )
+        staged
         .filter(
             (F.col("dot") > 0)
             & (
@@ -1014,18 +1106,75 @@ def connected_components(
     bound is hit unconverged — wrong cluster labels must never ship
     silently.
 
-    **Driver fast path**: the verified pair graph is typically minuscule
-    next to the corpus.  When the edge count — already materialized for
-    the empty-graph check — is at most ``driver_max_edges`` (default
-    2^20, ~16 MB collected), the contraction runs as one union-find
-    pass on the driver instead of ~15 distributed rounds x 3 jobs of
-    scheduler overhead — the same bounded-collect logic as a broadcast
-    join (and the blob-GC pointer collect).  Labels re-parallelize for
-    the distributed final node join, so callers see the same DataFrame
-    either way.  Past the threshold the star-contraction rounds run
-    unchanged.
+    **Driver fast path** (default, ``CC_LOCAL_RESULT``): the verified
+    pair graph is typically minuscule next to the corpus.  ONE eager
+    ``limit(driver_max_edges+1).collect()`` of the raw ``(u, v)`` pair
+    projection both gates the fast path and fetches its input: when the
+    raw pair multiset fits the budget it contains the complete node and
+    edge sets, so union-find AND the label relation are computed on the
+    driver and returned as a local relation — no checkpoint, no
+    distributed node join, one job total (the same bounded-collect
+    logic as a broadcast join).  Driver memory envelope: at the default
+    ``driver_max_edges`` = 2^20 the probe transiently holds ≤ 2^20+1
+    two-field Rows (~hundreds of MB of Python objects worst-case,
+    released after the union-find; the label local relation is ≤ 2 longs
+    per distinct node).  Callers needing a smaller envelope pass a
+    smaller ``driver_max_edges``.  On overflow the probe rows are
+    discarded and the checkpointed tiers below run: the r13
+    ``CC_PROBE_GATE`` distinct-edge probe (A/B fallback), then the
+    distributed star-contraction rounds unchanged.
     """
     from topic_store_spark.operators.util import materialize_iter
+
+    if CC_LOCAL_RESULT:
+        # tier 1: probe the RAW pair projection (no checkpoint — this is
+        # the only action that consumes it when the probe fits).  limit
+        # below the bound returns every row, so the probe IS the
+        # complete pair multiset; union-find labels are min-reachable-id
+        # under any union order, so row order/duplicates are irrelevant.
+        raw = (
+            pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(raw) <= driver_max_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            seen = set()
+            for row in raw:
+                u, v = row[0], row[1]
+                seen.add(u)
+                seen.add(v)
+                # null endpoints carry no connectivity (the distributed
+                # path's ``u != v`` filter is null-rejecting); self-loops
+                # label themselves via ``seen``
+                if u is None or v is None or u == v:
+                    continue
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            labels = [(x, find(x)) for x in seen]
+            spark = pairs.sparkSession
+            node_type = pairs.schema[a_col].dataType
+            lab_schema = StructType(
+                [
+                    StructField("node", node_type, True),
+                    StructField("component", node_type, True),
+                ]
+            )
+            return spark.createDataFrame(labels, lab_schema)
+        # overflow: fall through to the checkpointed tiers (the K+1
+        # probe rows are an arbitrary subset, never used as input)
 
     # materialize the raw pair projection once: every later reference
     # (node set, initial edges) reads the checkpoint instead of re-running
@@ -1188,9 +1337,44 @@ def _semantic_assignment(
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(ensure_parallelism(df), id_col, vec_col, "c")
 
-    aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
-    scored = c.crossJoin(F.broadcast(cen)).withColumn("aff", aff)
-    if n_probe <= 1:
+    if n_probe <= 1 and ARGMAX_ASSIGN:
+        # r14: per-row argmax over the collected quantized centroid
+        # literals — map-side assignment, no corpus-scale exchange (the
+        # groupBy form shuffled every row WITH its 64-long vector
+        # payload just to pick a max over |centroids| candidates).  The
+        # collect is bounded by the centroid count — the same budget as
+        # the ANN codebook collects — and replaces the broadcast-build
+        # job the crossJoin form paid anyway.  Affinity arithmetic and
+        # tie-break are IDENTICAL to the groupBy form (same fold dot
+        # over the same JVM-quantized longs, same double division by
+        # SQRT(CAST(n AS DOUBLE)), struct-ordered (aff, -cen_id)), so
+        # every assignment bit matches — equality pinned in
+        # tests/test_dedup_similarity.py and by the oracle.
+        from topic_store_spark.operators.similarity import argmax_best_sql
+
+        cen_rows = cen.collect()
+        if not cen_rows:
+            ctype = cen.schema["cen_id"].dataType
+            assigned = (
+                c.select(
+                    "c_id", "c_qv", "c_n",
+                    F.lit(None).cast(ctype).alias("cluster_id"),
+                )
+                .filter(F.lit(False))
+            )
+        else:
+            best_sql = argmax_best_sql(cen_rows, "c_qv")
+            assigned = c.select(
+                "c_id", "c_qv", "c_n",
+                F.expr(f"({best_sql}).cen_id").alias("cluster_id"),
+            )
+    elif n_probe <= 1:
+        # r13 A/B reference shape (`ab_bench.py argmax:<query>` off):
+        # broadcast crossJoin + corpus-scale groupBy argmax
+        aff = _int_dot("c_qv", "cen_qv") / F.sqrt(
+            F.col("cen_n").cast("double")
+        )
+        scored = c.crossJoin(F.broadcast(cen)).withColumn("aff", aff)
         # argmax via max(struct) instead of a row_number window: the
         # partial aggregate reduces each vector's |centroids| candidate
         # rows to one BEFORE the exchange, so the assignment shuffle
@@ -1220,6 +1404,10 @@ def _semantic_assignment(
         # multi-probe: rank the (small, constant) centroid list per
         # vector and keep probe 1 unconditionally plus probes 2..n_probe
         # whose affinity is within probe_eps (relative) of the best
+        aff = _int_dot("c_qv", "cen_qv") / F.sqrt(
+            F.col("cen_n").cast("double")
+        )
+        scored = c.crossJoin(F.broadcast(cen)).withColumn("aff", aff)
         probes = F.slice(
             F.sort_array(
                 F.collect_list(
@@ -1455,13 +1643,17 @@ def _pairs_within(
     # (the before-plan evaluated the fold 4x per pair)
     from topic_store_spark.operators.similarity import _int_dot
 
-    dot = _int_dot("a_qv", "b_qv")
+    joined = left.join(right, join_keys).filter(F.col("a_id") < F.col("b_id"))
+    if ARROW_PAIR_DOT:
+        # r14 Arrow experiment: vectorized numpy dot, single evaluation
+        # guaranteed by the non-deterministic marking instead of the
+        # Generate barrier (a Python UDF cannot ride the generator)
+        staged = joined.withColumn("dot", _arrow_pair_dot("a_qv", "b_qv"))
+    else:
+        staged = project_once(joined, dot=_int_dot("a_qv", "b_qv"))
     dec = "decimal(38,0)"
     pairs = (
-        project_once(
-            left.join(right, join_keys).filter(F.col("a_id") < F.col("b_id")),
-            dot=dot,
-        )
+        staged
         .filter(
             (F.col("dot") > 0)
             & (

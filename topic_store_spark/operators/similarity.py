@@ -54,10 +54,53 @@ FAST_EXPR = True
 #: ::test_opq_fused_codebooks_equal_composed).
 FUSED_OPQ = True
 
+#: r14 optimization-round toggle (`tools/ab_bench.py argmax:<query>`
+#: sets this together with dedup.ARGMAX_ASSIGN): True computes
+#: centroid assignments (:func:`assign_to_lists`,
+#: :func:`ivf_residual_vectors`) as a PER-ROW argmax expression over
+#: the collected quantized centroid literals — map-side, removing the
+#: corpus-scale ``crossJoin(broadcast) + groupBy(c_id).agg(max(
+#: struct))`` exchange that carried the full quantized-vector payload
+#: per row (guide §2.3/§2.4).  The centroid collect is bounded by the
+#: centroid count (same budget class as the PQ codebook collects).
+#: Affinity arithmetic and tie-break are identical ops on identical
+#: operands, so every assignment bit matches — oracle-checked
+#: (ann_ivf / ann_pq / dedup_semantic).  False restores the r13
+#: crossJoin+groupBy shape.
+ARGMAX_ASSIGN = True
+
 
 def _q(name: str) -> str:
     """Backtick-quote a column name for the SQL-string builders."""
     return f"`{name}`"
+
+
+def argmax_best_sql(cen_rows, vec_sql: str, with_vec: bool = False) -> str:
+    """``array_max(array(named_struct(...), ...))`` — the best-centroid
+    struct for one row, as a Spark-SQL string over the collected
+    quantized centroid rows (``cen_id``/``cen_qv``/``cen_n``).  Struct
+    fields are ``(aff, neg_cen, cen_id[, cen_qv])`` compared in order —
+    the same ``(aff desc, cen_id asc)`` deterministic tie-break as the
+    crossJoin+groupBy ``max(struct(...))`` form (``neg_cen`` is unique,
+    so later fields never decide), and the affinity is the identical
+    ``fold-dot / SQRT(CAST(n AS DOUBLE))`` double.  ``with_vec`` adds
+    the winning centroid's quantized vector as a literal field (for
+    residual computation)."""
+    structs = []
+    for r in cen_rows:
+        lits = ",".join(f"{int(x)}L" for x in r["cen_qv"])
+        cid = int(r["cen_id"])
+        aff = (
+            f"({int_dot_sql(vec_sql, f'array({lits})')}) "
+            f"/ SQRT(CAST({int(r['cen_n'])}L AS DOUBLE))"
+        )
+        fields = (
+            f"'aff', {aff}, 'neg_cen', {-cid}L, 'cen_id', {cid}L"
+        )
+        if with_vec:
+            fields += f", 'cen_qv', array({lits})"
+        structs.append(f"named_struct({fields})")
+    return f"array_max(array({', '.join(structs)}))"
 
 
 def _quantized(
@@ -208,14 +251,30 @@ def assign_to_lists(
     IVF index persists (`operators/index.py` IVFIndex) and
     ``search_lists`` probes.
 
-    Argmax via max(struct) instead of a row_number window (same
-    rationale and tie-break as semantic_cluster_dedup): the partial
-    aggregate reduces each vector's |centroids| candidate rows to one
-    BEFORE the exchange, so assignment shuffles n rows, not
-    n x |centroids|, and needs no sort.
+    r14 (``ARGMAX_ASSIGN``, default): the assignment is a PER-ROW
+    argmax expression over the collected quantized centroid literals —
+    map-side, no corpus-scale exchange.  The r13 fallback shape
+    (argmax via max(struct), same rationale and tie-break as
+    semantic_cluster_dedup) reduced each vector's |centroids| candidate
+    rows to one BEFORE the exchange, but still shuffled n rows WITH
+    their quantized-vector payload.
     """
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(corpus, id_col, vec_col, "c")
+    if ARGMAX_ASSIGN:
+        cen_rows = cen.collect()
+        if not cen_rows:
+            # no centroids: the crossJoin form yields an empty relation
+            ctype = cen.schema["cen_id"].dataType
+            return c.select(
+                "c_id", "c_qv", "c_n",
+                F.lit(None).cast(ctype).alias("list_id"),
+            ).filter(F.lit(False))
+        best = argmax_best_sql(cen_rows, "c_qv")
+        return c.select(
+            "c_id", "c_qv", "c_n",
+            F.expr(f"({best}).cen_id").alias("list_id"),
+        )
     aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
         F.struct(
@@ -393,8 +452,11 @@ def lsh_bucket_key(vec_col, planes: int = 8, dim: int = 64):
     """Random-hyperplane LSH bucket id: `planes`-bit sign pattern.
 
     ``vec_col`` may be a Column (r12 HOF form) or a column-NAME string —
-    the string form (with FAST_EXPR) emits the unrolled codegen SQL,
-    identical doubles and sign bits (same operand order)."""
+    the string form (with FAST_EXPR) emits the SAME fold-form HOF
+    expression as one SQL string (one py4j round trip; the unrolled
+    codegen draft was measured 2-20x WORSE and rejected — see
+    OPTIMIZATION_r13.md), identical doubles and sign bits (same
+    operand order)."""
     if isinstance(vec_col, str):
         if FAST_EXPR:
             return F.expr(lsh_bucket_key_sql(_q(vec_col), planes, dim))
@@ -733,6 +795,29 @@ def ivf_residual_vectors(
     identically by construction."""
     cen = _quantized(centroids, id_col, vec_col, "cen")
     c = _quantized(corpus, id_col, vec_col, "c")
+    if ARGMAX_ASSIGN:
+        # r14: per-row argmax with the winning centroid's quantized
+        # vector carried as a literal struct field — the residual
+        # subtract and /1000.0 scale-back are the identical integer /
+        # double ops on identical operands as the groupBy form
+        cen_rows = cen.collect()
+        if not cen_rows:
+            return c.select(
+                F.col("c_id").alias(id_col),
+                F.transform(
+                    F.col("c_qv"),
+                    lambda v: v.cast("double") / F.lit(1000.0),
+                ).alias(vec_col),
+            ).filter(F.lit(False))
+        best = argmax_best_sql(cen_rows, "c_qv", with_vec=True)
+        return c.select(
+            F.col("c_id").alias(id_col),
+            F.expr(
+                f"transform(zip_with(c_qv, ({best}).cen_qv, "
+                "(x, y) -> x - y), "
+                "v -> CAST(v AS DOUBLE) / 1000.0D)"
+            ).alias(vec_col),
+        )
     aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
         F.struct(
