@@ -195,9 +195,11 @@ Arguments: d
         ("dedup_paragraph", 3),   # fp rollup, doc reassembly, totals join
         ("corpus_lengths", 2),    # histogram rollup + one percentile window
         ("salient_terms", 3),     # (doc,term) rollup, term pin, doc window
-        ("dedup_semantic", 2),    # r13 fused report: assignment rollup +
-        #  cluster-pinned repartition; pair joins and bucket audit all
-        #  inherit hash(cluster) (was 7 at-scale in the unfused form)
+        ("dedup_semantic", 1),    # r14 argmax assignment: map-side, so
+        #  the r13 assignment rollup exchange died — only the
+        #  cluster-pinned repartition remains; pair joins and bucket
+        #  audit all inherit hash(cluster) (was 7 at-scale unfused,
+        #  2 in the r13 fused form)
     ],
 )
 def test_r12_diet_carriers_static_bounds_runtime(spark, query, at_scale_bar):

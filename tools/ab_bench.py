@@ -63,6 +63,10 @@ Experiments:
   (dedup.ARROW_PAIR_DOT: pandas UDF + numpy int64 einsum, exact) on/off
   (off = interpreted aggregate(zip_with) HOF fold; VERDICT r13 item 1
   — the receipt decides the default either way).
+* ``gllazy:<query>`` — r14 $graphLookup lazy frontier gate
+  (pipeline.GL_LAZY_GATE: per-level checkpoint deferred into the gate
+  count, 1 eager job/level) on/off (off = r13 eager checkpoint + count
+  = 2 jobs/level).
 
 ``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
 bench.py); other experiments write BENCH_AB_<name>.json
@@ -305,6 +309,21 @@ def main() -> int:
             },
         }
         fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("gllazy:"):
+        query_name = experiment.split(":", 1)[1]
+        from topic_store_spark.query import pipeline as pl_mod
+
+        exp = {
+            "label": ("r14 $graphLookup lazy frontier gate "
+                      "(pipeline.GL_LAZY_GATE: checkpoint deferred into "
+                      "the gate count — 1 eager job/level) on vs off "
+                      "(r13 eager checkpoint + count = 2 jobs/level)"),
+            "variants": {
+                "lazy_on": lambda: setattr(pl_mod, "GL_LAZY_GATE", True),
+                "lazy_off": lambda: setattr(pl_mod, "GL_LAZY_GATE", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
     elif experiment == "ppjoin_neardup":
         replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
         work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
@@ -419,6 +438,9 @@ def main() -> int:
     dedup.ARGMAX_ASSIGN = True
     dedup.ARROW_PAIR_DOT = False
     _sim.ARGMAX_ASSIGN = True
+    from topic_store_spark.query import pipeline as _pl
+
+    _pl.GL_LAZY_GATE = True
     _sim.FAST_EXPR = True
     _sim.FUSED_OPQ = True
     _op_util.PROJECT_ONCE_BARRIER = True

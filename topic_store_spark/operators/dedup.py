@@ -1498,10 +1498,32 @@ def _semantic_assignment(
                 b_bits = F.least(
                     F.ceil(F.log2(n_sub)).cast("int"), F.lit(16)
                 )
+                # r14: ``size_rows`` is already on the driver (the
+                # max_bits gate above collected it) — attach ``_csize``
+                # as a LITERAL MAP LOOKUP instead of re-joining the
+                # rollup: the r13 broadcast join re-ran the sizes
+                # aggregation (its own exchange + broadcast build)
+                # inside the final cache's materialization.  Every
+                # downstream op (n_sub / b_bits / substring) is the
+                # identical JVM expression over the identical exact
+                # counts, so sub-bucket keys are unchanged; every
+                # assigned cluster_id appears in size_rows by
+                # construction, matching the inner join's row set.
+                csize_map = F.create_map(
+                    *[
+                        lit
+                        for r in size_rows
+                        for lit in (
+                            F.lit(r["cluster_id"]), F.lit(r["_csize"])
+                        )
+                    ]
+                )
                 assigned = (
-                    assigned.join(F.broadcast(sizes), "cluster_id")
+                    assigned.withColumn(
+                        "_csize", F.element_at(csize_map, F.col("cluster_id"))
+                    )
                     .withColumn(
-                        # string-form column ref -> the unrolled codegen
+                        # string-form column ref -> the fold-form SQL
                         # sign-pattern under FAST_EXPR (same bits)
                         "_bits", lsh_bucket_key("c_qv", max_bits, vdim)
                     )

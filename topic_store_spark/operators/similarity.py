@@ -900,10 +900,38 @@ def _pq_encode_corpus(
     c: DataFrame, cen: DataFrame, coder: PQCoder, residual: bool,
 ) -> DataFrame:
     """``(c_id, list_id, codes)``: coarse-assign every corpus vector
-    (broadcast-assign, argmax via max(struct) partial aggregate — n-row
-    shuffle, no sort) and PQ-encode it (residual or raw) in staged
-    projections.  The full vector is DROPPED here — downstream carries
-    ``m`` codes/row."""
+    and PQ-encode it (residual or raw) in staged projections.  The full
+    vector is DROPPED here — downstream carries ``m`` codes/row.
+
+    r14 (``ARGMAX_ASSIGN``): the coarse assignment is a per-row argmax
+    over collected centroid literals — map-side, removing the
+    corpus-scale crossJoin+groupBy exchange (the r13 fallback shuffled
+    n rows with their full quantized vectors).  The best struct is
+    STAGED in its own projection because both ``list_id`` and the
+    residual read it (HOFs get no subexpression elimination)."""
+    if ARGMAX_ASSIGN:
+        cen_rows = cen.collect()
+        if not cen_rows:
+            ctype = cen.schema["cen_id"].dataType
+            assigned = c.select(
+                "c_id",
+                F.col("c_qv").alias("c_ev"),
+                F.lit(None).cast(ctype).alias("list_id"),
+            ).filter(F.lit(False))
+            return coder.encode(assigned, "c_ev", ["c_id", "list_id"])
+        best = argmax_best_sql(cen_rows, "c_qv", with_vec=True)
+        staged = c.select("c_id", "c_qv", F.expr(best).alias("_best"))
+        enc_sql = (
+            "zip_with(c_qv, _best.cen_qv, (x, y) -> x - y)"
+            if residual
+            else "c_qv"
+        )
+        assigned = staged.select(
+            "c_id",
+            F.expr(enc_sql).alias("c_ev"),
+            F.col("_best.cen_id").alias("list_id"),
+        )
+        return coder.encode(assigned, "c_ev", ["c_id", "list_id"])
     aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
         F.struct(

@@ -221,14 +221,20 @@ def release_tracked_caches() -> None:
         _TRACKED_CACHES.pop().unpersist()
 
 
-def materialize_iter(df: DataFrame) -> DataFrame:
+def materialize_iter(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize one step of an iterative algorithm, truncating lineage:
     reliable ``checkpoint`` when the app configured a checkpoint dir (the
     right choice on a real cluster — survives executor loss), else
     ``localCheckpoint`` (executor-local storage; fine for local or
     ephemeral jobs).  Without this, iteration k's action re-executes the
     entire chain of previous iterations — O(k^2) work and an unbounded
-    plan."""
+    plan.
+
+    ``eager=False`` (r14) defers the checkpoint write to the caller's
+    NEXT action — for call sites whose next statement is an eager
+    ``count()``/``collect()`` on the result, the materialization and
+    the gate action fuse into ONE Spark job (the CC probe-gate lesson)
+    instead of a checkpoint job followed by a count job."""
     try:
         sc = df.sparkSession.sparkContext
         has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
@@ -237,8 +243,8 @@ def materialize_iter(df: DataFrame) -> DataFrame:
         # localCheckpoint is in the Connect API since Spark 4
         has_dir = False
     if has_dir:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def explode_nonempty(df: DataFrame, arr_col: str, out_name: str, *keep: str) -> DataFrame:

@@ -2800,10 +2800,20 @@ def _compile_densify(df: DataFrame, spec: dict[str, Any]) -> DataFrame:
 _GL_BROADCAST_MAX_ROWS = 500_000
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+#: r14 optimization-round toggle (`tools/ab_bench.py gllazy:<query>`):
+#: True defers each BFS level's frontier checkpoint to the count() that
+#: immediately follows it, fusing the former materialize-job + count-job
+#: pair into ONE eager job per level (2 jobs/level -> 1; the count still
+#: gates emptiness AND the broadcast hint exactly as before, and the
+#: joins still read the truncated-lineage checkpoint).  False restores
+#: the r13 eager-checkpoint shape.  Results identical either way.
+GL_LAZY_GATE = True
+
+
+def _materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     from topic_store_spark.operators.util import materialize_iter
 
-    return materialize_iter(df)
+    return materialize_iter(df, eager=eager)
 
 
 def _graph_lookup(
@@ -2854,7 +2864,8 @@ def _graph_lookup(
 
     starts = out.select(compile_value(spec["startWith"]).alias("_gl_start"))
     frontier = _materialize(
-        starts.distinct().select("_gl_start", F.col("_gl_start").alias("_gl_key"))
+        starts.distinct().select("_gl_start", F.col("_gl_start").alias("_gl_key")),
+        eager=not GL_LAZY_GATE,
     )
     n_frontier = frontier.count()
     expanded = frontier.select("_gl_start", "_gl_key").limit(0)
@@ -2879,7 +2890,8 @@ def _graph_lookup(
             break
         frontier = _materialize(
             matched.select("_gl_start", F.col("_gl_next").alias("_gl_key"))
-            .subtract(expanded)
+            .subtract(expanded),
+            eager=not GL_LAZY_GATE,
         )
         n_frontier = frontier.count()
         if n_frontier == 0:
