@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 
 from topic_store_spark.tables import load_table
 
+#: r14 optimization-round toggle (`tools/ab_bench.py asofstage:
+#: snapshot_asof`): True stages q_snapshot_asof's click and purchase
+#: event subsets ONCE each, hash(user_id)-partitioned + persisted +
+#: plan-finalized, so the asof/interval branches' four user-keyed
+#: exchanges (quote-dedup groupBy, asof union window, interval bin
+#: join at scale, per-click sum) inherit the staging partitioning
+#: instead of planning their own.  False restores the r13 per-branch
+#: scan shape.  Results identical (repartition + persist are
+#: row-preserving) — oracle-checked.
+ASOF_SHARED_STAGE = True
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -1206,12 +1217,57 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("key"),
         F.col("value").cast("double").alias("v"),
     )
-    probes = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    quotes = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value", "event_id"
-    )
+    if ASOF_SHARED_STAGE:
+        # r14 (guide §2.4, VERDICT r13 item 5): the asof and interval
+        # branches read the SAME two event subsets, both keyed on
+        # user_id — stage each ONCE, hash(user_id)-partitioned, persist,
+        # and finalize the cached plan so every consumer inherits the
+        # partitioning: the asof quote-dedup groupBy (user_id, ts), the
+        # asof union window (user_id), the interval bin equi-join
+        # (user_id, _iv_bin) and the per-click sum (event_id, user_id,
+        # ts) all cluster on supersets of user_id, so none plans its
+        # own exchange.  Two staging exchanges replace four
+        # branch-local ones (six at scale, where the bin join cannot
+        # broadcast), and events is scanned twice instead of four
+        # times.  Row values are untouched — repartition + persist are
+        # row-preserving — so the oracle is unchanged.
+        from topic_store_spark.operators.util import (
+            expose_cached_partitioning,
+            hash_partition,
+            persist_tracked,
+        )
+
+        clicks_staged = expose_cached_partitioning(
+            persist_tracked(
+                hash_partition(
+                    events.filter(F.col("event_type") == "click").select(
+                        "event_id", "user_id", "ts",
+                        _epoch_sec(events).alias("ts_sec"),
+                    ),
+                    "user_id",
+                )
+            )
+        )
+        purchases_staged = expose_cached_partitioning(
+            persist_tracked(
+                hash_partition(
+                    events.filter(F.col("event_type") == "purchase").select(
+                        "user_id", "ts", "value", "event_id",
+                        _epoch_sec(events).alias("ts_sec"),
+                    ),
+                    "user_id",
+                )
+            )
+        )
+        probes = clicks_staged.select("event_id", "user_id", "ts")
+        quotes = purchases_staged.select("user_id", "ts", "value", "event_id")
+    else:
+        probes = events.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        quotes = events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value", "event_id"
+        )
     joined = asof_join(
         probes, quotes, on="user_id", left_ts="ts", right_ts="ts",
         value_cols=["value"], tie_col="event_id",
@@ -1223,15 +1279,24 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("key"),
         F.col("asof_value").cast("double").alias("v"),
     )
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", _epoch_sec(events).alias("ts_sec")
-    )
-    wins = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        _epoch_sec(events).alias("w_start"),
-        (_epoch_sec(events) + 14400.0).alias("w_end"),
-        F.round(F.col("value") * 1000).cast("long").alias("w_milli"),
-    )
+    if ASOF_SHARED_STAGE:
+        clicks = clicks_staged
+        wins = purchases_staged.select(
+            "user_id",
+            F.col("ts_sec").alias("w_start"),
+            (F.col("ts_sec") + 14400.0).alias("w_end"),
+            F.round(F.col("value") * 1000).cast("long").alias("w_milli"),
+        )
+    else:
+        clicks = events.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", _epoch_sec(events).alias("ts_sec")
+        )
+        wins = events.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            _epoch_sec(events).alias("w_start"),
+            (_epoch_sec(events) + 14400.0).alias("w_end"),
+            F.round(F.col("value") * 1000).cast("long").alias("w_milli"),
+        )
     iv = interval_join(
         clicks, wins, on="user_id", left_ts="ts_sec",
         right_start="w_start", right_end="w_end", bin_width=3600.0,

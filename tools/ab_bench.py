@@ -67,6 +67,9 @@ Experiments:
   (pipeline.GL_LAZY_GATE: per-level checkpoint deferred into the gate
   count, 1 eager job/level) on/off (off = r13 eager checkpoint + count
   = 2 jobs/level).
+* ``asofstage:<query>`` — r14 snapshot_asof shared hash(user_id)
+  staging (entry ASOF_SHARED_STAGE) on/off (off = r13 per-branch
+  scans and exchanges).
 
 ``ppjoin`` writes BENCH_AB.json (folded into BENCH_detail.json by
 bench.py); other experiments write BENCH_AB_<name>.json
@@ -324,6 +327,23 @@ def main() -> int:
             },
         }
         fn = entry_mod.queries()[query_name]
+    elif experiment.startswith("asofstage:"):
+        query_name = experiment.split(":", 1)[1]
+
+        exp = {
+            "label": ("r14 snapshot_asof shared hash(user_id) staging "
+                      "(entry ASOF_SHARED_STAGE: click/purchase subsets "
+                      "staged once, branches inherit the partitioning) "
+                      "on vs off (r13 per-branch scans + per-branch "
+                      "exchanges)"),
+            "variants": {
+                "stage_on": lambda: setattr(
+                    entry_mod, "ASOF_SHARED_STAGE", True),
+                "stage_off": lambda: setattr(
+                    entry_mod, "ASOF_SHARED_STAGE", False),
+            },
+        }
+        fn = entry_mod.queries()[query_name]
     elif experiment == "ppjoin_neardup":
         replicas = int(os.environ.get("SPARK_GRAFT_AB_REPLICAS", "8"))
         work = tempfile.mkdtemp(prefix="tss_ab_neardup_")
@@ -441,6 +461,7 @@ def main() -> int:
     from topic_store_spark.query import pipeline as _pl
 
     _pl.GL_LAZY_GATE = True
+    entry_mod.ASOF_SHARED_STAGE = True
     _sim.FAST_EXPR = True
     _sim.FUSED_OPQ = True
     _op_util.PROJECT_ONCE_BARRIER = True

@@ -1363,11 +1363,13 @@ def _semantic_assignment(
                 .filter(F.lit(False))
             )
         else:
+            # project_once barrier (the ann_ivf lesson): the pair join's
+            # inferred isnotnull(cluster_id) predicate would otherwise
+            # push below this projection and re-run the whole argmax
             best_sql = argmax_best_sql(cen_rows, "c_qv")
-            assigned = c.select(
-                "c_id", "c_qv", "c_n",
-                F.expr(f"({best_sql}).cen_id").alias("cluster_id"),
-            )
+            assigned = project_once(
+                c, cluster_id=F.expr(f"({best_sql}).cen_id")
+            ).select("c_id", "c_qv", "c_n", "cluster_id")
     elif n_probe <= 1:
         # r13 A/B reference shape (`ab_bench.py argmax:<query>` off):
         # broadcast crossJoin + corpus-scale groupBy argmax

@@ -270,11 +270,17 @@ def assign_to_lists(
                 "c_id", "c_qv", "c_n",
                 F.lit(None).cast(ctype).alias("list_id"),
             ).filter(F.lit(False))
+        # project_once barrier: without it the join's inferred
+        # isnotnull(list_id) predicate pushes below the projection and
+        # re-evaluates the FULL argmax (and the quantize feeding it)
+        # per row — measured 0.96 -> 1.56s on ann_ivf before the
+        # barrier (BENCH_AB_argmax_ann_ivf.json, first stamp)
+        from topic_store_spark.operators.util import project_once
+
         best = argmax_best_sql(cen_rows, "c_qv")
-        return c.select(
-            "c_id", "c_qv", "c_n",
-            F.expr(f"({best}).cen_id").alias("list_id"),
-        )
+        return project_once(
+            c, list_id=F.expr(f"({best}).cen_id")
+        ).select("c_id", "c_qv", "c_n", "list_id")
     aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
         F.struct(
@@ -809,14 +815,18 @@ def ivf_residual_vectors(
                     lambda v: v.cast("double") / F.lit(1000.0),
                 ).alias(vec_col),
             ).filter(F.lit(False))
+        from topic_store_spark.operators.util import project_once
+
         best = argmax_best_sql(cen_rows, "c_qv", with_vec=True)
-        return c.select(
-            F.col("c_id").alias(id_col),
-            F.expr(
+        return project_once(
+            c,
+            _res=F.expr(
                 f"transform(zip_with(c_qv, ({best}).cen_qv, "
                 "(x, y) -> x - y), "
                 "v -> CAST(v AS DOUBLE) / 1000.0D)"
-            ).alias(vec_col),
+            ),
+        ).select(
+            F.col("c_id").alias(id_col), F.col("_res").alias(vec_col)
         )
     aff = _int_dot("c_qv", "cen_qv") / F.sqrt(F.col("cen_n").cast("double"))
     best = F.max(
@@ -919,8 +929,13 @@ def _pq_encode_corpus(
                 F.lit(None).cast(ctype).alias("list_id"),
             ).filter(F.lit(False))
             return coder.encode(assigned, "c_ev", ["c_id", "list_id"])
+        from topic_store_spark.operators.util import project_once
+
         best = argmax_best_sql(cen_rows, "c_qv", with_vec=True)
-        staged = c.select("c_id", "c_qv", F.expr(best).alias("_best"))
+        # project_once, not a plain staged projection: pushed
+        # isnotnull(list_id)/join predicates would substitute the alias
+        # and re-run the whole argmax per row (the ann_ivf lesson)
+        staged = project_once(c, _best=F.expr(best))
         enc_sql = (
             "zip_with(c_qv, _best.cen_qv, (x, y) -> x - y)"
             if residual
