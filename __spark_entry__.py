@@ -40,10 +40,18 @@ from topic_store_spark.tables import load_table
 #: plan-finalized, so the asof/interval branches' four user-keyed
 #: exchanges (quote-dedup groupBy, asof union window, interval bin
 #: join at scale, per-click sum) inherit the staging partitioning
-#: instead of planning their own.  False restores the r13 per-branch
-#: scan shape.  Results identical (repartition + persist are
-#: row-preserving) — oracle-checked.
-ASOF_SHARED_STAGE = True
+#: instead of planning their own.  Runtime shuffle stages measured
+#: 6 -> 4 with broadcast disabled (the 100 TB regime) and 4 -> 1
+#: locally; results identical both regimes (repartition + persist are
+#: row-preserving) — oracle-checked.  DEFAULT False: the interleaved
+#: receipt (BENCH_AB_asofstage_snapshot_asof.json) stamped
+#: stage_off_faster at sf0.1 — the two persist+finalize probe jobs
+#: cost more than the exchanges they save on this fixture, where every
+#: branch's shuffle is a few MB.  The staging is the documented 100 TB
+#: configuration (exchange bytes scale with the corpus, the probe jobs
+#: are constant); flipping it on is a one-line production conf, and
+#: the A/B keeps both shapes measurable per round.
+ASOF_SHARED_STAGE = False
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -461,7 +461,7 @@ def main() -> int:
     from topic_store_spark.query import pipeline as _pl
 
     _pl.GL_LAZY_GATE = True
-    entry_mod.ASOF_SHARED_STAGE = True
+    entry_mod.ASOF_SHARED_STAGE = False  # receipt-decided default (r14)
     _sim.FAST_EXPR = True
     _sim.FUSED_OPQ = True
     _op_util.PROJECT_ONCE_BARRIER = True
