@@ -457,7 +457,7 @@ def main() -> int:
     dedup.CC_LOCAL_RESULT = True
     dedup.ARGMAX_ASSIGN = True
     dedup.ARROW_PAIR_DOT = False
-    _sim.ARGMAX_ASSIGN = True
+    _sim.ARGMAX_ASSIGN = False  # receipt-decided default (r14)
     from topic_store_spark.query import pipeline as _pl
 
     _pl.GL_LAZY_GATE = True

@@ -67,7 +67,22 @@ FUSED_OPQ = True
 #: operands, so every assignment bit matches — oracle-checked
 #: (ann_ivf / ann_pq / dedup_semantic).  False restores the r13
 #: crossJoin+groupBy shape.
-ARGMAX_ASSIGN = True
+#:
+#: DEFAULT False for the IVF family — receipt-decided (r14):
+#: `argmax:ann_pq` stamped **argmax_off_faster** at sf0.1 (3.09 vs
+#: 4.28s median, delta 1.19 > spread 0.87) and `argmax:ann_ivf` leaned
+#: the same way — the ``with_vec`` form materializes the 8 literal
+#: 64-long centroid arrays PER ROW inside the interpreted argmax,
+#: which costs more at this fixture than the n-row exchange it
+#: removes.  The semantic-dedup family's toggle (dedup.ARGMAX_ASSIGN)
+#: stays True: there the assignment feeds a persisted relation and its
+#: argmax carries no vector literals — `argmax:dedup_semantic` stamped
+#: **argmax_on_faster** (3.35 vs 3.85s, delta 0.51 > spread 0.25).
+#: At 100 TB the exchange-removal argument favors True here too
+#: (exchange bytes scale with the corpus; the per-row literal cost is
+#: constant per row) — a production conf flip, measurable per round
+#: via `ab_bench.py argmax:<query>`.
+ARGMAX_ASSIGN = False
 
 
 def _q(name: str) -> str:
